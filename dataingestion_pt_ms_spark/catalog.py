@@ -1,0 +1,58 @@
+"""Loaders for the driver-materialized test tables (TESTDATA.md).
+
+Tables: TPC-H-ish star schema + ``events`` (stream stand-in) +
+``documents``/``embeddings`` (LLM ops). One parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scale notes (100 TB discipline):
+- ``region``/``nation`` are bounded-small by schema semantics (5 / 25 rows at
+  any SF) — always broadcast-join them explicitly.
+- ``supplier``/``part``/``customer`` grow with SF but stay dimension-sized;
+  leave the broadcast decision to Catalyst/AQE so the plan survives scale-up.
+- ``lineitem``/``orders``/``events``/``documents``/``embeddings`` are fact
+  tables: joins between them shuffle on their keys; never broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dims safe to broadcast unconditionally (bounded cardinality at any SF).
+ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register every table as a temp view (for the SQL-API paths)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t + suffix)
