@@ -45,7 +45,18 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), surfaced as long (ns since
+        # epoch) via spark.sql.legacy.parquet.nanosAsLong. Truncate to µs
+        # with integer division (ns epoch values exceed double's 2^53
+        # mantissa — float division would corrupt them) — identical to
+        # DuckDB's ns→µs truncation on read.
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,1 +1,247 @@
+"""Join operator surface (SURVEY.md §2.B "Joins").
 
+Reference parity: the reference's only join-like behavior is the correlated
+per-asset nested-loop fan-out (``app/alpaca_service.py:101-132``) and the
+implicit assets→providers FK lookup (``app/alpaca_service.py:105``); here that
+generalizes to the full equi/outer/semi/anti/theta join family over the star
+schema.
+
+Scale notes:
+- fact⋈fact (lineitem⋈orders) shuffles on the join key; Catalyst picks
+  sort-merge and AQE may downgrade to broadcast at small SF — both are the
+  plan you'd want at their respective scales.
+- bounded dims (region/nation) are broadcast explicitly; SF-scaled dims
+  (customer/part/supplier) are left to AQE so the plan survives 100×.
+- the theta band join is a broadcast nested-loop by construction — the small
+  side is bounded (supplier) and is the side broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+# --------------------------------------------------------------------------
+# Inner equi-join (shuffle/sort-merge at scale).
+# --------------------------------------------------------------------------
+INNER_ORACLE = """
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+"""
+
+
+@register("join_inner_orders_customers", oracle=INNER_ORACLE, tags=("join",))
+def join_inner_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast hash join over the bounded geo dims.
+# --------------------------------------------------------------------------
+BCAST_ORACLE = """
+SELECT r_name, n_name,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+@register("join_broadcast_geo_rollup", oracle=BCAST_ORACLE, tags=("join", "broadcast"))
+def join_broadcast_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Left outer join: customers with zero orders kept (count(o)=0).
+# --------------------------------------------------------------------------
+LEFT_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+@register("join_left_outer_order_counts", oracle=LEFT_ORACLE, tags=("join", "outer"))
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Right outer join: every part kept, with its lineitem count.
+# --------------------------------------------------------------------------
+RIGHT_ORACLE = """
+SELECT p_partkey, p_brand,
+       count(l_orderkey) AS n_lineitems,
+       round(coalesce(sum(l_quantity), 0), 2) AS total_qty
+FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_brand
+"""
+
+
+@register("join_right_outer_part_usage", oracle=RIGHT_ORACLE, tags=("join", "outer"))
+def join_right_outer_part_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"), "right")
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Full outer join: per-nation customer count vs supplier count (only 10
+# suppliers → most nations have customers but no suppliers).
+# --------------------------------------------------------------------------
+FULL_ORACLE = """
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+@register("join_full_outer_nation_counts", oracle=FULL_ORACLE, tags=("join", "outer"))
+def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, F.col("c_nk") == F.col("s_nk"), "full").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Left semi join (EXISTS): customers having at least one finished order.
+# --------------------------------------------------------------------------
+SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+@register("join_semi_customers_with_f_orders", oracle=SEMI_ORACLE, tags=("join", "semi"))
+def join_semi_customers_with_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# Left anti join (NOT EXISTS): customers with no orders at all.
+# --------------------------------------------------------------------------
+ANTI_ORACLE = """
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+@register("join_anti_customers_without_orders", oracle=ANTI_ORACLE, tags=("join", "anti"))
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# Cross join (bounded sides only — 5 regions × order statuses).
+# --------------------------------------------------------------------------
+CROSS_ORACLE = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+"""
+
+
+@register("join_cross_region_status", oracle=CROSS_ORACLE, tags=("join", "cross"))
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    statuses = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(statuses)
+
+
+# --------------------------------------------------------------------------
+# Theta (range/band) join: customers whose balance is within ±50 of a
+# supplier's balance. Non-equi predicate → broadcast nested-loop join with
+# the bounded side (supplier) broadcast.
+# --------------------------------------------------------------------------
+THETA_ORACLE = """
+SELECT s_suppkey,
+       count(*) AS n_close_customers,
+       round(avg(c_acctbal), 6) AS avg_close_balance
+FROM supplier JOIN customer
+  ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+GROUP BY s_suppkey
+ORDER BY s_suppkey
+"""
+
+
+@register("join_theta_balance_band", oracle=THETA_ORACLE, tags=("join", "theta"))
+def join_theta_balance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    cond = F.col("c_acctbal").between(F.col("s_acctbal") - 50, F.col("s_acctbal") + 50)
+    return (
+        cust.join(F.broadcast(supp), cond)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_close_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_close_balance"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -56,6 +56,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # events.ts is parquet TIMESTAMP(NANOS): Spark has no ns timestamp
+        # type; read as long and normalize to µs in the catalog (matches
+        # DuckDB's ns→µs truncation on read).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local mode: driver JVM is the whole cluster; leave headroom in the
         # 128 GiB container. On a real cluster this is per-executor memory.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
