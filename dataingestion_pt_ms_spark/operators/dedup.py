@@ -1,0 +1,228 @@
+"""Deduplication operator family (SURVEY.md §2.B "LLM-data-pipeline"):
+
+- exact dedup (hash-groupBy, keep-min-key) — the distributed version of the
+  reference's keyed upsert dedup (R16, ``app/alpaca_service.py:194,207``);
+- MinHash + LSH banding near-dup (shingle → minhash signature → banded
+  bucket join → exact-jaccard verify);
+- SimHash (63-bit, sign-of-weighted-bit-sums);
+- n-gram Jaccard scoring for candidate pairs.
+
+All compositions are pure DataFrame expressions — no Python UDFs — so they
+scale: the LSH band join shuffles on (band_idx, band_hash) only; candidate
+verification touches candidate pairs, never the O(n²) cross product.
+
+ANSI-mode note (Spark 4 default): arithmetic overflow throws, so minhash
+permutations work in a 31-bit modular space (h mod M, a*h+b mod M with
+M = 2^31-1) — products stay < 2^62.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import distinct_tokens, shingles, tokens
+
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
+
+
+def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Group identical texts, keep the smallest key (deterministic winner).
+
+    Returns (content_hash, keep_key, n_dupes) per distinct text.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(key_col).alias("keep_" + key_col),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations.
+
+    Linear congruential constants derived from the permutation index; a is
+    odd and nonzero mod M.
+    """
+    params = []
+    for p in range(num_perm):
+        a = (2 * ((p * 1_103_515_245 + 12_345) % (_MERSENNE31 // 2)) + 1) % _MERSENNE31
+        b = (p * 69_069 + 1) % _MERSENNE31
+        params.append((a or 1, b))
+    return params
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, key_col: str, num_perm: int = 64, shingle_k: int = 3
+) -> DataFrame:
+    """Add a ``signature: array<long>`` MinHash column.
+
+    One xxhash64 per shingle, then ``num_perm`` modular permutations folded
+    with array_min — O(shingles × perms) expression work per row, zero
+    shuffles.
+    """
+    shingle_col = shingles(tokens(F.col(text_col)), shingle_k)
+    base = df.select(
+        F.col(key_col),
+        F.col(text_col),
+        F.transform(
+            shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
+        ).alias("_h"),
+    )
+    def perm(a: int, b: int):
+        # closure factory: PySpark inspects lambda arity, so the permutation
+        # constants must be captured, not passed as defaulted params
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_h"), perm(a, b)))
+            for a, b in _perm_params(num_perm)
+        ]
+    )
+    return base.select(key_col, text_col, sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, key_col: str, bands: int = 8, rows_per_band: int = 8
+) -> DataFrame:
+    """Banded LSH: docs sharing any band-hash become a candidate pair.
+
+    Explodes each signature into ``bands`` (band_idx, band_hash) rows, then
+    self-joins on the band key — the shuffle key is the band hash, so skew is
+    bounded by actual near-duplicate cluster sizes.
+    Returns distinct (key_a, key_b) with key_a < key_b.
+    """
+    banded = sig_df.select(
+        F.col(key_col).alias("k"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        F.col("signature"), b * rows_per_band + r + 1
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("k", "band.band_idx", "band.band_hash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    key_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify step)."""
+    sh = docs.select(
+        F.col(key_col).alias("k"),
+        shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
+    )
+    a = sh.select(F.col("k").alias("key_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("k").alias("key_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(a, "key_a")
+        .join(b, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.round(F.when(union != 0, inter / union).otherwise(0.0), 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_near_dups(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate pairs with exact verification."""
+    rows = num_perm // bands
+    sig = minhash_signature(df, text_col, key_col, num_perm, shingle_k)
+    cands = lsh_candidate_pairs(sig, key_col, bands, rows)
+    verified = jaccard_pairs(df, cands, text_col, key_col, shingle_k)
+    return verified.filter(F.col("jaccard") >= threshold).orderBy("key_a", "key_b")
+
+
+def simhash63(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """63-bit SimHash per document (bit 63 unused: keeps the value a
+    non-negative long under ANSI arithmetic).
+
+    Scalable shape: explode tokens → one xxhash64 per token → 63 conditional
+    sums in a single grouped aggregation → reassemble bits.
+    """
+    tok = df.select(
+        F.col(key_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = tok.groupBy(key_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(63)
+        ]
+    )
+    sim = None
+    for j in range(63):
+        bit = F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return bit_sums.select(key_col, sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, key_col: str, max_hamming: int = 16
+) -> DataFrame:
+    """SimHash near-dup pairs among consecutive-key candidates.
+
+    (Full-scale variant would band the simhash into 4×16-bit chunks and
+    join on exact chunk match — same LSH shape as minhash; candidate
+    restriction here keeps the demo query bounded.)
+    """
+    s = simhash63(df, text_col, key_col)
+    a = s.select(F.col(key_col).alias("key_a"), F.col("simhash").alias("sim_a"))
+    b = s.select(F.col(key_col).alias("key_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, F.col("key_b") == F.col("key_a") + 1)
+        .select(
+            "key_a",
+            "key_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("key_a")
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (SURVEY.md §2.B).
+
+- brute-force cosine top-k (the correctness baseline; block-partitioned scan,
+  ends in TakeOrderedAndProject — no full sort);
+- random-hyperplane LSH bucketing (the scale path: candidates come from one
+  bucket instead of the whole corpus);
+- label-blocked nearest neighbor (IVF-style: a coarse partitioner bounds the
+  pair space — here the ``label`` column stands in for a learned coarse
+  quantizer's cell assignment).
+
+All vector math uses higher-order functions in double precision
+(functions/vectors.py) — JVM-side, no UDFs, deterministic fold order.
+Ranking ties are broken on (rounded score, key) so results are stable across
+engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot
+
+
+def _dvec(col_name: str = "embedding"):
+    return F.col(col_name).cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k of ``corpus`` against a 1-row ``query``.
+
+    The query side is broadcast (one row); the corpus is scanned once with
+    the score computed in-line, then TakeOrderedAndProject keeps k rows per
+    partition before the final merge — no global sort materializes.
+    """
+    q = F.broadcast(
+        query.select(F.col(vec_col).cast("array<double>").alias("_qvec"))
+    )
+    scored = corpus.crossJoin(q).select(
+        key_col,
+        F.round(cosine_similarity(_dvec(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), key_col).limit(k)
+
+
+def hyperplane_signs(vec, planes: list[list[float]]):
+    """Bucket id from the sign pattern of dot(vec, plane_j): bit j set iff
+    the dot is positive. Planes are literal arrays → pure expression."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def make_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from integer hashing (no RNG
+    state — reproducible in any engine, embeddable as SQL literals)."""
+    return [
+        [(((j * 73_856_093 + k * 19_349_663 + 83) % 2001) - 1000) / 1000.0 for k in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: exact top-k *within the query's LSH bucket*.
+
+    At scale the bucket column is what you partition/cluster by, so a query
+    touches one partition instead of the corpus. Returns the bucket id so
+    recall vs brute force is inspectable.
+    """
+    bucketed = corpus.withColumn("bucket", hyperplane_signs(_dvec(vec_col), planes))
+    qb = F.broadcast(
+        query.select(
+            F.col(vec_col).cast("array<double>").alias("_qvec"),
+        ).withColumn("q_bucket", hyperplane_signs(F.col("_qvec"), planes))
+    )
+    return (
+        bucketed.join(qb, F.col("bucket") == F.col("q_bucket"))
+        .select(
+            key_col,
+            "bucket",
+            F.round(cosine_similarity(_dvec(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), key_col)
+        .limit(k)
+    )
+
+
+def blocked_nearest_neighbor(
+    corpus: DataFrame,
+    block_col: str = "label",
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For every vector: its nearest neighbor within its block (IVF cell).
+
+    The pair space is blocked on ``block_col`` — the join shuffles both
+    sides on the block key, so cost is Σ|block|² instead of n². Winner is
+    deterministic: max (rounded cosine, then smallest neighbor key).
+    """
+    from pyspark.sql import Window as W
+
+    a = corpus.select(
+        F.col(block_col).alias("blk"),
+        F.col(key_col).alias("vec_id_a"),
+        _dvec(vec_col).alias("va"),
+    )
+    b = corpus.select(
+        F.col(block_col).alias("blk"),
+        F.col(key_col).alias("vec_id_b"),
+        _dvec(vec_col).alias("vb"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("vec_id_a") != F.col("vec_id_b"))
+    scored = pairs.select(
+        "blk",
+        "vec_id_a",
+        "vec_id_b",
+        F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("vec_id_a").orderBy(F.col("cosine_sim").desc(), "vec_id_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id_a").alias("vec_id"),
+            F.col("blk").alias("label"),
+            F.col("vec_id_b").alias("nn_vec_id"),
+            "cosine_sim",
+        )
+    )

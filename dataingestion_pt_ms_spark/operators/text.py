@@ -1,0 +1,110 @@
+"""Text-analysis operators (SURVEY.md §2.B "text analysis"): token stats,
+heuristic language ID, quality scoring, content fingerprinting, term
+frequency. All pure expressions — the per-document work is a handful of
+array ops inside one projection, so the operators pipeline with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import distinct_tokens, token_fingerprint, tokens
+
+# Marker token sets for the n-gram/stopword language heuristic. With real
+# corpora these would be per-language character-n-gram profiles; the fixture
+# vocabulary is English-ish so the demo profile keys off EN function words.
+EN_MARKERS = ("the", "a", "of", "and", "to")
+
+
+def _tok(text_col: str) -> Column:
+    return tokens(F.col(text_col))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = _tok(text_col)
+    n_tok = F.size(toks)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok.cast("long"),
+            "n_distinct_tokens": F.size(distinct_tokens(F.col(text_col))).cast("long"),
+            "avg_token_len": F.round(
+                F.aggregate(
+                    toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+                )
+                / n_tok.cast("double"),
+                6,
+            ),
+        }
+    )
+
+
+def stopword_ratio(text_col: str, markers=EN_MARKERS) -> Column:
+    toks = _tok(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def language_id(df: DataFrame, text_col: str = "text", threshold: float = 0.05) -> DataFrame:
+    """Heuristic language ID: EN-marker token ratio ≥ threshold → 'en'."""
+    ratio = F.round(stopword_ratio(text_col), 6)
+    return df.withColumns(
+        {
+            "en_marker_ratio": ratio,
+            "predicted_lang": F.when(ratio >= threshold, "en").otherwise("unknown"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite doc-quality score in [0,1]: vocabulary diversity, length
+    saturation, non-stopword density — the standard pretraining-filter trio
+    (cf. C4/Gopher-style heuristics, arXiv:2112.11446 §A1.1)."""
+    toks = _tok(text_col)
+    n_tok = F.size(toks).cast("double")
+    diversity = F.size(distinct_tokens(F.col(text_col))).cast("double") / n_tok
+    length_sat = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    density = 1 - stopword_ratio(text_col)
+    return df.withColumns(
+        {
+            "diversity": F.round(diversity, 6),
+            "length_sat": F.round(length_sat, 6),
+            "density": F.round(density, 6),
+            "quality_score": F.round(
+                0.4 * diversity + 0.3 * length_sat + 0.3 * density, 6
+            ),
+        }
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", token_fingerprint(F.col(text_col)))
+
+
+def term_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level term frequency (explode → count); at scale this is the
+    canonical map-side-combined wordcount."""
+    return (
+        df.select(F.explode(_tok(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def token_count_estimates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish estimate (chars/4 is the standard
+    subword-tokenizer rule of thumb) + punctuation-aware regex count."""
+    ws = F.size(_tok(text_col))
+    chars = F.length(F.col(text_col))
+    regex_toks = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[^A-Za-z0-9]+"), lambda t: F.length(t) > 0
+        )
+    )
+    return df.withColumns(
+        {
+            "ws_token_count": ws.cast("long"),
+            "regex_token_count": regex_toks.cast("long"),
+            "bpe_token_estimate": F.ceil(chars.cast("double") / 4.0).cast("long"),
+        }
+    )

@@ -1,1 +1,166 @@
+"""Similarity-search + multimodal queries over ``embeddings``/``documents``
+(SURVEY.md §2.B: cosine top-k brute force, LSH-bucketed ANN, blocked NN
+near-dup, multimodal joins, binary-column plumbing).
 
+Oracles compute cosine in double precision (``embedding::DOUBLE[]``) to match
+the engine's double-cast higher-order expressions; ranking always orders by
+(rounded score, key) so the k-boundary is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from . import register
+
+_QID = 0  # fixed query vector for the search queries
+
+TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QID}),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine_sim
+  FROM embeddings, q
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_cosine_topk_bruteforce", oracle=TOPK_ORACLE, tags=("llm", "similarity", "topk"))
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == _QID)
+    return S.cosine_topk(emb, query, k=10)
+
+
+THRESH_ORACLE = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QID})
+SELECT vec_id, label,
+       round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine_sim
+FROM embeddings, q
+WHERE round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) >= 0.2
+ORDER BY cosine_sim DESC, vec_id
+"""
+
+
+@register("sim_cosine_threshold_search", oracle=THRESH_ORACLE, tags=("llm", "similarity"))
+def sim_cosine_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == _QID).select(
+            F.col("embedding").cast("array<double>").alias("_qvec")
+        )
+    )
+    return (
+        emb.crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), F.col("_qvec")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.2)
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+    )
+
+
+@register("sim_ann_lsh_bucketed", oracle=None, tags=("llm", "similarity", "lsh"))
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (8 deterministic planes → 256 buckets);
+    exact top-5 within the query's bucket. Rows-only: plane hashing is
+    engine-specific; recall vs brute force is asserted in engine tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == _QID)
+    planes = S.make_planes(8, 64)
+    return S.ann_lsh_topk(emb, query, planes, k=5)
+
+
+NN_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id, a.label, b.vec_id AS nn_vec_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                                     b.vec_id) AS rn
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, label, nn_vec_id, cosine_sim FROM scored WHERE rn = 1
+"""
+
+
+@register("sim_blocked_nearest_neighbor", oracle=NN_ORACLE, tags=("llm", "similarity", "dedup"))
+def sim_blocked_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup search: nearest neighbor within each label block
+    (IVF-cell shape — Σ|block|² pairs, not n²)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.blocked_nearest_neighbor(emb)
+
+
+MM_JOIN_ORACLE = """
+SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+       CAST(len(e.embedding) AS BIGINT) AS dim,
+       round(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))), 6) AS emb_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+@register("multimodal_join_docs_embeddings", oracle=MM_JOIN_ORACLE, tags=("llm", "multimodal", "join"))
+def multimodal_join_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: text metadata ⋈ vector modality on the
+    shared key (documents.doc_id ↔ embeddings.vec_id, TESTDATA join map)."""
+    from ..functions.vectors import l2_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 6).alias("emb_norm"),
+    )
+
+
+MM_BIN_ORACLE = """
+SELECT doc_id,
+       'text/plain' AS media_kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+@register("multimodal_binary_metadata", oracle=MM_BIN_ORACLE, tags=("llm", "multimodal"))
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary column + typed metadata (operators/multimodal.py);
+    metadata-only projection never touches the payload bytes at scan time
+    thanks to column pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.attach_binary_payload(docs).select(
+        "doc_id", "media_kind", "byte_len", "content_md5"
+    )
+
+
+@register("multimodal_fake_features", oracle=None, tags=("llm", "multimodal", "udf"))
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic stub decode — see operators/multimodal.py). Rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.fake_feature_extract(M.attach_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+    ).orderBy("doc_id")

@@ -1,1 +1,126 @@
+"""Text-analysis queries over ``documents`` (SURVEY.md §2.B "text analysis":
+language-ID, quality scoring, token counting, fingerprinting, TF).
 
+Implementations live in operators/text.py; the oracles mirror each
+expression in DuckDB list/regex functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import text as T
+from . import register
+
+# DuckDB twin of functions.textfns.tokens
+_DTOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+TOKEN_STATS_ORACLE = f"""
+SELECT doc_id, lang,
+       CAST(len({_DTOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_DTOKS})) AS BIGINT) AS n_distinct_tokens,
+       round(list_sum(list_transform({_DTOKS}, t -> CAST(len(t) AS DOUBLE)))
+             / CAST(len({_DTOKS}) AS DOUBLE), 6) AS avg_token_len
+FROM documents
+"""
+
+
+@register("text_token_stats", oracle=TOKEN_STATS_ORACLE, tags=("llm", "text"))
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return T.token_stats(docs).drop("text")
+
+
+TF_ORACLE = f"""
+SELECT token, count(*) AS tf
+FROM (SELECT unnest({_DTOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token
+"""
+
+
+@register("text_term_frequency", oracle=TF_ORACLE, tags=("llm", "text", "agg"))
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.term_frequency(docs).orderBy(F.col("tf").desc(), "token")
+
+
+_MARKER_LIST = ", ".join(f"'{m}'" for m in T.EN_MARKERS)
+LANGID_ORACLE = f"""
+SELECT doc_id, lang,
+       round(CAST(len(list_filter({_DTOKS}, t -> t IN ({_MARKER_LIST}))) AS DOUBLE)
+             / CAST(len({_DTOKS}) AS DOUBLE), 6) AS en_marker_ratio,
+       CASE WHEN CAST(len(list_filter({_DTOKS}, t -> t IN ({_MARKER_LIST}))) AS DOUBLE)
+                 / CAST(len({_DTOKS}) AS DOUBLE) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM documents
+"""
+
+
+@register("text_language_id", oracle=LANGID_ORACLE, tags=("llm", "text"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = T.language_id(docs)
+    # round-before-compare on both sides so the threshold test sees the same
+    # value; recompute predicted from the rounded ratio
+    return out.select(
+        "doc_id",
+        "lang",
+        "en_marker_ratio",
+        F.when(F.col("en_marker_ratio") >= 0.05, "en").otherwise("unknown").alias("predicted_lang"),
+    )
+
+
+QUALITY_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(len(list_distinct({_DTOKS})) AS DOUBLE) / CAST(len({_DTOKS}) AS DOUBLE) AS diversity,
+         least(CAST(len({_DTOKS}) AS DOUBLE) / 100.0, 1.0) AS length_sat,
+         1 - CAST(len(list_filter({_DTOKS}, t -> t IN ({_MARKER_LIST}))) AS DOUBLE)
+             / CAST(len({_DTOKS}) AS DOUBLE) AS density
+  FROM documents
+)
+SELECT doc_id, source,
+       round(diversity, 6) AS diversity,
+       round(length_sat, 6) AS length_sat,
+       round(density, 6) AS density,
+       round(0.4 * diversity + 0.3 * length_sat + 0.3 * density, 6) AS quality_score
+FROM q
+"""
+
+
+@register("text_quality_score", oracle=QUALITY_ORACLE, tags=("llm", "text"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return T.quality_score(docs).drop("text")
+
+
+FP_ORACLE = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_DTOKS})), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=FP_ORACLE, tags=("llm", "text", "dedup"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.fingerprint(docs).drop("text")
+
+
+TOKCOUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_DTOKS}) AS BIGINT) AS ws_token_count,
+       CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), t -> len(t) > 0)) AS BIGINT)
+         AS regex_token_count,
+       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_token_estimate
+FROM documents
+"""
+
+
+@register("text_token_counts", oracle=TOKCOUNT_ORACLE, tags=("llm", "text"))
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.token_count_estimates(docs).drop("text")

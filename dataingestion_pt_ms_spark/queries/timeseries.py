@@ -1,1 +1,307 @@
+"""Time-series operators over ``events`` (SURVEY.md §2.B as-of join, OHLC
+re-aggregation, sessionization, tumbling/sliding windows + the
+reference-shaped ingest queries).
 
+Reference parity: OHLC re-aggregation implements the timeframe coarsening the
+reference's ``timeframe`` enum implies (``app/config.py:62-71``); the as-of
+join is the "latest bar at or before t" lookup of the reference's time-series
+model (SURVEY.md §1.1); ``ingest_normalize_events`` reproduces the R6-R15
+normalize chain (rename→project→tz-normalize→ISO-format,
+``app/alpaca_service.py:138-162``) as one select; ``ingest_run_summary``
+reproduces the R18-R20 run summary with min/max done correctly
+(order-independent — the reference relied on source order, ``:246-247``).
+
+Determinism: every window orders by ``(ts, event_id)`` (event_id unique);
+the as-of join uses a RANGE frame so timestamp ties behave identically to
+the oracle's correlated ``max`` subquery.
+
+Scale notes: the as-of join is one shuffle on the partition key + a window —
+no per-row subquery; sessionization is lag + cumulative-sum islands (two
+window passes over one shuffle); tumbling/sliding windows assign buckets
+arithmetically (no join against a calendar table). Streaming variants of
+these (watermarked, stateful) live in ``streaming/`` with engine-side tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# --------------------------------------------------------------------------
+# As-of join: for every event, the most recent purchase by the same user at
+# or before its timestamp. RANGE frame ⇒ same tie semantics as the oracle's
+# correlated max() subquery.
+# --------------------------------------------------------------------------
+ASOF_ORACLE = f"""
+SELECT e.event_id, e.user_id, e.event_type,
+       strftime(e.ts, '{_TS_FMT_DUCK}') AS ts,
+       coalesce(strftime(
+         (SELECT max(p.ts) FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts),
+         '{_TS_FMT_DUCK}'), '') AS last_purchase_ts
+FROM events e
+"""
+
+
+@register("asof_join_last_purchase", oracle=ASOF_ORACLE, tags=("timeseries", "asof", "window"))
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        F.coalesce(F.date_format(last_purchase, _TS_FMT), F.lit("")).alias("last_purchase_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OHLC re-aggregation: finest events → daily bars per event_type.
+# first/last via dual row_number (deterministic under ties), not
+# first()/last() (order-dependent in Spark).
+# --------------------------------------------------------------------------
+OHLC_ORACLE = """
+WITH t AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_date, value, ts, event_id
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bar_date ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bar_date ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t
+)
+SELECT event_type, bar_date,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+       round(sum(value), 2) AS volume,
+       count(*) AS n_events
+FROM r
+GROUP BY event_type, bar_date
+ORDER BY event_type, bar_date
+"""
+
+
+@register("ohlc_daily_resample", oracle=OHLC_ORACLE, tags=("timeseries", "ohlc", "agg"))
+def ohlc_daily_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bar_date"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_asc = W.partitionBy("event_type", "bar_date").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("event_type", "bar_date").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "bar_date")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias("close"),
+            F.round(F.sum("value"), 2).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bar_date")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (batch): lag + gap>30min → island ids per user.
+# --------------------------------------------------------------------------
+SESSION_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end,
+       count(*) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+FROM s
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+@register("events_sessionize_gap30m", oracle=SESSION_ORACLE, tags=("timeseries", "session", "window"))
+def events_sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    w_cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_idx", F.sum("is_new").over(w_cum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tumbling window aggregation (6-hour buckets) — batch twin of the
+# streaming groupBy(window(...)) (streaming/ has the watermarked variant).
+# --------------------------------------------------------------------------
+TUMBLE_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register("events_tumbling_6h", oracle=TUMBLE_ORACLE, tags=("timeseries", "streaming-twin", "agg"))
+def events_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding window aggregation (1 hour wide, 30 min slide): every event lands
+# in exactly 2 windows; the oracle materializes both via a 2-row fan-out.
+# --------------------------------------------------------------------------
+SLIDE_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(k)
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register("events_sliding_1h_30m", oracle=SLIDE_ORACLE, tags=("timeseries", "streaming-twin", "agg"))
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ingest normalization — the reference's R6-R15 transform chain as ONE
+# declarative select over events-as-raw-bars: rename, project, cast,
+# tz-normalized ISO format, composite upsert key (R14), audit column shape.
+# --------------------------------------------------------------------------
+NORMALIZE_ORACLE = """
+SELECT event_id AS bar_id,
+       user_id AS asset_id,
+       upper(event_type) AS bar_kind,
+       CAST(value AS DOUBLE) AS price,
+       strftime(ts, '%Y%m%dT%H%M%SZ') || '_' || event_type AS upsert_key,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
+FROM events
+WHERE user_id IS NOT NULL
+"""
+
+
+@register("ingest_normalize_events", oracle=NORMALIZE_ORACLE, tags=("ingest", "projection"))
+def ingest_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Mirrors reference app/alpaca_service.py:138-162 + :194 (upsert key) in
+    # one Catalyst-optimized projection; the null-key guard is R4 (:107-109).
+    return ev.filter(F.col("user_id").isNotNull()).select(
+        F.col("event_id").alias("bar_id"),
+        F.col("user_id").alias("asset_id"),
+        F.upper("event_type").alias("bar_kind"),
+        F.col("value").cast("double").alias("price"),
+        F.concat_ws(
+            "_", F.date_format("ts", "yyyyMMdd'T'HHmmss'Z'"), F.col("event_type")
+        ).alias("upsert_key"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ingest run summary — R18-R20 done right: per-key counters + min/max
+# timestamps (order-independent) + the JSON event envelope string.
+# --------------------------------------------------------------------------
+SUMMARY_ORACLE = """
+SELECT event_type AS asset_kind,
+       count(*) AS bars_count,
+       strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS start_timestamp_utc,
+       strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS end_timestamp_utc,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("ingest_run_summary", oracle=SUMMARY_ORACLE, tags=("ingest", "agg"))
+def ingest_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("asset_kind"))
+        .agg(
+            F.count(F.lit(1)).alias("bars_count"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("start_timestamp_utc"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("end_timestamp_utc"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("asset_kind")
+    )
