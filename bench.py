@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Per-query wall time = full plan execution including the parquet scan, with
+results drained via count() on a cached-free plan (no driver-side collect of
+payloads — mirrors how a cluster job would be measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dataingestion_pt_ms_spark.queries import registry
+from dataingestion_pt_ms_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_region_monthly_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_left_outer_order_counts",
+    "window_cumulative_range",
+    "events_sessionize_gap30m",
+    "asof_join_last_purchase",
+    "ohlc_daily_resample",
+    "text_term_frequency",
+    "text_quality_score",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk_bruteforce",
+    "sim_blocked_nearest_neighbor",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    specs = registry()
+
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    specs["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = specs[name].fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,35 +54,48 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
     return params
 
 
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the universal-hash permutations
+    (a odd, both bounded by M so a*h stays < 2^62 under ANSI arithmetic)."""
+    half = (_MERSENNE31 - 1) // 2
+    return [
+        (
+            2 * ((p * 1_103_515_245 + 12_345) % half) + 1,
+            (p * 69_069 + 1) % _MERSENNE31,
+        )
+        for p in range(num_perm)
+    ]
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, key_col: str, num_perm: int = 64, shingle_k: int = 3
 ) -> DataFrame:
-    """Add a ``signature: array<long>`` MinHash column.
+    """(key, signature: array<long>) MinHash signatures.
 
-    One xxhash64 per shingle, then ``num_perm`` modular permutations folded
-    with array_min — O(shingles × perms) expression work per row, zero
-    shuffles.
+    Shape chosen for codegen, not elegance: higher-order-function lambdas
+    (transform/aggregate) are *interpreted* per array element in Spark, so
+    folding 64 permutations inside array expressions costs ~1µs/element
+    (measured). Instead: explode shingles → one xxhash64 per shingle → 64
+    codegen'd scalar permutations as ``min`` aggregates. Map-side partial
+    aggregation collapses each partition to one 64-column row per doc before
+    the shuffle, so the exchange is O(docs), not O(shingles).
     """
-    shingle_col = shingles(tokens(F.col(text_col)), shingle_k)
-    base = df.select(
+    # spread CPU-bound work: one small parquet file = one partition otherwise
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    exploded = df.select(
         F.col(key_col),
-        F.col(text_col),
-        F.transform(
-            shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
-        ).alias("_h"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("_s"),
+    ).select(key_col, F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE31)).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE31))).alias(
+            f"_m{p}"
+        )
+        for p, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    sig_df = exploded.groupBy(key_col).agg(*aggs)
+    return sig_df.select(
+        key_col, F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("signature")
     )
-    def perm(a: int, b: int):
-        # closure factory: PySpark inspects lambda arity, so the permutation
-        # constants must be captured, not passed as defaulted params
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_h"), perm(a, b)))
-            for a, b in _perm_params(num_perm)
-        ]
-    )
-    return base.select(key_col, text_col, sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -119,16 +132,24 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("k", "band.band_idx", "band.band_hash")
-    left = banded.alias("a")
-    right = banded.alias("b")
+    # One aggregation instead of a self-join: the self-join would evaluate
+    # the whole signature lineage twice, and bucket sizes are bounded by
+    # real near-dup cluster sizes, so in-expression pair expansion is cheap.
+    grouped = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("k")).alias("ks"))
+        .filter(F.size("ks") > 1)
+    )
+    pair_arrays = F.transform(
+        F.col("ks"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ks"), i + 2, F.size(F.col("ks"))),
+            lambda y: F.struct(x.alias("key_a"), y.alias("key_b")),
+        ),
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.k") < F.col("b.k")),
-        )
-        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.key_a", "p.key_b")
         .distinct()
     )
 
@@ -140,8 +161,21 @@ def jaccard_pairs(
     key_col: str,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (the verify step)."""
-    sh = docs.select(
+    """Exact shingle-set Jaccard for candidate pairs (the verify step).
+
+    Shingles are computed only for docs appearing in a candidate pair (semi
+    join first) — the candidate set is tiny relative to the corpus, so the
+    verify cost tracks near-dup density, not corpus size.
+    """
+    keys = (
+        pairs.select(F.col("key_a").alias("k"))
+        .unionByName(pairs.select(F.col("key_b").alias("k")))
+        .distinct()
+    )
+    needed = docs.join(
+        F.broadcast(keys), docs[key_col] == keys["k"], "left_semi"
+    )
+    sh = needed.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
         F.col(key_col).alias("k"),
         shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def _dvec(col_name: str = "embedding"):
@@ -114,22 +114,30 @@ def blocked_nearest_neighbor(
     """
     from pyspark.sql import Window as W
 
+    # Pre-normalize each vector once (O(n·d)) so the O(pairs·d) inner loop is
+    # a plain dot product, and salt the block key so one block's pair space
+    # spreads over many tasks instead of one (a single parquet file would
+    # otherwise serialize the whole O(Σ|block|²) computation).
+    n_salt = max(corpus.sparkSession.sparkContext.defaultParallelism // 2, 4)
+    norm = l2_norm(_dvec(vec_col))
+    unit = F.transform(_dvec(vec_col), lambda x: x / norm)
     a = corpus.select(
         F.col(block_col).alias("blk"),
         F.col(key_col).alias("vec_id_a"),
-        _dvec(vec_col).alias("va"),
-    )
+        unit.alias("va"),
+        (F.pmod(F.col(key_col), F.lit(n_salt))).alias("salt"),
+    ).repartition("blk", "salt")
     b = corpus.select(
         F.col(block_col).alias("blk"),
         F.col(key_col).alias("vec_id_b"),
-        _dvec(vec_col).alias("vb"),
+        unit.alias("vb"),
     )
     pairs = a.join(b, "blk").filter(F.col("vec_id_a") != F.col("vec_id_b"))
     scored = pairs.select(
         "blk",
         "vec_id_a",
         "vec_id_b",
-        F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        F.round(dot(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
     )
     w = W.partitionBy("vec_id_a").orderBy(F.col("cosine_sim").desc(), "vec_id_b")
     return (

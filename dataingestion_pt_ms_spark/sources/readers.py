@@ -1,0 +1,61 @@
+"""Readers (SURVEY.md §2.B scans): schema-enforced batch reads + streaming
+file/rate sources.
+
+The reference *defensively infers* its input schema (renames/projects only
+columns that exist, aborts when the timestamp is missing —
+``app/alpaca_service.py:139-151``). Spark-first, that becomes: always read
+with an explicit ``StructType`` (R8's schema guard moves to read time) and
+never ``inferSchema`` in production paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    # PERMISSIVE + corrupt-record column = the reference's per-row error
+    # channel (R24) expressed declaratively.
+    full = schema.add("_corrupt_record", T.StringType(), True)
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def stream_from_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming file source — the engine's stand-in for the reference's
+    scheduled remote fetch (R2/R23): new files in ``path`` are the arriving
+    batches; ``availableNow`` triggers reproduce "catch up then stop"."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic rate source (timestamp, value) for streaming smoke tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )

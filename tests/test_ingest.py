@@ -1,0 +1,131 @@
+"""Ingest pipeline tests (SURVEY.md §5: upsert idempotency — run twice,
+count once — mirroring reference R16; fixtures follow FIXTURES.md A)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from dataingestion_pt_ms_spark.sources.sinks import (
+    emit_ingest_events,
+    upsert_partitioned_parquet,
+)
+from dataingestion_pt_ms_spark.streaming.ingest import (
+    ASSET_SCHEMA,
+    RAW_BAR_SCHEMA,
+    normalize_bars,
+    run_batch_ingest,
+)
+
+UTC = dt.timezone.utc
+
+
+def _raw_bars(spark, days=5, symbols=("SPY", "QQQ")):
+    rows = []
+    for s in symbols:
+        for d in range(days):
+            t = dt.datetime(2024, 1, 1 + d, tzinfo=UTC)
+            base = 100.0 + d
+            rows.append((s, "Day", t, base, base + 2, base - 1, base + 1, 1000 + d))
+    return spark.createDataFrame(rows, RAW_BAR_SCHEMA)
+
+
+def _assets(spark):
+    return spark.createDataFrame(
+        [
+            ("alpaca_SPY", "alpaca", "SPY", "SPDR S&P 500", "ETF"),
+            ("alpaca_QQQ", "alpaca", "QQQ", "Invesco QQQ", "ETF"),
+            ("alpaca_BAD", "alpaca", None, "null-symbol row (R4 guard)", "ETF"),
+        ],
+        ASSET_SCHEMA,
+    )
+
+
+def test_normalize_bars_shape(spark):
+    bars = normalize_bars(_raw_bars(spark), _assets(spark))
+    rows = bars.collect()
+    assert len(rows) == 10
+    r = rows[0]
+    assert r.bar_doc_id.endswith("_Day") and "T" in r.bar_doc_id  # R14 key
+    assert r.asset_doc_id in ("alpaca_SPY", "alpaca_QQQ")
+    assert r.low <= r.open <= r.high
+
+
+def test_normalize_drops_null_symbol_and_bad_timeframe(spark):
+    raw = _raw_bars(spark).unionByName(
+        spark.createDataFrame(
+            [
+                (None, "Day", dt.datetime(2024, 1, 1, tzinfo=UTC), 1.0, 1.0, 1.0, 1.0, 1),
+                ("SPY", "Fortnight", dt.datetime(2024, 1, 1, tzinfo=UTC), 1.0, 1.0, 1.0, 1.0, 1),
+            ],
+            RAW_BAR_SCHEMA,
+        )
+    )
+    assert normalize_bars(raw, _assets(spark)).count() == 10
+
+
+def test_upsert_idempotent_run_twice_count_once(spark, tmp_path):
+    """The R16 contract: re-running the same batch must not duplicate."""
+    path = str(tmp_path / "bars")
+    raw, assets = _raw_bars(spark), _assets(spark)
+    r1 = run_batch_ingest(spark, raw, assets, path)
+    r2 = run_batch_ingest(spark, raw, assets, path)
+    assert r1.total_bars_saved == 10
+    assert r2.total_bars_saved == 10  # idempotent
+    written = spark.read.parquet(path)
+    assert written.count() == 10
+    assert written.select("symbol", "timeframe", "ts").distinct().count() == 10
+
+
+def test_upsert_last_wins_on_key_collision(spark, tmp_path):
+    path = str(tmp_path / "bars")
+    assets = _assets(spark)
+    run_batch_ingest(spark, _raw_bars(spark), assets, path)
+    # second run: same keys, new close values → overwrite, not append
+    updated = _raw_bars(spark).withColumn("c", F.col("c") + 50)
+    run_batch_ingest(spark, updated, assets, path)
+    written = spark.read.parquet(path)
+    assert written.count() == 10
+    assert written.filter(F.col("close") > 150).count() == 10
+
+
+def test_upsert_touches_only_affected_partitions(spark, tmp_path):
+    path = str(tmp_path / "bars")
+    assets = _assets(spark)
+    run_batch_ingest(spark, _raw_bars(spark, days=5), assets, path)
+    # a batch covering only day 1 must leave days 2-5 intact
+    one_day = _raw_bars(spark, days=1).withColumn("c", F.col("c") + 50)
+    run_batch_ingest(spark, one_day, assets, path)
+    written = spark.read.parquet(path)
+    assert written.count() == 10
+    assert written.filter(F.col("close") > 150).count() == 2  # 2 symbols × day 1
+
+
+def test_ingest_events_payload(spark):
+    bars = normalize_bars(_raw_bars(spark), _assets(spark))
+    events = emit_ingest_events(bars, ["symbol", "timeframe"], "ts").collect()
+    assert len(events) == 2
+    payloads = [json.loads(r.event_json) for r in events]
+    for p in payloads:
+        assert p["event_type"] == "HistoricalDataUpdated"
+        assert p["payload"]["bars_count"] == 5
+        # R19 fixed: min/max, not first/last — ISO-8601 Z format (R11)
+        assert p["payload"]["start_timestamp_utc"] == "2024-01-01T00:00:00Z"
+        assert p["payload"]["end_timestamp_utc"] == "2024-01-05T00:00:00Z"
+
+
+def test_upsert_standalone_writer(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1, dt.date(2024, 1, 1)), (2, "b", 1, dt.date(2024, 1, 2))],
+        "k long, v string, ver long, dt date",
+    )
+    upsert_partitioned_parquet(spark, df, path, ["k"], ["dt"], "ver")
+    df2 = spark.createDataFrame(
+        [(1, "a2", 2, dt.date(2024, 1, 1))], "k long, v string, ver long, dt date"
+    )
+    upsert_partitioned_parquet(spark, df2, path, ["k"], ["dt"], "ver")
+    out = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert out == {(1, "a2"), (2, "b")}

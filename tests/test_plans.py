@@ -1,0 +1,63 @@
+"""Physical-plan discipline tests (SURVEY.md §2.B scale rules): pushdown,
+pruning, broadcast, no cartesian — the 100 TB checklist, enforced."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataingestion_pt_ms_spark.catalog import load_table
+from dataingestion_pt_ms_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    formatted_plan,
+)
+from dataingestion_pt_ms_spark.queries.relational import (
+    flagship_region_monthly_revenue,
+    proj_rename_prune,
+    q3_shipping_priority,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = proj_rename_prune(spark, sf_dir)
+    assert_pushed_filters(df, "l_quantity")
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # 4 output columns (net_price consumes 2 source cols) from an 11-column
+    # table: the scan must read exactly the 5 needed columns
+    df = proj_rename_prune(spark, sf_dir)
+    assert_read_schema_pruned(df, "l_orderkey", 5)
+
+
+def test_flagship_broadcasts_dims_and_no_cartesian(spark, sf_dir):
+    df = flagship_region_monthly_revenue(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_q3_date_filters_pushed(spark, sf_dir):
+    df = q3_shipping_priority(spark, sf_dir)
+    assert_pushed_filters(df, "o_orderdate")
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.orderBy(F.col("o_totalprice").desc()).limit(20)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # formatted explain marks codegen'd operators with "[codegen id : N]"
+    df = proj_rename_prune(spark, sf_dir)
+    assert "codegen id" in formatted_plan(df)

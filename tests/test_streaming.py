@@ -1,0 +1,193 @@
+"""Structured Streaming tests: real streaming engine (file source, state
+store, watermark) driven deterministically with availableNow +
+processAllAvailable (SURVEY.md §5 — these semantics have no batch oracle)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataingestion_pt_ms_spark.catalog import table_path
+from dataingestion_pt_ms_spark.sources.readers import stream_from_dir
+from dataingestion_pt_ms_spark.streaming.ingest import (
+    ASSET_SCHEMA,
+    RAW_BAR_SCHEMA,
+    streaming_ingest,
+)
+from dataingestion_pt_ms_spark.streaming.jobs import (
+    sessionized_stream,
+    stateful_dedup_stream,
+    tumbling_counts_stream,
+)
+
+UTC = dt.timezone.utc
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    """Stage the events table as a streaming-source directory (µs ts)."""
+    src = str(tmp_path / "events_src")
+    from dataingestion_pt_ms_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).write.parquet(src)
+    return src
+
+
+def _run_to_memory(stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
+    _run_to_memory(tumbling_counts_stream(stream), "tumble_out", "append")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumble_out").collect()
+    }
+    from dataingestion_pt_ms_spark.queries.timeseries import events_tumbling_6h
+
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in events_tumbling_6h(spark, sf_dir).collect()
+    }
+    # append mode emits only windows the watermark closed; every emitted
+    # window must match the batch result, and most windows must be emitted
+    assert got, "no windows emitted"
+    assert all(got[k] == want[k] for k in got)
+    # the final (unclosed) window per event_type is withheld by the
+    # watermark in append mode — up to 5 groups
+    assert len(got) >= len(want) - 5
+
+
+def test_stateful_dedup_stream(spark, events_dir, tmp_path):
+    dup_dir = str(tmp_path / "dup_src")
+    shutil.copytree(events_dir, dup_dir)
+    # duplicate every file's contents once → every event_id appears twice
+    spark.read.schema(EVENTS_SCHEMA).parquet(events_dir).write.mode("append").parquet(dup_dir)
+    stream = stream_from_dir(spark, dup_dir, EVENTS_SCHEMA)
+    _run_to_memory(stateful_dedup_stream(stream), "dedup_out", "append")
+    out = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_out").first()
+    assert out.n == out.d == 1000
+
+
+def test_session_window_stream(spark, events_dir):
+    stream = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
+    _run_to_memory(sessionized_stream(stream), "sess_out", "append")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert rows, "no sessions emitted"
+    # session invariants: start <= end, positive counts
+    for r in rows:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: a row older than watermark horizon after the
+    max event time advances far enough is excluded from its (closed)
+    window."""
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, tzinfo=UTC)
+    on_time = [(i, t0 + dt.timedelta(minutes=i), 1, "click", 1.0) for i in range(1, 5)]
+    advance = [(99, t0 + dt.timedelta(hours=8), 1, "click", 1.0)]
+    advance2 = [(98, t0 + dt.timedelta(hours=9), 1, "click", 1.0)]
+    late = [(100, t0 + dt.timedelta(minutes=5), 1, "click", 1.0)]  # hours late
+    # The file source orders batches by modification time: stage each batch
+    # as one explicitly named file with increasing mtime. Two advance
+    # batches are needed — the watermark crossing finalizes the first
+    # window one trigger after the advancing data, and only rows arriving
+    # after that finalization are dropped as too-late.
+    now = time.time()
+    for i, rows in enumerate([on_time, advance, advance2, late]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{src}/{i}.parquet"
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 400 + i * 100, now - 400 + i * 100))
+    stream = stream_from_dir(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+    agg = tumbling_counts_stream(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first_window = [
+        r
+        for r in spark.sql("SELECT * FROM late_out").collect()
+        if r.window_start == "2024-01-01 00:00:00"
+    ]
+    assert first_window and first_window[0].n_events == 4  # late row dropped
+
+
+def test_streaming_ingest_foreachbatch_idempotent(spark, tmp_path):
+    raw_dir = str(tmp_path / "raw")
+    table = str(tmp_path / "bars")
+    ckpt1, ckpt2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    rows = [
+        ("SPY", "Day", dt.datetime(2024, 1, 1 + d, tzinfo=UTC), 1.0, 2.0, 0.5, 1.5, 10)
+        for d in range(3)
+    ]
+    spark.createDataFrame(rows, RAW_BAR_SCHEMA).write.parquet(raw_dir)
+    assets = spark.createDataFrame(
+        [("alpaca_SPY", "alpaca", "SPY", "SPDR", "ETF")], ASSET_SCHEMA
+    )
+    for ckpt in (ckpt1, ckpt2):  # fresh checkpoint = full replay = same table
+        stream = stream_from_dir(spark, raw_dir, RAW_BAR_SCHEMA)
+        q = streaming_ingest(spark, stream, assets, table, ckpt)
+        q.awaitTermination(120)
+    assert spark.read.parquet(table).count() == 3
+
+
+def test_rate_source_smoke(spark):
+    from dataingestion_pt_ms_spark.sources.readers import stream_rate
+
+    q = (
+        stream_rate(spark, 50)
+        .writeStream.format("memory")
+        .queryName("rate_out")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 30
+    n = 0
+    while time.time() < deadline:
+        n = spark.sql("SELECT count(*) c FROM rate_out").first().c
+        if n > 0:
+            break
+        time.sleep(1)
+    q.stop()
+    assert n > 0
