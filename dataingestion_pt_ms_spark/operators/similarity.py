@@ -100,6 +100,64 @@ def ann_lsh_topk(
     )
 
 
+def label_centroids(corpus: DataFrame, block_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-block mean vector (the coarse quantizer codebook of an IVF index;
+    here the ``label`` column is the cell assignment). posexplode →
+    per-position avg → reassembled ordered array: one narrow shuffle of
+    (block, pos) pairs, codegen'd aggregation."""
+    exploded = corpus.select(
+        F.col(block_col).alias("blk"),
+        F.posexplode(_dvec(vec_col)).alias("pos", "val"),
+    )
+    per_pos = exploded.groupBy("blk", "pos").agg(F.avg("val").alias("avg_val"))
+    return per_pos.groupBy("blk").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "avg_val"))),
+            lambda s: s.avg_val,
+        ).alias("centroid")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: score the query against the per-block centroids, pick
+    the nearest cell, exact top-k inside that cell only.
+
+    At scale the corpus is clustered/partitioned by cell id, so the probe
+    reads one cell's partitions instead of the corpus (nprobe=1 here; a
+    multi-cell probe is a filter on N best labels instead of one).
+    """
+    q = F.broadcast(query.select(_dvec(vec_col).alias("_qvec")))
+    best = (
+        label_centroids(corpus, block_col, vec_col)
+        .crossJoin(q)
+        .select(
+            "blk",
+            F.round(cosine_similarity(F.col("centroid"), F.col("_qvec")), 6).alias("c_sim"),
+        )
+        .orderBy(F.col("c_sim").desc(), "blk")
+        .limit(1)
+        .select(F.col("blk").alias("best_blk"))
+    )
+    return (
+        corpus.join(F.broadcast(best), F.col(block_col) == F.col("best_blk"))
+        .crossJoin(q)
+        .select(
+            key_col,
+            F.col(block_col).alias("label"),
+            F.round(cosine_similarity(_dvec(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), key_col)
+        .limit(k)
+    )
+
+
 def blocked_nearest_neighbor(
     corpus: DataFrame,
     block_col: str = "label",

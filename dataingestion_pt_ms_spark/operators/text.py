@@ -91,6 +91,24 @@ def term_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def rolling_hash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (order-sensitive, unlike
+    the sorted-token md5 fingerprint): h = Σ h·B + hash(tok) (mod M).
+
+    Modular space is 31-bit so every product stays < 2^62 (ANSI-safe); one
+    interpreted fold pass per doc — acceptable off the hot path.
+    """
+    M = 2_147_483_647
+    B = 1_000_003
+    toks = _tok(text_col)
+    h = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * B + F.pmod(F.xxhash64(t), F.lit(M)), F.lit(M)),
+    )
+    return df.withColumn("rolling_hash", h)
+
+
 def token_count_estimates(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish estimate (chars/4 is the standard
     subword-tokenizer rule of thumb) + punctuation-aware regex count."""

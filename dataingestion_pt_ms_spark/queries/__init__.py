@@ -56,14 +56,17 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         aggregates,
+        functions2,
         joins,
         llm_dedup,
         llm_similarity,
         llm_text,
         relational,
+        relational2,
         scalars,
         setops,
         timeseries,
+        udfs,
         windows,
     )
 

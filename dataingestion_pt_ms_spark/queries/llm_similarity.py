@@ -164,3 +164,39 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_len",
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
     ).orderBy("doc_id")
+
+
+IVF_ORACLE = f"""
+WITH exploded AS (
+  SELECT label, pos, CAST(val AS DOUBLE) AS val
+  FROM (SELECT label, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+centroids AS (
+  SELECT label, list(avg_val ORDER BY pos) AS cvec
+  FROM (SELECT label, pos, avg(val) AS avg_val FROM exploded GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QID}),
+best AS (
+  SELECT label FROM centroids, q
+  ORDER BY round(list_cosine_similarity(cvec, q.qv), 6) DESC, label
+  LIMIT 1
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine_sim
+FROM embeddings e, q
+WHERE e.label = (SELECT label FROM best)
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 5
+"""
+
+
+@register("sim_ann_ivf_topk", oracle=IVF_ORACLE, tags=("llm", "similarity", "ivf"))
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: nearest label-centroid cell, exact top-5 inside it
+    (operators/similarity.py:ann_ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == _QID)
+    return S.ann_ivf_topk(emb, query, k=5)

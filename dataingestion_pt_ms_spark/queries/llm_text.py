@@ -124,3 +124,12 @@ FROM documents
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.token_count_estimates(docs).drop("text")
+
+
+@register("text_rolling_hash_fingerprint", oracle=None, tags=("llm", "text", "dedup"))
+def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint per document
+    (operators/text.py:rolling_hash). xxhash64-based → rows-only; equality
+    and order-sensitivity properties are pytest-verified."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.rolling_hash(docs).drop("text")

@@ -292,3 +292,116 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("balance_bucket", "c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS-style semi join + grouped count.
+# --------------------------------------------------------------------------
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_order_priority_checking", oracle=Q4_ORACLE, tags=("join", "semi", "agg"))
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape: pure scan-filter-aggregate — the pushdown showcase (all
+# three predicates reach the parquet reader; single stage).
+# --------------------------------------------------------------------------
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=Q6_ORACLE, tags=("agg", "filter", "flagship"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: agg → HAVING-style filter → join back to facts (large
+# order detection). Two shuffles on the same key — Catalyst reuses the
+# partitioning for the second join.
+# --------------------------------------------------------------------------
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey AS bo_key, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o_totalprice, 2) AS total_price,
+       total_qty
+FROM big
+JOIN orders   ON o_orderkey = bo_key
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_price DESC, o_orderkey
+"""
+
+
+@register("q18_large_volume_customers", oracle=Q18_ORACLE, tags=("join", "agg", "having"))
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bo_key"))
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 150)
+        .drop("_raw_qty")
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("bo_key"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+    )

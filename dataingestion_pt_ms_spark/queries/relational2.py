@@ -1,0 +1,289 @@
+"""Advanced relational coverage (SURVEY.md §2.B completeness): pivot /
+unpivot, GROUPING SETS via the SQL API, bag-semantics set ops, extended
+window functions, ordered string aggregation, correlated subqueries (SQL
+API), arg-max aggregation, salted skew-resistant aggregation, sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from . import register
+
+# --------------------------------------------------------------------------
+# Pivot: returnflag × linestatus quantity matrix.
+# --------------------------------------------------------------------------
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_open,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_finished
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("pivot_status_matrix", oracle=PIVOT_ORACLE, tags=("pivot", "agg"))
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_open"),
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_finished"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt): wide per-region metrics back to long form.
+# --------------------------------------------------------------------------
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT n_regionkey,
+         count(*) AS n_nations,
+         CAST(min(n_nationkey) AS BIGINT) AS min_key
+  FROM nation GROUP BY n_regionkey
+)
+SELECT n_regionkey, 'n_nations' AS metric, CAST(n_nations AS BIGINT) AS value FROM wide
+UNION ALL
+SELECT n_regionkey, 'min_key' AS metric, min_key AS value FROM wide
+"""
+
+
+@register("unpivot_region_metrics", oracle=UNPIVOT_ORACLE, tags=("pivot",))
+def unpivot_region_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    wide = nation.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_nationkey").cast("long").alias("min_key"),
+    )
+    return wide.unpivot(
+        ["n_regionkey"], ["n_nations", "min_key"], "metric", "value"
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS via the SQL API (exercises spark.sql + temp views).
+# --------------------------------------------------------------------------
+GSETS_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+"""
+
+
+@register("grouping_sets_sql", oracle=GSETS_ORACLE, tags=("agg", "sql-api"))
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated subqueries via the SQL API (scalar + EXISTS).
+# --------------------------------------------------------------------------
+CORR_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_mktsegment = c.c_mktsegment)
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("correlated_subqueries_sql", oracle=CORR_ORACLE, tags=("join", "sql-api"))
+def correlated_subqueries_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # Catalyst de-correlates both subqueries into joins — the point of the
+    # exercise: declarative subqueries, distributed execution.
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_mktsegment = c.c_mktsegment)
+          AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL.
+# --------------------------------------------------------------------------
+EXCEPT_ALL_ORACLE = """
+SELECT o_custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("set_except_all", oracle=EXCEPT_ALL_ORACLE, tags=("setop",))
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.exceptAll(b)
+
+
+INTERSECT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("set_intersect_all", oracle=INTERSECT_ALL_ORACLE, tags=("setop",))
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+# --------------------------------------------------------------------------
+# Extended window functions: ntile, percent_rank, cume_dist, first/last/nth
+# value with explicit frames.
+# --------------------------------------------------------------------------
+WIN2_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(c_custkey) OVER w AS richest_key,
+       last_value(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS poorest_key,
+       nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_key
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@register("window_extended_family", oracle=WIN2_ORACLE, tags=("window",))
+def window_extended_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_key"),
+        F.last("c_custkey").over(w_full).alias("poorest_key"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (listagg): brands per size, sorted.
+# --------------------------------------------------------------------------
+STRAGG_ORACLE = """
+SELECT p_size,
+       string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS brands,
+       count(*) AS n_parts
+FROM part
+GROUP BY p_size
+ORDER BY p_size
+"""
+
+
+@register("agg_string_concat_ordered", oracle=STRAGG_ORACLE, tags=("agg", "string"))
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_size")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("p_brand"))).alias("brands"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# arg-max aggregation: each customer's priciest order via max_by.
+# --------------------------------------------------------------------------
+MAXBY_ORACLE = """
+SELECT o_custkey,
+       arg_max(o_orderkey, o_totalprice) AS top_order_key,
+       round(max(o_totalprice), 2) AS top_order_price
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("agg_max_by", oracle=MAXBY_ORACLE, tags=("agg",))
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_order_key"),
+        F.round(F.max("o_totalprice"), 2).alias("top_order_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-resistant two-phase (salted) aggregation: numerically identical to a
+# plain GROUP BY, but the hot key's partial aggs spread over N_SALT tasks.
+# The oracle is the plain GROUP BY — proving the rewrite is semantics-free.
+# --------------------------------------------------------------------------
+SALTED_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_salted_skew_resistant", oracle=SALTED_ORACLE, tags=("agg", "skew"))
+def agg_salted_skew_resistant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n_salt = 16
+    partial = (
+        li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(n_salt)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("l_quantity").alias("_q"))
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("_n").alias("n_items"),
+            F.round(F.sum("_q"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sampling: seeded Bernoulli sample — engine-specific RNG, so rows-only;
+# sanity bounds asserted in tests.
+# --------------------------------------------------------------------------
+@register("sample_seeded_fraction", oracle=None, tags=("sample",))
+def sample_seeded_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

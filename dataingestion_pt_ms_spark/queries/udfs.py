@@ -1,0 +1,101 @@
+"""The user-extensible function surface (SURVEY.md §2.B "UDF / UDAF / UDTF"):
+vectorized scalar pandas_udf, grouped-map applyInPandas (UDTF-like), and
+GROUPED_AGG pandas UDF (UDAF) — each Arrow-batched, never row-at-a-time.
+
+These exist to prove the extension surface works and stays correct (every
+one has a SQL oracle); the engine's own operators deliberately avoid Python
+on hot paths (SURVEY.md §2.B policy).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+# --------------------------------------------------------------------------
+# Vectorized scalar pandas UDF: elementwise arithmetic in Arrow batches —
+# bit-identical to the SQL expression (same IEEE ops, same order).
+# --------------------------------------------------------------------------
+SCALAR_UDF_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged_udf
+FROM lineitem
+WHERE l_orderkey % 17 = 0
+"""
+
+
+@register("udf_vectorized_scalar", oracle=SCALAR_UDF_ORACLE, tags=("udf",))
+def udf_vectorized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def charged(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 17 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charged("l_extendedprice", "l_discount", "l_tax").alias("charged_udf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-segment z-score (UDTF-like row fan-out with
+# group context). Oracle: the same standardization via window functions.
+# --------------------------------------------------------------------------
+ZSCORE_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS bal_zscore
+FROM customer
+"""
+
+
+@register("udf_grouped_map_zscore", oracle=ZSCORE_ORACLE, tags=("udf", "window"))
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean, std = pdf["c_acctbal"].mean(), pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "bal_zscore": ((pdf["c_acctbal"] - mean) / std).round(6),
+            }
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return cust.groupBy("c_mktsegment").applyInPandas(
+        zscore, "c_custkey long, c_mktsegment string, bal_zscore double"
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPED_AGG pandas UDF (UDAF): quantity-weighted average price per flag.
+# --------------------------------------------------------------------------
+WAVG_ORACLE = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("udf_grouped_agg_weighted_avg", oracle=WAVG_ORACLE, tags=("udf", "agg"))
+def udf_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("weighted_avg_price"))
+        .orderBy("l_returnflag")
+    )

@@ -78,6 +78,38 @@ def sessionized_stream(
     )
 
 
+def running_counts_stateful_stream(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Arbitrary stateful operator via Arrow-batched applyInPandasWithState:
+    cumulative event count + value sum per key across micro-batches (the
+    custom-state escape hatch of SURVEY.md §2.B for operators windowed aggs
+    can't express).
+
+    State is one (count, total) pair per key — O(keys) memory regardless of
+    stream length.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, batches, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"key": [key[0]], "running_count": [count], "running_total": [round(total, 2)]}
+        )
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType="key string, running_count long, running_total double",
+        stateStructType="count long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_dedup_stream(
     events: DataFrame, key_cols: list[str] | None = None, watermark: str = "1 hour",
     ts_col: str = "ts",

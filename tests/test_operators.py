@@ -116,3 +116,41 @@ def test_cosine_similarity_null_on_zero_vector(spark):
     )
     row = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).first()
     assert row.c is None
+
+
+def test_rolling_hash_properties(spark):
+    from dataingestion_pt_ms_spark.operators.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c"),      # identical → same hash
+            (3, "c b a"),      # same tokens, different order → different hash
+            (4, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.rolling_hash for r in rolling_hash(df).collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[3]  # order-sensitive (unlike the sorted-token md5)
+    assert h[1] != h[4]
+    assert all(0 <= v < 2_147_483_647 for v in h.values())
+
+
+def test_ann_ivf_matches_oracle_semantics(spark, sf_dir):
+    from dataingestion_pt_ms_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    top = S.ann_ivf_topk(emb, query, k=5).collect()
+    assert len(top) == 5
+    labels = {r.label for r in top}
+    assert len(labels) == 1  # all results come from one IVF cell
+    scores = [r.cosine_sim for r in top]
+    assert scores == sorted(scores, reverse=True)
+    # within the probed cell, IVF results ARE the exact top-k
+    cell = next(iter(labels))
+    brute_in_cell = S.cosine_topk(
+        emb.filter(F.col("label") == cell), query, k=5
+    ).collect()
+    assert [r.vec_id for r in top] == [r.vec_id for r in brute_in_cell]

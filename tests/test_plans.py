@@ -61,3 +61,54 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     # formatted explain marks codegen'd operators with "[codegen id : N]"
     df = proj_rename_prune(spark, sf_dir)
     assert "codegen id" in formatted_plan(df)
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune at planning time —
+    the scan's partition count reflects only matching partitions."""
+    from dataingestion_pt_ms_spark.catalog import load_table
+
+    out = str(tmp_path / "orders_part")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.withColumn("order_year", F.year("o_orderdate")).write.partitionBy(
+        "order_year"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter(F.col("order_year") == 1996)
+    plan = formatted_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines and "order_year" in scan_lines[0]
+    got_years = {r.order_year for r in df.select("order_year").distinct().collect()}
+    assert got_years == {1996}
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Bucketing both sides on the join key co-locates them: the sort-merge
+    join runs with NO Exchange on either side."""
+    from dataingestion_pt_ms_spark.catalog import load_table
+
+    # warehouse dir is a static conf — tables land in ./spark-warehouse and
+    # are dropped (files removed) in the finally block
+    spark.sql("CREATE DATABASE IF NOT EXISTS buck")
+    try:
+        load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).saveAsTable("buck.orders_b")
+        load_table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable("buck.lineitem_b")
+        joined = (
+            spark.table("buck.lineitem_b")
+            .hint("merge")  # forbid broadcast: the point is the shuffle-free SMJ
+            .join(
+                spark.table("buck.orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_orderkey", "o_totalprice")
+        )
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buck.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS buck.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS buck")

@@ -1,0 +1,68 @@
+"""Source/sink reader tests: schema'd CSV/JSON reads, PERMISSIVE corrupt
+-record channel (reference R24), partitioned writes, sampling bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataingestion_pt_ms_spark.catalog import load_table
+from dataingestion_pt_ms_spark.sources.readers import read_csv, read_json
+from dataingestion_pt_ms_spark.sources.sinks import write_partitioned_parquet
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,score\n1,alpha,1.5\n2,beta,2.5\n")
+    df = read_csv(spark, str(p), SCHEMA)
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("alpha", 1.5), 2: ("beta", 2.5)}
+    assert [f.dataType for f in df.schema.fields] == [
+        T.LongType(), T.StringType(), T.DoubleType(),
+    ]
+
+
+def test_read_json_permissive_corrupt_channel(spark, tmp_path):
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "name": "ok", "score": 1.0}\n'
+        "{not valid json at all}\n"
+        '{"id": 2, "name": "also ok", "score": 2.0}\n'
+    )
+    df = read_json(spark, str(p), SCHEMA).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    # R24 semantics: bad rows are quarantined, run continues
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "not valid" in bad.first()._corrupt_record
+
+
+def test_partitioned_parquet_layout(spark, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")], "id long, v string, dt string"
+    )
+    write_partitioned_parquet(df, out, ["dt"])
+    import os
+
+    parts = {d for d in os.listdir(out) if d.startswith("dt=")}
+    assert parts == {"dt=2024-01-01", "dt=2024-01-02"}
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_sample_fraction_bounds(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count()
+    n = li.sample(fraction=0.1, seed=42).count()
+    assert 0.05 * total < n < 0.15 * total
+    # seeded → deterministic within the engine
+    assert n == li.sample(fraction=0.1, seed=42).count()

@@ -191,3 +191,97 @@ def test_rate_source_smoke(spark):
         time.sleep(1)
     q.stop()
     assert n > 0
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState: cumulative per-key counts across two
+    micro-batches (update mode — later rows supersede earlier ones)."""
+    import glob
+    import os
+    import time
+
+    from dataingestion_pt_ms_spark.streaming.jobs import running_counts_stateful_stream
+
+    src = str(tmp_path / "state_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    b0 = [(1, t0, 1, "click", 1.0), (2, t0, 1, "click", 2.0), (3, t0, 1, "buy", 5.0)]
+    b1 = [(4, t0, 1, "click", 3.0)]
+    now = time.time()
+    for i, rows in enumerate([b0, b1]):
+        stage = str(tmp_path / f"st{i}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(stage)
+        dest = f"{src}/{i}.parquet"
+        shutil.copyfile(glob.glob(f"{stage}/part-*.parquet")[0], dest)
+        os.utime(dest, (now - 200 + i * 100, now - 200 + i * 100))
+    stream = stream_from_dir(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+    q = (
+        running_counts_stateful_stream(stream)
+        .writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM state_out").collect()
+    # final state per key: click count 3 (2 then +1), buy count 1
+    latest = {}
+    for r in rows:
+        latest[r.key] = max(latest.get(r.key, 0), r.running_count)
+    assert latest == {"click": 3, "buy": 1}
+    totals = {r.key: r.running_total for r in rows if r.running_count == latest[r.key]}
+    assert totals == {"click": 6.0, "buy": 5.0}
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range bound:
+    purchases joined to clicks by the same user within the prior 30 min."""
+    src = str(tmp_path / "ssj_src")
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=0), 7, "click", 1.0),
+        (2, t0 + dt.timedelta(minutes=10), 7, "purchase", 9.0),   # joins to 1
+        (3, t0 + dt.timedelta(minutes=50), 7, "purchase", 5.0),   # too late for 1
+        (4, t0 + dt.timedelta(minutes=45), 8, "click", 1.0),
+        (5, t0 + dt.timedelta(minutes=60), 8, "purchase", 2.0),   # joins to 4
+        (6, t0 + dt.timedelta(hours=6), 9, "click", 1.0),         # advances wm
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(src)
+    clicks = (
+        stream_from_dir(spark, src, EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream_from_dir(spark, src, EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    assert pairs == {(1, 2), (4, 5)}
