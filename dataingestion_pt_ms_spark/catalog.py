@@ -42,9 +42,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries must work on ANY SparkSession (the driver builds its own):
+    - events.ts is parquet TIMESTAMP(NANOS) → unreadable without
+      nanosAsLong (PARQUET_TYPE_ILLEGAL);
+    - timestamp formatting must be UTC to agree with the DuckDB oracle.
+    Both are runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), surfaced as long (ns since
