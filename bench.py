@@ -25,6 +25,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
     "join_left_outer_order_counts",
     "window_cumulative_range",
     "events_sessionize_gap30m",
@@ -35,6 +37,7 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk_bruteforce",
+    "sim_ann_ivf_topk",
     "sim_blocked_nearest_neighbor",
 ]
 

@@ -99,3 +99,36 @@ def udf_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("weighted_avg_price"))
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF: one input row → many output rows with generator state.
+# Oracle: the equivalent unnest-with-position — proving the UDTF agrees
+# with the built-in explode path (which remains the hot-path choice).
+# --------------------------------------------------------------------------
+UDTF_ORACLE = """
+SELECT doc_id, CAST(pos - 1 AS BIGINT) AS idx, tok
+FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS pos
+      FROM documents)
+WHERE doc_id < 20
+"""
+
+
+@register("udtf_token_expand", oracle=UDTF_ORACLE, tags=("udf", "udtf"))
+def udtf_token_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, idx bigint, tok string")
+    class TokenExpand:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.strip().lower().split()):
+                yield doc_id, i, tok
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("token_expand", TokenExpand)
+    return spark.sql(
+        "SELECT t.doc_id, t.idx, t.tok "
+        "FROM _udtf_docs, LATERAL token_expand(doc_id, text) t"
+    )

@@ -285,3 +285,31 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     q.awaitTermination(120)
     pairs = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ssj_out").collect()}
     assert pairs == {(1, 2), (4, 5)}
+
+
+def test_complete_output_mode(spark, events_dir):
+    """Complete mode re-emits the full aggregate each trigger — no watermark
+    needed; final table equals the batch group-by exactly."""
+    stream = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("complete_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_type: (r.n, r.v) for r in spark.sql("SELECT * FROM complete_out").collect()}
+    from dataingestion_pt_ms_spark.catalog import load_table
+
+    want = {
+        r.event_type: (r.n, r.v)
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    assert got == want
