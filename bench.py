@@ -48,8 +48,11 @@ def main() -> None:
     spark = get_spark("bench")
     specs = registry()
 
-    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    # warm-up: one JVM action (codegen/scan setup) + one Python-worker action
+    # (worker pools are persistent on a real cluster; the first-UDF fork cost
+    # shouldn't be billed to whichever query happens to run first)
     specs["q1_pricing_summary"].fn(spark, sf_dir).count()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

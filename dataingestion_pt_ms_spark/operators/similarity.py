@@ -172,39 +172,42 @@ def blocked_nearest_neighbor(
     """
     from pyspark.sql import Window as W
 
-    # Pre-normalize each vector once (O(n·d)) so the O(pairs·d) inner loop is
-    # a plain dot product, and salt the block key so one block's pair space
-    # spreads over many tasks instead of one (a single parquet file would
-    # otherwise serialize the whole O(Σ|block|²) computation).
-    n_salt = max(corpus.sparkSession.sparkContext.defaultParallelism // 2, 4)
-    norm = l2_norm(_dvec(vec_col))
-    unit = F.transform(_dvec(vec_col), lambda x: x / norm)
-    a = corpus.select(
-        F.col(block_col).alias("blk"),
-        F.col(key_col).alias("vec_id_a"),
-        unit.alias("va"),
-        (F.pmod(F.col(key_col), F.lit(n_salt))).alias("salt"),
-    ).repartition("blk", "salt")
-    b = corpus.select(
-        F.col(block_col).alias("blk"),
-        F.col(key_col).alias("vec_id_b"),
-        unit.alias("vb"),
-    )
-    pairs = a.join(b, "blk").filter(F.col("vec_id_a") != F.col("vec_id_b"))
-    scored = pairs.select(
-        "blk",
-        "vec_id_a",
-        "vec_id_b",
-        F.round(dot(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-    )
-    w = W.partitionBy("vec_id_a").orderBy(F.col("cosine_sim").desc(), "vec_id_b")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("vec_id_a").alias("vec_id"),
-            F.col("blk").alias("label"),
-            F.col("vec_id_b").alias("nn_vec_id"),
-            "cosine_sim",
+    # The O(|block|²·d) pairwise work is the one place array expressions
+    # lose badly to vectorized math (higher-order lambdas are interpreted
+    # per element — ~25M evals at sf0.1). This is the sanctioned Pandas-UDF
+    # use: one Arrow batch per block, a numpy GEMM for the whole cosine
+    # matrix, deterministic (rounded-score, smallest-key) winner per row.
+    import numpy as np
+    import pandas as pd
+
+    def block_nn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["vec_id", "label", "nn_vec_id", "cosine_sim"]
+            ).astype({"vec_id": "int64", "label": "int64",
+                      "nn_vec_id": "int64", "cosine_sim": "float64"})
+        vecs = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        ids = pdf[key_col].to_numpy()
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = np.round(unit @ unit.T, 6)
+        np.fill_diagonal(sims, -np.inf)
+        # winner per row: max rounded score, then smallest neighbor id —
+        # identical to the SQL row_number() ORDER BY score DESC, id
+        order = np.lexsort((ids[np.newaxis, :].repeat(n, 0), -sims), axis=1)
+        nn_idx = order[:, 0]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": pdf[block_col].to_numpy(),
+                "nn_vec_id": ids[nn_idx],
+                "cosine_sim": sims[np.arange(n), nn_idx],
+            }
         )
+
+    prepared = corpus.select(
+        F.col(key_col), F.col(block_col), _dvec(vec_col).alias("_v")
+    )
+    return prepared.groupBy(block_col).applyInPandas(
+        block_nn, "vec_id long, label long, nn_vec_id long, cosine_sim double"
     )
