@@ -26,7 +26,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
     "q18_large_volume_customers",
+    "q21_last_to_ship",
     "join_left_outer_order_counts",
     "window_cumulative_range",
     "events_sessionize_gap30m",

@@ -63,6 +63,7 @@ def _load_all() -> None:
         llm_text,
         relational,
         relational2,
+        relational3,
         scalars,
         setops,
         timeseries,
