@@ -41,20 +41,6 @@ def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
 
 
 def _perm_params(num_perm: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the universal-hash permutations.
-
-    Linear congruential constants derived from the permutation index; a is
-    odd and nonzero mod M.
-    """
-    params = []
-    for p in range(num_perm):
-        a = (2 * ((p * 1_103_515_245 + 12_345) % (_MERSENNE31 // 2)) + 1) % _MERSENNE31
-        b = (p * 69_069 + 1) % _MERSENNE31
-        params.append((a or 1, b))
-    return params
-
-
-def _perm_params(num_perm: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) constants for the universal-hash permutations
     (a odd, both bounded by M so a*h stays < 2^62 under ANSI arithmetic)."""
     half = (_MERSENNE31 - 1) // 2

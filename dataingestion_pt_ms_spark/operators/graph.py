@@ -1,0 +1,115 @@
+"""Distributed weakly-connected components — the clustering step that turns
+near-duplicate *pairs* (MinHash-LSH / SimHash / n-gram Jaccard output) into
+*cluster assignments* with a canonical keeper per cluster, which is what a
+training-data dedup pipeline actually consumes.
+
+No reference analog (the reference dedups by exact document key only —
+``app/alpaca_service.py:194,207``); this generalizes that keep-one-per-key
+semantics to fuzzy keys. [NS] operator per BASELINE.json north star.
+
+Algorithm: iterative min-label propagation with a pointer-jumping step
+(label(node) <- min over {label(node), labels of neighbors, label of
+label(node)}), the DataFrame re-expression of the classic MapReduce CC
+algorithms (Kiveris et al. large-star/small-star family). Neighbor
+propagation alone moves labels one hop per round (O(diameter) rounds);
+the pointer jump halves paths each round, giving O(log diameter).
+
+Scale notes:
+- state per round is one (node, label) table partitioned by node — each
+  round is two shuffles (neighbor-min groupBy + label-jump join), both on
+  keys Catalyst can reuse;
+- ``localCheckpoint(eager)`` truncates the growing lineage each round
+  (plan-depth blowup, not data blowup, is the failure mode of iterative
+  DataFrame algorithms); on a cluster use a reliable checkpoint dir
+  instead if executor loss must be survivable;
+- the convergence probe is a ``LIMIT 1`` count on the changed-rows frame —
+  an action per round, but it scans only until the first hit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) where component = min node id in the weakly
+    connected component.
+
+    ``edges`` is treated as undirected. ``nodes`` (optional, one column
+    ``node_col``) adds isolated vertices — each becomes its own singleton
+    component.
+    """
+    # materialize the edge set once: every round runs actions (probe +
+    # checkpoint), and without this the whole upstream lineage (e.g. a
+    # MinHash-LSH pair pipeline) would re-execute per round
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct()
+    if nodes is not None:
+        labels = labels.union(
+            nodes.select(F.col(node_col).alias("node"))
+        ).distinct()
+    labels = labels.withColumn("label", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # neighbor-min: the smallest label among each node's neighbors
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("n_node"))
+            .agg(F.min("label").alias("n_label"))
+        )
+        stepped = labels.join(
+            neigh, labels["node"] == neigh["n_node"], "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("n_label", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jump: follow my label's label (halves chains each round)
+        parents = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = stepped.join(
+            parents, stepped["label"] == parents["p_node"], "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("p_label", F.col("label"))).alias(
+                "label"
+            ),
+        ).localCheckpoint()
+
+        changed = (
+            jumped.alias("new")
+            .join(labels.alias("old"), "node")
+            .filter(F.col("new.label") != F.col("old.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def cluster_canonical(
+    assignment: DataFrame, node_col: str = "node", comp_col: str = "component"
+) -> DataFrame:
+    """(component, n_members, keep) per cluster: the keeper is the smallest
+    member id — deterministic, mirroring exact_dedup's keep-min-key rule."""
+    return assignment.groupBy(comp_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(node_col).alias("keep"),
+    )

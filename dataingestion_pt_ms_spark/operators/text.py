@@ -83,9 +83,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def term_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level term frequency (explode → count); at scale this is the
-    canonical map-side-combined wordcount."""
+    canonical map-side-combined wordcount. The tokenize+explode is CPU-bound,
+    so spread the input to cluster parallelism first — a single-file local
+    scan is otherwise one task doing all the splitting."""
     return (
-        df.select(F.explode(_tok(text_col)).alias("token"))
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.explode(_tok(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -125,4 +128,41 @@ def token_count_estimates(df: DataFrame, text_col: str = "text") -> DataFrame:
             "regex_token_count": regex_toks.cast("long"),
             "bpe_token_estimate": F.ceil(chars.cast("double") / 4.0).cast("long"),
         }
+    )
+
+
+def tf_idf_topk(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Top-k tokens per document by TF-IDF (tf * ln((1+N)/(1+df))).
+
+    Three shuffles at scale: (doc, token) count, token document-frequency,
+    and the per-doc top-k window — all map-side combined; the corpus size N
+    ships as a one-row broadcast. Scores are rounded before ranking so the
+    k-boundary is deterministic across engines.
+    """
+    from pyspark.sql import Window as W
+
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    tok = spread.select(F.col(key_col), F.explode(_tok(text_col)).alias("token"))
+    tf = tok.groupBy(key_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tf_idf",
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy(key_col).orderBy(F.col("tf_idf").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(key_col, "token", "tf", "df", "tf_idf", "rk")
     )

@@ -95,3 +95,102 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-63 hamming distance over consecutive-id candidates."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dups(docs, "text", "doc_id", max_hamming=20)
+
+
+# --------------------------------------------------------------------------
+# Connected-components cluster assignment. The edge set is a deterministic
+# consecutive-id rule that yields variable-length chains, so the oracle can
+# state the expected components with the gaps-and-islands window pattern
+# while the Spark side runs the general iterative CC operator — multi-hop
+# label propagation is exercised and still SQL-checkable.
+# --------------------------------------------------------------------------
+CLUSTER_ASSIGN_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         lag(n_chars) OVER (ORDER BY doc_id) AS prev_chars,
+         lag(doc_id) OVER (ORDER BY doc_id) AS prev_id
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CASE WHEN prev_id = doc_id - 1 AND (prev_chars + n_chars) % 3 = 0
+              THEN 0 ELSE 1 END AS brk
+  FROM d
+), g AS (
+  SELECT doc_id, sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS grp
+  FROM b
+)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS cluster_id
+FROM g
+ORDER BY doc_id
+"""
+
+
+@register("dedup_cluster_assignment", oracle=CLUSTER_ASSIGN_ORACLE, tags=("llm", "dedup", "graph"))
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("src"),
+        F.col("doc_id").alias("dst"),
+        F.col("n_chars").alias("dst_chars"),
+    )
+    edges = (
+        docs.join(nxt, F.col("doc_id") == F.col("src"))
+        .filter((F.col("n_chars") + F.col("dst_chars")) % 3 == 0)
+        .select("src", "dst")
+    )
+    cc = connected_components(edges, nodes=docs, node_col="doc_id")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Canonical keep-list per duplicate cluster: CC over exact-duplicate (same
+# text) edges + keeper selection. Exact-dup components are cliques, so the
+# oracle is a plain GROUP BY text — the Spark side still runs the general
+# graph machinery end-to-end.
+# --------------------------------------------------------------------------
+CLUSTER_CANON_ORACLE = """
+SELECT min(doc_id) AS component,
+       count(*) AS n_members,
+       min(doc_id) AS keep
+FROM documents
+GROUP BY text
+"""
+
+
+@register("dedup_cluster_canonical", oracle=CLUSTER_CANON_ORACLE, tags=("llm", "dedup", "graph"))
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import cluster_canonical, connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_text = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    # same-text docs -> star edges to the group min (clique-equivalent for CC)
+    edges = by_text.filter(F.size("ids") > 1).select(
+        F.element_at("ids", 1).alias("src"),
+        F.explode(F.slice("ids", 2, F.size("ids"))).alias("dst"),
+    )
+    cc = connected_components(edges, nodes=docs, node_col="doc_id")
+    return cluster_canonical(cc)
+
+
+@register("dedup_cluster_near_dups", oracle=None, tags=("llm", "dedup", "graph", "lsh"))
+def dedup_cluster_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real near-dup pipeline: MinHash-LSH pairs (>=0.8 verified Jaccard)
+    -> connected components -> non-singleton clusters with canonical keeper.
+    Rows-only (pair generation hinges on xxhash64); CC correctness is
+    oracle-checked by the two queries above and chain/clique engine tests."""
+    from ..operators.graph import cluster_canonical, connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_near_dups(docs, "text", "doc_id", threshold=0.8)
+    cc = connected_components(pairs, src="key_a", dst="key_b")
+    return (
+        cluster_canonical(cc)
+        .filter(F.col("n_members") > 1)
+        .orderBy("component")
+    )

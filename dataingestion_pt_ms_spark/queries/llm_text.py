@@ -133,3 +133,28 @@ def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
     and order-sensitivity properties are pytest-verified."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.rolling_hash(docs).drop("text")
+
+
+TFIDF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_DTOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.token AS token, tf, df,
+         round(tf * ln((1.0 + n_docs) / (1.0 + df)), 6) AS tf_idf
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf_idf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tf_idf, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("text_tf_idf_topk", oracle=TFIDF_ORACLE, tags=("llm", "text", "agg", "window"))
+def text_tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic tokens per document by TF-IDF."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.tf_idf_topk(docs, "text", "doc_id", k=5)

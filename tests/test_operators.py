@@ -154,3 +154,51 @@ def test_ann_ivf_matches_oracle_semantics(spark, sf_dir):
         emb.filter(F.col("label") == cell), query, k=5
     ).collect()
     assert [r.vec_id for r in top] == [r.vec_id for r in brute_in_cell]
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/graph.py)
+# ---------------------------------------------------------------------------
+def _cc_map(spark, edges, nodes=None):
+    from dataingestion_pt_ms_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    n = (
+        spark.createDataFrame([(x,) for x in nodes], "node long")
+        if nodes is not None
+        else None
+    )
+    out = connected_components(e, nodes=n)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_cc_chain_propagates_multi_hop(spark):
+    # 0-1-2-...-9: one component labeled by the chain head
+    got = _cc_map(spark, [(i, i + 1) for i in range(9)])
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_cc_two_components_and_isolated(spark):
+    got = _cc_map(spark, [(1, 2), (2, 3), (10, 11)], nodes=[1, 2, 3, 10, 11, 99])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_cc_clique_and_direction_invariance(spark):
+    # same component regardless of edge direction / duplication
+    got = _cc_map(spark, [(5, 4), (4, 3), (3, 5), (5, 3)])
+    assert got == {3: 3, 4: 3, 5: 3}
+
+
+def test_cc_cluster_canonical_counts(spark):
+    from dataingestion_pt_ms_spark.operators.graph import (
+        cluster_canonical,
+        connected_components,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in [1, 2, 3, 10, 11, 99]], "node long")
+    cc = connected_components(e, nodes=n)
+    got = {r.component: (r.n_members, r.keep) for r in cluster_canonical(cc).collect()}
+    assert got == {1: (3, 1), 10: (2, 10), 99: (1, 99)}
