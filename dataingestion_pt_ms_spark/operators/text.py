@@ -166,3 +166,69 @@ def tf_idf_topk(
         .filter(F.col("rk") <= k)
         .select(key_col, "token", "tf", "df", "tf_idf", "rk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_tokens: int = 50,
+) -> DataFrame:
+    """Split each document into fixed-size token chunks (the packing step
+    ahead of tokenization in a training pipeline): one output row per chunk
+    with (key, chunk_idx, chunk_text, n_chunk_tokens).
+
+    The lambda work is per *chunk*, not per token (slice+concat over an
+    already-split array), so the interpreted-HOF cost stays negligible; the
+    explode fans out inside the scan stage — no shuffle at all.
+    """
+    toks = _tok(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
+    )
+    out = df.select(
+        F.col(key_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return out.withColumn(
+        "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")
+    )
+
+
+def quantile_filter(
+    df: DataFrame, value_col: str, q: float = 0.75
+) -> DataFrame:
+    """Keep rows whose ``value_col`` exceeds the corpus-wide q-quantile
+    (exact, interpolated) — quality-gating against the corpus distribution.
+    The quantile is a one-row aggregate broadcast to every task."""
+    cut = df.agg(
+        F.expr(f"percentile({value_col}, {q})").alias("_cut")
+    )
+    return (
+        df.crossJoin(F.broadcast(cut))
+        .filter(F.col(value_col) > F.col("_cut"))
+        .drop("_cut")
+    )
+
+
+def redact_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII-style scrubbing pass: digit-bearing tokens -> <NUM>, overlong
+    tokens (>10 chars) -> <LONG>. Real deployments swap in email/phone/ID
+    patterns; the mechanics (regexp count + replace inside one projection,
+    no shuffle) are identical. Patterns stay in the RE2-compatible subset
+    so the DuckDB oracle matches Java regex semantics."""
+    num_pat = r"[a-z]*[0-9][a-z0-9]*"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), r"\b" + num_pat + r"\b", "<NUM>"),
+        r"\b[a-z]{11,}\b",
+        "<LONG>",
+    )
+    n_num = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\b" + num_pat + r"\b"), 0))
+    n_long = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\b[a-z]{11,}\b"), 0))
+    return df.withColumns(
+        {
+            "redacted": redacted,
+            "n_redactions": (n_num + n_long).cast("long"),
+        }
+    )

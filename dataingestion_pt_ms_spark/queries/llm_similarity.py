@@ -200,3 +200,57 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == _QID)
     return S.ann_ivf_topk(emb, query, k=5)
+
+
+# --------------------------------------------------------------------------
+# k-means (2 Lloyd rounds, k=4, deterministic seeds = 4 smallest vec_ids).
+# The oracle unrolls both rounds as CTEs over the exploded (vec, dim, x)
+# form — iterative ML, still fully SQL-checkable because the iteration
+# count is fixed and every cross-engine-fragile value (distance, centroid
+# coordinate) is rounded before comparison.
+# --------------------------------------------------------------------------
+KMEANS_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+), seeds AS (
+  SELECT vec_id AS seed_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+), cent0 AS (
+  SELECT s.cluster, d.d, d.x AS c FROM seeds s JOIN dims d ON d.vec_id = s.seed_id
+), d1 AS (
+  SELECT dims.vec_id, cent0.cluster,
+         round(sum((dims.x - cent0.c) * (dims.x - cent0.c)), 6) AS dist
+  FROM dims JOIN cent0 ON dims.d = cent0.d
+  GROUP BY dims.vec_id, cent0.cluster
+), a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d1) WHERE rn = 1
+), cent1 AS (
+  SELECT a1.cluster, dims.d, round(avg(dims.x), 6) AS c
+  FROM a1 JOIN dims USING (vec_id)
+  GROUP BY a1.cluster, dims.d
+), d2 AS (
+  SELECT dims.vec_id, cent1.cluster,
+         round(sum((dims.x - cent1.c) * (dims.x - cent1.c)), 6) AS dist
+  FROM dims JOIN cent1 ON dims.d = cent1.d
+  GROUP BY dims.vec_id, cent1.cluster
+)
+SELECT vec_id, cluster, dist FROM (
+  SELECT vec_id, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+  FROM d2) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+@register("sim_kmeans_clusters", oracle=KMEANS_ORACLE, tags=("llm", "similarity", "iterative"))
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard cluster assignments after 2 deterministic Lloyd rounds (k=4)."""
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, "embedding", "vec_id", k=4, iters=2).orderBy("vec_id")

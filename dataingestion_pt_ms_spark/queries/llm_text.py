@@ -158,3 +158,67 @@ def text_tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic tokens per document by TF-IDF."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.tf_idf_topk(docs, "text", "doc_id", k=5)
+
+
+CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(i - 1 AS INTEGER) AS chunk_idx,
+         array_to_string(toks[(i - 1) * 50 + 1 : (i - 1) * 50 + 50], ' ') AS chunk_text
+  FROM t, unnest(generate_series(1, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS u(i)
+)
+SELECT doc_id, chunk_idx, chunk_text,
+       CAST(len(string_split_regex(chunk_text, '\\s+')) AS BIGINT) AS n_chunk_tokens
+FROM c
+"""
+
+
+@register("text_chunk_documents", oracle=CHUNK_ORACLE, tags=("llm", "text", "explode"))
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 50-token chunking — the packing step ahead of tokenization."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.chunk_documents(docs, "text", "doc_id", chunk_tokens=50)
+
+
+QUANTILE_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE n_chars > (SELECT quantile_cont(n_chars, 0.75) FROM documents)
+"""
+
+
+@register("text_quantile_filter", oracle=QUANTILE_ORACLE, tags=("llm", "text", "scalar-subquery"))
+def text_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs above the corpus p75 length — distribution-relative quality gate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return T.quantile_filter(docs, "n_chars", 0.75)
+
+
+REDACT_ORACLE = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '\b[a-z]*[0-9][a-z0-9]*\b', '<NUM>', 'g'),
+         '\b[a-z]{11,}\b', '<LONG>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '\b[a-z]*[0-9][a-z0-9]*\b'))
+            + len(regexp_extract_all(text, '\b[a-z]{11,}\b')) AS BIGINT)
+         AS n_redactions
+FROM documents
+"""
+
+
+@register("text_redact_tokens", oracle=REDACT_ORACLE, tags=("llm", "text", "regex"))
+def text_redact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: digit-bearing tokens -> <NUM>, overlong -> <LONG>."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.redact_tokens(docs).drop("text")
+
+
+@register("sample_stratified_by_lang", oracle=None, tags=("llm", "sample"))
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-stratum Bernoulli sampling (lang-balanced downsampling —
+    the data-mixing step of corpus curation). Engine-specific RNG ->
+    rows-only; per-stratum bounds asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    fractions = {"en": 0.5, "es": 0.25}
+    return docs.sampleBy("lang", fractions, seed=42)

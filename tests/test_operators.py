@@ -202,3 +202,51 @@ def test_cc_cluster_canonical_counts(spark):
     cc = connected_components(e, nodes=n)
     got = {r.component: (r.n_members, r.keep) for r in cluster_canonical(cc).collect()}
     assert got == {1: (3, 1), 10: (2, 10), 99: (1, 99)}
+
+
+# ---------------------------------------------------------------------------
+# k-means (operators/clustering.py) and chunking (operators/text.py)
+# ---------------------------------------------------------------------------
+def test_kmeans_recovers_separated_blobs(spark):
+    from dataingestion_pt_ms_spark.operators.clustering import kmeans_lloyd
+
+    # two tight blobs far apart; seeds (2 smallest ids) land one per blob
+    rows = [(0, [0.0, 0.1]), (2, [10.0, 10.1]), (1, [0.1, 0.0]),
+            (3, [10.1, 10.0]), (4, [0.05, 0.05]), (5, [9.9, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in kmeans_lloyd(df, k=2, iters=2).collect()}
+    assert got[0] == got[1] == got[4]
+    assert got[2] == got[3] == got[5]
+    assert got[0] != got[2]
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    from dataingestion_pt_ms_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(120))), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.n_chunk_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [50, 50, 20]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 2
+    # token order preserved across chunk boundaries
+    rejoined = " ".join(r.chunk_text for r in sorted(by_doc[1], key=lambda r: r.chunk_idx))
+    assert rejoined == " ".join(f"t{i}" for i in range(120))
+
+
+def test_stratified_sample_bounds(spark, sf_dir):
+    from dataingestion_pt_ms_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    frac = {"en": 0.5, "es": 0.25}
+    sampled = docs.sampleBy("lang", frac, seed=42)
+    assert set(r.lang for r in sampled.select("lang").distinct().collect()) <= set(frac)
+    # deterministic under a fixed seed
+    again = docs.sampleBy("lang", frac, seed=42)
+    assert sorted(r.doc_id for r in sampled.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
