@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfns import distinct_tokens, token_fingerprint, tokens
+from ..functions.textfns import distinct_tokens, shingles, token_fingerprint, tokens
 
 # Marker token sets for the n-gram/stopword language heuristic. With real
 # corpora these would be per-language character-n-gram profiles; the fixture
@@ -230,5 +230,115 @@ def redact_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "redacted": redacted,
             "n_redactions": (n_num + n_long).cast("long"),
+        }
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination detection: per corpus document, the fraction
+    of its distinct k-shingles that also occur anywhere in the benchmark
+    set — the decontamination gate run before training on scraped data.
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    (eval suites are KBs, corpora are TBs), so it broadcasts — the corpus
+    side never shuffles; shingling, the hash, the broadcast probe and the
+    per-doc count all pipeline inside the scan stage. Shingles join on a
+    fixed-width md5 key, not the raw n-gram string (16-byte probe keys,
+    engine-independent so the DuckDB oracle mirrors it exactly).
+    """
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key_col),
+            F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("_s"),
+        ).select(key_col, F.md5("_s").alias("_h"))
+
+    bench = _sh(benchmark).select("_h").distinct().withColumn("_hit", F.lit(1))
+    return (
+        _sh(corpus)
+        .join(F.broadcast(bench), "_h", "left")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signal: the most frequent token's share of
+    the document (boilerplate / spam / degenerate-generation filter).
+
+    (key, token) counts partial-aggregate map-side; the window that picks
+    the arg-max re-partitions on key only. Ties break to the lexicographically
+    smallest token so the winner is engine-independent.
+    """
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(key_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = tok.groupBy(key_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy(key_col).orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.withColumns(
+            {
+                "n_tokens": F.sum("cnt").over(W.partitionBy(key_col)),
+                "_rn": F.row_number().over(w),
+            }
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            key_col,
+            F.col("n_tokens").cast("long"),
+            F.col("token").alias("top_token"),
+            F.col("cnt").cast("long").alias("top_count"),
+            F.round(F.col("cnt") / F.col("n_tokens"), 6).alias("repetition_ratio"),
+        )
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    tokens_col: str = "n_chunk_tokens",
+    pack_tokens: int = 512,
+) -> DataFrame:
+    """Sequence packing: lay each group's chunks out as one contiguous token
+    stream (ordered by (key, chunk_idx)) and assign every chunk the training
+    pack (context window) its first token lands in — GPT-style
+    concatenate-and-slice packing, computed as indices without materializing
+    the streams.
+
+    One window per group gives each chunk its running token offset;
+    ``pack_id = floor(offset / pack_tokens)``. At scale the group column is
+    the unit of parallelism (language/source shard), so streams build
+    independently per shard with a single shuffle on the group key.
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(key_col, "chunk_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return chunks.withColumns(
+        {
+            "token_offset": off.cast("long"),
+            "pack_id": F.floor(off / F.lit(float(pack_tokens))).cast("long"),
         }
     )

@@ -214,6 +214,190 @@ def text_redact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.redact_tokens(docs).drop("text")
 
 
+# DuckDB twin of functions.textfns.shingles (k=3, distinct)
+_DSHINGLES = (
+    "list_distinct(CASE WHEN len(TOKS) >= 3 THEN "
+    "list_transform(generate_series(1, len(TOKS) - 2), "
+    "i -> concat_ws(' ', TOKS[i], TOKS[i+1], TOKS[i+2])) "
+    "ELSE [] END)".replace("TOKS", _DTOKS)
+)
+
+CONTAMINATION_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5(unnest({_DSHINGLES})) AS h FROM documents
+), bench AS (
+  SELECT DISTINCT h FROM h WHERE doc_id < 20
+), corpus AS (
+  SELECT * FROM h WHERE doc_id >= 20
+)
+SELECT corpus.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(bench.h) AS BIGINT) AS n_contaminated,
+       round(count(bench.h) / CAST(count(*) AS DOUBLE), 6) AS contamination_ratio
+FROM corpus LEFT JOIN bench ON corpus.h = bench.h
+GROUP BY corpus.doc_id
+"""
+
+
+@register("text_contamination_check", oracle=CONTAMINATION_ORACLE, tags=("llm", "text", "broadcast"))
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle overlap of each corpus doc (doc_id >= 20) against the
+    'benchmark' set (doc_id < 20) — eval-decontamination."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.contamination_check(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    )
+
+
+REPETITION_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_DTOKS}) AS token FROM documents),
+cnt AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
+top AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, token AS top_token,
+         CAST(cnt AS BIGINT) AS top_count,
+         round(cnt / CAST(n_tokens AS DOUBLE), 6) AS repetition_ratio
+  FROM (
+    SELECT doc_id, token, cnt,
+           sum(cnt) OVER (PARTITION BY doc_id) AS n_tokens,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn
+    FROM cnt)
+  WHERE rn = 1
+)
+SELECT * FROM top
+"""
+
+
+@register("text_repetition_score", oracle=REPETITION_ORACLE, tags=("llm", "text", "window"))
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-token share per doc — boilerplate/degenerate-text filter."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.repetition_score(docs)
+
+
+PACK_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {_DTOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         CAST(i - 1 AS INTEGER) AS chunk_idx,
+         array_to_string(toks[(i - 1) * 50 + 1 : (i - 1) * 50 + 50], ' ') AS chunk_text
+  FROM t, unnest(generate_series(1, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS u(i)
+), n AS (
+  SELECT doc_id, lang, chunk_idx,
+         CAST(len(string_split_regex(chunk_text, '\\s+')) AS BIGINT) AS n_chunk_tokens
+  FROM c
+)
+SELECT lang, doc_id, chunk_idx, n_chunk_tokens,
+       CAST(coalesce(sum(n_chunk_tokens) OVER w, 0) AS BIGINT) AS token_offset,
+       CAST(floor(coalesce(sum(n_chunk_tokens) OVER w, 0) / 512.0) AS BIGINT) AS pack_id
+FROM n
+WINDOW w AS (PARTITION BY lang ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+@register("text_pack_sequences", oracle=PACK_ORACLE, tags=("llm", "text", "window"))
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50-token chunks packed into 512-token training context windows,
+    one token stream per language shard."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    chunks = T.chunk_documents(docs.select("doc_id", "text"), "text", "doc_id", 50)
+    chunks = chunks.join(docs.select("doc_id", "lang"), "doc_id")
+    return T.pack_sequences(chunks).select(
+        "lang", "doc_id", "chunk_idx", "n_chunk_tokens", "token_offset", "pack_id"
+    )
+
+
+MIX_ORACLE = f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len({_DTOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_langs FROM per
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS actual_share,
+       round((1.0 / n_langs) / (n_tokens / CAST(total_tokens AS DOUBLE)), 6)
+         AS sampling_weight
+FROM per, tot
+"""
+
+
+@register("sample_language_mix_weights", oracle=MIX_ORACLE, tags=("llm", "sample", "agg"))
+def sample_language_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token share and the resampling weight that flattens the
+    mix to uniform — the data-mixing calculation before weighted sampling."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    from ..functions.textfns import tokens as _toks
+
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_toks(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("_tt"),
+        F.count(F.lit(1)).alias("_nl"),
+    )
+    share = F.col("n_tokens") / F.col("_tt").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("actual_share"),
+        F.round((F.lit(1.0) / F.col("_nl")) / share, 6).alias("sampling_weight"),
+    )
+
+
+PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_value,
+       max(CAST({c} AS VARCHAR)) AS max_value
+FROM documents"""
+    for c in PROFILE_COLS
+)
+
+
+@register("profile_documents_columns", oracle=PROFILE_ORACLE, tags=("llm", "profile", "agg"))
+def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-profiling summary (nulls, cardinality, min/max) — the
+    corpus health report. One aggregate pass computes every column's stats;
+    at 100 TB the exact count_distinct becomes approx_count_distinct (the
+    HLL variant is agg_approx_count_distinct).
+    String-typed min/max on casts in BOTH engines so ordering is
+    lexicographic on each side."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}_nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}_min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}_max"),
+        ]
+    one = docs.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("n_rows"),
+                        (F.col("n_rows") - F.col(f"{c}_nn")).alias("n_nulls"),
+                        F.col(f"{c}_nd").alias("n_distinct"),
+                        F.col(f"{c}_min").alias("min_value"),
+                        F.col(f"{c}_max").alias("max_value"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
 @register("sample_stratified_by_lang", oracle=None, tags=("llm", "sample"))
 def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded per-stratum Bernoulli sampling (lang-balanced downsampling —

@@ -250,3 +250,53 @@ def test_stratified_sample_bounds(spark, sf_dir):
     assert sorted(r.doc_id for r in sampled.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# contamination / repetition / packing (operators/text.py)
+# ---------------------------------------------------------------------------
+def test_contamination_ratio_known_overlap(spark):
+    from dataingestion_pt_ms_spark.operators.text import contamination_check
+
+    bench = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    # doc 10 shares shingles {a b c, b c d}; doc 11 shares none
+    corpus = spark.createDataFrame(
+        [(10, "a b c d e"), (11, "x y z w")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in contamination_check(corpus, bench).collect()}
+    assert got[10].n_shingles == 3 and got[10].n_contaminated == 2
+    assert got[11].n_shingles == 2 and got[11].n_contaminated == 0
+    assert abs(got[10].contamination_ratio - 2 / 3) < 1e-6
+
+
+def test_repetition_score_argmax_and_ties(spark):
+    from dataingestion_pt_ms_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "z z z q")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_score(df).collect()}
+    # tie between a(2) and b(2) breaks to lexicographically smallest
+    assert got[1].top_token == "a" and got[1].top_count == 2 and got[1].n_tokens == 5
+    assert got[2].top_token == "z" and abs(got[2].repetition_ratio - 0.75) < 1e-6
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    from dataingestion_pt_ms_spark.operators.text import pack_sequences
+
+    rows = [
+        ("en", 1, 0, 300), ("en", 1, 1, 300), ("en", 2, 0, 300),
+        ("es", 5, 0, 600),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "lang string, doc_id long, chunk_idx int, n_chunk_tokens long"
+    )
+    got = {
+        (r.lang, r.doc_id, r.chunk_idx): (r.token_offset, r.pack_id)
+        for r in pack_sequences(chunks, pack_tokens=512).collect()
+    }
+    # en stream: offsets 0, 300, 600 -> packs 0, 0, 1; es stream independent
+    assert got[("en", 1, 0)] == (0, 0)
+    assert got[("en", 1, 1)] == (300, 0)
+    assert got[("en", 2, 0)] == (600, 1)
+    assert got[("es", 5, 0)] == (0, 0)
