@@ -112,3 +112,13 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS buck.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS buck.orders_b")
         spark.sql("DROP DATABASE IF EXISTS buck")
+
+
+def test_contamination_probe_broadcasts(spark, sf_dir):
+    # benchmark shingle set must broadcast: the corpus side of the
+    # decontamination gate never shuffles at 100 TB
+    from dataingestion_pt_ms_spark.queries.llm_text import text_contamination_check
+
+    df = text_contamination_check(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
