@@ -173,6 +173,7 @@ def chunk_documents(
     text_col: str = "text",
     key_col: str = "doc_id",
     chunk_tokens: int = 50,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split each document into fixed-size token chunks (the packing step
     ahead of tokenization in a training pipeline): one output row per chunk
@@ -181,6 +182,10 @@ def chunk_documents(
     The lambda work is per *chunk*, not per token (slice+concat over an
     already-split array), so the interpreted-HOF cost stays negligible; the
     explode fans out inside the scan stage — no shuffle at all.
+
+    ``passthrough`` columns (e.g. the lang/source shard key) replicate onto
+    every chunk row inside the same projection — downstream groupings never
+    need a corpus-sized join back to the document table.
     """
     toks = _tok(text_col)
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
@@ -189,7 +194,9 @@ def chunk_documents(
         lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
     )
     out = df.select(
-        F.col(key_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+        F.col(key_col),
+        *[F.col(c) for c in passthrough],
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     )
     return out.withColumn(
         "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")

@@ -300,8 +300,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """50-token chunks packed into 512-token training context windows,
     one token stream per language shard."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    chunks = T.chunk_documents(docs.select("doc_id", "text"), "text", "doc_id", 50)
-    chunks = chunks.join(docs.select("doc_id", "lang"), "doc_id")
+    chunks = T.chunk_documents(docs, "text", "doc_id", 50, passthrough=("lang",))
     return T.pack_sequences(chunks).select(
         "lang", "doc_id", "chunk_idx", "n_chunk_tokens", "token_offset", "pack_id"
     )
