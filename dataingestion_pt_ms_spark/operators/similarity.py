@@ -158,6 +158,60 @@ def ann_ivf_topk(
     )
 
 
+def blocked_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (a, b) with a < b in the
+    same block whose cosine similarity clears ``threshold``.
+
+    Same IVF-cell blocking as :func:`blocked_nearest_neighbor` — the pair
+    space is Σ|block|², never n², and each block's cosine matrix is one
+    numpy GEMM over a single Arrow batch (the sanctioned Pandas-UDF case:
+    O(|block|²·d) float math loses badly to interpreted array expressions).
+    At 100 TB the block column is a learned coarse quantizer's cell id and
+    blocks are bounded by construction, so one group = one task stays true.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            columns=["key_a", "key_b", "label", "cosine_sim"]
+        ).astype({"key_a": "int64", "key_b": "int64",
+                  "label": "int64", "cosine_sim": "float64"})
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[key_col].to_numpy())
+        ids = pdf[key_col].to_numpy()[order]
+        vecs = np.stack(pdf["_v"].to_numpy())[order].astype("float64")
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = np.round(unit @ unit.T, 6)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = sims[ia, ib] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "key_a": ids[ia[keep]],
+                "key_b": ids[ib[keep]],
+                "label": pdf[block_col].to_numpy()[order][ia[keep]],
+                "cosine_sim": sims[ia[keep], ib[keep]],
+            }
+        )
+
+    prepared = corpus.select(
+        F.col(key_col), F.col(block_col), _dvec(vec_col).alias("_v")
+    )
+    return prepared.groupBy(block_col).applyInPandas(
+        block_pairs, "key_a long, key_b long, label long, cosine_sim double"
+    )
+
+
 def blocked_nearest_neighbor(
     corpus: DataFrame,
     block_col: str = "label",

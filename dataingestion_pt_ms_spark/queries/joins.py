@@ -245,3 +245,53 @@ def join_theta_balance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-range join (events self-join): for every error event, the count and
+# value-sum of the same user's click events in the 10 minutes before it.
+# The equi key (user_id) carries the shuffle; the range predicate on ts is
+# applied inside each matched key group — the scalable shape for interval
+# joins (never a pure cross product). Generalizes the reference's
+# time-window predicate R3 (`app/alpaca_service.py:117-121`) to a
+# two-stream correlation.
+# --------------------------------------------------------------------------
+RANGE_ORACLE = """
+SELECT e.event_id, e.user_id,
+       count(c.event_id) AS clicks_10m,
+       round(coalesce(sum(c.value), 0.0), 6) AS click_value_10m
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= e.ts - INTERVAL 10 MINUTE
+ AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
+@register("join_range_clicks_before_error", oracle=RANGE_ORACLE, tags=("join", "range", "timeseries"))
+def join_range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "value"
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    return (
+        errors.join(clicks, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("c_ts").alias("clicks_10m"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("click_value_10m"),
+        )
+        .orderBy("event_id")
+    )

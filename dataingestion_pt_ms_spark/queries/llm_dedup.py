@@ -178,6 +178,35 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_canonical(cc)
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (the vector-space member of the dedup
+# family; the text-space members are exact/minhash/simhash/ngram above).
+# Blocked on `label` (IVF-cell stand-in) so the pair space is Σ|block|²;
+# the oracle replays the same label-equal self-join with DuckDB's
+# list_cosine_similarity. Threshold 0.35 is calibrated to the synthetic
+# embeddings (near-uniform vectors: max within-block cosine ≈ 0.47); real
+# corpora would run ≥0.9 — the operator takes it as a parameter.
+# --------------------------------------------------------------------------
+EMB_COS_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS key_a, b.vec_id AS key_b, a.label AS label,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+ORDER BY key_a, key_b
+"""
+
+
+@register("dedup_embedding_cosine_pairs", oracle=EMB_COS_ORACLE, tags=("llm", "dedup", "similarity"))
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks
+    (operators/similarity.py:blocked_cosine_pairs — per-block numpy GEMM)."""
+    from ..operators.similarity import blocked_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_cosine_pairs(emb, threshold=0.35).orderBy("key_a", "key_b")
+
+
 @register("dedup_cluster_near_dups", oracle=None, tags=("llm", "dedup", "graph", "lsh"))
 def dedup_cluster_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real near-dup pipeline: MinHash-LSH pairs (>=0.8 verified Jaccard)

@@ -300,3 +300,23 @@ def test_pack_sequences_offsets_and_boundaries(spark):
     assert got[("en", 1, 1)] == (300, 0)
     assert got[("en", 2, 0)] == (600, 1)
     assert got[("es", 5, 0)] == (0, 0)
+
+
+def test_blocked_cosine_pairs_threshold_and_blocking(spark):
+    from dataingestion_pt_ms_spark.operators.similarity import blocked_cosine_pairs
+
+    # block 0: ids 0,1 parallel (cos=1), id 2 orthogonal; block 1: ids 3,4
+    # parallel but in a different block than 0/1 — must not pair across blocks
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [2.0, 0.0]),
+        (2, 0, [0.0, 1.0]),
+        (3, 1, [1.0, 0.0]),
+        (4, 1, [3.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    got = {
+        (r.key_a, r.key_b): (r.label, r.cosine_sim)
+        for r in blocked_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert got == {(0, 1): (0, 1.0), (3, 4): (1, 1.0)}
