@@ -72,3 +72,77 @@ def fake_feature_extract(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(key_col, "byte_len", "media_bytes").mapInPandas(extract, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    frame_bytes: int = 32,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling over an opaque "video" payload: slice the binary column
+    into fixed-size frames and keep every ``stride``-th one (one input row →
+    many output rows — the real shape of video-frame extraction).
+
+    The codec is stubbed (frames are raw byte slices; a real build swaps in a
+    demuxer per batch), but the Spark plumbing is real: Arrow-batched
+    ``mapInPandas`` row expansion, fixed output schema, per-frame digests.
+    """
+    schema = f"{key_col} long, frame_idx long, frame_len long, frame_md5 string"
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            keys, idxs, lens, digests = [], [], [], []
+            for key, payload in zip(pdf[key_col], pdf["media_bytes"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    chunk = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    keys.append(key)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {key_col: pd.Series(keys, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int64"),
+                 "frame_len": pd.Series(lens, dtype="int64"),
+                 "frame_md5": pd.Series(digests, dtype="object")}
+            )
+
+    return df.select(key_col, "media_bytes").mapInPandas(frames, schema)
+
+
+def fake_resize(
+    df: DataFrame, key_col: str = "doc_id", target_px: int = 16
+) -> DataFrame:
+    """STUB image resize: nearest-neighbor decimation of the payload bytes to
+    a fixed ``target_px``-"pixel" strip (byte value / 255, zero-padded past
+    the end). A real build decodes and resamples per Arrow batch; the
+    deterministic byte-decimation keeps the stage oracle-checkable while
+    exercising the identical batch/schema/partitioning machinery.
+    """
+    schema = f"{key_col} long, byte_len long, stride long, pixels array<double>"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens, strides, pixel_rows = [], [], []
+            for payload in pdf["media_bytes"]:
+                n = len(payload)
+                s = max(1, n // target_px)
+                lens.append(n)
+                strides.append(s)
+                pixel_rows.append(
+                    [
+                        round(payload[i * s] / 255.0, 6) if i * s < n else 0.0
+                        for i in range(target_px)
+                    ]
+                )
+            yield pd.DataFrame(
+                {key_col: pdf[key_col],
+                 "byte_len": pd.Series(lens, dtype="int64"),
+                 "stride": pd.Series(strides, dtype="int64"),
+                 "pixels": pd.Series(pixel_rows, dtype="object")}
+            )
+
+    return df.select(key_col, "media_bytes").mapInPandas(resize, schema)

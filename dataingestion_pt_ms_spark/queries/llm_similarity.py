@@ -166,6 +166,76 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# Frame sampling + resize stubs. documents.text is pure ASCII (verified:
+# octet_length(encode(text)) == length(text) for every row at every SF), so
+# byte slicing == character slicing and DuckDB can replay the frame/pixel
+# math over substr() — the codec-free plumbing stays fully oracle-checked.
+# --------------------------------------------------------------------------
+FRAME_ORACLE = """
+WITH f AS (
+  SELECT doc_id, i - 1 AS frame_idx,
+         substr(text, (i - 1) * 32 + 1, 32) AS frame
+  FROM documents,
+       unnest(generate_series(1, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS u(i)
+)
+SELECT doc_id, frame_idx,
+       CAST(length(frame) AS BIGINT) AS frame_len,
+       md5(frame) AS frame_md5
+FROM f WHERE frame_idx % 4 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_frame_sample", oracle=FRAME_ORACLE, tags=("llm", "multimodal", "udf"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th 32-byte frame of the binary payload with per-frame digest
+    (operators/multimodal.py:sample_frames — mapInPandas row expansion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_binary_payload(docs), frame_bytes=32, stride=4).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+RESIZE_ORACLE = """
+WITH r AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS byte_len,
+         CAST(greatest(1, length(text) // 16) AS BIGINT) AS stride,
+         list_transform(generate_series(1, 16),
+           i -> round(ascii(substr(text, (i - 1) * greatest(1, length(text) // 16) + 1, 1))
+                      / 255.0, 6)) AS pixels
+  FROM documents
+)
+SELECT doc_id, byte_len, stride,
+       CAST(len(pixels) AS BIGINT) AS n_px,
+       round(list_sum(pixels), 6) AS px_sum,
+       pixels[1] AS px_first,
+       pixels[16] AS px_last
+FROM r
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_resize_stub", oracle=RESIZE_ORACLE, tags=("llm", "multimodal", "udf"))
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor byte-decimation "resize" to a 16-pixel strip
+    (operators/multimodal.py:fake_resize — deterministic codec stub).
+    Array column projected to scalars for the differential compare (repo
+    convention: primitive columns only in oracle-checked outputs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = M.fake_resize(M.attach_binary_payload(docs), target_px=16)
+    return resized.select(
+        "doc_id",
+        "byte_len",
+        "stride",
+        F.size("pixels").cast("long").alias("n_px"),
+        F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 6).alias("px_sum"),
+        F.element_at("pixels", 1).alias("px_first"),
+        F.element_at("pixels", 16).alias("px_last"),
+    ).orderBy("doc_id")
+
+
 IVF_ORACLE = f"""
 WITH exploded AS (
   SELECT label, pos, CAST(val AS DOUBLE) AS val

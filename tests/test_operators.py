@@ -320,3 +320,35 @@ def test_blocked_cosine_pairs_threshold_and_blocking(spark):
         for r in blocked_cosine_pairs(df, threshold=0.9).collect()
     }
     assert got == {(0, 1): (0, 1.0), (3, 4): (1, 1.0)}
+
+
+def test_sample_frames_and_resize_stub(spark):
+    from dataingestion_pt_ms_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_resize,
+        sample_frames,
+    )
+    import hashlib
+
+    text = "".join(chr(65 + (i % 26)) for i in range(70))  # 70 ASCII bytes
+    df = attach_binary_payload(
+        spark.createDataFrame([(1, text), (2, "ab")], "doc_id long, text string")
+    )
+    frames = {
+        (r.doc_id, r.frame_idx): (r.frame_len, r.frame_md5)
+        for r in sample_frames(df, frame_bytes=32, stride=2).collect()
+    }
+    # doc 1: frames 0,1,2 (32+32+6 bytes) -> stride 2 keeps 0 and 2
+    assert set(frames) == {(1, 0), (1, 2), (2, 0)}
+    assert frames[(1, 0)][0] == 32 and frames[(1, 2)][0] == 6
+    assert frames[(1, 0)][1] == hashlib.md5(text[:32].encode()).hexdigest()
+    assert frames[(2, 0)] == (2, hashlib.md5(b"ab").hexdigest())
+
+    resized = {r.doc_id: r for r in fake_resize(df, target_px=16).collect()}
+    # doc 1: stride 70//16 = 4 -> pixels = bytes 0,4,8,...,60
+    assert resized[1].stride == 4
+    assert resized[1].pixels == [round(ord(text[i * 4]) / 255.0, 6) for i in range(16)]
+    # doc 2: shorter than target -> stride 1, zero-padded past the end
+    assert resized[2].stride == 1
+    assert resized[2].pixels[:2] == [round(ord("a") / 255.0, 6), round(ord("b") / 255.0, 6)]
+    assert resized[2].pixels[2:] == [0.0] * 14
