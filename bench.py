@@ -41,6 +41,7 @@ HEADLINE = [
     "asof_join_last_purchase",
     "ohlc_daily_resample",
     "text_term_frequency",
+    "pipeline_pretrain_corpus",
     "text_quality_score",
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",

@@ -405,3 +405,81 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     fractions = {"en": 0.5, "es": 0.25}
     return docs.sampleBy("lang", fractions, seed=42)
+
+
+# --------------------------------------------------------------------------
+# End-to-end pretraining-corpus pipeline: language gate -> quality gate ->
+# exact dedup -> 50-token chunking -> 512-token sequence packing (per
+# source shard) -> per-pack summary. Every stage is an already-oracled
+# operator; the composition proves they chain without a driver-side seam.
+# Scale shape: three exchanges (dedup groupBy on the text hash, pack window
+# on the shard key, final ordered rollup); the keep-list comes back as a
+# broadcast semi-join, and the gates + chunker fuse into the scan stage.
+# --------------------------------------------------------------------------
+PIPELINE_ORACLE = f"""
+WITH gated AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE round(CAST(len(list_filter({_DTOKS}, t -> t IN ({_MARKER_LIST}))) AS DOUBLE)
+              / CAST(len({_DTOKS}) AS DOUBLE), 6) >= 0.05
+    AND round(0.4 * (CAST(len(list_distinct({_DTOKS})) AS DOUBLE)
+                     / CAST(len({_DTOKS}) AS DOUBLE))
+            + 0.3 * least(CAST(len({_DTOKS}) AS DOUBLE) / 100.0, 1.0)
+            + 0.3 * (1 - CAST(len(list_filter({_DTOKS}, t -> t IN ({_MARKER_LIST}))) AS DOUBLE)
+                         / CAST(len({_DTOKS}) AS DOUBLE)), 6) >= 0.6
+), dedup AS (
+  SELECT doc_id, source, text FROM gated
+  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)
+), t AS (
+  SELECT doc_id, source, {_DTOKS} AS toks FROM dedup
+), c AS (
+  SELECT doc_id, source, CAST(i - 1 AS INTEGER) AS chunk_idx,
+         CAST(len(string_split_regex(
+           array_to_string(toks[(i - 1) * 50 + 1 : (i - 1) * 50 + 50], ' '),
+           '\\s+')) AS BIGINT) AS n_chunk_tokens
+  FROM t, unnest(generate_series(1, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS u(i)
+), p AS (
+  SELECT source, doc_id, chunk_idx, n_chunk_tokens,
+         CAST(floor(coalesce(sum(n_chunk_tokens) OVER w, 0) / 512.0) AS BIGINT) AS pack_id
+  FROM c
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT source, pack_id,
+       count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS pack_tokens,
+       count(DISTINCT doc_id) AS n_docs
+FROM p
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+@register("pipeline_pretrain_corpus", oracle=PIPELINE_ORACLE, tags=("llm", "text", "pipeline"))
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-data composition: every curation stage chained as one
+    lazy plan (language gate -> quality gate -> exact dedup -> chunk -> pack
+    -> per-pack rollup), Catalyst fusing the gates and chunker into the scan
+    stage."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    gated = (
+        T.quality_score(T.language_id(docs))
+        .filter((F.col("en_marker_ratio") >= 0.05) & (F.col("quality_score") >= 0.6))
+        .select("doc_id", "source", "text")
+    )
+    keep = D.exact_dedup(gated, "text", "doc_id").select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    deduped = gated.join(keep, "doc_id", "left_semi")
+    chunks = T.chunk_documents(deduped, "text", "doc_id", 50, passthrough=("source",))
+    packed = T.pack_sequences(chunks, group_col="source")
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("pack_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("source", "pack_id")
+    )
