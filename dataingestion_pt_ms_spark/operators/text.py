@@ -98,8 +98,11 @@ def rolling_hash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id")
     """Polynomial rolling-hash document fingerprint (order-sensitive, unlike
     the sorted-token md5 fingerprint): h = Σ h·B + hash(tok) (mod M).
 
-    Modular space is 31-bit so every product stays < 2^62 (ANSI-safe); one
-    interpreted fold pass per doc — acceptable off the hot path.
+    Per-token hash = first 8 hex chars of md5 as an integer — engine-agnostic
+    (md5 is bit-identical everywhere), so the whole fold is fully
+    oracle-checkable. Modular space is 31-bit so every product stays < 2^62
+    (ANSI-safe); one interpreted fold pass per doc — acceptable off the hot
+    path.
     """
     M = 2_147_483_647
     B = 1_000_003
@@ -107,7 +110,11 @@ def rolling_hash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id")
     h = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * B + F.pmod(F.xxhash64(t), F.lit(M)), F.lit(M)),
+        lambda acc, t: F.pmod(
+            acc * B
+            + F.pmod(F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(M)),
+            F.lit(M),
+        ),
     )
     return df.withColumn("rolling_hash", h)
 

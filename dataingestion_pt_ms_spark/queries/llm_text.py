@@ -126,11 +126,23 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_count_estimates(docs).drop("text")
 
 
-@register("text_rolling_hash_fingerprint", oracle=None, tags=("llm", "text", "dedup"))
+ROLLING_HASH_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_transform({_DTOKS},
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647),
+         (a, b) -> (a * 1000003 + b) % 2147483647) AS rolling_hash
+FROM documents
+"""
+
+
+@register("text_rolling_hash_fingerprint", oracle=ROLLING_HASH_ORACLE, tags=("llm", "text", "dedup"))
 def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial rolling-hash fingerprint per document
-    (operators/text.py:rolling_hash). xxhash64-based → rows-only; equality
-    and order-sensitivity properties are pytest-verified."""
+    (operators/text.py:rolling_hash). Per-token hash is an md5 prefix, so the
+    full fold has an exact DuckDB oracle (list_reduce of the same
+    polynomial); equality and order-sensitivity properties are additionally
+    pytest-verified."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.rolling_hash(docs).drop("text")
 
