@@ -201,12 +201,17 @@ def simhash63(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     """63-bit SimHash per document (bit 63 unused: keeps the value a
     non-negative long under ANSI arithmetic).
 
-    Scalable shape: explode tokens → one xxhash64 per token → 63 conditional
-    sums in a single grouped aggregation → reassemble bits.
+    Scalable shape: explode tokens → one 63-bit md5-derived hash per token
+    (hi 32 bits × 2^31 + lo 31 bits — engine-agnostic, so the whole pipeline
+    is oracle-checkable) → 63 conditional sums in a single grouped
+    aggregation → reassemble bits.
     """
+    md = F.md5("tok")
+    hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
     tok = df.select(
         F.col(key_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hi * F.lit(2_147_483_648) + F.pmod(lo, F.lit(2_147_483_648)))
     bit_sums = tok.groupBy(key_col).agg(
         *[
             F.sum(

@@ -1,9 +1,10 @@
 """Deduplication queries over ``documents`` (SURVEY.md §2.B: exact,
 MinHash-LSH, SimHash, n-gram Jaccard).
 
-Exact dedup and pairwise n-gram Jaccard have full DuckDB oracles. The
-MinHash-LSH and SimHash pipelines hinge on Spark's ``xxhash64`` (not
-available in DuckDB) → rows-only driver check, with determinism and
+Exact dedup, pairwise n-gram Jaccard, and SimHash have full DuckDB oracles
+(SimHash via an md5-derived 63-bit token hash that both engines compute
+bit-identically). The MinHash-LSH pipeline hinges on Spark's ``xxhash64``
+(not available in DuckDB) → rows-only driver check, with determinism and
 recall-vs-exact covered by engine tests (tests/test_operators.py).
 """
 
@@ -90,9 +91,40 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_near_dups(docs, "text", "doc_id", threshold=0.8)
 
 
-@register("dedup_simhash_pairs", oracle=None, tags=("llm", "dedup", "simhash"))
+# DuckDB twin of operators.dedup.simhash63: identical 63-bit md5-derived
+# token hash, 63 conditional bit-sums, bit reassembly, consecutive-id pairs.
+_SIMHASH_BIT_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(63)
+)
+_SIMHASH_REASSEMBLE = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for j in range(63)
+)
+SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_DTOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) * 2147483648
+         + (CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) % 2147483648) AS h
+  FROM tok
+), bits AS (
+  SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, {_SIMHASH_REASSEMBLE} AS simhash FROM bits
+)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON b.doc_id = a.doc_id + 1
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 20
+"""
+
+
+@register("dedup_simhash_pairs", oracle=SIMHASH_ORACLE, tags=("llm", "dedup", "simhash"))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-63 hamming distance over consecutive-id candidates."""
+    """SimHash-63 hamming distance over consecutive-id candidates. The
+    md5-derived token hash is bit-identical across engines, so the full
+    explode → bit-sum → reassemble → pair pipeline has an exact oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dups(docs, "text", "doc_id", max_hamming=20)
 
