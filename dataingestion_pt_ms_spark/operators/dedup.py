@@ -61,17 +61,27 @@ def minhash_signature(
     Shape chosen for codegen, not elegance: higher-order-function lambdas
     (transform/aggregate) are *interpreted* per array element in Spark, so
     folding 64 permutations inside array expressions costs ~1µs/element
-    (measured). Instead: explode shingles → one xxhash64 per shingle → 64
+    (measured). Instead: explode shingles → one base hash per shingle → 64
     codegen'd scalar permutations as ``min`` aggregates. Map-side partial
     aggregation collapses each partition to one 64-column row per doc before
     the shuffle, so the exchange is O(docs), not O(shingles).
+
+    Base shingle hash = first 8 hex chars of md5 as an integer (mod M):
+    engine-agnostic, so signatures — and therefore the whole LSH pipeline —
+    are exactly reproducible by the DuckDB oracle.
     """
     # spread CPU-bound work: one small parquet file = one partition otherwise
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     exploded = df.select(
         F.col(key_col),
         F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("_s"),
-    ).select(key_col, F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE31)).alias("_h"))
+    ).select(
+        key_col,
+        F.pmod(
+            F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long"),
+            F.lit(_MERSENNE31),
+        ).alias("_h"),
+    )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE31))).alias(
             f"_m{p}"

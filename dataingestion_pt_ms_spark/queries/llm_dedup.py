@@ -82,11 +82,62 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs, pairs, "text", "doc_id").orderBy("key_a")
 
 
-@register("dedup_minhash_lsh_pairs", oracle=None, tags=("llm", "dedup", "lsh"))
+# DuckDB twin of the full MinHash-LSH pipeline. The base shingle hash is an
+# md5 prefix (bit-identical across engines); the 64 permutation constants
+# come from the same _perm_params generator; banding groups on the band's
+# exact signature-value tuple (the engine's xxhash64 band key is just a
+# grouping key — pair output is identical absent a 64-bit collision that
+# ALSO passes the ≥0.8 exact-Jaccard verify).
+_MINHASH_SIG_AGGS = ", ".join(
+    f"min(({a} * h + {b}) % 2147483647) AS m{p}"
+    for p, (a, b) in enumerate(D._perm_params(64))
+)
+_MINHASH_BANDS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, concat_ws(',', {cols}) AS band_key FROM sig".format(
+        b=b, cols=", ".join(f"m{b * 8 + r}" for r in range(8))
+    )
+    for b in range(8)
+)
+MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DSHINGLES}) AS s FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_MINHASH_SIG_AGGS} FROM h GROUP BY doc_id
+), banded AS (
+  {_MINHASH_BANDS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+), shl AS (
+  SELECT doc_id, {_DSHINGLES} AS sh FROM documents
+)
+SELECT key_a, key_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)),
+             6) AS jaccard
+FROM pairs
+JOIN shl a ON pairs.key_a = a.doc_id
+JOIN shl b ON pairs.key_b = b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+               - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)),
+            6) >= 0.8
+"""
+
+
+@register("dedup_minhash_lsh_pairs", oracle=MINHASH_ORACLE, tags=("llm", "dedup", "lsh"))
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(8×8) candidate generation + exact-Jaccard verify at
-    ≥0.8. Deterministic (fixed permutation constants); engine tests compare
-    its pair set against exhaustive Jaccard at small SF."""
+    ≥0.8. Deterministic (fixed permutation constants, md5-prefix base hash)
+    with a full DuckDB oracle; engine tests additionally compare its pair
+    set against exhaustive Jaccard at small SF."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_near_dups(docs, "text", "doc_id", threshold=0.8)
 
@@ -243,8 +294,10 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real near-dup pipeline: MinHash-LSH pairs (>=0.8 verified Jaccard)
     -> connected components -> non-singleton clusters with canonical keeper.
-    Rows-only (pair generation hinges on xxhash64); CC correctness is
-    oracle-checked by the two queries above and chain/clique engine tests."""
+    Rows-only (the iterative CC label propagation has no bounded SQL twin for
+    general graphs); pair generation is fully oracle-checked by
+    dedup_minhash_lsh_pairs, CC by the two cluster queries above plus
+    chain/clique engine tests."""
     from ..operators.graph import cluster_canonical, connected_components
 
     docs = load_table(spark, sf_dir, "documents")
