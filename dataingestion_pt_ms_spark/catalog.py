@@ -16,6 +16,7 @@ Scale notes (100 TB discipline):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -46,15 +47,35 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """Queries must work on ANY SparkSession (the driver builds its own):
     - events.ts is parquet TIMESTAMP(NANOS) → unreadable without
       nanosAsLong (PARQUET_TYPE_ILLEGAL);
-    - timestamp formatting must be UTC to agree with the DuckDB oracle.
-    Both are runtime-settable SQL confs."""
+    - timestamp formatting must be UTC to agree with the DuckDB oracle;
+    - AQE + partition coalescing so a session built with default
+      shuffle.partitions=200 doesn't pay 200 near-empty tasks per shuffle
+      at oracle SF (and picks broadcast/skew plans adaptively at any SF).
+    All are runtime-settable SQL confs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+# Memoized (session → {(sf_dir, table) → DataFrame}). A DataFrame is just an
+# analyzed plan — reusing it skips only the repeated parquet footer/schema
+# read (~130 queries × 2-3 tables each adds up in the driver's correctness
+# sweep), never caches row data, and keeps scan-level pushdown/pruning
+# intact for every consumer. WeakKey so a stopped session's plans are
+# dropped with it.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), name)
+    if key in per_session:
+        return per_session[key]
     _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
@@ -67,6 +88,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    per_session[key] = df
     return df
 
 

@@ -40,6 +40,38 @@ def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     )
 
 
+def collapse_exact(
+    df: DataFrame, text_col: str, key_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse identical texts to their min-key representative.
+
+    Returns ``(reps, members)``: ``reps`` = the input rows whose key is the
+    group representative (one per distinct text); ``members`` =
+    ``(rep, member)`` mapping every input key to its representative
+    (including ``(rep, rep)``).
+
+    This is the scale guard for MinHash-LSH on real corpora: boilerplate
+    text repeating 10⁵–10⁷× would otherwise put every copy in every band
+    bucket (identical signatures) and blow the bucket pair-expansion up
+    quadratically. Collapsing first makes the signature/banding cost
+    O(distinct texts) and also skips re-hashing duplicate shingle sets —
+    on dup-heavy corpora that's most of the MinHash work.
+    """
+    groups = df.groupBy(F.md5(F.col(text_col)).alias("_ch")).agg(
+        F.min(key_col).alias("_rep")
+    )
+    # One join produces both outputs: the doc side shuffles once on the
+    # content hash (partial-agg makes the groups side light; AQE skew-join
+    # splits a hot hash). A separate semi-join for reps would shuffle the
+    # full text payload a second time.
+    annotated = df.withColumn("_ch", F.md5(F.col(text_col))).join(groups, "_ch")
+    members = annotated.select(
+        F.col("_rep").alias("rep"), F.col(key_col).alias("member")
+    )
+    reps = annotated.filter(F.col(key_col) == F.col("_rep")).drop("_ch", "_rep")
+    return reps, members
+
+
 def _perm_params(num_perm: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) constants for the universal-hash permutations
     (a odd, both bounded by M so a*h stays < 2^62 under ANSI arithmetic)."""
@@ -94,17 +126,13 @@ def minhash_signature(
     )
 
 
-def lsh_candidate_pairs(
-    sig_df: DataFrame, key_col: str, bands: int = 8, rows_per_band: int = 8
+def _banded(
+    sig_df: DataFrame, key_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band-hash become a candidate pair.
-
-    Explodes each signature into ``bands`` (band_idx, band_hash) rows, then
-    self-joins on the band key — the shuffle key is the band hash, so skew is
-    bounded by actual near-duplicate cluster sizes.
-    Returns distinct (key_a, key_b) with key_a < key_b.
-    """
-    banded = sig_df.select(
+    """(k, band_idx, band_hash): one row per (doc, band); the band hash is
+    xxhash64 over the band's signature slice (a grouping key only — pair
+    correctness is guarded by the exact-Jaccard verify step)."""
+    return sig_df.select(
         F.col(key_col).alias("k"),
         F.explode(
             F.array(
@@ -128,6 +156,33 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("k", "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    key_col: str,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band-hash become a candidate pair.
+
+    Explodes each signature into ``bands`` (band_idx, band_hash) rows, then
+    self-joins on the band key — the shuffle key is the band hash, so skew is
+    bounded by actual near-duplicate cluster sizes.
+    Returns distinct (key_a, key_b) with key_a < key_b.
+
+    Feed signatures of exact-dedup *representatives* (``collapse_exact``),
+    never raw dup-heavy corpora: identical texts share every band, so each
+    band bucket would hold the whole duplicate group and the in-bucket pair
+    expansion is O(|bucket|²). ``bucket_cap`` is the additional safety valve
+    for near-identical template families that survive exact collapse: each
+    oversized bucket contributes pairs only among its ``bucket_cap`` smallest
+    keys (deterministic truncation; recall for the dropped members is
+    recovered by the other ``bands-1`` bands or by the clustering step).
+    ``lsh_bucket_stats`` makes the truncation observable.
+    """
+    banded = _banded(sig_df, key_col, bands, rows_per_band)
     # One aggregation instead of a self-join: the self-join would evaluate
     # the whole signature lineage twice, and bucket sizes are bounded by
     # real near-dup cluster sizes, so in-expression pair expansion is cheap.
@@ -136,6 +191,8 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list("k")).alias("ks"))
         .filter(F.size("ks") > 1)
     )
+    if bucket_cap is not None:
+        grouped = grouped.withColumn("ks", F.slice("ks", 1, bucket_cap))
     pair_arrays = F.transform(
         F.col("ks"),
         lambda x, i: F.transform(
@@ -147,6 +204,32 @@ def lsh_candidate_pairs(
         grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
         .select("p.key_a", "p.key_b")
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    sig_df: DataFrame,
+    key_col: str,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Observability for the LSH bucket distribution: one row
+    (n_buckets, max_bucket, n_over_cap, truncated_keys) — run it alongside a
+    capped ``lsh_candidate_pairs`` so silent truncation is visible in job
+    telemetry instead of discovered via missing pairs."""
+    banded = _banded(sig_df, key_col, bands, rows_per_band)
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    cap = bucket_cap if bucket_cap is not None else 2**31 - 1
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > cap, 1).otherwise(0)).alias("n_over_cap"),
+        F.sum(
+            F.when(F.col("sz") > cap, F.col("sz") - cap).otherwise(0)
+        ).alias("truncated_keys"),
     )
 
 
@@ -190,6 +273,44 @@ def jaccard_pairs(
     )
 
 
+def minhash_lsh_rep_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 3,
+    bucket_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Scale core of MinHash-LSH dedup: ``(rep_pairs, members, reps)``.
+
+    Collapses exact duplicates first (``collapse_exact``), then runs
+    signature → banding → exact-Jaccard verify over *representatives only* —
+    signature and bucket cost track distinct texts, and the degenerate
+    all-identical bucket can't occur. ``rep_pairs`` are verified near-dup
+    pairs among representatives; ``members`` maps every original key to its
+    representative. Cluster consumers feed both straight into connected
+    components (rep_pairs as edges + members as rep→member star edges) —
+    O(docs) edges, never a quadratic pair materialization.
+    """
+    reps, members = collapse_exact(df, text_col, key_col)
+    # Both frames feed 3+ plan branches (signature, verify, expansion);
+    # without materialization every branch re-runs the collapse shuffle
+    # (measured 1.8× at sf0.1). localCheckpoint stores the blocks AND
+    # truncates the lineage so downstream plans start from the blocks;
+    # plain persist() keeps the full plan in every branch and measured
+    # slower than no caching at all. On a multi-node cluster where
+    # executor loss must be survivable, swap for reliable checkpoint().
+    reps = reps.localCheckpoint(eager=False)
+    members = members.localCheckpoint(eager=False)
+    rows = num_perm // bands
+    sig = minhash_signature(reps, text_col, key_col, num_perm, shingle_k)
+    cands = lsh_candidate_pairs(sig, key_col, bands, rows, bucket_cap)
+    verified = jaccard_pairs(reps, cands, text_col, key_col, shingle_k)
+    return verified.filter(F.col("jaccard") >= threshold), members, reps
+
+
 def minhash_lsh_near_dups(
     df: DataFrame,
     text_col: str,
@@ -198,13 +319,67 @@ def minhash_lsh_near_dups(
     num_perm: int = 64,
     bands: int = 8,
     shingle_k: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-duplicate pairs with exact verification."""
-    rows = num_perm // bands
-    sig = minhash_signature(df, text_col, key_col, num_perm, shingle_k)
-    cands = lsh_candidate_pairs(sig, key_col, bands, rows)
-    verified = jaccard_pairs(df, cands, text_col, key_col, shingle_k)
-    return verified.filter(F.col("jaccard") >= threshold).orderBy("key_a", "key_b")
+    """End-to-end MinHash-LSH near-duplicate pairs with exact verification.
+
+    Built on ``minhash_lsh_rep_pairs`` (exact-collapse first), then expands
+    representative pairs back to member pairs so the output is identical to
+    running LSH over the raw corpus: identical texts have identical shingle
+    sets, so every member of a rep's group pairs exactly like its rep
+    (cross-group, jaccard unchanged) and with its co-members (jaccard 1.0).
+    The expansion is proportional to the *output* pair count — inherent to a
+    pair-list result; pipelines that only need clusters use
+    ``minhash_lsh_rep_pairs`` and skip it.
+    """
+    rep_pairs, members, reps = minhash_lsh_rep_pairs(
+        df, text_col, key_col, threshold, num_perm, bands, shingle_k, bucket_cap
+    )
+    # rep_pairs is near-dup-density-sized (tiny); materialize it so the
+    # expansion joins and the final orderBy's range-partitioning sample pass
+    # don't each re-run the whole signature/verify subtree.
+    rep_pairs = rep_pairs.localCheckpoint(eager=False)
+    ma = members.select(F.col("rep").alias("key_a"), F.col("member").alias("ma"))
+    mb = members.select(F.col("rep").alias("key_b"), F.col("member").alias("mb"))
+    cross = (
+        rep_pairs.join(ma, "key_a")
+        .join(mb, "key_b")
+        .select(
+            F.least("ma", "mb").alias("key_a"),
+            F.greatest("ma", "mb").alias("key_b"),
+            "jaccard",
+        )
+    )
+    # Within-group pairs (identical texts, jaccard exactly 1.0). Docs whose
+    # text yields an EMPTY shingle set (< shingle_k tokens) never enter the
+    # raw pipeline (no shingles → no signature → no bands), so their dup
+    # groups must not pair here either — keep only groups whose rep
+    # shingles. "Shingle set non-empty" ⟺ token count ≥ k (textfns.shingles
+    # guards exactly on that), and the token-count form is pure codegen —
+    # building shingle arrays here measured 9s/5k docs on the coalesced
+    # post-join partitioning. Pair expansion reuses the in-expression trick
+    # (one groupBy, quadratic only in true dup-group size = the output).
+    ok_reps = reps.filter(
+        F.size(tokens(F.col(text_col))) >= shingle_k
+    ).select(F.col(key_col).alias("rep"))
+    dup_groups = (
+        members.join(ok_reps, "rep", "left_semi")
+        .groupBy("rep")
+        .agg(F.array_sort(F.collect_list("member")).alias("ks"))
+        .filter(F.size("ks") > 1)
+    )
+    within_arrays = F.transform(
+        F.col("ks"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ks"), i + 2, F.size(F.col("ks"))),
+            lambda y: F.struct(x.alias("key_a"), y.alias("key_b")),
+        ),
+    )
+    within = (
+        dup_groups.select(F.explode(F.flatten(within_arrays)).alias("p"))
+        .select("p.key_a", "p.key_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within).orderBy("key_a", "key_b")
 
 
 def simhash63(df: DataFrame, text_col: str, key_col: str) -> DataFrame:

@@ -1,11 +1,14 @@
 """Deduplication queries over ``documents`` (SURVEY.md §2.B: exact,
 MinHash-LSH, SimHash, n-gram Jaccard).
 
-Exact dedup, pairwise n-gram Jaccard, and SimHash have full DuckDB oracles
-(SimHash via an md5-derived 63-bit token hash that both engines compute
-bit-identically). The MinHash-LSH pipeline hinges on Spark's ``xxhash64``
-(not available in DuckDB) → rows-only driver check, with determinism and
-recall-vs-exact covered by engine tests (tests/test_operators.py).
+Every query here except ``dedup_cluster_near_dups`` has a full DuckDB
+oracle — including the complete MinHash-LSH pipeline: the base shingle hash
+and the SimHash token hash are md5-derived, so signatures are bit-identical
+across engines (the xxhash64 band key is only a grouping key; see
+MINHASH_ORACLE's comment). ``dedup_cluster_near_dups`` alone is rows-only
+(iterative CC label propagation has no bounded SQL twin for general
+graphs); its pieces are each oracle-checked, and engine tests
+(tests/test_operators.py) add determinism + recall-vs-exhaustive checks.
 """
 
 from __future__ import annotations
@@ -292,17 +295,28 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_cluster_near_dups", oracle=None, tags=("llm", "dedup", "graph", "lsh"))
 def dedup_cluster_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real near-dup pipeline: MinHash-LSH pairs (>=0.8 verified Jaccard)
-    -> connected components -> non-singleton clusters with canonical keeper.
-    Rows-only (the iterative CC label propagation has no bounded SQL twin for
-    general graphs); pair generation is fully oracle-checked by
+    """The real near-dup pipeline: exact-collapse -> MinHash-LSH rep pairs
+    (>=0.8 verified Jaccard) -> connected components -> non-singleton
+    clusters with canonical keeper.
+
+    Scale shape (the 100 TB path): CC consumes representative pairs plus
+    rep->member star edges — O(docs) edges total — never the expanded member
+    pair list, so a 10⁶-copy boilerplate group contributes 10⁶ star edges,
+    not 10¹² pairs. Rows-only (iterative CC label propagation has no bounded
+    SQL twin for general graphs); pair generation is fully oracle-checked by
     dedup_minhash_lsh_pairs, CC by the two cluster queries above plus
     chain/clique engine tests."""
     from ..operators.graph import cluster_canonical, connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_near_dups(docs, "text", "doc_id", threshold=0.8)
-    cc = connected_components(pairs, src="key_a", dst="key_b")
+    rep_pairs, members, _ = D.minhash_lsh_rep_pairs(
+        docs, "text", "doc_id", threshold=0.8
+    )
+    star = members.filter(F.col("rep") != F.col("member")).select(
+        F.col("rep").alias("key_a"), F.col("member").alias("key_b")
+    )
+    edges = rep_pairs.select("key_a", "key_b").unionByName(star)
+    cc = connected_components(edges, src="key_a", dst="key_b")
     return (
         cluster_canonical(cc)
         .filter(F.col("n_members") > 1)

@@ -62,6 +62,63 @@ def test_minhash_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_minhash_degenerate_bucket_collapses(spark, sf_dir):
+    """10k identical docs (the boilerplate-corpus hazard): exact collapse
+    must reduce them to ONE representative before banding, so no LSH bucket
+    ever holds the duplicate group and candidate generation stays O(docs).
+    (VERDICT r01 'What's wrong #1'.)"""
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    clones = (
+        spark.range(100_000, 110_000)
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("text", F.lit("the same boilerplate text repeated everywhere"))
+    )
+    corpus = base.select("doc_id", "text").unionByName(clones)
+    rep_pairs, members, reps = D.minhash_lsh_rep_pairs(corpus, "text", "doc_id")
+    assert reps.count() <= 21  # 10k clones -> 1 rep
+    sig = D.minhash_signature(reps, "text", "doc_id")
+    stats = D.lsh_bucket_stats(sig, "doc_id").first()
+    assert stats["max_bucket"] <= 21
+    # members still maps every clone to the single representative
+    clone_reps = (
+        members.filter(F.col("member") >= 100_000).select("rep").distinct().collect()
+    )
+    assert len(clone_reps) == 1 and clone_reps[0]["rep"] == 100_000
+    # cluster path: star edges + rep pairs give one 10k+1-member component
+    from dataingestion_pt_ms_spark.operators.graph import connected_components
+
+    star = members.filter(F.col("rep") != F.col("member")).select(
+        F.col("rep").alias("key_a"), F.col("member").alias("key_b")
+    )
+    edges = rep_pairs.select("key_a", "key_b").unionByName(star)
+    cc = connected_components(edges, src="key_a", dst="key_b")
+    big = (
+        cc.groupBy("component")
+        .count()
+        .orderBy(F.col("count").desc())
+        .first()
+    )
+    assert big["count"] == 10_000 and big["component"] == 100_000
+
+
+def test_lsh_bucket_cap_truncates_deterministically(spark):
+    """bucket_cap bounds in-bucket pair expansion: a 100-doc bucket capped
+    at 10 yields C(10,2) pairs among the 10 smallest keys, and
+    lsh_bucket_stats reports the truncation."""
+    sig = [int(x) for x in range(64)]
+    rows = [(k, sig) for k in range(100)]
+    sig_df = spark.createDataFrame(rows, "doc_id long, signature array<long>")
+    uncapped = D.lsh_candidate_pairs(sig_df, "doc_id")
+    assert uncapped.count() == 100 * 99 // 2
+    capped = D.lsh_candidate_pairs(sig_df, "doc_id", bucket_cap=10)
+    got = {(r.key_a, r.key_b) for r in capped.collect()}
+    assert got == {(a, b) for a in range(10) for b in range(10) if a < b}
+    stats = D.lsh_bucket_stats(sig_df, "doc_id", bucket_cap=10).first()
+    assert stats["n_over_cap"] == 8  # every band's one bucket overflows
+    assert stats["truncated_keys"] == 8 * 90
+    assert stats["max_bucket"] == 100
+
+
 def test_simhash_close_for_near_dups(spark, sf_dir):
     """Near-identical docs must have small simhash hamming distance."""
     docs = load_table(spark, sf_dir, "documents")
