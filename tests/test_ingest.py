@@ -116,6 +116,44 @@ def test_ingest_events_payload(spark):
         assert p["payload"]["end_timestamp_utc"] == "2024-01-05T00:00:00Z"
 
 
+def test_upsert_hadoop_fs_uri_path(spark, tmp_path):
+    """The existence probe must work through the Hadoop FileSystem API on
+    scheme-qualified URIs. With the old os.path probe a ``file://`` URI
+    (like any s3a://.. path) looked absent on the second run, so the merge
+    step was skipped and day-2 rows were dropped by the overwrite — the
+    object-store silent-data-loss mode (VERDICT r01 #2)."""
+    path = "file://" + str(tmp_path / "bars_uri")
+    assets = _assets(spark)
+    run_batch_ingest(spark, _raw_bars(spark, days=2), assets, path)
+    # second run touches only day 1; day 2 must survive the merge
+    one_day = _raw_bars(spark, days=1).withColumn("c", F.col("c") + 50)
+    run_batch_ingest(spark, one_day, assets, path)
+    written = spark.read.parquet(path)
+    assert written.count() == 4  # 2 symbols × 2 days, nothing lost
+    assert written.filter(F.col("close") > 150).count() == 2
+
+
+def test_upsert_first_write_branch_fs_api(spark, tmp_path):
+    """First write into a missing dir and into a dir holding only metadata
+    children must both take the no-merge branch (no read of a non-existent
+    parquet table)."""
+    from dataingestion_pt_ms_spark.sources.sinks import _table_exists
+
+    missing = str(tmp_path / "nope")
+    assert not _table_exists(spark, missing)
+    meta_only = tmp_path / "meta_only"
+    meta_only.mkdir()
+    (meta_only / "_SUCCESS").write_text("")
+    (meta_only / ".hidden.crc").write_text("")
+    assert not _table_exists(spark, str(meta_only))
+    df = spark.createDataFrame(
+        [(1, "a", 1, dt.date(2024, 1, 1))], "k long, v string, ver long, dt date"
+    )
+    upsert_partitioned_parquet(spark, df, str(meta_only), ["k"], ["dt"], "ver")
+    assert _table_exists(spark, str(meta_only))
+    assert spark.read.parquet(str(meta_only)).count() == 1
+
+
 def test_upsert_standalone_writer(spark, tmp_path):
     path = str(tmp_path / "t")
     df = spark.createDataFrame(
