@@ -154,7 +154,7 @@ _SIMHASH_REASSEMBLE = " + ".join(
     f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     for j in range(63)
 )
-SIMHASH_ORACLE = f"""
+_SIMHASH_SIM_CTES = f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct({_DTOKS})) AS tok FROM documents
 ), h AS (
@@ -166,7 +166,9 @@ WITH tok AS (
   SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id
 ), sim AS (
   SELECT doc_id, {_SIMHASH_REASSEMBLE} AS simhash FROM bits
-)
+)"""
+
+SIMHASH_ORACLE = f"""{_SIMHASH_SIM_CTES}
 SELECT a.doc_id AS key_a, b.doc_id AS key_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sim a JOIN sim b ON b.doc_id = a.doc_id + 1
@@ -181,6 +183,46 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → bit-sum → reassemble → pair pipeline has an exact oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dups(docs, "text", "doc_id", max_hamming=20)
+
+
+# The banded variant — the at-scale candidate generator. Band keys are the
+# raw 16-bit chunks of the simhash value (no engine-specific hash), so
+# candidate generation AND verification are both exactly mirrored in SQL.
+_SIMHASH_BANDED = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, (simhash >> {b * 16}) & 65535 AS chunk FROM sim"
+    for b in range(4)
+)
+SIMHASH_BANDED_ORACLE = f"""{_SIMHASH_SIM_CTES}
+, banded AS (
+  {_SIMHASH_BANDED}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.chunk = b.chunk
+              AND a.doc_id < b.doc_id
+)
+SELECT key_a, key_b,
+       bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+FROM pairs
+JOIN sim sa ON pairs.key_a = sa.doc_id
+JOIN sim sb ON pairs.key_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+ORDER BY key_a, key_b
+"""
+
+
+@register(
+    "dedup_simhash_banded_pairs",
+    oracle=SIMHASH_BANDED_ORACLE,
+    tags=("llm", "dedup", "simhash", "lsh"),
+)
+def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 4×16-bit banded LSH over the whole corpus: docs sharing any
+    exact 16-bit simhash chunk are candidates, verified at hamming ≤ 3 — the pigeonhole-guaranteed regime
+    (≤ 3 differing bits cannot spoil all 4 bands), so recall vs exhaustive
+    hamming≤3 truth is exactly 100% (engine-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_banded_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
 
 
 # --------------------------------------------------------------------------

@@ -119,6 +119,36 @@ def test_lsh_bucket_cap_truncates_deterministically(spark):
     assert stats["max_bucket"] == 100
 
 
+def test_simhash_banded_recall_exact_vs_exhaustive(spark, sf_dir):
+    """4 bands × 16 bits with verify-at-hamming≤3: pigeonhole guarantees
+    every pair within hamming 3 shares at least one exact band, so banded
+    output must EQUAL the exhaustive hamming≤3 pair set (100% recall, and
+    the verify step kills every band-collision false positive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r.key_a, r.key_b, r.hamming)
+        for r in D.simhash_banded_pairs(
+            docs, "text", "doc_id", max_hamming=3, bands=4
+        ).collect()
+    }
+    sim = D.simhash63(docs, "text", "doc_id")
+    a = sim.select(F.col("doc_id").alias("key_a"), F.col("simhash").alias("sa"))
+    b = sim.select(F.col("doc_id").alias("key_b"), F.col("simhash").alias("sb"))
+    truth = {
+        (r.key_a, r.key_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == truth
+
+
 def test_simhash_close_for_near_dups(spark, sf_dir):
     """Near-identical docs must have small simhash hamming distance."""
     docs = load_table(spark, sf_dir, "documents")
