@@ -292,6 +292,60 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Status serving — the reference's GET "/" projection (R21/R22,
+# ``app/main.py:103-117``) over the run-status record, rebuilt from data
+# instead of a mutable global (``app/alpaca_service.py:19-25``). The
+# reference's ``bars_count`` was vestigial (always 0 — the ``bars`` key was
+# removed in the multi-asset rewrite, SURVEY.md §1.4); here it serves the
+# old-shape intent correctly: rows belonging to the latest ingest day.
+# --------------------------------------------------------------------------
+STATUS_ORACLE = """
+SELECT strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_attempt_timestamp_utc,
+       strftime(max(CASE WHEN event_type <> 'error' THEN ts END),
+                '%Y-%m-%dT%H:%M:%SZ') AS last_success_timestamp_utc,
+       count(DISTINCT user_id) AS assets_processed_count,
+       CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS total_bars_saved_in_last_run,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS error_count,
+       (SELECT count(*) FROM events
+        WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events))
+           AS bars_count
+FROM events
+"""
+
+
+@register("ingest_status_serving", oracle=STATUS_ORACLE, tags=("ingest", "status", "serving"))
+def ingest_status_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row status record (GET "/" shape): last attempt/success
+    timestamps, per-run counters, error channel count (R24), plus
+    bars_count = rows of the latest ingest day (R21's projection with the
+    vestigial-field bug fixed). All single-pass aggregates + one broadcast
+    of the one-row latest-day frame — serving-layer cheap at any scale."""
+    iso = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    ev = load_table(spark, sf_dir, "events")
+    status = ev.agg(
+        F.date_format(F.max("ts"), iso).alias("last_attempt_timestamp_utc"),
+        F.date_format(
+            F.max(F.when(F.col("event_type") != "error", F.col("ts"))), iso
+        ).alias("last_success_timestamp_utc"),
+        F.countDistinct("user_id").alias("assets_processed_count"),
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+        .cast("long")
+        .alias("total_bars_saved_in_last_run"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("error_count"),
+    )
+    last_day = ev.agg(F.max(F.to_date("ts")).alias("_d"))
+    bars_count = (
+        ev.join(F.broadcast(last_day), F.to_date("ts") == F.col("_d"))
+        .agg(F.count(F.lit(1)).alias("bars_count"))
+    )
+    return status.crossJoin(F.broadcast(bars_count))
+
+
 @register("ingest_run_summary", oracle=SUMMARY_ORACLE, tags=("ingest", "agg"))
 def ingest_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -136,9 +136,20 @@ def streaming_ingest(
     assets: DataFrame,
     table_path: str,
     checkpoint_path: str,
+    processing_time: str | None = None,
 ):
     """Streaming variant: foreachBatch reuses the same idempotent upsert
-    (R16) per micro-batch; availableNow = R23's startup catch-up."""
+    (R16) per micro-batch.
+
+    Trigger = the reference's R23 scheduler (``app/main.py:53-66``,
+    ``app/config.py:38-41``) mapped to Structured Streaming:
+    - default ``availableNow`` — the startup catch-up run (process every
+      pending file, then stop);
+    - ``processing_time="N seconds"`` — the steady-state interval mode
+      (``SCHEDULE_TRIGGER=interval``): a long-lived query that re-scans the
+      source every interval; each micro-batch upserts idempotently, so an
+      interval that re-delivers the same files is a no-op (R16).
+    """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -153,9 +164,11 @@ def streaming_ingest(
             order_col="updated_at",
         )
 
-    return (
-        raw_stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    writer = raw_stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_path
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -170,6 +170,103 @@ def test_streaming_ingest_foreachbatch_idempotent(spark, tmp_path):
     assert spark.read.parquet(table).count() == 3
 
 
+def test_streaming_ingest_processing_time_trigger(spark, tmp_path):
+    """R23 steady-state interval mode: a processingTime-triggered ingest
+    stays alive across micro-batches; a second file delivered mid-flight
+    (duplicating batch-1 keys + one new bar) upserts idempotently."""
+    import glob
+    import os
+
+    raw_dir = str(tmp_path / "raw")
+    os.makedirs(raw_dir)
+    table = str(tmp_path / "bars")
+    rows1 = [
+        ("SPY", "Day", dt.datetime(2024, 1, 1 + d, tzinfo=UTC), 1.0, 2.0, 0.5, 1.5, 10)
+        for d in range(3)
+    ]
+    rows2 = rows1 + [
+        ("SPY", "Day", dt.datetime(2024, 1, 9, tzinfo=UTC), 1.0, 2.0, 0.5, 1.5, 10)
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, RAW_BAR_SCHEMA).coalesce(1).write.parquet(stage)
+        if i == 0:
+            shutil.copyfile(
+                glob.glob(f"{stage}/part-*.parquet")[0], f"{raw_dir}/b{i}.parquet"
+            )
+    assets = spark.createDataFrame(
+        [("alpaca_SPY", "alpaca", "SPY", "SPDR", "ETF")], ASSET_SCHEMA
+    )
+    stream = stream_from_dir(spark, raw_dir, RAW_BAR_SCHEMA)
+    q = streaming_ingest(
+        spark,
+        stream,
+        assets,
+        table,
+        str(tmp_path / "ckpt"),
+        processing_time="1 second",
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 1: the 3 original bars
+        assert spark.read.parquet(table).count() == 3
+        shutil.copyfile(
+            glob.glob(f"{tmp_path}/stage1/part-*.parquet")[0],
+            f"{raw_dir}/b1.parquet",
+        )
+        q.processAllAvailable()  # micro-batch 2: 3 dup keys + 1 new
+    finally:
+        q.stop()
+    written = spark.read.parquet(table)
+    assert written.count() == 4  # idempotent on the 3 replayed keys
+    assert written.select("symbol", "timeframe", "ts").distinct().count() == 4
+
+
+def test_status_served_from_memory_sink(spark, tmp_path):
+    """R21/R22: the run-status record aggregated in complete mode into a
+    memory sink, then served with the GET "/" projection (SELECT * +
+    bars_count) — the engine-side twin of the ingest_status_serving query."""
+    import os
+
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        (1, t0, 7, "click", 1.0),
+        (2, t0 + dt.timedelta(hours=1), 8, "click", 2.0),
+        (3, t0 + dt.timedelta(hours=2), 7, "error", 0.0),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = stream_from_dir(spark, src, EVENTS_SCHEMA)
+    status = stream.groupBy().agg(
+        F.max("ts").alias("last_attempt_ts"),
+        F.max(F.when(F.col("event_type") != "error", F.col("ts"))).alias(
+            "last_success_ts"
+        ),
+        F.approx_count_distinct("user_id").alias("assets_processed_count"),
+        F.count(F.lit(1)).alias("bars_count"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "error_count"
+        ),
+    )
+    q = (
+        status.writeStream.format("memory")
+        .queryName("ingest_status")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    served = spark.sql(
+        "SELECT *, bars_count > 0 AS healthy FROM ingest_status"
+    ).collect()
+    assert len(served) == 1
+    s = served[0]
+    assert s.bars_count == 3 and s.error_count == 1 and s.healthy
+    assert s.assets_processed_count == 2
+    assert s.last_attempt_ts > s.last_success_ts  # error arrived last
+
+
 def test_rate_source_smoke(spark):
     from dataingestion_pt_ms_spark.sources.readers import stream_rate
 
