@@ -49,6 +49,10 @@ def kmeans_lloyd(
     centroid the point was assigned to in the last assignment step (i.e.
     the round-``iters-1`` centroids — assignment precedes the update).
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     dims = _dims(df, vec_col, key_col).localCheckpoint()
     seeds = (
         df.select(key_col)

@@ -101,6 +101,15 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter would silently return partially-propagated
+        # labels. Pointer jumping needs ~log2(diameter) rounds, so 20
+        # handles diameters ~2^20; hitting this means a pathological graph
+        # or a bug — fail loudly rather than hand back wrong components.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (components may span extreme diameters)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -196,8 +196,15 @@ def chunk_documents(
     """
     toks = _tok(text_col)
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # sequence(0, -1) would DESCEND (two phantom chunks) — guard the empty
+    # case explicitly. Unreachable via split() today (always ≥1 element),
+    # but a null-text or custom tokenizer change must yield zero chunks,
+    # like the DuckDB twin's generate_series(1, 0) -> [].
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
+        idx,
         lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
     )
     out = df.select(
@@ -215,9 +222,33 @@ def quantile_filter(
 ) -> DataFrame:
     """Keep rows whose ``value_col`` exceeds the corpus-wide q-quantile
     (exact, interpolated) — quality-gating against the corpus distribution.
-    The quantile is a one-row aggregate broadcast to every task."""
+    The quantile is a one-row aggregate broadcast to every task.
+
+    ``percentile`` is an exact sort-based aggregate — right for oracle
+    twins at test SF; at 100 TB use ``quantile_filter_approx`` (mergeable
+    bounded-memory sketch, same gate semantics modulo rank error)."""
     cut = df.agg(
         F.expr(f"percentile({value_col}, {q})").alias("_cut")
+    )
+    return (
+        df.crossJoin(F.broadcast(cut))
+        .filter(F.col(value_col) > F.col("_cut"))
+        .drop("_cut")
+    )
+
+
+def quantile_filter_approx(
+    df: DataFrame, value_col: str, q: float = 0.75, accuracy: int = 10_000
+) -> DataFrame:
+    """The at-scale sibling of ``quantile_filter``: ``approx_percentile``
+    (Greenwald-Khanna style sketch) computes the cut in one pass with
+    bounded memory and map-side-mergeable partials — no global sort at any
+    corpus size. Guaranteed rank error ≤ n/``accuracy``, so for corpora
+    smaller than ``accuracy`` the cut element is rank-exact (the engine
+    test pins gate-for-gate agreement with the exact variant there);
+    returns a corpus element, not an interpolation."""
+    cut = df.agg(
+        F.expr(f"approx_percentile({value_col}, {q}, {accuracy})").alias("_cut")
     )
     return (
         df.crossJoin(F.broadcast(cut))
@@ -265,27 +296,42 @@ def contamination_check(
     per-doc count all pipeline inside the scan stage. Shingles join on a
     fixed-width md5 key, not the raw n-gram string (16-byte probe keys,
     engine-independent so the DuckDB oracle mirrors it exactly).
+
+    EVERY corpus document appears in the output (explode_outer): documents
+    too short to shingle (< shingle_k tokens) report n_shingles=0 and a
+    NULL contamination_ratio — "uncheckable", distinct from 0.0 ("checked,
+    clean") — so a gate joining this report back cannot silently pass
+    short docs through unexamined.
     """
 
     def _sh(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(key_col),
-            F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("_s"),
+            F.explode_outer(shingles(tokens(F.col(text_col)), shingle_k)).alias("_s"),
         ).select(key_col, F.md5("_s").alias("_h"))
 
-    bench = _sh(benchmark).select("_h").distinct().withColumn("_hit", F.lit(1))
-    return (
+    bench = (
+        _sh(benchmark)
+        .select("_h")
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    counted = (
         _sh(corpus)
         .join(F.broadcast(bench), "_h", "left")
         .groupBy(key_col)
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_h").alias("n_shingles"),  # non-null = real shingles
             F.count("_hit").alias("n_contaminated"),
         )
-        .withColumn(
-            "contamination_ratio",
+    )
+    return counted.withColumn(
+        "contamination_ratio",
+        F.when(
+            F.col("n_shingles") > 0,
             F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
-        )
+        ),
     )
 
 

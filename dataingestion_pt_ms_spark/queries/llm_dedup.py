@@ -19,15 +19,10 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import dedup as D
 from . import register
+from ._ducktwins import DSHINGLES, DTOKS
 
-_DTOKS = "string_split_regex(lower(trim(text)), '\\s+')"
-# DuckDB twin of functions.textfns.shingles (k=3, distinct, 1-based index)
-_DSHINGLES = (
-    "list_distinct(CASE WHEN len(TOKS) >= 3 THEN "
-    "list_transform(generate_series(1, len(TOKS) - 2), "
-    "i -> concat_ws(' ', TOKS[i], TOKS[i+1], TOKS[i+2])) "
-    "ELSE [] END)".replace("TOKS", _DTOKS)
-)
+_DTOKS = DTOKS
+_DSHINGLES = DSHINGLES
 
 EXACT_ORACLE = """
 SELECT md5(text) AS content_hash,

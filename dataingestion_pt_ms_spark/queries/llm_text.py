@@ -13,9 +13,10 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import text as T
 from . import register
+from ._ducktwins import DSHINGLES, DTOKS
 
 # DuckDB twin of functions.textfns.tokens
-_DTOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_DTOKS = DTOKS
 
 TOKEN_STATS_ORACLE = f"""
 SELECT doc_id, lang,
@@ -207,6 +208,30 @@ def text_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quantile_filter(docs, "n_chars", 0.75)
 
 
+# approx_percentile returns a corpus ELEMENT at guaranteed rank error
+# <= n/accuracy. With accuracy=10000 > corpus size at every test SF the
+# picked element is rank-exact == DuckDB's quantile_disc, so the at-scale
+# variant still gets a full value-level oracle here; at real corpus sizes
+# the gate is approximate by design (that's the point — no global sort).
+QUANTILE_APPROX_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE n_chars > (SELECT quantile_disc(n_chars, 0.75) FROM documents)
+"""
+
+
+@register(
+    "text_quantile_filter_approx",
+    oracle=QUANTILE_APPROX_ORACLE,
+    tags=("llm", "text", "approx", "scalar-subquery"),
+)
+def text_quantile_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quality gate: one-pass mergeable quantile sketch instead
+    of the exact sort-based percentile (operators/text.py:quantile_filter_approx)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return T.quantile_filter_approx(docs, "n_chars", 0.75)
+
+
 REDACT_ORACLE = r"""
 SELECT doc_id,
        regexp_replace(
@@ -226,28 +251,29 @@ def text_redact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.redact_tokens(docs).drop("text")
 
 
-# DuckDB twin of functions.textfns.shingles (k=3, distinct)
-_DSHINGLES = (
-    "list_distinct(CASE WHEN len(TOKS) >= 3 THEN "
-    "list_transform(generate_series(1, len(TOKS) - 2), "
-    "i -> concat_ws(' ', TOKS[i], TOKS[i+1], TOKS[i+2])) "
-    "ELSE [] END)".replace("TOKS", _DTOKS)
-)
+_DSHINGLES = DSHINGLES
 
 CONTAMINATION_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, md5(unnest({_DSHINGLES})) AS h FROM documents
 ), bench AS (
   SELECT DISTINCT h FROM h WHERE doc_id < 20
-), corpus AS (
-  SELECT * FROM h WHERE doc_id >= 20
+), agg AS (
+  SELECT corpus.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(bench.h) AS BIGINT) AS n_contaminated
+  FROM (SELECT * FROM h WHERE doc_id >= 20) corpus
+  LEFT JOIN bench ON corpus.h = bench.h
+  GROUP BY corpus.doc_id
 )
-SELECT corpus.doc_id,
-       CAST(count(*) AS BIGINT) AS n_shingles,
-       CAST(count(bench.h) AS BIGINT) AS n_contaminated,
-       round(count(bench.h) / CAST(count(*) AS DOUBLE), 6) AS contamination_ratio
-FROM corpus LEFT JOIN bench ON corpus.h = bench.h
-GROUP BY corpus.doc_id
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(agg.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN coalesce(agg.n_shingles, 0) > 0
+            THEN round(agg.n_contaminated / CAST(agg.n_shingles AS DOUBLE), 6)
+       END AS contamination_ratio
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+WHERE d.doc_id >= 20
 """
 
 

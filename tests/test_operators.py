@@ -32,6 +32,100 @@ def test_vector_functions_match_numpy(spark, sf_dir):
         assert row["norm"] == pytest.approx(float(np.linalg.norm(v)), rel=1e-12)
 
 
+def test_quantile_gate_approx_vs_exact(spark, sf_dir):
+    """The sketch-based gate must agree with the exact gate up to the rank
+    guarantee: approx_percentile picks an element <= the interpolated exact
+    percentile, so the approx-kept set is a superset, and in the rank-exact
+    regime (corpus < accuracy) the overshoot is at most the docs tied at
+    the boundary value."""
+    from dataingestion_pt_ms_spark.operators.text import (
+        quantile_filter,
+        quantile_filter_approx,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    exact = {r.doc_id for r in quantile_filter(docs, "n_chars", 0.75).collect()}
+    approx = {r.doc_id for r in quantile_filter_approx(docs, "n_chars", 0.75).collect()}
+    assert exact <= approx
+    n = docs.count()
+    assert len(approx) - len(exact) <= max(1, n // 100)
+
+
+def test_chunk_documents_empty_tokens_yield_no_chunks(spark):
+    """sequence(0, -1) descends in Spark — the n_chunks=0 guard must emit
+    zero chunk rows for empty/whitespace text, not two phantom chunks
+    (ADVICE r01)."""
+    from dataingestion_pt_ms_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_idx)
+    assert by_doc[1] == [0, 1]  # 3 tokens / 2-token chunks -> 2 chunks
+    # doc 2: split('') -> [''] -> 1 token -> 1 chunk of '' (documented
+    # split semantics); the guard matters for genuinely empty arrays:
+    arr_df = spark.createDataFrame([(3,)], "doc_id long").withColumn(
+        "toks", F.array().cast("array<string>")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(2)).cast("int")
+    guarded = arr_df.select(
+        F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1))
+        .otherwise(F.array().cast("array<int>"))
+        .alias("idx")
+    ).first()
+    assert guarded["idx"] == []
+
+
+def test_contamination_check_short_docs_reported(spark):
+    """Corpus docs too short to shingle must still appear in the report
+    (n_shingles=0, NULL ratio) instead of vanishing (ADVICE r01)."""
+    from dataingestion_pt_ms_spark.operators.text import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "too short")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in contamination_check(corpus, bench).collect()}
+    assert set(rows) == {10, 11}
+    assert rows[10].n_shingles == 2 and rows[10].n_contaminated == 1
+    assert rows[11].n_shingles == 0 and rows[11].n_contaminated == 0
+    assert rows[11].contamination_ratio is None
+
+
+def test_connected_components_raises_on_no_convergence(spark):
+    """max_iter exhaustion must raise, not return partial labels (ADVICE r01)."""
+    import pytest as _pytest
+
+    from dataingestion_pt_ms_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    # and enough rounds converge fine on the same graph
+    comp = connected_components(chain, max_iter=8)
+    assert comp.select("component").distinct().count() == 1
+
+
+def test_kmeans_validates_params(spark, sf_dir):
+    import pytest as _pytest
+
+    from dataingestion_pt_ms_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="iters"):
+        kmeans_lloyd(emb, iters=0)
+    with _pytest.raises(ValueError, match="k must"):
+        kmeans_lloyd(emb, k=0)
+
+
 def test_minhash_lsh_recall_vs_exhaustive(spark, sf_dir):
     """LSH candidates must recover (almost) all true near-dup pairs: with
     64 perms / 8 bands the s-curve at jaccard 0.8 gives P(miss) ≈ 1e-4."""
