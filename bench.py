@@ -37,6 +37,12 @@ HEADLINE = [
     "q21_last_to_ship",
     "join_left_outer_order_counts",
     "window_cumulative_range",
+    "window_extended_family",
+    "pivot_status_matrix",
+    "set_except_all",
+    "udf_grouped_map_zscore",
+    "dedup_simhash_banded_pairs",
+    "ingest_status_serving",
     "events_sessionize_gap30m",
     "asof_join_last_purchase",
     "ohlc_daily_resample",

@@ -294,6 +294,9 @@ def minhash_lsh_rep_pairs(
     components (rep_pairs as edges + members as rep→member star edges) —
     O(docs) edges, never a quadratic pair materialization.
     """
+    # Only (key, text) participates from here on — project before the
+    # collapse so the content-hash shuffle never carries the other columns.
+    df = df.select(key_col, text_col)
     reps, members = collapse_exact(df, text_col, key_col)
     # Both frames feed 3+ plan branches (signature, verify, expansion);
     # without materialization every branch re-runs the collapse shuffle
