@@ -370,6 +370,102 @@ def repetition_score(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_count: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (the CCNet/RefinedWeb
+    boilerplate filter): drop every line occurring more than ``max_count``
+    times across the whole corpus (nav bars, cookie banners, license
+    headers), reassemble the remaining lines in order.
+
+    Returns (key, clean_text, n_lines, n_removed); ``clean_text`` is NULL
+    when every line was boilerplate.
+
+    Scale shape: lines explode inside the scan stage; the global line count
+    is a map-side-combined groupBy on a fixed-width md5 key; the count join
+    shuffles on that hash where AQE's skew split handles the boilerplate
+    hot keys (a window over the line hash would buffer the 10⁷-row hot
+    partition instead); reassembly is one groupBy(key) with an
+    in-expression sort — 3 shuffles total, each on a bounded-width key.
+    """
+    lines = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    ).withColumn("_h", F.md5("line"))
+    counts = lines.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
+    tagged = lines.join(counts, "_h").withColumn(
+        "_keep", F.col("_cnt") <= max_count
+    )
+    kept_struct = F.array_sort(
+        F.collect_list(
+            F.when(F.col("_keep"), F.struct("line_idx", "line"))
+        )
+    )
+    return (
+        tagged.groupBy(key_col)
+        .agg(
+            kept_struct.alias("_kept"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_removed"),
+        )
+        .select(
+            key_col,
+            F.when(
+                F.size("_kept") > 0,
+                F.array_join(F.transform("_kept", lambda s: s["line"]), "\n"),
+            ).alias("clean_text"),
+            F.col("n_lines").cast("long"),
+            F.col("n_removed").cast("long"),
+        )
+    )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Intra-document repetition via duplicated n-grams (the Gopher
+    repetition-rule family, arXiv:2112.11446 §A1.1): the fraction of a
+    document's n-gram occurrences that belong to n-grams appearing more
+    than once in that document. High values flag degenerate generations,
+    spam and boilerplate loops that unigram measures miss.
+
+    Per-doc (key, gram) counts partial-aggregate map-side; the fraction is
+    a second map-side-combined aggregate on key — two shuffles, both on
+    keys, nothing corpus-global.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        df.select(F.col(key_col), F.explode(grams).alias("gram"))
+        .groupBy(key_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_gram.groupBy(key_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_duplicated"),
+        )
+        .withColumn(
+            "dup_ngram_fraction",
+            F.round(F.col("n_duplicated") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
 def pack_sequences(
     chunks: DataFrame,
     group_col: str = "lang",

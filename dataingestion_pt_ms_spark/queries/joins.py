@@ -295,3 +295,55 @@ def join_range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Manual salted join — the hot-key mitigation for shuffled joins when one
+# join key dominates (AQE's skew split handles sort-merge skew at runtime;
+# explicit salting is the portable form that also works for shuffled-hash
+# and pre-AQE engines, and the oracle — a plain join — proves the rewrite
+# is semantics-free). Probe side gets a deterministic salt from its row
+# key; build side replicates SALT×, so one hot customer's orders spread
+# over SALT reducers instead of one.
+# --------------------------------------------------------------------------
+_SALT = 8
+
+SALTED_ORACLE = """
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@register("join_salted_skew", oracle=SALTED_ORACLE, tags=("join", "skew", "salt"))
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer with an explicit 8-way salt on the join key, then
+    the per-nation rollup. Identical output to the unsalted join (the
+    oracle runs the plain form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    salted_o = orders.withColumn(
+        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_SALT))
+    )
+    replicated_c = customer.select("c_custkey", "c_nationkey").crossJoin(
+        F.broadcast(
+            spark.range(_SALT).select(F.col("id").alias("_salt"))
+        )
+    )
+    return (
+        salted_o.join(
+            replicated_c,
+            (salted_o["_salt"] == replicated_c["_salt"])
+            & (F.col("o_custkey") == F.col("c_custkey")),
+            "inner",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -232,6 +232,94 @@ def text_quantile_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quantile_filter_approx(docs, "n_chars", 0.75)
 
 
+# Line-level boilerplate dedup demo corpus: the fixture texts carry no
+# newlines, so the query builds multi-line "pages" deterministically —
+# 4 consecutive docs joined by \n between a shared header and footer line.
+# The header/footer repeat once per page (the boilerplate); member texts
+# repeat only if the underlying docs collide (they then get removed too,
+# which IS the operator's semantics).
+_PAGES_DUCK = """
+  SELECT CAST(floor(doc_id / 4) AS BIGINT) AS page_id,
+         'nav header menu' || chr(10)
+         || string_agg(text, chr(10) ORDER BY doc_id)
+         || chr(10) || 'footer copyright notice' AS text
+  FROM documents GROUP BY 1
+"""
+LINE_DEDUP_ORACLE = f"""
+WITH pages AS ({_PAGES_DUCK}),
+split AS (
+  SELECT page_id, string_split(text, chr(10)) AS ls FROM pages
+), lines AS (
+  SELECT page_id, i - 1 AS line_idx, ls[i] AS line
+  FROM split, unnest(generate_series(1, len(ls))) AS u(i)
+), counts AS (
+  SELECT line, count(*) AS cnt FROM lines GROUP BY line
+)
+SELECT page_id,
+       string_agg(CASE WHEN cnt <= 1 THEN line END, chr(10) ORDER BY line_idx)
+         AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM lines JOIN counts USING (line)
+GROUP BY page_id
+"""
+
+
+@register("text_line_dedup_boilerplate", oracle=LINE_DEDUP_ORACLE, tags=("llm", "text", "dedup"))
+def text_line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-line removal (CCNet/RefinedWeb boilerplate
+    filter, operators/text.py:line_dedup) over deterministically
+    constructed multi-line pages: every page shares a header and footer
+    line; line_dedup strips exactly those (plus any lines from colliding
+    member docs) and reassembles the rest in order."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = (
+        docs.groupBy(F.floor(F.col("doc_id") / 4).cast("long").alias("page_id"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.lit("nav header menu"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\n",
+                ),
+                F.lit("footer copyright notice"),
+            ).alias("text")
+        )
+    )
+    return T.line_dedup(pages, "text", "page_id", max_count=1)
+
+
+DUP_NGRAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), cnt AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_duplicated,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6)
+         AS dup_ngram_fraction
+FROM cnt
+GROUP BY doc_id
+"""
+
+
+@register("text_duplicate_ngram_fraction", oracle=DUP_NGRAM_ORACLE, tags=("llm", "text", "quality"))
+def text_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of each doc's bigram
+    occurrences belonging to bigrams repeated within the doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.duplicate_ngram_fraction(docs, "text", "doc_id", n=2)
+
+
 REDACT_ORACLE = r"""
 SELECT doc_id,
        regexp_replace(

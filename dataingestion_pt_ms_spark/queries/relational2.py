@@ -126,6 +126,47 @@ def correlated_subqueries_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Lateral join (per-row correlated subquery producing multiple rows):
+# top-2 nations by customer count within each region. Catalyst
+# de-correlates the LATERAL subquery into a ranked window join —
+# declarative per-group top-k without a driver-side loop.
+# --------------------------------------------------------------------------
+LATERAL_ORACLE = """
+SELECT r.r_name AS region, l.nation, l.n_customers
+FROM region r
+JOIN LATERAL (
+  SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, nation
+  LIMIT 2
+) l ON true
+ORDER BY region, l.n_customers DESC, nation
+"""
+
+
+@register("join_lateral_topk_per_region", oracle=LATERAL_ORACLE, tags=("join", "lateral", "sql-api"))
+def join_lateral_topk_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, l.nation, l.n_customers
+        FROM region r
+        JOIN LATERAL (
+          SELECT n.n_name AS nation, count(*) AS n_customers
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_customers DESC, nation
+          LIMIT 2
+        ) l
+        ORDER BY region, l.n_customers DESC, nation
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL.
 # --------------------------------------------------------------------------
 EXCEPT_ALL_ORACLE = """

@@ -36,6 +36,22 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     )
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC batch scan — the other columnar format Spark reads natively with
+    predicate pushdown + column pruning (same scan-level guarantees the
+    plan tests assert for parquet)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw line-per-row text scan (``value: string``) — the ingest shape
+    for line-oriented corpora feeding operators/text.py:line_dedup."""
+    return spark.read.text(path)
+
+
 def stream_from_dir(
     spark: SparkSession,
     path: str,

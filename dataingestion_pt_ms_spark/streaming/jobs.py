@@ -118,3 +118,17 @@ def stateful_dedup_stream(
     (reference R16's idempotency, streaming-native)."""
     keys = key_cols or ["event_id"]
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def windowed_dedup_stream(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: dedup keys only within the
+    watermark horizon — the state-bounded form for at-least-once sources
+    whose redeliveries carry NEW event timestamps (plain dropDuplicates
+    keys state on first-seen event time and would pass such a redelivery
+    once its window closes). State per key is evicted one watermark period
+    after last sight — bounded regardless of stream lifetime."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

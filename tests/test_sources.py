@@ -66,3 +66,36 @@ def test_sample_fraction_bounds(spark, sf_dir):
     assert 0.05 * total < n < 0.15 * total
     # seeded → deterministic within the engine
     assert n == li.sample(fraction=0.1, seed=42).count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC is the second natively-scanned columnar format: write, re-read
+    with explicit schema, and confirm the filter reaches the ORC scan."""
+    from dataingestion_pt_ms_spark.sources.readers import read_orc
+
+    out = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [(i, f"v{i}", i * 1.5) for i in range(100)], "id long, v string, x double"
+    ).write.orc(out)
+    df = read_orc(spark, out)
+    assert df.filter(F.col("id") >= 90).count() == 10
+    plan = df.filter(F.col("id") >= 90)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,90" in plan
+
+
+def test_text_lines_reader(spark, tmp_path):
+    from dataingestion_pt_ms_spark.sources.readers import read_text_lines
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha beta\nboilerplate line\ngamma delta\nboilerplate line\n")
+    df = read_text_lines(spark, str(p))
+    assert df.columns == ["value"]
+    assert df.count() == 4
+    # feeds line-level dedup directly
+    from dataingestion_pt_ms_spark.operators.text import line_dedup
+
+    docs = df.groupBy(F.lit(1).alias("doc_id")).agg(
+        F.concat_ws("\n", F.collect_list("value")).alias("text")
+    )
+    out = line_dedup(docs, "text", "doc_id", max_count=1).first()
+    assert out.n_removed == 2 and "boilerplate" not in out.clean_text

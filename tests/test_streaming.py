@@ -94,6 +94,39 @@ def test_stateful_dedup_stream(spark, events_dir, tmp_path):
     assert out.n == out.d == 1000
 
 
+def test_windowed_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivery of the same event_id
+    with a slightly later timestamp (at-least-once source behavior) is
+    suppressed while inside the watermark horizon."""
+    import glob
+    import os
+    import time
+
+    from dataingestion_pt_ms_spark.streaming.jobs import windowed_dedup_stream
+
+    src = str(tmp_path / "wdd_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    original = [(i, t0 + dt.timedelta(minutes=i), 1, "click", 1.0) for i in range(5)]
+    redelivered = [
+        (i, t0 + dt.timedelta(minutes=i, seconds=30), 1, "click", 1.0)
+        for i in range(5)
+    ]
+    now = time.time()
+    for i, rows in enumerate([original, redelivered]):
+        stage = str(tmp_path / f"wdd{i}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(stage)
+        dest = f"{src}/{i}.parquet"
+        shutil.copyfile(glob.glob(f"{stage}/part-*.parquet")[0], dest)
+        os.utime(dest, (now - 200 + i * 100, now - 200 + i * 100))
+    stream = stream_from_dir(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+    _run_to_memory(windowed_dedup_stream(stream, watermark="1 hour"), "wdd_out", "append")
+    out = spark.sql(
+        "SELECT count(*) n, count(DISTINCT event_id) d FROM wdd_out"
+    ).first()
+    assert out.n == out.d == 5  # each redelivery suppressed
+
+
 def test_session_window_stream(spark, events_dir):
     stream = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
     _run_to_memory(sessionized_stream(stream), "sess_out", "append")
