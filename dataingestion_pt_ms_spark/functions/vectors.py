@@ -27,3 +27,39 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL only if either norm is zero (guarded)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0, dot(a, b) / denom)
+
+
+def unit_normalize(a: Column, decimals: int = 6) -> Column:
+    """L2-unit-normalized copy of the vector (zero vectors stay zero).
+    Components round to ``decimals`` so the value is engine-comparable
+    (the division itself is exact double math; rounding guards the sqrt's
+    last bit)."""
+    n = l2_norm(a)
+    return F.transform(
+        a, lambda x: F.round(F.when(n != 0, x / n).otherwise(0.0), decimals)
+    )
+
+
+def quantize_int8(a: Column) -> tuple[Column, Column]:
+    """(scale, q) symmetric int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) clamped to [-127, 127].
+
+    floor(x + 0.5) instead of round(): identical halfway behavior in every
+    engine (round() half-away vs half-even varies), so the quantized codes
+    are bit-comparable cross-engine. Zero vectors quantize to all-zero with
+    scale 0."""
+    amax = F.array_max(F.transform(a, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        a,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.when(scale != 0, F.floor(x / scale + F.lit(0.5)))
+                .otherwise(0)
+                .cast("int"),
+            ),
+        ),
+    )
+    return scale, q

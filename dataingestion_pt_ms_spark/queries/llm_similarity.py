@@ -324,3 +324,107 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, "embedding", "vec_id", k=4, iters=2).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Embedding preparation operators (normalize / quantize / profile) — the
+# steps between raw encoder output and an ANN index in a training-data
+# pipeline. All pure JVM array expressions inside the scan stage (zero
+# shuffles for the per-vector ops; one keyed shuffle for the per-dimension
+# profile).
+# --------------------------------------------------------------------------
+UNIT_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+SELECT vec_id,
+       array_to_string(list_transform(v, x ->
+           CASE WHEN nrm <> 0 THEN CAST(floor(x / nrm * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END), ',') AS unit_micro
+FROM n
+ORDER BY vec_id
+"""
+
+
+@register("emb_unit_normalize", oracle=UNIT_ORACLE, tags=("llm", "similarity", "vector"))
+def emb_unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-unit normalization (cosine-ready vectors; functions/vectors.py:
+    unit_normalize is the array-returning library form). The query encodes
+    components as micro-units — floor(x/||v||*1e6 + 0.5) — integers, which
+    are BIT-exact across engines (float-to-string formatting is not), then
+    joins them into one comparable string."""
+    from ..functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    n = l2_norm(v)
+    micro = F.transform(
+        v,
+        lambda x: F.when(n != 0, F.floor(x / n * 1_000_000 + F.lit(0.5)))
+        .otherwise(0)
+        .cast("long"),
+    )
+    return emb.select(
+        "vec_id",
+        F.concat_ws(",", F.transform(micro, lambda m: m.cast("string"))).alias(
+            "unit_micro"
+        ),
+    ).orderBy("vec_id")
+
+
+QUANT_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       array_to_string(list_transform(v, x -> CAST(greatest(-127, least(127,
+           CASE WHEN scale <> 0 THEN floor(x / scale + 0.5) ELSE 0 END))
+         AS INTEGER)), ',') AS q_codes
+FROM s
+ORDER BY vec_id
+"""
+
+
+@register("emb_quantize_int8", oracle=QUANT_ORACLE, tags=("llm", "similarity", "vector"))
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (4x memory cut for ANN serving);
+    floor(x+0.5) keeps the codes bit-identical across engines. Codes are
+    emitted as one joined string for the comparator (functions/vectors.py:
+    quantize_int8 is the array-returning library form)."""
+    from ..functions.vectors import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, q = quantize_int8(F.col("embedding").cast("array<double>"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda c: c.cast("string"))).alias("q_codes"),
+    ).orderBy("vec_id")
+
+
+DIMSTATS_ORACLE = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+SELECT CAST(i - 1 AS INTEGER) AS d,
+       round(avg(v[i]), 6) AS mean,
+       round(var_samp(v[i]), 6) AS variance
+FROM e, unnest(generate_series(1, len(v))) AS u(i)
+GROUP BY i
+ORDER BY d
+"""
+
+
+@register("emb_dimension_stats", oracle=DIMSTATS_ORACLE, tags=("llm", "similarity", "vector", "agg"))
+def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus mean/variance (whitening / feature-scaling
+    profile): posexplode → one keyed map-side-combined aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.var_samp("x"), 6).alias("variance"),
+        )
+        .orderBy("d")
+    )

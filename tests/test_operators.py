@@ -533,3 +533,36 @@ def test_sample_frames_and_resize_stub(spark):
     assert resized[2].stride == 1
     assert resized[2].pixels[:2] == [round(ord("a") / 255.0, 6), round(ord("b") / 255.0, 6)]
     assert resized[2].pixels[2:] == [0.0] * 14
+
+
+def test_unit_normalize_and_quantize_match_numpy(spark, sf_dir):
+    """Library (array-returning) forms of the embedding-prep operators vs
+    numpy ground truth; the registered queries cover the string-encoded,
+    oracle-comparable forms."""
+    from dataingestion_pt_ms_spark.functions.vectors import (
+        quantize_int8,
+        unit_normalize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    v = F.col("embedding").cast("array<double>")
+    scale, q = quantize_int8(v)
+    pdf = emb.select(
+        "vec_id",
+        "embedding",
+        unit_normalize(v).alias("unit"),
+        scale.alias("scale"),
+        q.alias("q"),
+    ).toPandas()
+    for _, row in pdf.iterrows():
+        x = np.array(row["embedding"], dtype="float64")
+        n = np.linalg.norm(x)
+        np.testing.assert_allclose(
+            np.array(row["unit"], dtype="float64"),
+            np.round(x / n, 6) if n else np.zeros_like(x),
+            atol=1e-9,
+        )
+        s = np.abs(x).max() / 127.0
+        assert row["scale"] == pytest.approx(s, rel=1e-12)
+        expect_q = np.clip(np.floor(x / s + 0.5), -127, 127).astype("int64") if s else np.zeros_like(x)
+        assert list(row["q"]) == list(expect_q)

@@ -122,3 +122,33 @@ def test_contamination_probe_broadcasts(spark, sf_dir):
     df = text_contamination_check(spark, sf_dir)
     assert_broadcast_join(df)
     assert_no_cartesian(df)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: joining a date-partitioned fact to a filtered dim must inject a
+    runtime partition-pruning subquery into the fact scan — the mechanism
+    that keeps star joins from scanning all of a 100 TB fact table."""
+    out = str(tmp_path / "li_part")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.withColumn("ship_year", F.year("l_shipdate")).write.partitionBy(
+        "ship_year"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    # the dim filter must be on a NON-join column: a literal filter on the
+    # join key itself gets constant-propagated into a *static* partition
+    # filter (also correct, but then there is nothing dynamic to prune)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("ship_year"))
+        .distinct()
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        joined = fact.join(dim, "ship_year").select("ship_year", "l_quantity")
+        plan = formatted_plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
