@@ -385,6 +385,76 @@ def minhash_lsh_near_dups(
     return cross.unionByName(within).orderBy("key_a", "key_b")
 
 
+def cross_corpus_near_dups(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str,
+    key_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Doc-level cross-corpus near-dup detection: which ``corpus`` documents
+    near-duplicate any ``probe`` document (train-vs-eval decontamination at
+    document granularity — the shingle-level gate is
+    operators/text.py:contamination_check).
+
+    Same LSH shape as self-dedup but the band join is corpus×probe instead
+    of a self-join: signatures for both sides, inner join on (band_idx,
+    band_hash), exact-Jaccard verify on the candidates. The probe side
+    (eval suites) is tiny, so its banded form broadcasts and the corpus
+    side never shuffles on anything wider than its band keys.
+
+    Returns (corpus_key, probe_key, jaccard) with jaccard ≥ threshold.
+    """
+    rows = num_perm // bands
+    sig_c = minhash_signature(corpus, text_col, key_col, num_perm, shingle_k)
+    sig_p = minhash_signature(probe, text_col, key_col, num_perm, shingle_k)
+    b_c = _banded(sig_c, key_col, bands, rows)
+    b_p = _banded(sig_p, key_col, bands, rows)
+    cands = (
+        b_c.select(
+            F.col("k").alias("corpus_key"), "band_idx", "band_hash"
+        )
+        .join(
+            F.broadcast(
+                b_p.select(F.col("k").alias("probe_key"), "band_idx", "band_hash")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("corpus_key", "probe_key")
+        .distinct()
+    )
+    # verify with exact Jaccard: reuse jaccard_pairs by unioning both
+    # corpora under disjoint key spaces is unnecessary — compute directly.
+    sh_c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(key_col).alias("corpus_key"),
+        shingles(tokens(F.col(text_col)), shingle_k).alias("sh_c"),
+    )
+    sh_p = probe.select(
+        F.col(key_col).alias("probe_key"),
+        shingles(tokens(F.col(text_col)), shingle_k).alias("sh_p"),
+    )
+    inter = F.size(F.array_intersect("sh_c", "sh_p")).cast("double")
+    union = (F.size("sh_c") + F.size("sh_p")).cast("double") - inter
+    return (
+        cands.join(sh_c, "corpus_key")
+        .join(F.broadcast(sh_p), "probe_key")
+        .select(
+            "corpus_key",
+            "probe_key",
+            F.round(F.when(union != 0, inter / union).otherwise(0.0), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("corpus_key", "probe_key")
+    )
+
+
 def simhash63(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     """63-bit SimHash per document (bit 63 unused: keeps the value a
     non-negative long under ANSI arithmetic).

@@ -359,3 +359,64 @@ def dedup_cluster_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") > 1)
         .orderBy("component")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus (train-vs-eval) doc-level decontamination: which corpus docs
+# (doc_id >= 50) near-duplicate any probe doc (doc_id < 50). Signatures are
+# per-doc, so the oracle reuses the same sig CTEs and restricts the band
+# join to corpus×probe instead of the self-join.
+# --------------------------------------------------------------------------
+CROSS_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DSHINGLES}) AS s FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_MINHASH_SIG_AGGS} FROM h GROUP BY doc_id
+), banded AS (
+  {_MINHASH_BANDS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS corpus_key, b.doc_id AS probe_key
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id >= 50 AND b.doc_id < 50
+), shl AS (
+  SELECT doc_id, {_DSHINGLES} AS sh FROM documents
+)
+SELECT corpus_key, probe_key,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)),
+             6) AS jaccard
+FROM pairs
+JOIN shl a ON pairs.corpus_key = a.doc_id
+JOIN shl b ON pairs.probe_key = b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+               - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)),
+            6) >= 0.8
+ORDER BY corpus_key, probe_key
+"""
+
+
+@register(
+    "dedup_cross_corpus_minhash",
+    oracle=CROSS_MINHASH_ORACLE,
+    tags=("llm", "dedup", "lsh", "contamination"),
+)
+def dedup_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level train-vs-eval decontamination
+    (operators/dedup.py:cross_corpus_near_dups): corpus docs (id >= 50)
+    whose MinHash bands collide with any probe doc (id < 50), verified at
+    exact Jaccard >= 0.8. The probe side broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.cross_corpus_near_dups(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        "text",
+        "doc_id",
+        threshold=0.8,
+    )

@@ -300,6 +300,31 @@ def test_status_served_from_memory_sink(spark, tmp_path):
     assert s.last_attempt_ts > s.last_success_ts  # error arrived last
 
 
+def test_stream_static_broadcast_join(spark, events_dir):
+    """Stream-static join: the arriving stream enriches against a static
+    dim per micro-batch (the reference's assets-dim lookup, streaming-
+    native). The static side is broadcast — no stateful join state."""
+    dim = spark.createDataFrame(
+        [(u, "gold" if u % 2 == 0 else "basic") for u in range(50)],
+        "user_id long, tier string",
+    )
+    stream = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", F.coalesce("tier", F.lit("unknown")).alias("tier")
+    )
+    _run_to_memory(enriched, "enriched_out", "append")
+    out = spark.sql(
+        "SELECT count(*) n, sum(CASE WHEN tier = 'unknown' THEN 1 ELSE 0 END) u "
+        "FROM enriched_out"
+    ).first()
+    assert out.n == 1000
+    # every event with user_id < 50 got a real tier
+    mismatch = spark.sql(
+        "SELECT count(*) c FROM enriched_out WHERE user_id < 50 AND tier = 'unknown'"
+    ).first()
+    assert mismatch.c == 0
+
+
 def test_rate_source_smoke(spark):
     from dataingestion_pt_ms_spark.sources.readers import stream_rate
 
