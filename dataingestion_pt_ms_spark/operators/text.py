@@ -498,3 +498,50 @@ def pack_sequences(
             "pack_id": F.floor(off / F.lit(float(pack_tokens))).cast("long"),
         }
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM fluency scoring (the CCNet/RefinedWeb perplexity-filter
+    step with the KenLM 5-gram model replaced by a corpus-trained unigram
+    model — the largest n-gram order whose training and scoring are both
+    pure relational algebra).
+
+    Train: token counts over the whole corpus (one map-side-combined
+    shuffle on token). Score: join each document's token stream back to
+    the count table and average ``-ln p(token)`` with add-one smoothing,
+    ``p = (cnt + 1) / (N + |V|)``. Documents of boilerplate/common tokens
+    score low (fluent under the corpus model), rare-token noise scores
+    high — threshold on ``nll`` (or ``ppl = exp(nll)``) to gate.
+
+    Scale shape: the count table is vocabulary-sized (millions of rows for
+    a natural-language corpus, ~tens of MB) — far below the exploded token
+    stream — so AQE picks a broadcast join for the score step and the
+    corpus never shuffles on token twice. The two corpus scalars (N, |V|)
+    ship as a broadcast single-row cross join, same pattern as the scalar
+    subqueries in queries/relational2.py.
+
+    Returns (key, n_tokens, nll, ppl); nll rounded 6 dp, ppl 4 dp
+    (aggregate rounding policy — see queries/__init__.py docstring).
+    """
+    toks = df.select(key_col, F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    scalars = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("vocab")
+    )
+    neg_log_p = -F.log(
+        (F.col("cnt") + F.lit(1.0)) / (F.col("n_total") + F.col("vocab"))
+    )
+    return (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(neg_log_p), 6).alias("nll"),
+            F.round(F.exp(F.avg(neg_log_p)), 4).alias("ppl"),
+        )
+    )

@@ -609,3 +609,36 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM fluency scoring (operators/text.py:unigram_logprob): the
+# CCNet-style perplexity gate with a corpus-trained unigram model. The
+# oracle repeats the train-then-score pipeline in SQL; nll/ppl are avg
+# aggregates so they carry the standard rounding (6/4 dp).
+# --------------------------------------------------------------------------
+UNIGRAM_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+), cnt AS (
+  SELECT token, count(*) AS cnt FROM tk GROUP BY token
+), sc AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS vocab
+  FROM cnt
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(-avg(ln((cnt + 1.0) / (n_total + vocab))), 6) AS nll,
+       round(exp(-avg(ln((cnt + 1.0) / (n_total + vocab)))), 4) AS ppl
+FROM tk JOIN cnt USING (token) CROSS JOIN sc
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=UNIGRAM_ORACLE, tags=("llm", "text", "quality"))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM negative-log-likelihood per document —
+    the relational core of the CCNet perplexity quality filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_logprob(docs).orderBy("doc_id")

@@ -359,3 +359,103 @@ def ingest_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_kind")
     )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style gap-fill: resample each user's events to an hourly grid
+# (missing buckets synthesized), then fill gaps two ways — LOCF and linear
+# interpolation between the surrounding observations. The grid is generated
+# arithmetically per user (sequence/explode — no calendar table, no join
+# against anything global), and both fills plus the interpolation anchors
+# come out of ONE shuffle on user_id (two frame passes over the same sort).
+# Grid edges are always observed rows (the span is min..max observed hour),
+# so every gap has both anchors.
+# --------------------------------------------------------------------------
+GAPFILL_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 6) AS avg_value
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span
+), joined AS (
+  SELECT g.user_id, g.h, o.avg_value,
+         last_value(o.avg_value IGNORE NULLS) OVER wb AS locf,
+         last_value(CASE WHEN o.avg_value IS NOT NULL THEN g.h END IGNORE NULLS)
+           OVER wb AS prev_h,
+         first_value(o.avg_value IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN o.avg_value IS NOT NULL THEN g.h END IGNORE NULLS)
+           OVER wf AS next_h
+  FROM grid g LEFT JOIN obs o USING (user_id, h)
+  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY g.user_id ORDER BY g.h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(h, '{_TS_FMT_DUCK}') AS hour_ts, avg_value,
+       locf AS value_locf,
+       CASE WHEN avg_value IS NOT NULL THEN avg_value
+            ELSE locf + (next_v - locf)
+                 * ((epoch(h) - epoch(prev_h))
+                    / (epoch(next_h) - epoch(prev_h))) END AS value_interp,
+       avg_value IS NULL AS is_gap
+FROM joined
+ORDER BY user_id, hour_ts
+"""
+
+
+@register(
+    "timeseries_gapfill_interpolate",
+    oracle=GAPFILL_ORACLE,
+    tags=("timeseries", "window", "gapfill"),
+)
+def timeseries_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of events (users < 20) with synthesized gap buckets,
+    filled by LOCF and by linear interpolation between the neighboring
+    observations (the hypertable ``time_bucket_gapfill`` + ``locf`` +
+    ``interpolate`` trio, Spark-native)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    span = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = grid.join(obs, ["user_id", "h"], "left")
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("avg_value").isNotNull(), F.col("h"))
+    locf = F.last("avg_value", ignorenulls=True).over(wb)
+    prev_h = F.last(obs_h, ignorenulls=True).over(wb)
+    next_v = F.first("avg_value", ignorenulls=True).over(wf)
+    next_h = F.first(obs_h, ignorenulls=True).over(wf)
+    frac = (F.col("h").cast("long") - prev_h.cast("long")) / (
+        next_h.cast("long") - prev_h.cast("long")
+    )
+    # per-row derived double: NOT rounded — the inputs (6-dp-rounded
+    # aggregates, exact-integer epoch quotient) are bit-identical across
+    # engines, and the expression order matches the oracle's parenthesized
+    # form, so the IEEE result is bit-identical too (rounding here would
+    # *create* half-boundary mismatches — see queries/__init__.py policy).
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        locf + (next_v - locf) * frac
+    )
+    return j.select(
+        "user_id",
+        F.date_format("h", _TS_FMT).alias("hour_ts"),
+        "avg_value",
+        locf.alias("value_locf"),
+        interp.alias("value_interp"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    ).orderBy("user_id", "hour_ts")
