@@ -347,3 +347,41 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom runtime-filter semi-join (operators/filters.py): lineitem rows whose
+# order is URGENT, pre-filtered by a broadcast bloom bitmap built from the
+# urgent order keys before the exact semi-join. The oracle runs the plain
+# IN-subquery — identical output proves the bloom stage semantics-free
+# (same oracle pattern as join_salted_skew).
+# --------------------------------------------------------------------------
+BLOOM_SEMI_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle=BLOOM_SEMI_ORACLE,
+    tags=("join", "semi", "bloom", "runtime-filter"),
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with a broadcast bloom pre-filter — the runtime-filter
+    shape for filter sides too large to broadcast as a hash relation
+    (operators/filters.py:bloom_semi_join)."""
+    from ..operators.filters import bloom_semi_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return bloom_semi_join(
+        lineitem, urgent, "l_orderkey", "o_orderkey"
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -566,3 +566,41 @@ def test_unit_normalize_and_quantize_match_numpy(spark, sf_dir):
         assert row["scale"] == pytest.approx(s, rel=1e-12)
         expect_q = np.clip(np.floor(x / s + 0.5), -127, 127).astype("int64") if s else np.zeros_like(x)
         assert list(row["q"]) == list(expect_q)
+
+
+# --------------------------------------------------------------------------
+# Bloom runtime filter (operators/filters.py)
+# --------------------------------------------------------------------------
+def test_bloom_prefilter_no_false_negatives_and_filters(spark):
+    from dataingestion_pt_ms_spark.operators.filters import (
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+
+    members = spark.range(0, 500).select(F.col("id").alias("key"))
+    bitmap = bloom_bitmap(members, "key")
+    probe = spark.range(0, 100_000).select(F.col("id").alias("key"))
+    kept = bloom_prefilter(probe, bitmap, "key").select("key").toPandas()["key"]
+    kept_set = set(kept)
+    # no false negatives: every true member survives
+    assert set(range(500)) <= kept_set
+    # false-positive rate: 99.5k non-members vs 65536-bit / k=3 filter
+    # (~0.9% expected at this load) — generous bound, deterministic hashes
+    fp = len(kept_set) - 500
+    assert fp < 5_000, f"false-positive blowup: {fp}"
+
+
+def test_bloom_probe_joins_broadcast(spark):
+    from dataingestion_pt_ms_spark.operators.filters import (
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+
+    members = spark.range(0, 100).select(F.col("id").alias("key"))
+    probe = spark.range(0, 10_000).select(F.col("id").alias("key"))
+    plan = bloom_prefilter(
+        probe, bloom_bitmap(members, "key"), "key"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the probe side must never shuffle: every bitmap join is a broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
