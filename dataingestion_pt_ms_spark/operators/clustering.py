@@ -94,3 +94,127 @@ def kmeans_lloyd(
             .localCheckpoint()
         )
     return assign
+
+
+def _sub_dims(df: DataFrame, vec_col: str, key_col: str, sub_dim: int) -> DataFrame:
+    """Exploded (key, sub, sd, x): dimension d split into subspace index
+    ``sub = d // sub_dim`` and within-subspace dimension ``sd = d % sub_dim``."""
+    return _dims(df, vec_col, key_col).select(
+        key_col,
+        F.floor(F.col("d") / F.lit(sub_dim)).cast("long").alias("sub"),
+        (F.col("d") % F.lit(sub_dim)).cast("long").alias("sd"),
+        "x",
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    codes: int = 8,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Product-quantization codebooks: per subspace, a ``codes``-entry
+    centroid table after one deterministic Lloyd round (seeds = the
+    subvectors of the ``codes`` smallest keys, same init discipline as
+    kmeans_lloyd; centroids rounded 6 dp).
+
+    Returns (sub, code, sd, c) — m × codes × sub_dim rows, a tiny frame
+    that broadcasts everywhere it is consumed. Training shape: the
+    assignment join is dims×codes against broadcast seed centroids with
+    map-side partial aggregation; all subspaces train in the SAME two
+    jobs (sub is just a grouping column), not m sequential ones.
+    """
+    dims = _sub_dims(df, vec_col, key_col, sub_dim).localCheckpoint()
+    seeds = (
+        df.select(key_col)
+        .orderBy(key_col)
+        .limit(codes)
+        .select(
+            F.col(key_col).alias("_seed"),
+            (F.row_number().over(W.orderBy(key_col)) - 1).cast("long").alias("code"),
+        )
+    )
+    cent0 = seeds.join(dims, seeds["_seed"] == dims[key_col]).select(
+        "sub", "code", "sd", F.col("x").alias("c")
+    )
+    a1 = _pq_assign(dims, cent0, key_col)
+    return (
+        a1.join(dims, [key_col, "sub"])
+        .groupBy("sub", "code", "sd")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+
+
+def _pq_assign(dims: DataFrame, cent: DataFrame, key_col: str) -> DataFrame:
+    """Nearest code per (key, subspace) against broadcast centroids;
+    rounded distances, ties toward the smaller code id."""
+    dist = (
+        dims.join(F.broadcast(cent), ["sub", "sd"])
+        .groupBy(key_col, "sub", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6
+            ).alias("dist")
+        )
+    )
+    w = W.partitionBy(key_col, "sub").orderBy("dist", "code")
+    return (
+        dist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, "sub", "code")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    sub_dim: int = 16,
+) -> DataFrame:
+    """PQ-encode every vector: (key, sub, code) — m rows per vector, i.e.
+    m × log2(codes) bits of index state per vector instead of the raw
+    floats (the 100 TB win: the encoded corpus is ~100× smaller than the
+    embedding column and the scan side of an ADC query never touches the
+    original vectors)."""
+    dims = _sub_dims(df, vec_col, key_col, sub_dim)
+    return _pq_assign(dims, codebooks, key_col)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    codes: int = 8,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance top-k: train codebooks, encode the corpus, build
+    the query's per-(subspace, code) distance table (m × codes cells), and
+    score every vector as the sum of its m table lookups — no per-row
+    float vector math at query time, one broadcast join on (sub, code) and
+    a TakeOrderedAndProject.
+
+    Returns (key, approx_l2sq) for the k nearest by quantized L2.
+    """
+    cb = pq_codebooks(corpus, vec_col, key_col, codes, sub_dim).localCheckpoint()
+    enc = pq_encode(corpus, cb, vec_col, key_col, sub_dim)
+    qd = _sub_dims(query, vec_col, key_col, sub_dim).drop(key_col)
+    dt = (
+        cb.join(F.broadcast(qd), ["sub", "sd"])
+        .groupBy("sub", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6
+            ).alias("dsub")
+        )
+    )
+    return (
+        enc.join(F.broadcast(dt), ["sub", "code"])
+        .groupBy(key_col)
+        .agg(F.round(F.sum("dsub"), 6).alias("approx_l2sq"))
+        .orderBy("approx_l2sq", key_col)
+        .limit(k)
+    )

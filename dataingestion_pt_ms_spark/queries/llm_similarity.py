@@ -428,3 +428,73 @@ def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (operators/clustering.py:pq_*): 4 subspaces × 16
+# dims, 8 codes each, one deterministic Lloyd round, then ADC top-10 for
+# the query vector. The oracle unrolls train → encode → distance-table →
+# scan; every cross-engine-fragile double (distance, centroid, table cell)
+# is rounded before use, argmin ties break toward the smaller code.
+# --------------------------------------------------------------------------
+PQ_ADC_ORACLE = f"""
+WITH dims AS (
+  SELECT vec_id, (i - 1) // 16 AS sub, (i - 1) % 16 AS sd,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+), seeds AS (
+  SELECT vec_id AS seed_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), cent0 AS (
+  SELECT d.sub, s.code, d.sd, d.x AS c
+  FROM seeds s JOIN dims d ON d.vec_id = s.seed_id
+), d1 AS (
+  SELECT dims.vec_id, dims.sub, cent0.code,
+         round(sum((dims.x - cent0.c) * (dims.x - cent0.c)), 6) AS dist
+  FROM dims JOIN cent0 ON dims.sub = cent0.sub AND dims.sd = cent0.sd
+  GROUP BY dims.vec_id, dims.sub, cent0.code
+), a1 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM d1) WHERE rn = 1
+), cb AS (
+  SELECT a1.sub, a1.code, dims.sd, round(avg(dims.x), 6) AS c
+  FROM a1 JOIN dims ON a1.vec_id = dims.vec_id AND a1.sub = dims.sub
+  GROUP BY a1.sub, a1.code, dims.sd
+), d2 AS (
+  SELECT dims.vec_id, dims.sub, cb.code,
+         round(sum((dims.x - cb.c) * (dims.x - cb.c)), 6) AS dist
+  FROM dims JOIN cb ON dims.sub = cb.sub AND dims.sd = cb.sd
+  GROUP BY dims.vec_id, dims.sub, cb.code
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM d2) WHERE rn = 1
+), qd AS (
+  SELECT sub, sd, x FROM dims WHERE vec_id = {_QID}
+), dt AS (
+  SELECT cb.sub, cb.code, round(sum((qd.x - cb.c) * (qd.x - cb.c)), 6) AS dsub
+  FROM cb JOIN qd ON cb.sub = qd.sub AND cb.sd = qd.sd
+  GROUP BY cb.sub, cb.code
+)
+SELECT enc.vec_id, round(sum(dt.dsub), 6) AS approx_l2sq
+FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+GROUP BY enc.vec_id
+ORDER BY approx_l2sq, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_pq_adc_topk", oracle=PQ_ADC_ORACLE, tags=("llm", "similarity", "pq"))
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train 4×8 codebooks (one Lloyd round),
+    encode the corpus to 4 codes/vector, ADC top-10 for the query via the
+    m×codes distance table (operators/clustering.py:pq_adc_topk)."""
+    from ..operators.clustering import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == _QID)
+    return pq_adc_topk(emb, query, k=10)

@@ -604,3 +604,39 @@ def test_bloom_probe_joins_broadcast(spark):
     # the probe side must never shuffle: every bitmap join is a broadcast
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# Product quantization (operators/clustering.py:pq_*)
+# --------------------------------------------------------------------------
+def test_pq_encode_shape_and_code_range(spark, sf_dir):
+    from dataingestion_pt_ms_spark.operators.clustering import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    cb = pq_codebooks(emb, codes=8, sub_dim=16)
+    cb_pdf = cb.toPandas()
+    # codebook: 4 subspaces x (<=8 codes) x 16 dims
+    assert set(cb_pdf["sub"]) == {0, 1, 2, 3}
+    assert cb_pdf.groupby(["sub", "code"]).size().eq(16).all()
+    enc = pq_encode(emb, cb).toPandas()
+    # exactly m=4 codes per vector, all in [0, 8)
+    assert enc.groupby("vec_id").size().eq(4).all()
+    assert enc["code"].between(0, 7).all()
+
+
+def test_pq_adc_ranks_query_first(spark, sf_dir):
+    from dataingestion_pt_ms_spark.operators.clustering import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    top = pq_adc_topk(emb, query, k=10).toPandas()
+    assert len(top) == 10
+    assert (top["approx_l2sq"] >= 0).all()
+    # ordered ascending by quantized distance
+    assert top["approx_l2sq"].is_monotonic_increasing
+    # the query vector itself carries the minimum possible quantization
+    # error for its own code cells — it must appear in the top-10
+    assert 0 in set(top["vec_id"])
