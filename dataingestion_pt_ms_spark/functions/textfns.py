@@ -35,6 +35,19 @@ def shingles(toks: Column, k: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, joined))
 
 
+def ngrams(toks: Column, n: int) -> Column:
+    """Positional n-grams of a token array — duplicates KEPT, output order =
+    span position (unlike ``shingles``, which dedups for set semantics).
+    Documents shorter than n yield an empty array."""
+    joined = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, joined)
+
+
 def token_fingerprint(text: Column) -> Column:
     """Canonical content fingerprint: md5 of the sorted distinct token set
     (classic "fingerprint" key-collapsing used for near-canonical dedup)."""

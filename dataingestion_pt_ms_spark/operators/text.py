@@ -545,3 +545,50 @@ def unigram_logprob(
             F.round(F.exp(F.avg(neg_log_p)), 4).alias("ppl"),
         )
     )
+
+
+def cross_doc_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document repeated-span statistics — the relational core of
+    exact-substring train-set dedup (the suffix-array approach of
+    "Deduplicating Training Data" re-expressed as fixed-width token
+    n-grams): for each document, how much of it consists of n-token spans
+    that also occur in OTHER documents.
+
+    Shape: one explode of the positional n-gram stream, one
+    map-side-combined groupBy(gram) for document frequencies, one join
+    back (vocabulary-sized right side — AQE broadcasts when it fits), one
+    groupBy(doc). Documents shorter than n tokens survive with
+    n_spans=0 and NULL fraction (explode_outer — same contract as
+    contamination_check).
+
+    Returns (key, n_spans, n_repeated, repeated_fraction).
+    """
+    from ..functions.textfns import ngrams
+
+    grams = df.select(
+        key_col,
+        F.explode_outer(ngrams(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    dfreq = (
+        grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.countDistinct(key_col).alias("df_docs"))
+    )
+    n_rep = F.count(F.when(F.col("df_docs") > 1, F.lit(1)))
+    n_spans = F.count("gram")
+    return (
+        grams.join(dfreq, "gram", "left")
+        .groupBy(key_col)
+        .agg(
+            n_spans.alias("n_spans"),
+            n_rep.alias("n_repeated"),
+            F.when(
+                n_spans > 0, F.round(n_rep / n_spans.cast("double"), 6)
+            ).alias("repeated_fraction"),
+        )
+    )

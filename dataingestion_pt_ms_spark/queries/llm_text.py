@@ -642,3 +642,42 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relational core of the CCNet perplexity quality filter."""
     docs = load_table(spark, sf_dir, "documents")
     return T.unigram_logprob(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated spans (operators/text.py:cross_doc_span_stats):
+# the exact-substring-dedup statistic — per document, the fraction of its
+# 5-token spans that also occur in at least one OTHER document.
+# --------------------------------------------------------------------------
+CROSS_SPANS_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_DTOKS} AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 5
+                THEN list_transform(generate_series(1, len(t) - 4),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+                ELSE [NULL] END) AS gram
+  FROM tk
+), dfreq AS (
+  SELECT gram, count(DISTINCT doc_id) AS df_docs
+  FROM g WHERE gram IS NOT NULL GROUP BY gram
+)
+SELECT g.doc_id,
+       count(g.gram) AS n_spans,
+       count(CASE WHEN dfreq.df_docs > 1 THEN 1 END) AS n_repeated,
+       CASE WHEN count(g.gram) > 0
+            THEN round(count(CASE WHEN dfreq.df_docs > 1 THEN 1 END)
+                       / CAST(count(g.gram) AS DOUBLE), 6) END AS repeated_fraction
+FROM g LEFT JOIN dfreq USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register("text_cross_doc_spans", oracle=CROSS_SPANS_ORACLE, tags=("llm", "text", "dedup"))
+def text_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-span fraction vs the rest of the corpus
+    (exact-substring dedup statistic, 5-token spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.cross_doc_span_stats(docs, n=5).orderBy("doc_id")

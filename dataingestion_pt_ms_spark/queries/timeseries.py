@@ -459,3 +459,137 @@ def timeseries_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFram
         interp.alias("value_interp"),
         F.col("avg_value").isNull().alias("is_gap"),
     ).orderBy("user_id", "hour_ts")
+
+
+# --------------------------------------------------------------------------
+# SCD2 history build: compress each user's event stream into state
+# intervals (consecutive same event_type runs), valid_from/valid_to
+# half-open, NULL-terminated current row — the warehouse
+# slowly-changing-dimension type-2 shape, built with lag → island-sum →
+# per-island agg → lead: three window passes + one agg over a single
+# shuffle on user_id.
+# --------------------------------------------------------------------------
+SCD2_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM ordered
+), hist AS (
+  SELECT user_id, CAST(island AS BIGINT) AS island, min(event_type) AS state,
+         min(ts) AS vf, count(*) AS n_events
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, island, state,
+       strftime(vf, '{_TS_FMT_DUCK}') AS valid_from,
+       coalesce(strftime(lead(vf) OVER wi, '{_TS_FMT_DUCK}'), '') AS valid_to,
+       n_events,
+       lead(vf) OVER wi IS NULL AS is_current
+FROM hist
+WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+ORDER BY user_id, island
+"""
+
+
+@register("events_scd2_history", oracle=SCD2_ORACLE, tags=("timeseries", "window", "scd2"))
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each user's event_type
+    state: one row per consecutive-state run with half-open validity."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    lag_t = F.lag("event_type").over(wo)
+    chg = F.when(
+        lag_t.isNull() | (lag_t != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = ev.select(
+        "user_id", "event_type", "ts", F.sum(chg).over(wrun).alias("island")
+    )
+    hist = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wi = W.partitionBy("user_id").orderBy("island")
+    nxt = F.lead("vf").over(wi)
+    return hist.select(
+        "user_id",
+        "island",
+        "state",
+        F.date_format("vf", _TS_FMT).alias("valid_from"),
+        F.coalesce(F.date_format(nxt, _TS_FMT), F.lit("")).alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "island")
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel: how many users progressed view → click → purchase in
+# timestamp order. Stage anchors are per-user window minima computed in
+# three chained passes over ONE shuffle on user_id (each stage's predicate
+# references the previous anchor, constant within the partition).
+# --------------------------------------------------------------------------
+FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t_view
+                  THEN e.ts END) AS t_click
+  FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t_click
+                  THEN e.ts END) AS t_purchase
+  FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id
+)
+SELECT count(*) AS n_users,
+       count(s1.t_view) AS reached_view,
+       count(s2.t_click) AS reached_click,
+       count(s3.t_purchase) AS reached_purchase
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+"""
+
+
+@register("events_funnel_stages", oracle=FUNNEL_ORACLE, tags=("timeseries", "funnel", "window"))
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → click → purchase) with per-user
+    stage anchors as chained window minima — no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_view", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", tp)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+    )
