@@ -51,6 +51,13 @@ HEADLINE = [
     "text_quality_score",
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
+    "dedup_cross_corpus_minhash",
+    "text_unigram_logprob",
+    "text_cross_doc_spans",
+    "timeseries_gapfill_interpolate",
+    "events_scd2_history",
+    "join_bloom_runtime_filter",
+    "sim_pq_adc_topk",
     "sim_cosine_topk_bruteforce",
     "sim_ann_ivf_topk",
     "sim_blocked_nearest_neighbor",

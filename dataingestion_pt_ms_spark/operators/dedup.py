@@ -579,3 +579,66 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("key_a")
     )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    stored_sigs: DataFrame,
+    text_col: str,
+    key_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental near-dup detection: a NEW batch of documents against a
+    persisted signature store — the production steady-state of corpus
+    dedup, where the existing corpus is never re-read. ``stored_sigs``
+    needs only (key, signature) (the minhash_signature output, typically
+    a parquet table partitioned by band-friendly key ranges); raw stored
+    text is not touched, so the verify step uses the signature-estimated
+    Jaccard (fraction of equal components — the standard MinHash
+    estimator) instead of exact shingle overlap.
+
+    Shape: signatures for the new batch only, band join new×store (the
+    new side broadcasts — a batch is tiny next to the store), estimator
+    over the candidate pairs. Store-side cost is one scan of the
+    signature table; nothing re-hashes.
+
+    Returns (new_key, stored_key, est_jaccard) with est ≥ threshold.
+    """
+    rows = num_perm // bands
+    sig_new = minhash_signature(new_docs, text_col, key_col, num_perm, shingle_k)
+    b_new = _banded(sig_new, key_col, bands, rows).select(
+        F.col("k").alias("new_key"), "band_idx", "band_hash"
+    )
+    b_old = _banded(stored_sigs, key_col, bands, rows).select(
+        F.col("k").alias("stored_key"), "band_idx", "band_hash"
+    )
+    cands = (
+        b_old.join(F.broadcast(b_new), ["band_idx", "band_hash"])
+        .select("new_key", "stored_key")
+        .distinct()
+    )
+    sa = sig_new.select(F.col(key_col).alias("new_key"), F.col("signature").alias("sig_a"))
+    sb = stored_sigs.select(
+        F.col(key_col).alias("stored_key"), F.col("signature").alias("sig_b")
+    )
+    # 64 comparisons per CANDIDATE pair — interpreted HOF is fine here
+    # (candidate count tracks near-dup density, not corpus size)
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(F.broadcast(sa), "new_key")
+        .join(sb, "stored_key")
+        .select(
+            "new_key",
+            "stored_key",
+            F.round(matches / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("new_key", "stored_key")
+    )

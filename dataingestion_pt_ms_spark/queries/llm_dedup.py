@@ -420,3 +420,60 @@ def dedup_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         threshold=0.8,
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup vs a signature store: docs >= 400 are the "new batch",
+# docs < 400 stand in for the persisted signature store (the query builds
+# their signatures in-line; production reads them from parquet — the
+# operator only sees (key, signature) either way). Verified with the
+# signature-estimated Jaccard (matching components / 64), which is exact
+# integer arithmetic and therefore engine-identical.
+# --------------------------------------------------------------------------
+_EST_JACCARD = (
+    "("
+    + " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(64))
+    + ") / 64.0"
+)
+INCR_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DSHINGLES}) AS s FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_MINHASH_SIG_AGGS} FROM h GROUP BY doc_id
+), banded AS (
+  {_MINHASH_BANDS}
+), pairs AS (
+  SELECT DISTINCT n.doc_id AS new_key, o.doc_id AS stored_key
+  FROM banded n
+  JOIN banded o ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+  WHERE n.doc_id >= 400 AND o.doc_id < 400
+)
+SELECT new_key, stored_key, round({_EST_JACCARD}, 6) AS est_jaccard
+FROM pairs
+JOIN sig a ON pairs.new_key = a.doc_id
+JOIN sig b ON pairs.stored_key = b.doc_id
+WHERE {_EST_JACCARD} >= 0.5
+ORDER BY new_key, stored_key
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=INCR_MINHASH_ORACLE,
+    tags=("llm", "dedup", "lsh", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-signature-store incremental near-dup detection
+    (operators/dedup.py:incremental_minhash_dedup); store side is the
+    signatures of docs < 400, new batch is docs >= 400."""
+    docs = load_table(spark, sf_dir, "documents")
+    stored = D.minhash_signature(
+        docs.filter(F.col("doc_id") < 400), "text", "doc_id"
+    )
+    return D.incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") >= 400), stored, "text", "doc_id", threshold=0.5
+    )

@@ -640,3 +640,77 @@ def test_pq_adc_ranks_query_first(spark, sf_dir):
     # the query vector itself carries the minimum possible quantization
     # error for its own code cells — it must appear in the top-10
     assert 0 in set(top["vec_id"])
+
+
+def test_incremental_dedup_via_parquet_signature_store(spark, tmp_path):
+    """Production shape: batch-1 signatures persisted to parquet; batch-2
+    dedups against the STORE (raw batch-1 text never re-read)."""
+    from dataingestion_pt_ms_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signature,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely " * 6)],
+        "doc_id long, text string",
+    )
+    store_path = str(tmp_path / "sig_store")
+    minhash_signature(batch1, "text", "doc_id").write.parquet(store_path)
+
+    batch2 = spark.createDataFrame(
+        [(10, base + "extra token"), (11, "novel unseen content here " * 6)],
+        "doc_id long, text string",
+    )
+    stored = spark.read.parquet(store_path)
+    hits = incremental_minhash_dedup(
+        batch2, stored, "text", "doc_id", threshold=0.5
+    ).toPandas()
+    assert set(zip(hits["new_key"], hits["stored_key"])) == {(10, 1)}
+    assert (hits["est_jaccard"] >= 0.5).all()
+
+
+def test_cross_doc_span_stats_known_corpus(spark):
+    """Polynomial-hashed spans must agree with string n-gram semantics on a
+    corpus with a known shared 5-token span and a too-short doc."""
+    from dataingestion_pt_ms_spark.operators.text import cross_doc_span_stats
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),          # 8 tokens -> 4 spans
+            (2, "x y " + shared),                    # 7 tokens -> 3 spans
+            (3, "totally disjoint text with nothing shared here"),  # 7 -> 3
+            (4, "too short"),                        # 2 tokens -> 0 spans
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        cross_doc_span_stats(docs, n=5)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_spans"] == 4 and out.loc[1, "n_repeated"] == 1
+    assert out.loc[2, "n_spans"] == 3 and out.loc[2, "n_repeated"] == 1
+    assert out.loc[3, "n_spans"] == 3 and out.loc[3, "n_repeated"] == 0
+    assert out.loc[4, "n_spans"] == 0 and out.loc[4, "n_repeated"] == 0
+    import pandas as pd
+
+    assert pd.isna(out.loc[4, "repeated_fraction"])
+    assert abs(out.loc[1, "repeated_fraction"] - 0.25) < 1e-9
+
+
+def test_ngrams_expression_matches_span_count(spark):
+    """functions.textfns.ngrams (string form) and the operator's polynomial
+    span count agree on span positions."""
+    from dataingestion_pt_ms_spark.functions.textfns import ngrams, tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b")], "doc_id long, text string"
+    )
+    pdf = df.select(
+        "doc_id", F.size(ngrams(tokens(F.col("text")), 5)).alias("n")
+    ).toPandas().set_index("doc_id")
+    assert pdf.loc[1, "n"] == 2
+    assert pdf.loc[2, "n"] == 0
