@@ -468,3 +468,135 @@ def test_complete_output_mode(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once incremental resume: a SECOND query over the SAME
+    checkpoint picks up only files added after the first run (the file
+    source's committed-offset log), with an append parquet sink so any
+    reprocessing would be visible as duplicate rows."""
+    import glob
+    import os
+
+    src = str(tmp_path / "resume_src")
+    out = str(tmp_path / "resume_out")
+    ckpt = str(tmp_path / "resume_ckpt")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def stage(name, ids):
+        stage_dir = str(tmp_path / f"stage_{name}")
+        rows = [(i, t0 + dt.timedelta(minutes=i), 1, "click", 1.0) for i in ids]
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(stage_dir)
+        shutil.copyfile(
+            glob.glob(f"{stage_dir}/part-*.parquet")[0], f"{src}/{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            stream_from_dir(spark, src, EVENTS_SCHEMA)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    stage("batch1", [1, 2, 3])
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+    stage("batch2", [10, 11])
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 5  # 3 + 2: batch1 NOT replayed
+    assert {r.event_id for r in got.collect()} == {1, 2, 3, 10, 11}
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Stream-stream LEFT OUTER join: unmatched clicks emit with NULL
+    purchase once the watermark passes their join window (state eviction),
+    not before. Two files + maxFilesPerTrigger=1 force two micro-batches so
+    the watermark advance from batch 2 flushes batch 1's unmatched rows."""
+    import glob
+    import os
+
+    src = str(tmp_path / "ssoj_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def stage(name, rows, mtime):
+        stage_dir = str(tmp_path / f"ssoj_stage_{name}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(stage_dir)
+        dst = f"{src}/{name}.parquet"
+        shutil.copyfile(glob.glob(f"{stage_dir}/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    stage(
+        "f1",
+        [
+            (1, t0, 7, "click", 1.0),                              # matches 2
+            (2, t0 + dt.timedelta(minutes=10), 7, "purchase", 9.0),
+            (4, t0 + dt.timedelta(minutes=5), 8, "click", 1.0),    # never matches
+        ],
+        1_700_000_000,
+    )
+    stage(
+        "f2",
+        [(6, t0 + dt.timedelta(hours=6), 9, "click", 1.0)],        # advances wm
+        1_700_000_100,
+    )
+    # the watermark computed from f2's max event time only takes effect in
+    # the NEXT micro-batch — a third file forces that batch so f1's
+    # unmatched click is evicted and emitted
+    stage(
+        "f3",
+        [(8, t0 + dt.timedelta(hours=7), 9, "purchase", 1.0)],
+        1_700_000_200,
+    )
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    clicks = (
+        reader.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        reader.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssoj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssoj_out").collect()
+    }
+    assert (1, 2) in rows            # matched pair
+    assert (4, None) in rows         # unmatched click flushed by wm advance
+    assert (1, None) not in rows     # matched click must NOT also emit null
