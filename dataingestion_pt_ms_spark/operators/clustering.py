@@ -113,11 +113,19 @@ def pq_codebooks(
     key_col: str = "vec_id",
     codes: int = 8,
     sub_dim: int = 16,
+    train_mod: int = 1,
 ) -> DataFrame:
     """Product-quantization codebooks: per subspace, a ``codes``-entry
     centroid table after one deterministic Lloyd round (seeds = the
     subvectors of the ``codes`` smallest keys, same init discipline as
     kmeans_lloyd; centroids rounded 6 dp).
+
+    ``train_mod``: train on the deterministic 1/train_mod sample
+    ``key % train_mod == 0`` — the standard PQ practice (codebooks come
+    from a training sample, the FULL corpus is then encoded against
+    them). Deterministic modulus keeps the oracle exact; at 100 TB the
+    training job touches a fixed-size sample while encode stays a single
+    linear pass.
 
     Returns (sub, code, sd, c) — m × codes × sub_dim rows, a tiny frame
     that broadcasts everywhere it is consumed. Training shape: the
@@ -125,6 +133,8 @@ def pq_codebooks(
     map-side partial aggregation; all subspaces train in the SAME two
     jobs (sub is just a grouping column), not m sequential ones.
     """
+    if train_mod > 1:
+        df = df.filter(F.col(key_col) % train_mod == 0)
     dims = _sub_dims(df, vec_col, key_col, sub_dim).localCheckpoint()
     seeds = (
         df.select(key_col)
@@ -148,7 +158,11 @@ def pq_codebooks(
 
 def _pq_assign(dims: DataFrame, cent: DataFrame, key_col: str) -> DataFrame:
     """Nearest code per (key, subspace) against broadcast centroids;
-    rounded distances, ties toward the smaller code id."""
+    rounded distances, ties toward the smaller code id.
+
+    The argmin is ``min_by(code, (dist, code))`` — a hash aggregation with
+    map-side partials — NOT a row_number window, whose per-(key, sub) sort
+    shuffle costs ~2× here and grows with corpus size."""
     dist = (
         dims.join(F.broadcast(cent), ["sub", "sd"])
         .groupBy(key_col, "sub", "code")
@@ -158,11 +172,8 @@ def _pq_assign(dims: DataFrame, cent: DataFrame, key_col: str) -> DataFrame:
             ).alias("dist")
         )
     )
-    w = W.partitionBy(key_col, "sub").orderBy("dist", "code")
-    return (
-        dist.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(key_col, "sub", "code")
+    return dist.groupBy(key_col, "sub").agg(
+        F.min_by("code", F.struct("dist", "code")).alias("code")
     )
 
 
@@ -190,16 +201,20 @@ def pq_adc_topk(
     key_col: str = "vec_id",
     codes: int = 8,
     sub_dim: int = 16,
+    train_mod: int = 1,
 ) -> DataFrame:
-    """Asymmetric-distance top-k: train codebooks, encode the corpus, build
-    the query's per-(subspace, code) distance table (m × codes cells), and
+    """Asymmetric-distance top-k: train codebooks (optionally on the
+    deterministic 1/train_mod sample), encode the FULL corpus, build the
+    query's per-(subspace, code) distance table (m × codes cells), and
     score every vector as the sum of its m table lookups — no per-row
     float vector math at query time, one broadcast join on (sub, code) and
     a TakeOrderedAndProject.
 
     Returns (key, approx_l2sq) for the k nearest by quantized L2.
     """
-    cb = pq_codebooks(corpus, vec_col, key_col, codes, sub_dim).localCheckpoint()
+    cb = pq_codebooks(
+        corpus, vec_col, key_col, codes, sub_dim, train_mod
+    ).localCheckpoint()
     enc = pq_encode(corpus, cb, vec_col, key_col, sub_dim)
     qd = _sub_dims(query, vec_col, key_col, sub_dim).drop(key_col)
     dt = (

@@ -442,27 +442,30 @@ WITH dims AS (
   SELECT vec_id, (i - 1) // 16 AS sub, (i - 1) % 16 AS sd,
          CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+), tdims AS (
+  SELECT * FROM dims WHERE vec_id % 4 = 0
 ), seeds AS (
   SELECT vec_id AS seed_id,
          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0
+        ORDER BY vec_id LIMIT 8)
 ), cent0 AS (
   SELECT d.sub, s.code, d.sd, d.x AS c
-  FROM seeds s JOIN dims d ON d.vec_id = s.seed_id
+  FROM seeds s JOIN tdims d ON d.vec_id = s.seed_id
 ), d1 AS (
-  SELECT dims.vec_id, dims.sub, cent0.code,
-         round(sum((dims.x - cent0.c) * (dims.x - cent0.c)), 6) AS dist
-  FROM dims JOIN cent0 ON dims.sub = cent0.sub AND dims.sd = cent0.sd
-  GROUP BY dims.vec_id, dims.sub, cent0.code
+  SELECT tdims.vec_id, tdims.sub, cent0.code,
+         round(sum((tdims.x - cent0.c) * (tdims.x - cent0.c)), 6) AS dist
+  FROM tdims JOIN cent0 ON tdims.sub = cent0.sub AND tdims.sd = cent0.sd
+  GROUP BY tdims.vec_id, tdims.sub, cent0.code
 ), a1 AS (
   SELECT vec_id, sub, code FROM (
     SELECT vec_id, sub, code,
            row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
     FROM d1) WHERE rn = 1
 ), cb AS (
-  SELECT a1.sub, a1.code, dims.sd, round(avg(dims.x), 6) AS c
-  FROM a1 JOIN dims ON a1.vec_id = dims.vec_id AND a1.sub = dims.sub
-  GROUP BY a1.sub, a1.code, dims.sd
+  SELECT a1.sub, a1.code, tdims.sd, round(avg(tdims.x), 6) AS c
+  FROM a1 JOIN tdims ON a1.vec_id = tdims.vec_id AND a1.sub = tdims.sub
+  GROUP BY a1.sub, a1.code, tdims.sd
 ), d2 AS (
   SELECT dims.vec_id, dims.sub, cb.code,
          round(sum((dims.x - cb.c) * (dims.x - cb.c)), 6) AS dist
@@ -490,11 +493,12 @@ LIMIT 10
 
 @register("sim_pq_adc_topk", oracle=PQ_ADC_ORACLE, tags=("llm", "similarity", "pq"))
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: train 4×8 codebooks (one Lloyd round),
-    encode the corpus to 4 codes/vector, ADC top-10 for the query via the
-    m×codes distance table (operators/clustering.py:pq_adc_topk)."""
+    """Product-quantization ANN: train 4×8 codebooks (one Lloyd round, on
+    the deterministic 1/4 sample — PQ trains on a sample, encodes the full
+    corpus), ADC top-10 for the query via the m×codes distance table
+    (operators/clustering.py:pq_adc_topk)."""
     from ..operators.clustering import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == _QID)
-    return pq_adc_topk(emb, query, k=10)
+    return pq_adc_topk(emb, query, k=10, train_mod=4)
