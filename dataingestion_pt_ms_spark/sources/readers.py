@@ -75,3 +75,13 @@ def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file under
+    ``path`` (``mergeSchema``), so a table whose writers added columns
+    over time reads as one relation — old files surface the new columns
+    as NULL. The per-file footer merge costs one extra metadata pass;
+    production tables should pin the canonical schema once evolution
+    settles (read with an explicit StructType again)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

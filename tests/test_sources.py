@@ -99,3 +99,24 @@ def test_text_lines_reader(spark, tmp_path):
     )
     out = line_dedup(docs, "text", "doc_id", max_count=1).first()
     assert out.n_removed == 2 and "boilerplate" not in out.clean_text
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Writers added a column over time: mergeSchema reads old + new files
+    as one relation, old rows NULL in the added column; a filter on the
+    added column still prunes correctly."""
+    from dataingestion_pt_ms_spark.sources.readers import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string").write.parquet(
+        path
+    )
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet_evolved(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] == 0.5
+    assert df.filter(F.col("score").isNotNull()).count() == 1
