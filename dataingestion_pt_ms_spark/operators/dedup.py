@@ -86,7 +86,12 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str, key_col: str, num_perm: int = 64, shingle_k: int = 3
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """(key, signature: array<long>) MinHash signatures.
 
@@ -98,22 +103,34 @@ def minhash_signature(
     aggregation collapses each partition to one 64-column row per doc before
     the shuffle, so the exchange is O(docs), not O(shingles).
 
-    Base shingle hash = first 8 hex chars of md5 as an integer (mod M):
-    engine-agnostic, so signatures — and therefore the whole LSH pipeline —
-    are exactly reproducible by the DuckDB oracle.
+    ``base_hash`` picks the per-shingle hash:
+
+    - ``"md5"`` (default): first 8 hex chars of md5 as an integer (mod M) —
+      engine-agnostic, so signatures (and therefore the whole LSH pipeline)
+      are exactly reproducible by the DuckDB oracle. Costs hex formatting +
+      string base conversion per shingle.
+    - ``"xxhash64"``: Spark's native 64-bit hash (mod M) — the production
+      fast path, ~2× on the signature stage (pure JVM long arithmetic, no
+      string round-trip). Not reproducible outside Spark, so queries using
+      it are checked against the md5 twin's verified output instead of a
+      SQL oracle (candidate *recall* is the only hash-dependent part; the
+      exact-Jaccard verify step is hash-independent).
     """
     # spread CPU-bound work: one small parquet file = one partition otherwise
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if base_hash == "xxhash64":
+        hash_expr = F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE31))
+    elif base_hash == "md5":
+        hash_expr = F.pmod(
+            F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long"),
+            F.lit(_MERSENNE31),
+        )
+    else:
+        raise ValueError(f"base_hash must be 'md5' or 'xxhash64', got {base_hash!r}")
     exploded = df.select(
         F.col(key_col),
         F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("_s"),
-    ).select(
-        key_col,
-        F.pmod(
-            F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long"),
-            F.lit(_MERSENNE31),
-        ).alias("_h"),
-    )
+    ).select(key_col, hash_expr.alias("_h"))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE31))).alias(
             f"_m{p}"
@@ -282,6 +299,7 @@ def minhash_lsh_rep_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     bucket_cap: int | None = None,
+    base_hash: str = "md5",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Scale core of MinHash-LSH dedup: ``(rep_pairs, members, reps)``.
 
@@ -308,7 +326,7 @@ def minhash_lsh_rep_pairs(
     reps = reps.localCheckpoint(eager=False)
     members = members.localCheckpoint(eager=False)
     rows = num_perm // bands
-    sig = minhash_signature(reps, text_col, key_col, num_perm, shingle_k)
+    sig = minhash_signature(reps, text_col, key_col, num_perm, shingle_k, base_hash)
     cands = lsh_candidate_pairs(sig, key_col, bands, rows, bucket_cap)
     verified = jaccard_pairs(reps, cands, text_col, key_col, shingle_k)
     return verified.filter(F.col("jaccard") >= threshold), members, reps
@@ -323,6 +341,7 @@ def minhash_lsh_near_dups(
     bands: int = 8,
     shingle_k: int = 3,
     bucket_cap: int | None = None,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs with exact verification.
 
@@ -336,7 +355,8 @@ def minhash_lsh_near_dups(
     ``minhash_lsh_rep_pairs`` and skip it.
     """
     rep_pairs, members, reps = minhash_lsh_rep_pairs(
-        df, text_col, key_col, threshold, num_perm, bands, shingle_k, bucket_cap
+        df, text_col, key_col, threshold, num_perm, bands, shingle_k, bucket_cap,
+        base_hash,
     )
     # rep_pairs is near-dup-density-sized (tiny); materialize it so the
     # expansion joins and the final orderBy's range-partitioning sample pass
@@ -394,6 +414,7 @@ def cross_corpus_near_dups(
     num_perm: int = 64,
     bands: int = 8,
     shingle_k: int = 3,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """Doc-level cross-corpus near-dup detection: which ``corpus`` documents
     near-duplicate any ``probe`` document (train-vs-eval decontamination at
@@ -409,8 +430,8 @@ def cross_corpus_near_dups(
     Returns (corpus_key, probe_key, jaccard) with jaccard ≥ threshold.
     """
     rows = num_perm // bands
-    sig_c = minhash_signature(corpus, text_col, key_col, num_perm, shingle_k)
-    sig_p = minhash_signature(probe, text_col, key_col, num_perm, shingle_k)
+    sig_c = minhash_signature(corpus, text_col, key_col, num_perm, shingle_k, base_hash)
+    sig_p = minhash_signature(probe, text_col, key_col, num_perm, shingle_k, base_hash)
     b_c = _banded(sig_c, key_col, bands, rows)
     b_p = _banded(sig_p, key_col, bands, rows)
     cands = (

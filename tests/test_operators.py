@@ -149,6 +149,34 @@ def test_minhash_lsh_recall_vs_exhaustive(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall:.2f} ({len(found)}/{len(truth)})"
 
 
+def test_minhash_fast_path_matches_md5_variant(spark, sf_dir):
+    """xxhash64 base hash (production fast path) must produce the same
+    *verified* near-dup pairs as the md5 oracle twin: the exact-Jaccard
+    verify step is hash-independent, so any divergence would be an LSH
+    recall difference — and both variants sit far up the s-curve for the
+    sf0.001 corpus's true pairs (P(miss) ≈ 1e-4 per pair at j≥0.8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {
+        (r.key_a, r.key_b, r.jaccard)
+        for r in D.minhash_lsh_near_dups(
+            docs, "text", "doc_id", 0.8, base_hash="xxhash64"
+        ).collect()
+    }
+    slow = {
+        (r.key_a, r.key_b, r.jaccard)
+        for r in D.minhash_lsh_near_dups(docs, "text", "doc_id", 0.8).collect()
+    }
+    assert fast == slow
+
+
+def test_minhash_base_hash_validated(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(ValueError, match="base_hash"):
+        D.minhash_signature(docs, "text", "doc_id", base_hash="sha1").collect()
+
+
 def test_minhash_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     a = sorted(map(tuple, D.minhash_lsh_near_dups(docs, "text", "doc_id", 0.8).collect()))
