@@ -79,15 +79,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), surfaced as long (ns since
-        # epoch) via spark.sql.legacy.parquet.nanosAsLong. Truncate to µs
-        # with integer division (ns epoch values exceed double's 2^53
-        # mantissa — float division would corrupt them) — identical to
-        # DuckDB's ns→µs truncation on read.
-        if dict(df.dtypes).get("ts") == "bigint":
+        # Normalize events.ts to TIMESTAMP (LTZ, µs) whatever the parquet
+        # physical type of the driver-generated file:
+        # - TIMESTAMP(NANOS): surfaced as long (ns since epoch) via
+        #   spark.sql.legacy.parquet.nanosAsLong. Truncate to µs with
+        #   integer division (ns epoch values exceed double's 2^53 mantissa
+        #   — float division would corrupt them) — identical to DuckDB's
+        #   ns→µs truncation on read.
+        # - TIMESTAMP_NTZ (isAdjustedToUTC=false µs): plain cast; the
+        #   session timezone is pinned UTC so wall-clock values are
+        #   preserved bit-exactly and match DuckDB's naive read.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     per_session[key] = df
     return df
 
