@@ -630,3 +630,59 @@ def cross_doc_span_stats(
             ).alias("repeated_fraction"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM fluency scoring — one n-gram order above ``unigram_logprob``
+    (same CCNet-perplexity-gate shape; see that docstring for the scale
+    argument, which carries over: both count tables are vocabulary-bounded,
+    AQE broadcasts them at the score join, the corpus shuffles on token
+    once per count table).
+
+    Train: bigram counts c2(w1,w2) and context counts c1(w1) over the
+    corpus bigram stream. Score: per document, average ``-ln p(w2|w1)``
+    with add-one smoothing, ``p = (c2 + 1) / (c1 + |V|)``, |V| = distinct
+    unigram vocabulary. Bigrams are built in-expression (``zip_with`` of
+    the two shifted slices — zero extra shuffle, stays in codegen), so
+    only documents with >= 2 tokens appear in the output; the DuckDB twin
+    mirrors that via zipped parallel ``unnest`` s.
+
+    Returns (key, n_bigrams, nll, ppl); nll rounded 6 dp, ppl 4 dp
+    (aggregate rounding policy — see queries/__init__.py docstring).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        df.filter(n >= 2)
+        .select(key_col, F.explode(bigrams).alias("bg"))
+        .select(key_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("cnt1"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    neg_log_p = -F.log(
+        (F.col("cnt2") + F.lit(1.0)) / (F.col("cnt1") + F.col("vocab"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(neg_log_p), 6).alias("nll"),
+            F.round(F.exp(F.avg(neg_log_p)), 4).alias("ppl"),
+        )
+    )

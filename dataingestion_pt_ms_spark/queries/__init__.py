@@ -59,6 +59,7 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         aggregates,
+        curation,
         functions2,
         joins,
         llm_dedup,

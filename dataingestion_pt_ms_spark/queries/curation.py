@@ -1,0 +1,310 @@
+"""Corpus-curation queries: deterministic hash sampling, fixed-weight
+logistic quality gate, per-source corpus profiling, percentile summaries,
+value histograms, bigram-LM scoring, int8 embedding quantization.
+
+These extend the LLM-pipeline surface (SURVEY.md §2.B round-2 additions)
+with the curation steps a pretraining-data team runs between dedup and
+packing. Every query here has an exact DuckDB oracle; notably the hash
+sampler replaces the engine-RNG `sample_seeded_fraction` rows-only check
+with a fully attested md5-bucket variant (the industry-standard way to
+sample reproducibly across engines and re-runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import text as T
+from . import register
+from ._ducktwins import DTOKS
+
+# --------------------------------------------------------------------------
+# Deterministic hash-bucket sampling: bucket = md5(key) % 100, keep < pct.
+# Unlike df.sample() (engine RNG, rows-only check), the membership decision
+# is a pure function of the key — stable across engines, partitionings,
+# retries, and scale, which is what makes it auditable at 100 TB.
+# --------------------------------------------------------------------------
+_DBUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+SAMPLE_HASH_ORACLE = f"""
+SELECT doc_id, lang, {_DBUCKET} AS bucket
+FROM documents
+WHERE {_DBUCKET} < 10
+ORDER BY doc_id
+"""
+
+
+@register("sample_hash_bucket", oracle=SAMPLE_HASH_ORACLE, tags=("llm", "sample"))
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 10)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-weight logistic quality gate (the fastText-style quality-classifier
+# shape with the learned model replaced by a fixed linear head over cheap
+# features — the serving plan is identical: pure JVM expressions, no UDF,
+# fully pushed into one projection over the scan).
+# --------------------------------------------------------------------------
+_W0, _W_LEN, _W_TOKLEN, _W_MARKER = -1.5, 0.9, -0.35, 6.0
+_MARKERS = ", ".join(f"'{m}'" for m in T.EN_MARKERS)
+
+QUALITY_LOGISTIC_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len({DTOKS}) AS DOUBLE) AS n_tokens,
+         list_sum(list_transform({DTOKS}, t -> CAST(len(t) AS DOUBLE)))
+           / CAST(len({DTOKS}) AS DOUBLE) AS avg_token_len,
+         CAST(len(list_filter({DTOKS}, t -> t IN ({_MARKERS}))) AS DOUBLE)
+           / CAST(len({DTOKS}) AS DOUBLE) AS marker_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({_W0} + {_W_LEN} * ln(n_tokens + 1.0)
+               + {_W_TOKLEN} * avg_token_len
+               + {_W_MARKER} * marker_ratio))), 6) AS quality_score
+  FROM feats
+)
+SELECT doc_id, quality_score,
+       CAST(quality_score >= 0.5 AS BOOLEAN) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_quality_logistic", oracle=QUALITY_LOGISTIC_ORACLE, tags=("llm", "text", "quality")
+)
+def text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    avg_len = (
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n
+    )
+    marker_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*T.EN_MARKERS))).cast("double") / n
+    )
+    z = (
+        F.lit(_W0)
+        + F.lit(_W_LEN) * F.log(n + F.lit(1.0))
+        + F.lit(_W_TOKLEN) * avg_len
+        + F.lit(_W_MARKER) * marker_ratio
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (
+        docs.select(
+            "doc_id",
+            score.alias("quality_score"),
+        )
+        .withColumn("keep", F.col("quality_score") >= 0.5)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source corpus profile (the per-domain rollup a Common-Crawl-style
+# pipeline runs to spot low-quality / duplicate-heavy sources): doc counts,
+# exact-dup ratio via distinct text hash, size and language spread.
+# --------------------------------------------------------------------------
+SOURCE_STATS_ORACLE = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique_texts,
+       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+         AS dup_ratio,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("docs_source_stats", oracle=SOURCE_STATS_ORACLE, tags=("llm", "profile", "agg"))
+def docs_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct(F.md5("text")).cast("double") / F.count("*"),
+                6,
+            ).alias("dup_ratio"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Percentile summary per group — exact linear-interpolated quartiles
+# (Spark `percentile` ≡ DuckDB `quantile_cont`). The approx_percentile
+# scale path for this shape is covered by agg_approx_quantiles /
+# text_quantile_filter_approx (rows-only); this is the exact twin.
+# --------------------------------------------------------------------------
+PERCENTILE_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+       round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+       round(quantile_cont(c_acctbal, 0.75), 4) AS p75
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("agg_percentile_summary", oracle=PERCENTILE_ORACLE, tags=("agg", "percentile"))
+def agg_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("c_acctbal", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram of order totals. The bucket expression is written
+# identically in both engines (floor-divide + clamp) rather than relying on
+# either engine's width_bucket builtin, so the bin edges are unambiguous.
+# A histogram is one map-side-combined shuffle of at most n_buckets rows —
+# the canonical O(1)-output profile query at any scale.
+# --------------------------------------------------------------------------
+_BUCKET_W = 25_000
+
+HISTOGRAM_ORACLE = f"""
+SELECT least(CAST(floor(o_totalprice / {_BUCKET_W}) AS BIGINT), 23) AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("histogram_order_totals", oracle=HISTOGRAM_ORACLE, tags=("agg", "profile"))
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / _BUCKET_W).cast("long"), F.lit(23)
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM fluency scoring (operators/text.py:bigram_logprob).
+# --------------------------------------------------------------------------
+BIGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {DTOKS} AS toks FROM documents WHERE len({DTOKS}) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+         unnest(list_slice(toks, 2, len(toks))) AS w2
+  FROM t
+), c2 AS (
+  SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS cnt1 FROM bg GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT tok) AS vocab
+  FROM (SELECT unnest({DTOKS}) AS tok FROM documents)
+), scored AS (
+  SELECT bg.doc_id, -ln((c2.cnt2 + 1.0) / (c1.cnt1 + v.vocab)) AS nlp
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(nlp), 6) AS nll,
+       round(exp(avg(nlp)), 4) AS ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_bigram_logprob", oracle=BIGRAM_ORACLE, tags=("llm", "text", "quality"))
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bigram_logprob(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Int8 max-abs embedding quantization (the storage/serving compression step
+# before an ANN index build: 4x smaller vectors, distance error bounded by
+# the per-vector scale). Pure array expressions — one projection, no
+# shuffle, no UDF; at 100 TB this runs at parquet-scan speed.
+# --------------------------------------------------------------------------
+QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), m AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS max_abs FROM v
+)
+SELECT vec_id,
+       round(max_abs, 6) AS max_abs,
+       array_to_string(list_transform(e, x -> CAST(round(x * 127.0 / nullif(max_abs, 0.0))
+                                   AS INTEGER)), ',') AS codes
+FROM m
+ORDER BY vec_id
+"""
+
+
+@register(
+    "embedding_quantize_int8", oracle=QUANTIZE_ORACLE, tags=("llm", "similarity", "array")
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(e, F.abs))
+    codes = F.transform(
+        e,
+        lambda x: F.round(x * 127.0 / F.nullif(max_abs, F.lit(0.0))).cast("int"),
+    )
+    # serialized for the differential compare layer (repo convention for
+    # array outputs — see scalar_array_builders); consumers of the operator
+    # itself would keep the array<int> column.
+    return (
+        emb.select(
+            "vec_id",
+            F.round(max_abs, 6).alias("max_abs"),
+            F.array_join(F.transform(codes, lambda c: c.cast("string")), ",").alias(
+                "codes"
+            ),
+        )
+        .orderBy("vec_id")
+    )
