@@ -73,15 +73,50 @@ def sim_cosine_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh_bucketed", oracle=None, tags=("llm", "similarity", "lsh"))
+# The hyperplanes are deterministic rational literals (operators/similarity.py:
+# make_planes), so the full LSH pipeline is oracle-expressible: embed the
+# planes as DOUBLE[] literals and recompute each sign bit. Sign decisions are
+# engine-stable because both sides evaluate dot(v, plane) in double precision
+# and a dot would have to land within float-rounding distance of 0.0 to flip
+# (never observed at fixture SFs; probability ~1e-10 per (vector, plane)).
+_PLANES = S.make_planes(8, 64)
+
+
+def _plane_lit(p: list[float]) -> str:
+    return "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+
+
+_BUCKET_EXPR = "\n    + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_lit(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+    for j, p in enumerate(_PLANES)
+)
+
+ANN_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+    {_BUCKET_EXPR} AS bucket
+  FROM e
+),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = {_QID})
+SELECT b.vec_id, b.bucket,
+       round(list_cosine_similarity(b.v, q.qv), 6) AS cosine_sim
+FROM b, q
+WHERE b.bucket = q.qb
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 5
+"""
+
+
+@register("sim_ann_lsh_bucketed", oracle=ANN_LSH_ORACLE, tags=("llm", "similarity", "lsh"))
 def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH (8 deterministic planes → 256 buckets);
-    exact top-5 within the query's bucket. Rows-only: plane hashing is
-    engine-specific; recall vs brute force is asserted in engine tests."""
+    exact top-5 within the query's bucket. Full oracle since round 2: the
+    planes are literal rationals, so DuckDB recomputes the sign bits
+    bit-identically; recall vs brute force stays asserted in engine tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == _QID)
-    planes = S.make_planes(8, 64)
-    return S.ann_lsh_topk(emb, query, planes, k=5)
+    return S.ann_lsh_topk(emb, query, _PLANES, k=5)
 
 
 NN_ORACLE = """
