@@ -476,21 +476,39 @@ def cross_corpus_near_dups(
     )
 
 
-def simhash63(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+def simhash63(
+    df: DataFrame, text_col: str, key_col: str, base_hash: str = "md5"
+) -> DataFrame:
     """63-bit SimHash per document (bit 63 unused: keeps the value a
     non-negative long under ANSI arithmetic).
 
-    Scalable shape: explode tokens → one 63-bit md5-derived hash per token
-    (hi 32 bits × 2^31 + lo 31 bits — engine-agnostic, so the whole pipeline
-    is oracle-checkable) → 63 conditional sums in a single grouped
-    aggregation → reassemble bits.
+    Scalable shape: explode tokens → one 63-bit per-token hash → 63
+    conditional sums in a single grouped aggregation → reassemble bits.
+
+    ``base_hash`` picks the per-token hash (same trade as
+    ``minhash_signature``):
+
+    - ``"md5"`` (default): hi 32 bits × 2^31 + lo 31 bits of the md5 hex —
+      engine-agnostic, so the whole pipeline is oracle-checkable.
+    - ``"xxhash64"``: Spark's native 64-bit hash shifted to 63 nonnegative
+      bits — the production fast path (pure JVM long arithmetic, no
+      hex-string round-trip per token). Not reproducible outside Spark;
+      checked structurally against the md5 twin (hamming-0 pairs — i.e.
+      identical distinct-token sets — are hash-independent and must agree).
     """
-    md = F.md5("tok")
-    hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
-    tok = df.select(
-        F.col(key_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", hi * F.lit(2_147_483_648) + F.pmod(lo, F.lit(2_147_483_648)))
+    if base_hash == "xxhash64":
+        tok = df.select(
+            F.col(key_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+        ).withColumn("h", F.shiftrightunsigned(F.xxhash64("tok"), 1))
+    elif base_hash == "md5":
+        md = F.md5("tok")
+        hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+        tok = df.select(
+            F.col(key_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+        ).withColumn("h", hi * F.lit(2_147_483_648) + F.pmod(lo, F.lit(2_147_483_648)))
+    else:
+        raise ValueError(f"base_hash must be 'md5' or 'xxhash64', got {base_hash!r}")
     bit_sums = tok.groupBy(key_col).agg(
         *[
             F.sum(
@@ -514,6 +532,7 @@ def simhash_banded_pairs(
     key_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """SimHash LSH: band the 63-bit simhash into ``bands`` contiguous bit
     chunks; docs sharing any chunk *exactly* become candidates; verify with
@@ -531,7 +550,7 @@ def simhash_banded_pairs(
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    sim = simhash63(df, text_col, key_col).localCheckpoint(eager=False)
+    sim = simhash63(df, text_col, key_col, base_hash).localCheckpoint(eager=False)
     banded = sim.select(
         F.col(key_col).alias("k"),
         F.explode(

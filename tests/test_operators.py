@@ -742,3 +742,50 @@ def test_ngrams_expression_matches_span_count(spark):
     ).toPandas().set_index("doc_id")
     assert pdf.loc[1, "n"] == 2
     assert pdf.loc[2, "n"] == 0
+
+
+def test_simhash_fast_path_structural_vs_md5(spark, sf_dir):
+    """xxhash64 base hash (production fast path) vs the md5 oracle twin.
+    Unlike MinHash, the hamming distance itself is hash-dependent, so pair
+    sets can differ legitimately (e.g. a near-identical pair whose few
+    differing tokens happen not to flip any bit under one hash). What IS
+    hash-independent: documents with identical distinct-token sets get
+    identical simhashes under ANY per-token hash, so every such pair must
+    appear with hamming 0 in both variants; both must respect the cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    fast = D.simhash_banded_pairs(
+        docs, "text", "doc_id", max_hamming=3, base_hash="xxhash64"
+    ).collect()
+    slow = D.simhash_banded_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    assert all(0 <= r.hamming <= 3 and r.key_a < r.key_b for r in fast)
+    assert len(fast) > 0
+    # ground truth: pairs sharing the exact distinct-token set
+    from itertools import combinations
+
+    groups = (
+        docs.select(
+            "doc_id",
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))),
+                " ",
+            ).alias("tokset"),
+        )
+        .groupBy("tokset")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ks"))
+        .filter(F.size("ks") > 1)
+        .collect()
+    )
+    truth = {
+        (a, b) for r in groups for a, b in combinations(r.ks, 2)
+    }
+    assert truth, "fixture corpus should contain identical-token-set pairs"
+    zero_fast = {(r.key_a, r.key_b) for r in fast if r.hamming == 0}
+    zero_slow = {(r.key_a, r.key_b) for r in slow if r.hamming == 0}
+    assert truth <= zero_fast
+    assert truth <= zero_slow
+
+
+def test_simhash_base_hash_validated(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(ValueError, match="base_hash"):
+        D.simhash63(docs, "text", "doc_id", base_hash="sha1").collect()
