@@ -85,3 +85,18 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     production tables should pin the canonical schema once evolution
     settles (read with an explicit StructType again)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """``binaryFile`` scan: one row per file with (path, modificationTime,
+    length, content: binary) — the ingest shape for multimodal corpora
+    (operators/multimodal.py consumes the ``content`` column). Listing is
+    distributed and ``pathGlobFilter`` prunes at the driver's file index,
+    so a 10^8-object image bucket scans without a driver-side listing loop.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

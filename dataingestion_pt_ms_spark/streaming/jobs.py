@@ -132,3 +132,66 @@ def windowed_dedup_stream(
     after last sight — bounded regardless of stream lifetime."""
     keys = key_cols or ["event_id"]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_counts_tws_stream(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Same cumulative per-key aggregate as ``running_counts_stateful_stream``
+    but on the Spark 4 ``transformWithStateInPandas`` API — the successor to
+    applyInPandasWithState: typed composable state (ValueState/ListState/
+    MapState per named handle), explicit init/close lifecycle, timers, and
+    state-schema evolution support. Kept alongside the legacy operator so
+    both stateful surfaces stay exercised.
+
+    State is one (count, total) ValueState per key — O(keys) memory.
+
+    Runtime requirements (beyond applyInPandasWithState): the RocksDB state
+    store provider (`spark.sql.streaming.stateStore.providerClass` →
+    RocksDBStateStoreProvider — the HDFS-backed default lacks the
+    multi-column-family state this API stores handles in) and the
+    `protobuf` python package (the python<->JVM state-server protocol);
+    the engine test skips where protobuf is absent.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("count", LongType()), StructField("total", DoubleType())]
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((count, total))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "running_count": [count],
+                    "running_total": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(F.col(key_col)).transformWithStateInPandas(
+        statefulProcessor=RunningCounts(),
+        outputStructType="key string, running_count long, running_total double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -120,3 +120,18 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r.id: r.score for r in df.collect()}
     assert rows[1] is None and rows[2] is None and rows[3] == 0.5
     assert df.filter(F.col("score").isNotNull()).count() == 1
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile scan: one row per file, content bytes intact, glob prunes."""
+    from dataingestion_pt_ms_spark.sources.readers import read_binary_files
+
+    (tmp_path / "a.img").write_bytes(b"\x89PNGfake-a")
+    (tmp_path / "b.img").write_bytes(b"\x89PNGfake-bb")
+    (tmp_path / "skip.txt").write_text("not binary payload")
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["a.img"].content) == b"\x89PNGfake-a"
+    assert rows["b.img"].length == 11
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
