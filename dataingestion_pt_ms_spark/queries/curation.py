@@ -1,6 +1,6 @@
 """Corpus-curation queries: deterministic hash sampling, fixed-weight
 logistic quality gate, per-source corpus profiling, percentile summaries,
-value histograms, bigram-LM scoring, int8 embedding quantization.
+value histograms, bigram-LM scoring.
 
 These extend the LLM-pipeline surface (SURVEY.md §2.B round-2 additions)
 with the curation steps a pretraining-data team runs between dedup and
@@ -263,48 +263,6 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_logprob(docs).orderBy("doc_id")
 
 
-# --------------------------------------------------------------------------
-# Int8 max-abs embedding quantization (the storage/serving compression step
-# before an ANN index build: 4x smaller vectors, distance error bounded by
-# the per-vector scale). Pure array expressions — one projection, no
-# shuffle, no UDF; at 100 TB this runs at parquet-scan speed.
-# --------------------------------------------------------------------------
-QUANTIZE_ORACLE = """
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), m AS (
-  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS max_abs FROM v
-)
-SELECT vec_id,
-       round(max_abs, 6) AS max_abs,
-       array_to_string(list_transform(e, x -> CAST(round(x * 127.0 / nullif(max_abs, 0.0))
-                                   AS INTEGER)), ',') AS codes
-FROM m
-ORDER BY vec_id
-"""
-
-
-@register(
-    "embedding_quantize_int8", oracle=QUANTIZE_ORACLE, tags=("llm", "similarity", "array")
-)
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    max_abs = F.array_max(F.transform(e, F.abs))
-    codes = F.transform(
-        e,
-        lambda x: F.round(x * 127.0 / F.nullif(max_abs, F.lit(0.0))).cast("int"),
-    )
-    # serialized for the differential compare layer (repo convention for
-    # array outputs — see scalar_array_builders); consumers of the operator
-    # itself would keep the array<int> column.
-    return (
-        emb.select(
-            "vec_id",
-            F.round(max_abs, 6).alias("max_abs"),
-            F.array_join(F.transform(codes, lambda c: c.cast("string")), ",").alias(
-                "codes"
-            ),
-        )
-        .orderBy("vec_id")
-    )
+# NOTE: int8 embedding quantization intentionally lives in
+# llm_similarity.py (emb_quantize_int8, backed by functions/vectors.py) —
+# an earlier draft of this module duplicated it and was removed.
