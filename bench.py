@@ -53,6 +53,9 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_cross_corpus_minhash",
     "text_unigram_logprob",
+    "text_bigram_logprob",
+    "docs_source_stats",
+    "histogram_order_totals",
     "text_cross_doc_spans",
     "timeseries_gapfill_interpolate",
     "events_scd2_history",
