@@ -122,3 +122,65 @@ def cluster_canonical(
         F.count(F.lit(1)).alias("n_members"),
         F.min(node_col).alias("keep"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, pr) after ``iters`` synchronous weighted-PageRank rounds from
+    a uniform start: pr'(v) = (1-d)/N + d * Σ_{u→v} pr(u) * w(u,v)/W(u).
+
+    Mass from dangling nodes (no out-edges) is dropped, not redistributed —
+    Σpr then undershoots 1 by the dangling share, which is the standard
+    simplification when ranks are only consumed ordinally. Deterministic
+    given the edge set, so a fixed small ``iters`` is exactly reproducible
+    by unrolled SQL CTEs (the oracle strategy; same pattern as the k-means
+    oracle in queries/llm_similarity.py).
+
+    Scale shape per round: one groupBy(dst) shuffle for the contribution
+    sums plus broadcast of the O(nodes-per-partition) rank table join — at
+    real graph scale the rank table shuffles too (it is node-partitioned,
+    and Catalyst reuses the (src)/(dst) partitionings across rounds).
+    Lineage discipline for big ``iters``: localCheckpoint each round, as
+    ``connected_components`` does; unnecessary for the unrolled-few-rounds
+    analytical form here.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_t"), F.col(weight).cast("double").alias("_w")
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_t").alias("node")))
+        .distinct()
+    )
+    n_scalar = nodes.agg(F.count("*").cast("double").alias("_n"))
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_wout"))
+    pr = nodes.crossJoin(F.broadcast(n_scalar)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("pr")
+    )
+    for _ in range(iters):
+        contribs = (
+            e.join(pr.withColumnRenamed("node", "_s"), "_s")
+            .join(outw, "_s")
+            .groupBy("_t")
+            .agg(F.sum(F.col("pr") * F.col("_w") / F.col("_wout")).alias("_c"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n_scalar))
+            .join(contribs.withColumnRenamed("_t", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("_c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr

@@ -61,6 +61,7 @@ def _load_all() -> None:
         aggregates,
         curation,
         functions2,
+        graph_analytics,
         joins,
         llm_dedup,
         llm_similarity,

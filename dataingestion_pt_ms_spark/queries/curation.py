@@ -266,3 +266,56 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOTE: int8 embedding quantization intentionally lives in
 # llm_similarity.py (emb_quantize_int8, backed by functions/vectors.py) —
 # an earlier draft of this module duplicated it and was removed.
+
+
+# --------------------------------------------------------------------------
+# Language-balanced deterministic downsampling: every language kept at the
+# smallest language's count (rate r = c_min/c_lang), with membership decided
+# by the doc's md5 bucket against an integer threshold — the composition of
+# sample_language_mix_weights (what rate?) and sample_hash_bucket (which
+# docs?). All-integer arithmetic: thresh = (10000 * c_min) div c_lang, keep
+# iff bucket_10k < thresh — bit-exact in any engine, no float rates. The
+# kept count per language is binomial around r*c_lang, not exact — that is
+# the standard trade for a stateless, shuffle-free membership test (an
+# exact-count variant would need a per-lang row_number sort).
+# --------------------------------------------------------------------------
+_DBUCKET10K = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+)
+
+SAMPLE_BALANCED_ORACLE = f"""
+WITH c AS (
+  SELECT lang, count(*) AS c_lang FROM documents GROUP BY lang
+), m AS (
+  SELECT min(c_lang) AS c_min FROM c
+)
+SELECT d.doc_id, d.lang,
+       (10000 * m.c_min) // c.c_lang AS thresh
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE {_DBUCKET10K} < (10000 * m.c_min) // c.c_lang
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "sample_language_balanced", oracle=SAMPLE_BALANCED_ORACLE, tags=("llm", "sample", "agg")
+)
+def sample_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("c_lang"))
+    c_min = counts.agg(F.min("c_lang").alias("c_min"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(10_000),
+    )
+    thresh = F.expr("(10000 * c_min) div c_lang")
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(c_min))
+        .select("doc_id", "lang", thresh.alias("thresh"), bucket.alias("_b"))
+        .filter(F.col("_b") < F.col("thresh"))
+        .drop("_b")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,90 @@
+"""Graph-analytics queries over the relational fixtures.
+
+PageRank over the nation-level trade graph (customer nation → supplier
+nation, weighted by lineitem count): the canonical iterative algorithm a
+warehouse user reaches for beyond connected components. The operator
+(operators/graph.py:pagerank) runs a fixed number of synchronous rounds, so
+the DuckDB oracle unrolls them as CTEs — the same exactly-reproducible
+strategy as the k-means / PQ codebook oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.graph import pagerank
+from . import register
+
+_D = 0.85
+
+_EDGES_SQL = """
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY src, dst
+"""
+
+# one PageRank round as a CTE body: reads prev ranks from {prev}
+_ITER_SQL = f"""
+  SELECT nodes.node,
+         (1.0 - {_D}) / n._n
+         + {_D} * coalesce(sum({{prev}}.pr * e.w / outw.wout), 0.0) AS pr
+  FROM nodes CROSS JOIN n
+  LEFT JOIN e ON e.dst = nodes.node
+  LEFT JOIN {{prev}} ON {{prev}}.node = e.src
+  LEFT JOIN outw ON outw.src = e.src
+  GROUP BY nodes.node, n._n
+"""
+
+PAGERANK_ORACLE = f"""
+WITH e AS ({_EDGES_SQL}),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM nodes),
+outw AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+pr0 AS (SELECT node, 1.0 / n._n AS pr FROM nodes CROSS JOIN n),
+pr1 AS ({_ITER_SQL.format(prev="pr0")}),
+pr2 AS ({_ITER_SQL.format(prev="pr1")})
+SELECT nat.n_name, round(pr2.pr, 6) AS pagerank
+FROM pr2 JOIN nation nat ON nat.n_nationkey = pr2.node
+ORDER BY pagerank DESC, n_name
+"""
+
+
+@register(
+    "graph_nation_trade_pagerank", oracle=PAGERANK_ORACLE, tags=("graph", "iterative")
+)
+def graph_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled weighted-PageRank rounds over the customer-nation →
+    supplier-nation trade graph; final ranks joined back to nation names.
+    The star-join edge build broadcasts customer/supplier dims via AQE and
+    aggregates down to at most 25×25 weighted edges before any iteration
+    touches them — the iterations are O(nations), not O(lineitems)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    pr = pagerank(edges, iters=2, damping=_D)
+    return (
+        pr.join(F.broadcast(nation), pr.node == nation.n_nationkey)
+        .select("n_name", F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "n_name")
+    )
