@@ -144,3 +144,45 @@ def emit_ingest_events(batch: DataFrame, group_cols: list[str], ts_col: str) -> 
             )
         ).alias("event_json")
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files, optionally clustered by
+    ``sort_cols`` (sortWithinPartitions after a range repartition — the
+    "z-order lite" that gives min/max row-group pruning on those columns).
+    Returns the output file count.
+
+    Why it exists at 100 TB: streaming/foreachBatch sinks and fine-grained
+    partition overwrites accrete KB-scale files; every downstream scan then
+    pays one task + one footer read per file. Compaction is the periodic
+    maintenance pass (Delta OPTIMIZE / Iceberg rewrite_data_files analog)
+    over plain parquet directories.
+
+    Sizing reads actual file bytes from the Hadoop FS listing (any scheme),
+    not row counts — compressed bytes are what scan tasks are sized by.
+    The rewrite stages through the materialized plan (localCheckpoint) for
+    the same self-overwrite reason as the upsert sink.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        s.getLen()
+        for s in fs.listStatus(hpath)
+        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_files)
+    df = df.localCheckpoint(eager=True)
+    df.write.mode("overwrite").parquet(path)
+    return n_files

@@ -135,3 +135,25 @@ def test_binary_file_source(spark, tmp_path):
     assert bytes(rows["a.img"].content) == b"\x89PNGfake-a"
     assert rows["b.img"].length == 11
     assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Many tiny files -> one compacted file; rows identical; clustered
+    files are sorted within themselves on the sort column."""
+    from dataingestion_pt_ms_spark.sources.sinks import compact_parquet_dir
+
+    out = str(tmp_path / "frag")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+    df.repartition(40).write.parquet(out)
+    import glob as g
+
+    assert len(g.glob(f"{out}/part-*.parquet")) == 40
+    before = {(r.id, r.v) for r in spark.read.parquet(out).collect()}
+    n = compact_parquet_dir(spark, out, target_file_bytes=1 << 30, sort_cols=["id"])
+    assert n == 1
+    files = g.glob(f"{out}/part-*.parquet")
+    assert len(files) == 1
+    after_df = spark.read.parquet(out)
+    assert {(r.id, r.v) for r in after_df.collect()} == before
+    ids = [r.id for r in spark.read.parquet(files[0]).collect()]
+    assert ids == sorted(ids)
