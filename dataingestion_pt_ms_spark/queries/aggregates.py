@@ -262,3 +262,41 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Bivariate statistics: correlation + covariance per group. Both engines
+# compute sample formulas; intermediates are unrounded doubles and only the
+# final statistics are rounded (4 dp — |corr| <= 1, far above the ~1e-12
+# cross-engine accumulation noise).
+# --------------------------------------------------------------------------
+CORR_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(corr(c_acctbal, o_totalprice), 4) AS corr_bal_price,
+       round(covar_samp(c_acctbal, o_totalprice), 2) AS covar_bal_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("agg_corr_covar", oracle=CORR_ORACLE, tags=("agg", "stats", "join"))
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does customer balance predict order size? corr/covar of the joined
+    fact — the bivariate members of the stats-moment family (stddev/var/
+    median live in agg_stats_moments)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.corr("c_acctbal", "o_totalprice"), 4).alias("corr_bal_price"),
+            F.round(F.covar_samp("c_acctbal", "o_totalprice"), 2).alias(
+                "covar_bal_price"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -593,3 +593,45 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("reached_click"),
         F.count("t_purchase").alias("reached_purchase"),
     )
+
+
+# --------------------------------------------------------------------------
+# Anomaly flagging: z-score of event value against its event_type
+# population (the monitoring query a pipeline runs over its own event
+# stream). One window shuffle on event_type; at scale the mean/std pairs
+# are a tiny broadcast side-table instead (groupBy + join), same semantics.
+# --------------------------------------------------------------------------
+ANOMALY_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         avg(value) AS mu,
+         stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.mu) / s.sigma, 4) AS z,
+       CAST(abs((e.value - s.mu) / s.sigma) > 2.5 AS BOOLEAN) AS is_anomaly
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sigma > 0
+ORDER BY e.event_id
+"""
+
+
+@register("events_anomaly_zscore", oracle=ANOMALY_ORACLE, tags=("timeseries", "stats"))
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 2.5).alias("is_anomaly"),
+        )
+        .orderBy("event_id")
+    )
