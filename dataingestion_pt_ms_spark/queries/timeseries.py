@@ -635,3 +635,44 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week, counted in each
+# later week they return. Two shuffles (user-level min, then cohort-cell
+# distinct count); the (user, week) activity grid is deduped before the
+# count so heavy event users don't skew exchange volume.
+# --------------------------------------------------------------------------
+RETENTION_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id
+)
+SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', c.cohort_wk, a.wk) // 7 AS BIGINT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("events_retention_cohorts", oracle=RETENTION_ORACLE, tags=("timeseries", "agg"))
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort_wk").cast("long") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
