@@ -155,6 +155,12 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_t"), F.col(weight).cast("double").alias("_w")
     )
+    # The edge table is referenced by nodes, out-weights, N, and every
+    # round's contributions — without a checkpoint, Spark re-executes the
+    # caller's (possibly expensive) edge-build lineage once per reference
+    # (plan audit: 5 copies of the trade-graph star join). Lazy local
+    # checkpoint materializes it once on first use.
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_t").alias("node")))
