@@ -681,3 +681,52 @@ def text_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-substring dedup statistic, 5-token spans)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.cross_doc_span_stats(docs, n=5).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Inverted-index build: token → (document frequency, total term frequency,
+# capped posting list). The search-index construction pass over a corpus —
+# one shuffle on token after a map-side-combined (token, doc) count; the
+# posting list is capped so hot tokens ("the") can't materialize a
+# corpus-sized row (the same degenerate-bucket discipline as LSH banding —
+# a real index shards hot postings instead of truncating, but the capped
+# row is what bounds THIS query's output).
+# --------------------------------------------------------------------------
+INVERTED_ORACLE = f"""
+WITH td AS (
+  SELECT token, doc_id, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({_DTOKS}) AS token FROM documents)
+  GROUP BY token, doc_id
+)
+SELECT token,
+       count(*) AS df_docs,
+       CAST(sum(cnt) AS BIGINT) AS tf_total,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 15), ',') AS posting_head
+FROM td
+GROUP BY token
+ORDER BY token
+"""
+
+
+@register("text_inverted_index", oracle=INVERTED_ORACLE, tags=("llm", "text", "agg"))
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.textfns import tokens
+
+    td = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        td.groupBy("token")
+        .agg(
+            F.count("*").alias("df_docs"),
+            F.sum("cnt").alias("tf_total"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 15),
+                ",",
+            ).alias("posting_head"),
+        )
+        .orderBy("token")
+    )
