@@ -730,3 +730,58 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled sampling weights (the T5/mT5 alpha-sampling rule):
+# w_l ∝ p_l^alpha with alpha < 1 flattening the language distribution —
+# between proportional (alpha=1) and uniform (alpha=0), the standard knob
+# for multilingual pretraining mixes. Two-level aggregate: per-lang token
+# shares, then the normalizing sum ships back as a broadcast scalar.
+# --------------------------------------------------------------------------
+_MIX_ALPHA = 0.3
+
+TEMP_MIX_ORACLE = f"""
+WITH per AS (
+  SELECT lang, CAST(sum(len({_DTOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per
+), raised AS (
+  SELECT lang, n_tokens,
+         pow(n_tokens / CAST(tot.total_tokens AS DOUBLE), {_MIX_ALPHA}) AS raw_w
+  FROM per, tot
+), z AS (
+  SELECT sum(raw_w) AS norm FROM raised
+)
+SELECT lang, n_tokens,
+       round(raw_w / z.norm, 6) AS mix_weight
+FROM raised, z
+ORDER BY lang
+"""
+
+
+@register(
+    "sample_temperature_mix_weights", oracle=TEMP_MIX_ORACLE, tags=("llm", "sample", "agg")
+)
+def sample_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.textfns import tokens
+
+    per = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    raised = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("total_tokens"), F.lit(_MIX_ALPHA)).alias(
+            "raw_w"
+        ),
+    )
+    z = raised.agg(F.sum("raw_w").alias("norm"))
+    return (
+        raised.crossJoin(F.broadcast(z))
+        .select("lang", "n_tokens", F.round(F.col("raw_w") / F.col("norm"), 6).alias("mix_weight"))
+        .orderBy("lang")
+    )
