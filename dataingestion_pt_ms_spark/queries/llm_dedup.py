@@ -494,3 +494,76 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_minhash_dedup(
         docs.filter(F.col("doc_id") >= 400), stored, "text", "doc_id", threshold=0.5
     )
+
+
+# --------------------------------------------------------------------------
+# Keeper policy generalization: keep the LONGEST member per near-dup
+# cluster (RefinedWeb-style "best representative", replacing the min-key
+# rule of dedup_cluster_canonical — with fuzzy duplicates the members
+# differ, so which one survives matters). Same CC clusters as
+# dedup_cluster_assignment; keeper = row_number over (n_chars desc,
+# doc_id asc) — deterministic under ties in both engines.
+# --------------------------------------------------------------------------
+CLUSTER_KEEP_LONGEST_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         lag(n_chars) OVER (ORDER BY doc_id) AS prev_chars,
+         lag(doc_id) OVER (ORDER BY doc_id) AS prev_id
+  FROM documents
+), b AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN prev_id = doc_id - 1 AND (prev_chars + n_chars) % 3 = 0
+              THEN 0 ELSE 1 END AS brk
+  FROM d
+), g AS (
+  SELECT doc_id, n_chars,
+         sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS grp
+  FROM b
+), c AS (
+  SELECT doc_id, n_chars,
+         min(doc_id) OVER (PARTITION BY grp) AS cluster_id,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM g
+)
+SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars
+FROM c WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "dedup_cluster_keep_longest",
+    oracle=CLUSTER_KEEP_LONGEST_ORACLE,
+    tags=("llm", "dedup", "graph", "window"),
+)
+def dedup_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("src"),
+        F.col("doc_id").alias("dst"),
+        F.col("n_chars").alias("dst_chars"),
+    )
+    edges = (
+        docs.join(nxt, F.col("doc_id") == F.col("src"))
+        .filter((F.col("n_chars") + F.col("dst_chars")) % 3 == 0)
+        .select("src", "dst")
+    )
+    cc = connected_components(edges, nodes=docs, node_col="doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+        )
+        .orderBy("cluster_id")
+    )
