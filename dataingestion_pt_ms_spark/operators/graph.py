@@ -167,7 +167,10 @@ def pagerank(
         .distinct()
     )
     n_scalar = nodes.agg(F.count("*").cast("double").alias("_n"))
-    outw = e.groupBy("_s").agg(F.sum("_w").alias("_wout"))
+    # sources whose weights sum to 0 (all-zero or cancelling weights) have
+    # no mass to distribute — treat them as dangling like no-out-edge nodes
+    # rather than dividing by zero (ANSI mode raises on double x/0)
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_wout")).filter(F.col("_wout") != 0)
     pr = nodes.crossJoin(F.broadcast(n_scalar)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("pr")
     )

@@ -21,6 +21,15 @@ def _tok(text_col: str) -> Column:
     return tokens(F.col(text_col))
 
 
+def avg_token_len_expr(text_col: str) -> Column:
+    """Unrounded mean token length — shared by token_stats and the logistic
+    quality gate so the feature definition can't drift between them."""
+    toks = _tok(text_col)
+    return F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    ) / F.size(toks).cast("double")
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = _tok(text_col)
     n_tok = F.size(toks)
@@ -28,13 +37,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "n_tokens": n_tok.cast("long"),
             "n_distinct_tokens": F.size(distinct_tokens(F.col(text_col))).cast("long"),
-            "avg_token_len": F.round(
-                F.aggregate(
-                    toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-                )
-                / n_tok.cast("double"),
-                6,
-            ),
+            "avg_token_len": F.round(avg_token_len_expr(text_col), 6),
         }
     )
 

@@ -21,14 +21,29 @@ from . import register
 from ._ducktwins import DTOKS
 
 # --------------------------------------------------------------------------
-# Deterministic hash-bucket sampling: bucket = md5(key) % 100, keep < pct.
+# Deterministic hash-bucket sampling: bucket = md5(key) % mod, keep < pct.
 # Unlike df.sample() (engine RNG, rows-only check), the membership decision
 # is a pure function of the key — stable across engines, partitionings,
 # retries, and scale, which is what makes it auditable at 100 TB.
+# The Spark expression and its DuckDB twin live in ONE pair of helpers
+# (the _ducktwins discipline): a bucketing change is exactly two edits.
 # --------------------------------------------------------------------------
-_DBUCKET = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
-)
+
+
+def _spark_md5_bucket(key_col: str, mod: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(mod),
+    )
+
+
+def _duck_md5_bucket(expr: str, mod: int) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT) % {mod}"
+
+
+_DBUCKET = _duck_md5_bucket("doc_id", 100)
 
 SAMPLE_HASH_ORACLE = f"""
 SELECT doc_id, lang, {_DBUCKET} AS bucket
@@ -41,14 +56,8 @@ ORDER BY doc_id
 @register("sample_hash_bucket", oracle=SAMPLE_HASH_ORACLE, tags=("llm", "sample"))
 def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        ),
-        F.lit(100),
-    )
     return (
-        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        docs.select("doc_id", "lang", _spark_md5_bucket("doc_id", 100).alias("bucket"))
         .filter(F.col("bucket") < 10)
         .orderBy("doc_id")
     )
@@ -91,17 +100,10 @@ ORDER BY doc_id
 )
 def text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    n = F.size(toks).cast("double")
-    avg_len = (
-        F.aggregate(
-            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-        )
-        / n
-    )
-    marker_ratio = (
-        F.size(F.filter(toks, lambda t: t.isin(*T.EN_MARKERS))).cast("double") / n
-    )
+    n = F.size(T.tokens(F.col("text"))).cast("double")
+    # operator-library features (no inline copies — oracle-drift hazard)
+    avg_len = T.avg_token_len_expr("text")
+    marker_ratio = T.stopword_ratio("text")
     z = (
         F.lit(_W0)
         + F.lit(_W_LEN) * F.log(n + F.lit(1.0))
@@ -279,9 +281,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the standard trade for a stateless, shuffle-free membership test (an
 # exact-count variant would need a per-lang row_number sort).
 # --------------------------------------------------------------------------
-_DBUCKET10K = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
-)
+_DBUCKET10K = _duck_md5_bucket("doc_id", 10_000)
 
 SAMPLE_BALANCED_ORACLE = f"""
 WITH c AS (
@@ -304,12 +304,7 @@ def sample_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").alias("c_lang"))
     c_min = counts.agg(F.min("c_lang").alias("c_min"))
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        ),
-        F.lit(10_000),
-    )
+    bucket = _spark_md5_bucket("doc_id", 10_000)
     thresh = F.expr("(10000 * c_min) div c_lang")
     return (
         docs.join(F.broadcast(counts), "lang")

@@ -223,7 +223,8 @@ def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 THETA_ORACLE = """
 SELECT s_suppkey,
        count(*) AS n_close_customers,
-       round(avg(c_acctbal), 6) AS avg_close_balance
+       floor((sum(CAST(c_acctbal AS DECIMAL(18,6)))::DOUBLE / count(*))
+             * 1000000 + 0.5) / 1000000 AS avg_close_balance
 FROM supplier JOIN customer
   ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
 GROUP BY s_suppkey
@@ -236,12 +237,22 @@ def join_theta_balance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     cust = load_table(spark, sf_dir, "customer")
     cond = F.col("c_acctbal").between(F.col("s_acctbal") - 50, F.col("s_acctbal") + 50)
+    # avg via exact decimal sum, then the shared floor-round trick: the avg
+    # of 2-dp balances lands EXACTLY on the 6-dp half boundary whenever
+    # count divides the sum that way (observed at sf0.1), and the engines'
+    # round() implementations break those ties differently — identical
+    # double arithmetic on both sides can't.
+    avg_exact = F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
     return (
         cust.join(F.broadcast(supp), cond)
         .groupBy("s_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_close_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_close_balance"),
+            (F.floor(avg_exact * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "avg_close_balance"
+            ),
         )
         .orderBy("s_suppkey")
     )

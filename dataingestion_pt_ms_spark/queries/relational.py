@@ -31,7 +31,8 @@ def _revenue():
 FLAGSHIP_ORACLE = """
 SELECT r_name,
        strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem
@@ -66,7 +67,14 @@ def flagship_region_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"),
         )
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            # decimal-sum: the per-row double product casts to DECIMAL(18,6)
+            # identically in both engines, and the decimal sum is exact, so
+            # the 2-dp rounding can't flip on summation order (observed at
+            # sf0.1: one group sat on the half-cent boundary under plain
+            # double summation)
+            F.round(F.sum(_revenue().cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )

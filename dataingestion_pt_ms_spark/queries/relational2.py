@@ -206,8 +206,8 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIN2_ORACLE = """
 SELECT c_custkey, c_nationkey,
        ntile(4) OVER w AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume,
        first_value(c_custkey) OVER w AS richest_key,
        last_value(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -229,8 +229,16 @@ def window_extended_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # floor-round trick, not round(): rank ratios land exactly on 6-dp
+        # half boundaries (k/N with N divisible by powers of 2·5), where the
+        # engines' round() implementations disagree; identical double
+        # arithmetic on both sides is tie-free (observed at sf0.1)
+        (F.floor(F.percent_rank().over(w) * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "cume"
+        ),
         F.first("c_custkey").over(w).alias("richest_key"),
         F.last("c_custkey").over(w_full).alias("poorest_key"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_key"),

@@ -164,25 +164,47 @@ def compact_parquet_dir(
     maintenance pass (Delta OPTIMIZE / Iceberg rewrite_data_files analog)
     over plain parquet directories.
 
-    Sizing reads actual file bytes from the Hadoop FS listing (any scheme),
-    not row counts — compressed bytes are what scan tasks are sized by.
-    The rewrite stages through the materialized plan (localCheckpoint) for
-    the same self-overwrite reason as the upsert sink.
+    Sizing reads actual recursive file bytes from the Hadoop FS (any
+    scheme), not row counts — compressed bytes are what scan tasks are
+    sized by. Hive-partitioned layouts (data in subdirectories) are
+    REFUSED: rewriting them flat would silently destroy the partition
+    scheme — compact each partition directory instead.
+
+    The rewrite stages through a sibling temp directory and swaps with FS
+    renames, so the source files exist untouched until the compacted copy
+    is fully written — executor loss mid-write loses only the temp dir
+    (an executor-local-checkpoint staging, as the upsert sink uses for its
+    partition-scoped rewrite, would leave a whole-table delete exposed to
+    lost-block failure here).
     """
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    total = sum(
-        s.getLen()
-        for s in fs.listStatus(hpath)
-        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
-    )
+    for s in fs.listStatus(hpath):
+        name = s.getPath().getName()
+        if s.isDirectory() and not name.startswith(("_", ".")):
+            raise ValueError(
+                f"{path} has a partitioned layout ({name}/...): compact each "
+                "partition directory, not the table root"
+            )
+    total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
     if sort_cols:
         df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         df = df.repartition(n_files)
-    df = df.localCheckpoint(eager=True)
-    df.write.mode("overwrite").parquet(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_compact_tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    df.write.mode("overwrite").parquet(str(tmp))
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_compact_old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(hpath, old):
+        raise IOError(f"could not move {path} aside for compaction swap")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"could not swap compacted files into {path}")
+    fs.delete(old, True)
     return n_files

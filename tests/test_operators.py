@@ -762,12 +762,13 @@ def test_simhash_fast_path_structural_vs_md5(spark, sf_dir):
     # ground truth: pairs sharing the exact distinct-token set
     from itertools import combinations
 
+    from dataingestion_pt_ms_spark.functions.textfns import distinct_tokens
+
     groups = (
         docs.select(
             "doc_id",
             F.array_join(
-                F.array_sort(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))),
-                " ",
+                F.array_sort(distinct_tokens(F.col("text"))), " "
             ).alias("tokset"),
         )
         .groupBy("tokset")
@@ -789,3 +790,26 @@ def test_simhash_base_hash_validated(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     with pytest.raises(ValueError, match="base_hash"):
         D.simhash63(docs, "text", "doc_id", base_hash="sha1").collect()
+
+
+def test_pagerank_zero_weight_source_is_dangling(spark):
+    """A source whose out-weights sum to 0 must be treated as dangling, not
+    divide by zero (ANSI mode raises on double x/0)."""
+    from dataingestion_pt_ms_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (3, 1, 0.0)], "src long, dst long, w double"
+    )
+    rows = {r.node: r.pr for r in pagerank(edges, iters=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    # node 3 contributes nothing; nodes 1 and 2 exchange full mass
+    assert rows[1] == rows[2]
+    assert rows[3] < rows[1]
+
+
+def test_pagerank_iters_validated(spark):
+    from dataingestion_pt_ms_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(edges, iters=0)

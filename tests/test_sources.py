@@ -157,3 +157,20 @@ def test_compact_parquet_dir(spark, tmp_path):
     assert {(r.id, r.v) for r in after_df.collect()} == before
     ids = [r.id for r in spark.read.parquet(files[0]).collect()]
     assert ids == sorted(ids)
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned dirs must be refused, not silently flattened (the
+    non-recursive-listing bug class: data in subdirs sized as 0 bytes)."""
+    import pytest
+
+    from dataingestion_pt_ms_spark.sources.sinks import compact_parquet_dir
+
+    out = str(tmp_path / "parted")
+    spark.range(0, 100).withColumn("p", F.col("id") % 3).write.partitionBy(
+        "p"
+    ).parquet(out)
+    with pytest.raises(ValueError, match="partitioned layout"):
+        compact_parquet_dir(spark, out)
+    # partition data untouched by the refusal
+    assert spark.read.parquet(out).count() == 100
