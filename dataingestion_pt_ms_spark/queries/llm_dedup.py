@@ -1,13 +1,13 @@
 """Deduplication queries over ``documents`` (SURVEY.md §2.B: exact,
 MinHash-LSH, SimHash, n-gram Jaccard).
 
-Every query here except ``dedup_cluster_near_dups`` has a full DuckDB
-oracle — including the complete MinHash-LSH pipeline: the base shingle hash
-and the SimHash token hash are md5-derived, so signatures are bit-identical
-across engines (the xxhash64 band key is only a grouping key; see
-MINHASH_ORACLE's comment). ``dedup_cluster_near_dups`` alone is rows-only
-(iterative CC label propagation has no bounded SQL twin for general
-graphs); its pieces are each oracle-checked, and engine tests
+Every query here except ``dedup_minhash_lsh_pairs_fast`` has a full DuckDB
+oracle — including the complete MinHash-LSH pipeline (md5-derived base
+hashes make signatures bit-identical across engines; the xxhash64 band key
+is only a grouping key) and, since round 2, the end-to-end
+``dedup_cluster_near_dups`` clustering via a recursive-CTE transitive
+closure. The fast-path query alone is engine-hash-specific (xxhash64) and
+is checked structurally against the md5 twin; engine tests
 (tests/test_operators.py) add determinism + recall-vs-exhaustive checks.
 """
 
@@ -96,8 +96,14 @@ _MINHASH_BANDS = "\n  UNION ALL ".join(
     )
     for b in range(8)
 )
-MINHASH_ORACLE = f"""
-WITH sh AS (
+_DJACC = (
+    "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)"
+    " - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6)"
+)
+
+# shared CTE scaffold: signatures → bands → candidate pairs → shingle lists
+_MINHASH_PIPE_CTES = f"""sh AS (
   SELECT doc_id, unnest({_DSHINGLES}) AS s FROM documents
 ), h AS (
   SELECT doc_id,
@@ -114,19 +120,15 @@ WITH sh AS (
               AND a.doc_id < b.doc_id
 ), shl AS (
   SELECT doc_id, {_DSHINGLES} AS sh FROM documents
-)
-SELECT key_a, key_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
-                - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)),
-             6) AS jaccard
+)"""
+
+MINHASH_ORACLE = f"""
+WITH {_MINHASH_PIPE_CTES}
+SELECT key_a, key_b, {_DJACC} AS jaccard
 FROM pairs
 JOIN shl a ON pairs.key_a = a.doc_id
 JOIN shl b ON pairs.key_b = b.doc_id
-WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
-               - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)),
-            6) >= 0.8
+WHERE {_DJACC} >= 0.8
 """
 
 
@@ -347,7 +349,48 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_cosine_pairs(emb, threshold=0.35).orderBy("key_a", "key_b")
 
 
-@register("dedup_cluster_near_dups", oracle=None, tags=("llm", "dedup", "graph", "lsh"))
+# Recursive-CTE oracle for the full pipeline: the verified doc-level pair
+# graph has the same components as Spark's rep-pairs + star-edges graph
+# (exact dups share every shingle, so member<->rep and rep<->rep edges are
+# all present at jaccard >= 0.8), and DuckDB's WITH RECURSIVE computes the
+# transitive closure — bounded here because near-dup clusters are small;
+# the engine side still runs the O(log d) pointer-jumping operator that
+# scales to arbitrary graphs.
+CLUSTER_NEAR_DUPS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PIPE_CTES},
+vp AS (
+  SELECT key_a, key_b
+  FROM pairs
+  JOIN shl a ON pairs.key_a = a.doc_id
+  JOIN shl b ON pairs.key_b = b.doc_id
+  WHERE {_DJACC} >= 0.8
+),
+und AS (
+  SELECT key_a AS a, key_b AS b FROM vp
+  UNION ALL
+  SELECT key_b AS a, key_a AS b FROM vp
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION
+  SELECT r.src, u.b AS dst FROM reach r JOIN und u ON r.dst = u.a
+),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT component, count(*) AS n_members, min(node) AS keep
+FROM comp GROUP BY component
+HAVING count(*) > 1
+ORDER BY component
+"""
+
+
+@register(
+    "dedup_cluster_near_dups",
+    oracle=CLUSTER_NEAR_DUPS_ORACLE,
+    tags=("llm", "dedup", "graph", "lsh"),
+)
 def dedup_cluster_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real near-dup pipeline: exact-collapse -> MinHash-LSH rep pairs
     (>=0.8 verified Jaccard) -> connected components -> non-singleton
@@ -356,10 +399,9 @@ def dedup_cluster_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (the 100 TB path): CC consumes representative pairs plus
     rep->member star edges — O(docs) edges total — never the expanded member
     pair list, so a 10⁶-copy boilerplate group contributes 10⁶ star edges,
-    not 10¹² pairs. Rows-only (iterative CC label propagation has no bounded
-    SQL twin for general graphs); pair generation is fully oracle-checked by
-    dedup_minhash_lsh_pairs, CC by the two cluster queries above plus
-    chain/clique engine tests."""
+    not 10¹² pairs. Full oracle since round 2: a DuckDB recursive-CTE
+    transitive closure over the verified doc-level pair graph (same
+    components as the rep+star graph — see CLUSTER_NEAR_DUPS_ORACLE)."""
     from ..operators.graph import cluster_canonical, connected_components
 
     docs = load_table(spark, sf_dir, "documents")
