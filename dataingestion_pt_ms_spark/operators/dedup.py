@@ -630,10 +630,13 @@ def incremental_minhash_dedup(
     num_perm: int = 64,
     bands: int = 8,
     shingle_k: int = 3,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """Incremental near-dup detection: a NEW batch of documents against a
     persisted signature store — the production steady-state of corpus
-    dedup, where the existing corpus is never re-read. ``stored_sigs``
+    dedup, where the existing corpus is never re-read. ``base_hash`` must
+    match whatever hashed the store (signatures from different base hashes
+    never collide meaningfully). ``stored_sigs``
     needs only (key, signature) (the minhash_signature output, typically
     a parquet table partitioned by band-friendly key ranges); raw stored
     text is not touched, so the verify step uses the signature-estimated
@@ -648,7 +651,7 @@ def incremental_minhash_dedup(
     Returns (new_key, stored_key, est_jaccard) with est ≥ threshold.
     """
     rows = num_perm // bands
-    sig_new = minhash_signature(new_docs, text_col, key_col, num_perm, shingle_k)
+    sig_new = minhash_signature(new_docs, text_col, key_col, num_perm, shingle_k, base_hash)
     b_new = _banded(sig_new, key_col, bands, rows).select(
         F.col("k").alias("new_key"), "band_idx", "band_hash"
     )
