@@ -300,3 +300,52 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental summary maintenance: a materialized monthly rollup kept
+# up-to-date by merging the OLD summary with a re-agg of only the NEW
+# partition — never rescanning history. Works because sum/count are
+# mergeable partial aggregates (avg = merged sum / merged count; count
+# DISTINCT is NOT mergeable — that one needs HLL sketch merge, see
+# agg_approx_count_distinct). The oracle is the full recompute, proving
+# the incremental path semantics-free. Money sums use the decimal-sum
+# pattern (BENCH.md "Cross-engine rounding") from the start.
+# --------------------------------------------------------------------------
+_CUTOVER = "1997-07-01"
+
+INCR_SUMMARY_ORACLE = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY order_month
+ORDER BY order_month
+"""
+
+
+@register("agg_incremental_summary", oracle=INCR_SUMMARY_ORACLE, tags=("agg", "incremental"))
+def agg_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+        "order_month"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_sum"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+
+    old_summary = partial(orders.filter(F.col("o_orderdate") < _CUTOVER))
+    delta = partial(orders.filter(F.col("o_orderdate") >= _CUTOVER))
+    return (
+        old_summary.unionByName(delta)
+        .groupBy("order_month")
+        .agg(
+            F.round(F.sum("_sum"), 2).cast("double").alias("total_price"),
+            F.sum("_cnt").alias("n_orders"),
+        )
+        .orderBy("order_month")
+    )
