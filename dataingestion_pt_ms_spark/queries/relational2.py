@@ -336,3 +336,89 @@ def sample_seeded_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+# --------------------------------------------------------------------------
+# Pure-SQL analyst pipeline: CTE -> monthly revenue -> lag-based
+# month-over-month growth -> top movers. Exercises the spark.sql() text
+# path end-to-end (CTE + window over agg + outer filter) with the
+# decimal-sum money pattern.
+# --------------------------------------------------------------------------
+_MOM_BODY = """
+WITH monthly AS (
+  SELECT {month_expr} AS order_month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders
+  GROUP BY order_month
+), growth AS (
+  SELECT order_month, revenue,
+         lag(revenue) OVER (ORDER BY order_month) AS prev_revenue
+  FROM monthly
+)
+SELECT order_month, revenue,
+       floor((revenue - prev_revenue) / prev_revenue * 1000000 + 0.5) / 1000000
+         AS mom_growth
+FROM growth
+WHERE prev_revenue IS NOT NULL AND prev_revenue > 0
+ORDER BY order_month
+"""
+
+MOM_ORACLE = _MOM_BODY.format(
+    month_expr="strftime(date_trunc('month', o_orderdate), '%Y-%m')"
+)
+
+
+@register("sql_cte_mom_growth", oracle=MOM_ORACLE, tags=("agg", "window", "sql-api"))
+def sql_cte_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _MOM_BODY.format(
+            month_expr="date_format(date_trunc('month', o_orderdate), 'yyyy-MM')"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy string-similarity join (entity-resolution shape): part names within
+# edit distance 3, candidates blocked on (brand, name-length band) so the
+# pair space is Σ|block|² rather than n² — the same discipline as every
+# LSH/blocked operator here — then exact levenshtein verify (built into
+# BOTH engines, so the whole pipeline is oracle-exact).
+# --------------------------------------------------------------------------
+FUZZY_ORACLE = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand
+ AND (length(a.p_name) // 4) = (length(b.p_name) // 4)
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY key_a, key_b
+"""
+
+
+@register("join_fuzzy_name_match", oracle=FUZZY_ORACLE, tags=("join", "fuzzy", "dedup"))
+def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+        F.floor(F.length("p_name") / 4).alias("len_band"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+        F.floor(F.length("p_name") / 4).alias("len_band"),
+    )
+    return (
+        a.join(b, ["brand", "len_band"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "edit_dist")
+        .orderBy("key_a", "key_b")
+    )
