@@ -208,3 +208,42 @@ def compact_parquet_dir(
         raise IOError(f"could not swap compacted files into {path}")
     fs.delete(old, True)
     return n_files
+
+
+def delete_keys_partitioned_parquet(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> None:
+    """Targeted key deletion from a partitioned parquet table (the
+    right-to-be-forgotten / takedown pass of a training-data platform):
+
+    1. locate the partitions containing any requested key (semi-join on
+       partition values derived from the key rows);
+    2. rewrite ONLY those partitions with the keyed rows anti-joined out
+       (dynamic partition overwrite — untouched partitions keep their
+       files byte-identical, so the pass costs O(affected partitions),
+       not O(table)).
+
+    ``keys`` must carry ``key_cols`` plus the ``partition_cols`` that
+    locate each key (a takedown list without partition hints would force
+    a full-table scan — require the caller to provide or precompute them).
+    The rewrite stages through the same materialize-before-overwrite
+    discipline as the upsert sink (read-own-input hazard).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    current = spark.read.parquet(path)
+    touched = keys.select(*partition_cols).distinct()
+    affected = current.join(F.broadcast(touched), partition_cols, "left_semi")
+    remaining = affected.join(
+        F.broadcast(keys.select(*key_cols).distinct()), key_cols, "left_anti"
+    )
+    remaining = remaining.localCheckpoint(eager=True)
+    (
+        remaining.repartition(*partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

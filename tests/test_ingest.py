@@ -167,3 +167,37 @@ def test_upsert_standalone_writer(spark, tmp_path):
     upsert_partitioned_parquet(spark, df2, path, ["k"], ["dt"], "ver")
     out = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert out == {(1, "a2"), (2, "b")}
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """Keyed deletion: requested rows gone, same-partition neighbors kept,
+    untouched partitions byte-identical (their files are not rewritten)."""
+    import glob as g
+
+    from dataingestion_pt_ms_spark.sources.sinks import (
+        delete_keys_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "tbl")
+    rows = [
+        ("AAPL", 1, 10.0),
+        ("AAPL", 2, 11.0),
+        ("MSFT", 3, 20.0),
+        ("MSFT", 4, 21.0),
+        ("GOOG", 5, 30.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, bar_id long, close double")
+    write_partitioned_parquet(df, out, ["symbol"])
+    goog_files_before = sorted(g.glob(f"{out}/symbol=GOOG/part-*.parquet"))
+    keys = spark.createDataFrame(
+        [("AAPL", 1), ("MSFT", 4)], "symbol string, bar_id long"
+    )
+    delete_keys_partitioned_parquet(spark, out, keys, ["bar_id"], ["symbol"])
+    left = {(r.symbol, r.bar_id) for r in spark.read.parquet(out).collect()}
+    assert left == {("AAPL", 2), ("MSFT", 3), ("GOOG", 5)}
+    # untouched partition kept its exact files (no rewrite)
+    assert sorted(g.glob(f"{out}/symbol=GOOG/part-*.parquet")) == goog_files_before
+    # idempotent: deleting the same keys again changes nothing
+    delete_keys_partitioned_parquet(spark, out, keys, ["bar_id"], ["symbol"])
+    assert {(r.symbol, r.bar_id) for r in spark.read.parquet(out).collect()} == left
