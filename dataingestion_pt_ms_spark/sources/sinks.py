@@ -247,3 +247,30 @@ def delete_keys_partitioned_parquet(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def seed_if_absent(
+    spark: SparkSession,
+    path: str,
+    seed: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Insert-if-not-exists seeding (reference R25: the fixture bootstrap in
+    ``scripts/seed_firestore.py:23-43`` guards each document with
+    ``get().exists`` before ``set``). Spark-first that becomes one anti-join
+    append: seed rows whose key already exists in the table are dropped,
+    the rest append — re-running seeding is a no-op, exactly like the
+    reference's guard. Returns the number of rows inserted.
+
+    The append (not overwrite) write mode means existing data files are
+    never touched — safe to run concurrently with readers.
+    """
+    to_insert = seed
+    if _table_exists(spark, path):
+        existing = spark.read.parquet(path).select(*key_cols)
+        to_insert = seed.join(F.broadcast(existing.distinct()), key_cols, "left_anti")
+    to_insert = to_insert.localCheckpoint(eager=True)
+    n = to_insert.count()
+    if n:
+        to_insert.write.mode("append").parquet(path)
+    return n

@@ -201,3 +201,22 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
     # idempotent: deleting the same keys again changes nothing
     delete_keys_partitioned_parquet(spark, out, keys, ["bar_id"], ["symbol"])
     assert {(r.symbol, r.bar_id) for r in spark.read.parquet(out).collect()} == left
+
+
+def test_seed_if_absent_guard(spark, tmp_path):
+    """R25 semantics: first seeding inserts all rows; re-seeding (even with
+    an overlapping, larger seed list) inserts only the genuinely new keys."""
+    from dataingestion_pt_ms_spark.sources.sinks import seed_if_absent
+
+    out = str(tmp_path / "assets")
+    seed1 = spark.createDataFrame(
+        [("SPY", "alpaca"), ("QQQ", "alpaca")], "symbol string, provider string"
+    )
+    assert seed_if_absent(spark, out, seed1, ["symbol"]) == 2
+    seed2 = spark.createDataFrame(
+        [("SPY", "alpaca"), ("IWM", "alpaca")], "symbol string, provider string"
+    )
+    assert seed_if_absent(spark, out, seed2, ["symbol"]) == 1  # only IWM
+    rows = {r.symbol for r in spark.read.parquet(out).collect()}
+    assert rows == {"SPY", "QQQ", "IWM"}
+    assert seed_if_absent(spark, out, seed2, ["symbol"]) == 0  # idempotent
