@@ -154,43 +154,19 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
 
 
-def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
-    """Co-located bucketed join: two tables bucketed+sorted on the join key
-    must sort-merge join with NO Exchange on either side — the pre-shuffle
-    amortization that makes repeated 100 TB fact-fact joins affordable
-    (shuffle once at write time, never again at read time)."""
-    import uuid
+def test_registry_wide_no_cartesian_product(spark, sf_dir):
+    """Blanket scale guard over EVERY registered query: a CartesianProduct
+    node means a non-broadcast cross pair space — instant death at 100 TB.
+    All legitimate cross shapes here (scalar ships, small-dim crosses,
+    explicit cross join) must come out as BroadcastNestedLoopJoin. Plans
+    are built (not executed) for expression-only queries; iterative
+    operators execute their convergence probes at sf0.001 cost."""
+    from dataingestion_pt_ms_spark.queries import registry
 
-    # (warehouse dir is a static conf — tables land in the session default
-    # and are dropped below, which deletes managed-table files too)
-    suffix = uuid.uuid4().hex[:8]
-    t1, t2 = f"bk_orders_{suffix}", f"bk_lineitem_{suffix}"
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    try:
-        (
-            orders.write.bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .saveAsTable(t1)
-        )
-        (
-            li.write.bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .saveAsTable(t2)
-        )
-        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try:
-            a, b = spark.table(t1), spark.table(t2)
-            joined = a.join(b, a.o_orderkey == b.l_orderkey).select(
-                "o_orderkey", "o_totalprice", "l_quantity"
-            )
-            plan = formatted_plan(joined)
-            assert "SortMergeJoin" in plan, plan
-            assert "Exchange" not in plan, plan
-            assert joined.count() > 0
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {t1}")
-        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+    offenders = {}
+    for name, spec in registry().items():
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = plan.splitlines()[0:3]
+    assert not offenders, f"cartesian products in: {sorted(offenders)}"
