@@ -676,3 +676,42 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Percentile bands over time (the P50/P95/P99-per-hour observability query):
+# time-bucketed exact quantiles of event value. One shuffle on the hour
+# bucket; the approx_percentile variant (see text_quantile_filter_approx)
+# is the same shape with a mergeable sketch for the 100 TB path.
+# --------------------------------------------------------------------------
+PCT_BANDS_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+       count(*) AS n_events,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY hour_bucket
+ORDER BY hour_bucket
+"""
+
+
+@register(
+    "events_percentile_bands_hourly", oracle=PCT_BANDS_ORACLE, tags=("timeseries", "percentile")
+)
+def events_percentile_bands_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("hour_bucket")
+    )
