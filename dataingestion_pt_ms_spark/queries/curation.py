@@ -314,3 +314,42 @@ def sample_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_b")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each doc
+# draws u ~ U(0,1] and gets key = -ln(u)/w; the k smallest keys are a
+# weighted sample without replacement. One scan + TakeOrderedAndProject —
+# the distributed-top-k shape, no per-draw state. Here w = n_chars (longer
+# docs proportionally likelier) and u is md5-derived, so the "randomness"
+# is a pure function of doc_id: deterministic, engine-independent, and
+# exactly reproducible by the oracle. Keys are rounded before ranking
+# (libm ln/pow can differ in the last ulp across engines) with doc_id as
+# the tiebreak, so the k-boundary is engine-stable.
+# --------------------------------------------------------------------------
+_WS_K = 20
+_DU = f"(({_duck_md5_bucket('doc_id', 1_000_000_000)}) + 1) / 1000000000.0"
+
+SAMPLE_WEIGHTED_ORACLE = f"""
+SELECT doc_id, lang,
+       floor(-ln({_DU}) / n_chars * 100000000 + 0.5) / 100000000 AS es_key
+FROM documents
+ORDER BY es_key, doc_id
+LIMIT {_WS_K}
+"""
+
+
+@register(
+    "sample_weighted_no_replacement",
+    oracle=SAMPLE_WEIGHTED_ORACLE,
+    tags=("llm", "sample", "topk"),
+)
+def sample_weighted_no_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (_spark_md5_bucket("doc_id", 1_000_000_000) + 1) / F.lit(1_000_000_000.0)
+    es_key = F.floor(-F.log(u) / F.col("n_chars") * 100_000_000 + F.lit(0.5)) / 100_000_000
+    return (
+        docs.select("doc_id", "lang", es_key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(_WS_K)
+    )
