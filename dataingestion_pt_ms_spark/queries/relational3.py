@@ -770,3 +770,73 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: quartile scores for Recency / Frequency / Monetary per
+# customer, combined into the classic 3-digit segment code. ntile(4) over
+# deterministic (metric, key) orderings is engine-stable; one customer-
+# grain aggregation then three cheap windows over the same partition-less
+# frame (at 100 TB the single global ntile becomes a range-partitioned
+# percent_rank bucket — same semantics, no single-reducer sort).
+# --------------------------------------------------------------------------
+RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT custkey, last_order, frequency, monetary,
+         ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
+  FROM base
+)
+SELECT custkey, strftime(last_order, '%Y-%m-%d') AS last_order,
+       frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+FROM scored
+ORDER BY custkey
+"""
+
+
+@register("orders_rfm_segmentation", oracle=RFM_ORACLE, tags=("agg", "window", "segmentation"))
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    r_w = W.orderBy(F.col("last_order").desc(), "custkey")
+    f_w = W.orderBy(F.col("frequency").desc(), "custkey")
+    m_w = W.orderBy(F.col("monetary").desc(), "custkey")
+    scored = base.select(
+        "custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return scored.select(
+        "custkey",
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("rfm_code"),
+    ).orderBy("custkey")

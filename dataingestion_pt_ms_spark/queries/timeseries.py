@@ -715,3 +715,60 @@ def events_percentile_bands_hourly(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("hour_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# DAU/MAU stickiness: per-month ratio of average daily active users to
+# monthly active users — the classic engagement metric. Two distinct-count
+# passes at different grains plus a broadcast join on month; no windowed
+# COUNT DISTINCT needed (Spark doesn't support exact distinct over a
+# window frame — the grain-then-join formulation is the scalable form).
+# --------------------------------------------------------------------------
+STICKINESS_ORACLE = """
+WITH dau AS (
+  SELECT date_trunc('day', ts) AS d, count(DISTINCT user_id) AS n
+  FROM events GROUP BY d
+), mau AS (
+  SELECT date_trunc('month', ts) AS m, count(DISTINCT user_id) AS n
+  FROM events GROUP BY m
+)
+SELECT strftime(mau.m, '%Y-%m') AS month,
+       round(avg(CAST(dau.n AS DOUBLE)), 4) AS avg_dau,
+       CAST(mau.n AS BIGINT) AS mau,
+       floor(avg(CAST(dau.n AS DOUBLE)) / mau.n * 1000000 + 0.5) / 1000000
+         AS stickiness
+FROM dau JOIN mau ON date_trunc('month', dau.d) = mau.m
+GROUP BY month, mau.n
+ORDER BY month
+"""
+
+
+@register("events_dau_mau_stickiness", oracle=STICKINESS_ORACLE, tags=("timeseries", "agg"))
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau_n")
+    )
+    mau = ev.groupBy(F.date_trunc("month", "ts").alias("m")).agg(
+        F.countDistinct("user_id").alias("mau_n")
+    )
+    joined = dau.join(
+        F.broadcast(mau), F.date_trunc("month", F.col("d")) == F.col("m")
+    )
+    return (
+        joined.groupBy(
+            F.date_format("m", "yyyy-MM").alias("month"), F.col("mau_n")
+        )
+        .agg(F.avg(F.col("dau_n").cast("double")).alias("_avg_raw"))
+        .select(
+            "month",
+            F.round("_avg_raw", 4).alias("avg_dau"),
+            F.col("mau_n").alias("mau"),
+            # stickiness derives from the UNROUNDED average, like the oracle
+            (
+                F.floor(F.col("_avg_raw") / F.col("mau_n") * 1_000_000 + F.lit(0.5))
+                / 1_000_000
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
