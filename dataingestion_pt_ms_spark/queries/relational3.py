@@ -840,3 +840,80 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rfm_code"),
     ).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# Market-basket affinity: part pairs co-occurring in the same order, with
+# lift = P(ab) / (P(a)·P(b)). The within-order self-join is bounded by
+# basket size (lineitem orders hold <= 7 items), so the pair space is
+# Σ|basket|² — the same blocked-pair discipline as every LSH operator
+# here, never an unbounded cross join. Top pairs by support with
+# deterministic tie-breaks.
+# --------------------------------------------------------------------------
+BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), n_orders AS (
+  SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n FROM items
+), part_freq AS (
+  SELECT part, count(*) AS cnt FROM items GROUP BY part
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, count(*) AS together
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY part_a, part_b
+)
+SELECT p.part_a, p.part_b, p.together,
+       floor((p.together * n.n) / (fa.cnt * fb.cnt) * 1000000 + 0.5) / 1000000
+         AS lift
+FROM pairs p
+JOIN part_freq fa ON fa.part = p.part_a
+JOIN part_freq fb ON fb.part = p.part_b
+CROSS JOIN n_orders n
+WHERE p.together >= 2
+ORDER BY p.together DESC, p.part_a, p.part_b
+LIMIT 50
+"""
+
+
+@register("basket_pair_affinity", oracle=BASKET_ORACLE, tags=("join", "agg", "affinity"))
+def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.agg(
+        F.countDistinct("okey").cast("double").alias("n")
+    )
+    part_freq = items.groupBy("part").agg(F.count("*").alias("cnt"))
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select("okey", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    fa = part_freq.select(F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    fb = part_freq.select(F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            (
+                F.floor(
+                    (F.col("together") * F.col("n"))
+                    / (F.col("cnt_a") * F.col("cnt_b"))
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("lift"),
+        )
+        .orderBy(F.col("together").desc(), "part_a", "part_b")
+        .limit(50)
+    )

@@ -772,3 +772,56 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type Markov transition matrix: P(next_type | type) from per-user
+# ordered event streams — the sequence-model summary behind funnel and
+# session analyses. One window shuffle on user_id for the lead, then an
+# O(types²)-output aggregation.
+# --------------------------------------------------------------------------
+TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), t AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), rowsum AS (
+  SELECT event_type, sum(n) AS total FROM t GROUP BY event_type
+)
+SELECT t.event_type, t.next_type, t.n,
+       floor(CAST(t.n AS DOUBLE) / rowsum.total * 1000000 + 0.5) / 1000000
+         AS p_transition
+FROM t JOIN rowsum USING (event_type)
+ORDER BY t.event_type, t.next_type
+"""
+
+
+@register("events_markov_transitions", oracle=TRANSITION_ORACLE, tags=("timeseries", "window", "agg"))
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    rowsum = t.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return (
+        t.join(F.broadcast(rowsum), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            (
+                F.floor(F.col("n").cast("double") / F.col("total") * 1_000_000 + F.lit(0.5))
+                / 1_000_000
+            ).alias("p_transition"),
+        )
+        .orderBy("event_type", "next_type")
+    )
