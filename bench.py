@@ -74,6 +74,17 @@ BASELINE_SEC = {
 }
 GUARD_FACTOR = 2.0
 
+
+def check_regressions(times: dict[str, float]) -> list[str]:
+    """Names of queries whose measured time exceeds GUARD_FACTOR× their
+    recorded reference. Pure function so tests can drive it with
+    artificial timings."""
+    return [
+        name
+        for name, t in times.items()
+        if name in BASELINE_SEC and t > GUARD_FACTOR * BASELINE_SEC[name]
+    ]
+
 HEADLINE = [
     "flagship_region_monthly_revenue",
     "q1_pricing_summary",
@@ -163,12 +174,11 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
-        ref = BASELINE_SEC.get(name)
-        if ref is not None and times[name] > GUARD_FACTOR * ref:
+        if check_regressions({name: times[name]}):
             slow.append(name)
             print(
                 f"# WARN bench regression: {name} {times[name]:.2f}s >"
-                f" {GUARD_FACTOR}x recorded {ref:.2f}s",
+                f" {GUARD_FACTOR}x recorded {BASELINE_SEC[name]:.2f}s",
                 file=sys.stderr,
             )
 

@@ -90,27 +90,60 @@ def upsert_partitioned_parquet(
        (partition pruning via semi-join on partition values);
     2. union with the batch, dedup last-wins on ``key_cols``;
     3. dynamic-partition-overwrite those partitions only.
+
+    Delta/Iceberg upgrade path (no table-format jars in this sandbox, so
+    plain parquet + dynamic overwrite is the implementation here). With a
+    Delta table the whole function collapses to one statement — Delta's
+    transaction log makes the swap atomic for concurrent readers and
+    removes the read-own-input staging:
+
+        batch.dropDuplicates(key_cols)  # or _dedup_last_wins for true
+                                        # last-writer-wins within a batch
+        batch.createOrReplaceTempView("batch")
+        spark.sql(f'''
+            MERGE INTO delta.`{path}` AS t
+            USING batch AS s
+            ON  {' AND '.join(f't.{k} = s.{k}' for k in key_cols)}
+            WHEN MATCHED AND s.{order_col} >= t.{order_col}
+                THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        ''')
+
+    Partition pruning still applies when ``key_cols`` include the partition
+    columns (Delta derives file-level pruning from the ON clause).
     """
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged = batch
-    if _table_exists(spark, path):
-        current = spark.read.parquet(path)
-        touched = batch.select(*partition_cols).distinct()
-        affected_old = current.join(F.broadcast(touched), partition_cols, "left_semi")
-        merged = affected_old.unionByName(batch)
-    deduped = _dedup_last_wins(merged, key_cols, order_col)
-    # The merged plan READS the same path the write overwrites. Materialize
-    # the deduped rows (executor-local blocks) before the overwrite starts,
-    # so no task can observe the table mid-rewrite — staging without the
-    # extra write+read round-trip of a temp directory. (Previously this
-    # was safe only by the accident of the window's shuffle boundary.)
-    deduped = deduped.localCheckpoint(eager=True)
-    (
-        deduped.repartition(*partition_cols)
-        .write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    try:
+        merged = batch
+        if _table_exists(spark, path):
+            current = spark.read.parquet(path)
+            touched = batch.select(*partition_cols).distinct()
+            affected_old = current.join(
+                F.broadcast(touched), partition_cols, "left_semi"
+            )
+            merged = affected_old.unionByName(batch)
+        deduped = _dedup_last_wins(merged, key_cols, order_col)
+        # The merged plan READS the same path the write overwrites.
+        # Materialize the deduped rows (executor-local blocks) before the
+        # overwrite starts, so no task can observe the table mid-rewrite —
+        # staging without the extra write+read round-trip of a temp
+        # directory. (Previously this was safe only by the accident of the
+        # window's shuffle boundary.)
+        deduped = deduped.localCheckpoint(eager=True)
+        (
+            deduped.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        # restore the session's overwrite semantics — leaving "dynamic" set
+        # silently changes every later overwrite in the session
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
 
 @dataclass
@@ -176,10 +209,24 @@ def compact_parquet_dir(
     (an executor-local-checkpoint staging, as the upsert sink uses for its
     partition-scoped rewrite, would leave a whole-table delete exposed to
     lost-block failure here).
+
+    The swap itself is NOT atomic for concurrent readers: between
+    rename(path → path_compact_old) and rename(tmp → path) the table path
+    briefly does not exist, so a reader planning a scan in that window
+    fails (and retries). Run compaction in a maintenance window, or use a
+    table format with a metadata pointer (Delta/Iceberg) for live-reader
+    swaps. Crash recovery: a crash inside the window leaves the data
+    intact at ``<path>_compact_old``; the next call (or a bare retry)
+    detects the missing table path and renames it back before proceeding.
     """
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_compact_old")
+    if not fs.exists(hpath) and fs.exists(old):
+        # recover a crash between the two swap renames of a previous call
+        if not fs.rename(old, hpath):
+            raise IOError(f"could not recover {path} from {old}")
     for s in fs.listStatus(hpath):
         name = s.getPath().getName()
         if s.isDirectory() and not name.startswith(("_", ".")):
@@ -198,7 +245,6 @@ def compact_parquet_dir(
     if fs.exists(tmp):
         fs.delete(tmp, True)
     df.write.mode("overwrite").parquet(str(tmp))
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_compact_old")
     if fs.exists(old):
         fs.delete(old, True)
     if not fs.rename(hpath, old):
@@ -230,23 +276,65 @@ def delete_keys_partitioned_parquet(
     ``keys`` must carry ``key_cols`` plus the ``partition_cols`` that
     locate each key (a takedown list without partition hints would force
     a full-table scan — require the caller to provide or precompute them).
-    The rewrite stages through the same materialize-before-overwrite
-    discipline as the upsert sink (read-own-input hazard).
+    Deletion is scoped to the exact (partition, key) pairs listed: the
+    anti-join includes the partition columns, so a key listed for one
+    partition never disappears from another partition that happens to
+    reuse the same key value. The rewrite stages through the same
+    materialize-before-overwrite discipline as the upsert sink
+    (read-own-input hazard).
+
+    Partitions whose every row matched a deletion key produce no output
+    rows, and dynamic partition overwrite only rewrites partitions present
+    in the written data — their old files (holding exactly the keys to be
+    forgotten) would silently survive. After the write, any touched
+    partition absent from ``remaining`` is therefore deleted explicitly
+    via the Hadoop FS (directory names built Hive-style ``col=value``;
+    partition values needing Hive escaping — ``/``, ``:`` etc. — are
+    rejected rather than mis-targeted). The emptied-partition list is
+    bounded by the takedown batch's partition count, never data-sized.
     """
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    current = spark.read.parquet(path)
-    touched = keys.select(*partition_cols).distinct()
-    affected = current.join(F.broadcast(touched), partition_cols, "left_semi")
-    remaining = affected.join(
-        F.broadcast(keys.select(*key_cols).distinct()), key_cols, "left_anti"
-    )
-    remaining = remaining.localCheckpoint(eager=True)
-    (
-        remaining.repartition(*partition_cols)
-        .write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    try:
+        current = spark.read.parquet(path)
+        touched = keys.select(*partition_cols).distinct()
+        scoped_keys = keys.select(*key_cols, *partition_cols).distinct()
+        affected = current.join(F.broadcast(touched), partition_cols, "left_semi")
+        remaining = affected.join(
+            F.broadcast(scoped_keys), key_cols + partition_cols, "left_anti"
+        )
+        remaining = remaining.localCheckpoint(eager=True)
+        (
+            remaining.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        emptied = touched.exceptAll(remaining.select(*partition_cols).distinct())
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for row in emptied.collect():  # bounded by batch partition count
+            parts = []
+            for c in partition_cols:
+                v = str(row[c])
+                if any(ch in v for ch in '/\\:=#%\n\r'):
+                    raise ValueError(
+                        f"partition value {v!r} needs Hive escaping; refusing "
+                        "to build a raw directory path for deletion"
+                    )
+                parts.append(f"{c}={v}")
+            pdir = jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + "/" + "/".join(parts)
+            )
+            if fs.exists(pdir):
+                fs.delete(pdir, True)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
 
 def seed_if_absent(
@@ -264,8 +352,14 @@ def seed_if_absent(
 
     The append (not overwrite) write mode means existing data files are
     never touched — safe to run concurrently with readers.
+
+    Duplicate keys WITHIN the seed batch collapse to one row
+    (``dropDuplicates(key_cols)`` — deterministic only if duplicate keys
+    carry identical payloads, the fixture-seeding case) — matching the
+    reference's per-document exists-guard, which can insert a key once no
+    matter how often the seed script lists it.
     """
-    to_insert = seed
+    to_insert = seed.dropDuplicates(key_cols)
     if _table_exists(spark, path):
         existing = spark.read.parquet(path).select(*key_cols)
         to_insert = seed.join(F.broadcast(existing.distinct()), key_cols, "left_anti")

@@ -115,6 +115,14 @@ def run_batch_ingest(
         order_col="updated_at",
     )
     written = spark.read.parquet(table_path)
+    # Driver-side collect is SINK-side only and bounded by the ingest
+    # event grain: one JSON row per (symbol, timeframe) group — the
+    # reference publishes exactly one Pub/Sub event per asset ingest
+    # (R20, app/alpaca_service.py:239-254), so cardinality tracks the
+    # assets dimension (thousands), never the bar data. No bar row is
+    # ever collected (tests/test_ingest.py::test_ingest_event_collect_is_
+    # group_bounded asserts the row count == group count on a many-group
+    # batch).
     events = [
         r["event_json"]
         for r in emit_ingest_events(bars, ["symbol", "timeframe"], "ts").collect()

@@ -220,3 +220,161 @@ def test_seed_if_absent_guard(spark, tmp_path):
     rows = {r.symbol for r in spark.read.parquet(out).collect()}
     assert rows == {"SPY", "QQQ", "IWM"}
     assert seed_if_absent(spark, out, seed2, ["symbol"]) == 0  # idempotent
+
+
+def test_delete_keys_removes_fully_emptied_partition(spark, tmp_path):
+    """If EVERY row of a touched partition matches the deletion keys,
+    dynamic overwrite writes nothing for it — the sink must explicitly
+    delete the partition directory or the forgotten keys silently survive
+    (ADVICE r2, high)."""
+    import glob as g
+
+    from dataingestion_pt_ms_spark.sources.sinks import (
+        delete_keys_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "tbl")
+    rows = [("AAPL", 1, 10.0), ("AAPL", 2, 11.0), ("MSFT", 3, 20.0)]
+    df = spark.createDataFrame(rows, "symbol string, bar_id long, close double")
+    write_partitioned_parquet(df, out, ["symbol"])
+    keys = spark.createDataFrame(
+        [("AAPL", 1), ("AAPL", 2)], "symbol string, bar_id long"
+    )
+    delete_keys_partitioned_parquet(spark, out, keys, ["bar_id"], ["symbol"])
+    assert not g.glob(f"{out}/symbol=AAPL"), "emptied partition dir must be gone"
+    left = {(r.symbol, r.bar_id) for r in spark.read.parquet(out).collect()}
+    assert left == {("MSFT", 3)}
+
+
+def test_delete_keys_is_partition_scoped(spark, tmp_path):
+    """A key value listed for ONE partition must not be deleted from other
+    touched partitions that reuse the same key value (ADVICE r2, medium):
+    deleting (AAPL, bar_id=1) while also touching MSFT must keep MSFT's
+    bar_id=1 row."""
+    from dataingestion_pt_ms_spark.sources.sinks import (
+        delete_keys_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "tbl")
+    rows = [("AAPL", 1, 10.0), ("MSFT", 1, 20.0), ("MSFT", 4, 21.0)]
+    df = spark.createDataFrame(rows, "symbol string, bar_id long, close double")
+    write_partitioned_parquet(df, out, ["symbol"])
+    keys = spark.createDataFrame(
+        [("AAPL", 1), ("MSFT", 4)], "symbol string, bar_id long"
+    )
+    delete_keys_partitioned_parquet(spark, out, keys, ["bar_id"], ["symbol"])
+    left = {(r.symbol, r.bar_id) for r in spark.read.parquet(out).collect()}
+    assert left == {("MSFT", 1)}
+
+
+def test_sinks_restore_partition_overwrite_mode(spark, tmp_path):
+    """Both partition-rewriting sinks must save/restore the session's
+    partitionOverwriteMode instead of leaving 'dynamic' behind (ADVICE r2,
+    low): later overwrites in the same session would silently change
+    semantics."""
+    import datetime as dt
+
+    from dataingestion_pt_ms_spark.sources.sinks import (
+        delete_keys_partitioned_parquet,
+        upsert_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    try:
+        path = str(tmp_path / "up")
+        df = spark.createDataFrame(
+            [(1, "a", 1, dt.date(2024, 1, 1))], "k long, v string, ver long, dt date"
+        )
+        upsert_partitioned_parquet(spark, df, path, ["k"], ["dt"], "ver")
+        assert spark.conf.get(key) == "static"
+
+        out = str(tmp_path / "tbl")
+        rows = [("AAPL", 1, 10.0), ("AAPL", 2, 11.0)]
+        t = spark.createDataFrame(rows, "symbol string, bar_id long, close double")
+        write_partitioned_parquet(t, out, ["symbol"])
+        keys = spark.createDataFrame([("AAPL", 1)], "symbol string, bar_id long")
+        delete_keys_partitioned_parquet(spark, out, keys, ["bar_id"], ["symbol"])
+        assert spark.conf.get(key) == "static"
+    finally:
+        spark.conf.unset(key)
+
+
+def test_seed_if_absent_dedupes_within_batch(spark, tmp_path):
+    """A seed batch listing the same key twice must insert it once — the
+    reference's per-document exists-guard can never double-insert
+    (ADVICE r2, low)."""
+    from dataingestion_pt_ms_spark.sources.sinks import seed_if_absent
+
+    out = str(tmp_path / "assets")
+    seed = spark.createDataFrame(
+        [("SPY", "alpaca"), ("SPY", "alpaca"), ("QQQ", "alpaca")],
+        "symbol string, provider string",
+    )
+    assert seed_if_absent(spark, out, seed, ["symbol"]) == 2
+    rows = [r.symbol for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == ["QQQ", "SPY"]
+    # and the dedup also applies on the anti-join path (table now exists)
+    assert seed_if_absent(spark, out, seed, ["symbol"]) == 0
+
+
+def test_compact_recovers_stranded_old_dir(spark, tmp_path):
+    """A crash between the two swap renames leaves the table at
+    <path>_compact_old; the next call must rename it back and proceed
+    (ADVICE r2, medium)."""
+    import os
+
+    from dataingestion_pt_ms_spark.sources.sinks import compact_parquet_dir
+
+    out = str(tmp_path / "tbl")
+    spark.range(100).repartition(8).write.parquet(out)
+    # simulate the crash window: table moved aside, new copy never landed
+    os.rename(out, out + "_compact_old")
+    n = compact_parquet_dir(spark, out, target_file_bytes=1 << 30)
+    assert n == 1
+    assert not os.path.exists(out + "_compact_old")
+    assert spark.read.parquet(out).count() == 100
+
+
+def test_ingest_event_collect_is_group_bounded(spark):
+    """run_batch_ingest collects ONLY the per-(symbol,timeframe) event rows
+    — one per group, mirroring the reference's one Pub/Sub event per asset
+    (R20). A many-group batch must produce exactly group-count events,
+    proving the driver-side collect is dimension-bounded, not data-bounded
+    (VERDICT r2 hygiene note)."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_pt_ms_spark.sources.sinks import emit_ingest_events
+
+    # 200 groups x 50 rows = 10k rows, but only 200 events may come back
+    batch = (
+        spark.range(10_000)
+        .select(
+            F.concat(F.lit("SYM"), (F.col("id") % 200).cast("string")).alias("symbol"),
+            F.lit("Day").alias("timeframe"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        )
+    )
+    events = emit_ingest_events(batch, ["symbol", "timeframe"], "ts")
+    assert events.count() == 200
+
+
+def test_bench_regression_guard_fires():
+    """bench.py's regression guard must flag a query exceeding 2x its
+    recorded reference and pass a healthy one (VERDICT r2 'Next round'
+    #5: catch the next md5-style regression at build time)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    ref = bench.BASELINE_SEC["dedup_minhash_lsh_pairs"]
+    assert bench.check_regressions({"dedup_minhash_lsh_pairs": ref * 3}) == [
+        "dedup_minhash_lsh_pairs"
+    ]
+    assert bench.check_regressions({"dedup_minhash_lsh_pairs": ref}) == []
+    # unknown queries are unguarded, never crash
+    assert bench.check_regressions({"brand_new_query": 999.0}) == []
