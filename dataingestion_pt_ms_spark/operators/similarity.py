@@ -125,14 +125,21 @@ def ann_ivf_topk(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: score the query against the per-block centroids, pick
-    the nearest cell, exact top-k inside that cell only.
+    the ``nprobe`` nearest cells, exact top-k inside those cells only.
 
     At scale the corpus is clustered/partitioned by cell id, so the probe
-    reads one cell's partitions instead of the corpus (nprobe=1 here; a
-    multi-cell probe is a filter on N best labels instead of one).
+    reads ``nprobe`` cells' partitions instead of the corpus. nprobe > 1 is
+    the standard recall knob: a query landing near a cell boundary misses
+    true neighbors in the adjacent cell at nprobe=1; probing the next-best
+    cells recovers them for a linear (not corpus-sized) extra read. The
+    probe set arrives as a broadcast semi-join on the cell id, so the scan
+    stays partition-pruned.
     """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     q = F.broadcast(query.select(_dvec(vec_col).alias("_qvec")))
     best = (
         label_centroids(corpus, block_col, vec_col)
@@ -142,7 +149,7 @@ def ann_ivf_topk(
             F.round(cosine_similarity(F.col("centroid"), F.col("_qvec")), 6).alias("c_sim"),
         )
         .orderBy(F.col("c_sim").desc(), "blk")
-        .limit(1)
+        .limit(nprobe)
         .select(F.col("blk").alias("best_blk"))
     )
     return (
@@ -154,6 +161,41 @@ def ann_ivf_topk(
             F.round(cosine_similarity(_dvec(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), key_col)
+        .limit(k)
+    )
+
+
+def centroid_distance_outliers(
+    corpus: DataFrame,
+    k: int = 20,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-space outlier pruning: the k vectors FARTHEST (lowest
+    cosine) from their own block's centroid — the standard "drop
+    embedding outliers before training" curation gate (cluster-then-prune).
+
+    Shape: one narrow (block, pos) shuffle for centroids, then the
+    centroids broadcast back onto the corpus scan — cost is one corpus
+    pass regardless of block count, and the final global top-k is
+    TakeOrderedAndProject, never a full sort.
+    """
+    cents = F.broadcast(
+        label_centroids(corpus, block_col, vec_col).select(
+            F.col("blk"), F.col("centroid")
+        )
+    )
+    return (
+        corpus.join(cents, corpus[block_col] == cents["blk"])
+        .select(
+            key_col,
+            F.col(block_col).alias("label"),
+            F.round(cosine_similarity(_dvec(vec_col), F.col("centroid")), 6).alias(
+                "centroid_sim"
+            ),
+        )
+        .orderBy(F.col("centroid_sim").asc(), key_col)
         .limit(k)
     )
 

@@ -64,6 +64,7 @@ def _load_all() -> None:
         graph_analytics,
         joins,
         llm_dedup,
+        llm_quality,
         llm_similarity,
         llm_text,
         relational,
@@ -73,6 +74,7 @@ def _load_all() -> None:
         setops,
         timeseries,
         udfs,
+        warehouse,
         windows,
     )
 

@@ -307,6 +307,84 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(emb, query, k=5)
 
 
+IVF_MULTIPROBE_ORACLE = f"""
+WITH exploded AS (
+  SELECT label, pos, CAST(val AS DOUBLE) AS val
+  FROM (SELECT label, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+centroids AS (
+  SELECT label, list(avg_val ORDER BY pos) AS cvec
+  FROM (SELECT label, pos, avg(val) AS avg_val FROM exploded GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QID}),
+best AS (
+  SELECT label FROM centroids, q
+  ORDER BY round(list_cosine_similarity(cvec, q.qv), 6) DESC, label
+  LIMIT 2
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine_sim
+FROM embeddings e, q
+WHERE e.label IN (SELECT label FROM best)
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 5
+"""
+
+
+@register(
+    "sim_ann_ivf_multiprobe",
+    oracle=IVF_MULTIPROBE_ORACLE,
+    tags=("llm", "similarity", "ivf", "multiprobe"),
+)
+def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2 (operators/similarity.py:ann_ivf_topk): the
+    standard recall knob — a query near a cell boundary recovers neighbors
+    from the second-best cell for one extra cell read, never a corpus
+    scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == _QID)
+    return S.ann_ivf_topk(emb, query, k=5, nprobe=2)
+
+
+CENTROID_OUTLIER_ORACLE = """
+WITH exploded AS (
+  SELECT label, pos, CAST(val AS DOUBLE) AS val
+  FROM (SELECT label, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+centroids AS (
+  SELECT label, list(avg_val ORDER BY pos) AS cvec
+  FROM (SELECT label, pos, avg(val) AS avg_val FROM exploded GROUP BY label, pos)
+  GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
+         AS centroid_sim
+FROM embeddings e JOIN centroids c ON e.label = c.label
+ORDER BY centroid_sim ASC, vec_id
+LIMIT 20
+"""
+
+
+@register(
+    "sim_centroid_outliers",
+    oracle=CENTROID_OUTLIER_ORACLE,
+    tags=("llm", "similarity", "curation", "outlier"),
+)
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-outlier pruning gate
+    (operators/similarity.py:centroid_distance_outliers): the 20 vectors
+    farthest from their own cluster centroid — the cluster-then-prune
+    curation pass over an embedding column. Centroids broadcast back onto
+    one corpus scan; final top-k is TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.centroid_distance_outliers(emb, k=20)
+
+
 # --------------------------------------------------------------------------
 # k-means (2 Lloyd rounds, k=4, deterministic seeds = 4 smallest vec_ids).
 # The oracle unrolls both rounds as CTEs over the exploded (vec, dim, x)

@@ -1,0 +1,303 @@
+"""Warehouse-maintenance query shapes (round-3 additions, SURVEY.md §2.B):
+
+- CDC merge-apply: fold an insert/update/delete change log (with sequence
+  numbers) into a snapshot — the batch form of every lakehouse MERGE /
+  "apply the binlog" job, generalizing the reference's keyed upsert (R16,
+  ``app/alpaca_service.py:190-209``) to logs that also carry deletes;
+- binned keyless interval join: events falling inside ±10-minute windows
+  around error events, with NO equi key — the pure range join that
+  degenerates to an O(n·m) nested loop unless the time axis is bucketed
+  into equi-joinable bins (each row lands in exactly one bin; each
+  interval explodes into the ≤2 bins it overlaps, so no post-join dedup);
+- first/last-touch attribution: per user, the touchpoints bracketing the
+  first purchase — per-user windows, never a global one.
+
+Both engines see identical inputs (the change log is derived
+deterministically from the ``orders`` table), so every query here carries
+a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+# --------------------------------------------------------------------------
+# CDC merge-apply. Snapshot = orders before 1998; the change log is built
+# from the table deterministically:
+#   - late orders (>= 1998) arrive as upserts ('U'), keys ending in 9 as
+#     deletes of rows that never existed (no-ops — a real binlog has them);
+#   - every 5th late order has a SECOND log entry with a higher seq and a
+#     corrected price — last-wins must pick it;
+#   - old orders with o_orderkey % 97 == 0 get tombstones ('D') — rows that
+#     must disappear from the snapshot.
+# Apply = last-wins per key on (seq desc) → delete tombstoned keys →
+# upsert the rest. One shuffle on the key for the log fold, one for the
+# final outer merge — the scalable MERGE shape (no driver-side state).
+# --------------------------------------------------------------------------
+CDC_ORACLE = """
+WITH snap AS (
+  SELECT o_orderkey AS k, o_totalprice AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), log AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 10 = 9 THEN 'D' ELSE 'U' END AS op,
+         1 AS seq, o_totalprice AS price
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  UNION ALL
+  SELECT o_orderkey AS k, 'U' AS op, 2 AS seq,
+         floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS price
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey AS k, 'D' AS op, 1 AS seq, 0.0 AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 97 = 0
+), final_log AS (
+  SELECT k, op, price FROM (
+    SELECT k, op, price,
+           row_number() OVER (PARTITION BY k ORDER BY seq DESC, op) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT k, round(price, 2) AS price, src FROM (
+  SELECT s.k, s.price, 'snap' AS src
+  FROM snap s LEFT JOIN final_log f ON s.k = f.k
+  WHERE f.k IS NULL
+  UNION ALL
+  SELECT k, price, 'log' AS src FROM final_log WHERE op <> 'D'
+)
+ORDER BY k
+"""
+
+
+@register("cdc_merge_apply", oracle=CDC_ORACLE, tags=("warehouse", "cdc", "merge"))
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    snap = orders.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    late = orders.filter(F.col("o_orderdate") >= cutoff)
+    log = (
+        late.select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 10 == 9, "D").otherwise("U").alias("op"),
+            F.lit(1).alias("seq"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .unionByName(
+            late.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit("U").alias("op"),
+                F.lit(2).alias("seq"),
+                # floor(x*100+0.5)/100, not round(): the engines' round()
+                # tie conventions differ on the .005 ties *1.1 produces
+                (F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100).alias(
+                    "price"
+                ),
+            )
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderdate") < cutoff) & (F.col("o_orderkey") % 97 == 0)
+            ).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit("D").alias("op"),
+                F.lit(1).alias("seq"),
+                F.lit(0.0).alias("price"),
+            )
+        )
+    )
+    w = W.partitionBy("k").orderBy(F.col("seq").desc(), "op")
+    final_log = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    untouched = snap.join(final_log.select("k"), "k", "left_anti").select(
+        "k", "price", F.lit("snap").alias("src")
+    )
+    applied = final_log.filter(F.col("op") != "D").select(
+        "k", "price", F.lit("log").alias("src")
+    )
+    return (
+        untouched.unionByName(applied)
+        .select("k", F.round("price", 2).alias("price"), "src")
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Binned keyless interval join: for every error event, how many events of
+# any user fall within ±10 minutes. There is no equi key, so a naive plan
+# is a broadcast nested loop over errors × events (n·m predicate evals —
+# the plan that dies at 100×). Bucketing time into 20-minute bins turns it
+# into an equi join: each event belongs to exactly ONE bin; each ±10 min
+# interval (width = bin size) overlaps at most 2 bins and explodes into
+# them, so bin equality + the exact range filter finds every pair exactly
+# once (no dedup). Bins are computed from second-truncated epochs with a
+# one-bin safety margin on each side, so µs-precision boundary events
+# can't fall out; the exact timestamp predicate decides membership.
+# --------------------------------------------------------------------------
+INTERVAL_BINNED_ORACLE = """
+WITH err AS (
+  SELECT event_id AS error_id, ts FROM events WHERE event_type = 'error'
+), near AS (
+  SELECT err.error_id,
+         count(*) AS n_nearby,
+         sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS n_purchases
+  FROM err
+  JOIN events e
+    ON e.ts >= err.ts - INTERVAL 10 MINUTE
+   AND e.ts <  err.ts + INTERVAL 10 MINUTE
+   AND e.event_id <> err.error_id
+  GROUP BY err.error_id
+)
+SELECT err.error_id AS error_id,
+       CAST(coalesce(near.n_nearby, 0) AS BIGINT) AS n_nearby,
+       CAST(coalesce(near.n_purchases, 0) AS BIGINT) AS n_purchases
+FROM err LEFT JOIN near ON err.error_id = near.error_id
+ORDER BY err.error_id
+"""
+
+_BIN_SEC = 1200  # 20 minutes == interval width => <= 2 bins per interval
+
+
+@register(
+    "join_interval_binned_error_window",
+    oracle=INTERVAL_BINNED_ORACLE,
+    tags=("join", "range", "binned", "scale"),
+)
+def join_interval_binned_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    err = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_ts"),
+        F.unix_timestamp("ts").alias("_s"),
+    )
+    # explode each interval into the bins it can overlap (±1s slop for the
+    # second truncation; sequence is inclusive on both ends)
+    err_binned = err.select(
+        "error_id",
+        "err_ts",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("_s") - 601) / _BIN_SEC),
+                F.floor((F.col("_s") + 600) / _BIN_SEC),
+            )
+        ).alias("bin"),
+    )
+    ev = events.select(
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("ts"),
+        F.floor(F.unix_timestamp("ts") / _BIN_SEC).alias("bin"),
+    )
+    matched = (
+        err_binned.join(ev, "bin")
+        .filter(
+            (F.col("ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("ts") < F.col("err_ts") + F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("event_id") != F.col("error_id"))
+        )
+        .groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            ),
+        )
+    )
+    return (
+        err.select("error_id")
+        .join(matched, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce("n_nearby", F.lit(0)).cast("long").alias("n_nearby"),
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        )
+        .orderBy("error_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# First/last-touch attribution: for every user whose history contains a
+# purchase, the event type that FIRST touched them and the LAST touch
+# strictly before their first purchase. All windows are partitioned by
+# user_id (per-user state, embarrassingly parallel); ties break on
+# (ts, event_id) so both engines pick the same row.
+# --------------------------------------------------------------------------
+ATTRIBUTION_ORACLE = """
+WITH first_purchase AS (
+  SELECT user_id, ts AS p_ts, value AS p_value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+), touches AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN first_purchase p
+    ON e.user_id = p.user_id AND e.ts < p.p_ts
+), ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM touches
+), bracketed AS (
+  SELECT user_id,
+         max(CASE WHEN rf = 1 THEN event_type END) AS first_touch,
+         max(CASE WHEN rl = 1 THEN event_type END) AS last_touch,
+         count(*) AS n_touches
+  FROM ranked GROUP BY user_id
+)
+SELECT p.user_id,
+       coalesce(b.first_touch, 'none') AS first_touch,
+       coalesce(b.last_touch, 'none') AS last_touch,
+       CAST(coalesce(b.n_touches, 0) AS BIGINT) AS n_touches,
+       round(p.p_value, 2) AS first_purchase_value
+FROM first_purchase p LEFT JOIN bracketed b ON p.user_id = b.user_id
+ORDER BY p.user_id
+"""
+
+
+@register(
+    "events_touch_attribution",
+    oracle=ATTRIBUTION_ORACLE,
+    tags=("timeseries", "window", "attribution"),
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+        )
+    )
+    touches = events.join(first_purchase, "user_id").filter(
+        F.col("ts") < F.col("p_ts")
+    )
+    order_key = F.struct("ts", "event_id")
+    bracketed = touches.groupBy("user_id").agg(
+        F.min_by("event_type", order_key).alias("first_touch"),
+        F.max_by("event_type", order_key).alias("last_touch"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )
+    return (
+        first_purchase.join(bracketed, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+            F.coalesce("n_touches", F.lit(0)).cast("long").alias("n_touches"),
+            F.round("p_value", 2).alias("first_purchase_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -170,3 +170,43 @@ def test_registry_wide_no_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders[name] = plan.splitlines()[0:3]
     assert not offenders, f"cartesian products in: {sorted(offenders)}"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing (sources/bucketed.py): two tables
+    bucketed on the same key with the same bucket count must join with
+    ZERO Exchange operators — the write-once-shuffle-never contract that
+    makes repeated fact-table joins affordable at 100 TB. Broadcast is
+    disabled so the planner can't sidestep the assertion."""
+    from dataingestion_pt_ms_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed_table(
+        orders, "b_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed_table(
+        li, "b_lineitem", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_lineitem"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and it actually computes
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
