@@ -193,3 +193,53 @@ def pagerank(
             )
         )
     return pr
+
+
+def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-node triangle counts via degree orientation (Cohen 2009 /
+    Schank-Wagner "forward"): each undirected edge {u,v} is directed from
+    its lower-(degree, id) endpoint to the higher one, wedges are built
+    only among a node's OUT-edges, and a wedge closes iff the oriented
+    (b, c) edge exists.
+
+    Why this is the 100 TB formulation: the naive id-ordered wedge join
+    enumerates sum(deg(v)^2) wedges, which a single celebrity node turns
+    into a quadratic blowup; orientation bounds out-degree by O(sqrt(m)),
+    so wedge count is O(m^1.5) worst case — the standard distributed
+    triangle bound.  Three narrow shuffles total: degree agg, wedge
+    self-join on the shared source, closing semi-join on (b, c).
+
+    ``edges`` must hold each undirected edge once with ``src < dst``
+    (id order); output is (node, n_triangles), nodes with zero triangles
+    omitted.  Counts are identical to the naive enumeration — orientation
+    only changes which copy of each triangle is generated.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.withColumnsRenamed({"node": "u", "deg": "deg_u"}), "u")
+        .join(deg.withColumnsRenamed({"node": "v", "deg": "deg_v"}), "v")
+    )
+    u_first = F.struct(F.col("deg_u"), F.col("u")) < F.struct(F.col("deg_v"), F.col("v"))
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_d"),
+    )
+    e1 = oriented.select("s", F.col("d").alias("b"), F.col("deg_d").alias("deg_b"))
+    e2 = oriented.select("s", F.col("d").alias("c"), F.col("deg_d").alias("deg_c"))
+    wedges = e1.join(e2, "s").filter(
+        F.struct(F.col("deg_b"), F.col("b")) < F.struct(F.col("deg_c"), F.col("c"))
+    )
+    closing = oriented.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    tris = wedges.join(closing, ["b", "c"], "left_semi").select("s", "b", "c")
+    return (
+        tris.select(F.explode(F.array("s", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

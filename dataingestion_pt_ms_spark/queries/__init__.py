@@ -72,6 +72,7 @@ def _load_all() -> None:
         relational3,
         scalars,
         setops,
+        sketches,
         timeseries,
         udfs,
         warehouse,

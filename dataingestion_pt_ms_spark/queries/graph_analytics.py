@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.graph import pagerank
+from ..operators.graph import pagerank, triangle_counts
 from . import register
 
 _D = 0.85
@@ -88,3 +88,60 @@ def graph_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", F.round("pr", 6).alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph: parts are connected
+# when >= 2 distinct orders contain both — the support threshold that turns
+# the basket fan-out into a sparse similarity graph (same blocking idea as
+# the fuzzy join).  The Spark side runs the degree-oriented algorithm
+# (operators/graph.py:triangle_counts, O(m^1.5) wedges); the oracle counts
+# the same triangles with the naive id-ordered 3-way join, which is
+# feasible at oracle scale precisely because the threshold already pruned
+# the edges — the two enumerate each triangle exactly once.
+# --------------------------------------------------------------------------
+_TRI_EDGES_SQL = """
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v
+  HAVING count(*) >= 2
+"""
+
+TRIANGLE_ORACLE = f"""
+WITH e AS ({_TRI_EDGES_SQL}),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, count(*) AS n_triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+ORDER BY n_triangles DESC, node
+"""
+
+
+@register(
+    "graph_copurchase_triangles", oracle=TRIANGLE_ORACLE, tags=("graph", "triangles")
+)
+def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .drop("sup")
+    )
+    return triangle_counts(edges).orderBy(F.desc("n_triangles"), "node")

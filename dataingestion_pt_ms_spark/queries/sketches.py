@@ -1,0 +1,288 @@
+"""Deterministic mergeable-sketch operators (round-3 additions, SURVEY.md
+§2.B): the 100 TB answer to "how many distinct / who's frequent" when exact
+state would not fit.
+
+Spark's built-ins (``approx_count_distinct``, ``approx_percentile``) are
+engine-private sketches — correct, but not attestable against another
+engine, so the registry carries them rows-only. These two queries implement
+the same sketches *from first principles* over an md5 base hash that both
+Spark and DuckDB compute bit-identically, so the full pipeline — hash →
+register/cell update → merge → estimate — gets an exact cross-engine oracle:
+
+- ``agg_hll_distinct_customers``: HyperLogLog (Flajolet et al. 2007) with
+  m=64 registers.  The register update is a plain ``groupBy(group,
+  register).max(rank)`` — i.e. the sketch IS a tiny mergeable aggregate
+  (64 rows per group forever, no matter how many billions of rows stream
+  through), which is why HLL is the standard distinct-count at scale.
+- ``sketch_cm_heavy_hitters``: a 4×1024 count-min sketch (Cormode &
+  Muthukrishnan 2005) over the document token stream, then heavy hitters
+  read back from the sketch with their guaranteed-overestimate property
+  checked against exact counts.
+
+Scale notes: both sketches are built with one map-side-combinable grouped
+aggregation whose output cardinality is FIXED (64·groups cells / 4096
+cells); the md5 work for count-min runs over the *vocabulary*, not the
+token stream (counts first, hash once per distinct token).  Estimate math
+sticks to integer arithmetic (bit-shifted register sums, bigint cell
+counts) until the final division so no floating summation order exists for
+the engines to disagree on; the one double division uses identical inputs
+on both sides and rounds via the repo's floor-trick.
+
+Reference parity: the reference keeps exact per-run counts in a Firestore
+status doc (``app/alpaca_service.py:19-25``, R18/R24); these are the
+bounded-state generalizations of those counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+# --------------------------------------------------------------------------
+# HyperLogLog, m=64 (p=6), alpha_64 = 0.709.
+#
+# h = md5(key): hex digits 1-2 pick the register (256 % 64 == 0, so the
+# modulo stays uniform); hex digits 3-15 are a 52-bit tail whose
+# leading-zero run gives the rank (first-one position, 1-based; all-zero
+# tail => rank 53).  Counting zeros on the HEX STRING keeps the whole
+# pipeline in integer/string ops both engines implement identically:
+# 4 zeros per leading '0' digit plus 0-3 for the first non-zero digit.
+#
+# The register sum uses 2^(55-r) as a BIGINT shift (r <= 53, and
+# 64·2^55 = 2^61 cannot overflow), so the harmonic-mean denominator is an
+# EXACT integer; only the final alpha·m²·2^55 / S division is floating
+# point, on bit-identical operands.
+# --------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_ALPHA = 0.709
+_TWO55 = 1 << 55
+
+
+def _rank_from_hex_tail(tail_col):
+    """first-one position (1-based) in the 52-bit value spelled by a
+    13-hex-digit string; 53 when the tail is all zeros."""
+    zrun = F.length(F.regexp_extract(tail_col, "^(0*)", 1))
+    first = tail_col.substr(zrun + 1, F.lit(1))
+    digit_zeros = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(zrun >= 13, F.lit(53)).otherwise(zrun * 4 + digit_zeros + 1)
+
+
+_DUCK_RANK = """
+CASE WHEN zrun >= 13 THEN 53
+     ELSE zrun * 4
+          + CASE WHEN first_d = '1' THEN 3
+                 WHEN first_d IN ('2','3') THEN 2
+                 WHEN first_d IN ('4','5','6','7') THEN 1
+                 ELSE 0 END
+          + 1 END
+"""
+
+HLL_ORACLE = f"""
+WITH h AS (
+  SELECT o_orderpriority AS prio, md5(CAST(o_custkey AS VARCHAR)) AS hex
+  FROM orders
+), parts AS (
+  SELECT prio,
+         CAST(('0x' || substr(hex, 1, 2)) AS BIGINT) % 64 AS reg,
+         length(regexp_extract(substr(hex, 3, 13), '^(0*)', 1)) AS zrun,
+         substr(substr(hex, 3, 13),
+                length(regexp_extract(substr(hex, 3, 13), '^(0*)', 1)) + 1,
+                1) AS first_d
+  FROM h
+), regs AS (
+  SELECT prio, reg, max({_DUCK_RANK}) AS r
+  FROM parts GROUP BY prio, reg
+), merged AS (
+  SELECT prio,
+         sum(1::BIGINT << (55 - r)) AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY prio
+), est AS (
+  SELECT prio,
+         64 - n_regs AS v_zero,
+         ({_HLL_ALPHA} * 4096.0 * {float(_TWO55)})
+           / CAST(s_present + (64 - n_regs) * {_TWO55} AS DOUBLE) AS raw
+  FROM merged
+), fin AS (
+  SELECT prio, v_zero,
+         CASE WHEN v_zero > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+              ELSE raw END AS e
+  FROM est
+)
+SELECT f.prio, f.v_zero,
+       floor(f.e * 100.0 + 0.5) / 100.0 AS hll_estimate,
+       x.n_exact
+FROM fin f
+JOIN (SELECT o_orderpriority AS prio, count(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY o_orderpriority) x USING (prio)
+ORDER BY prio
+"""
+
+
+@register(
+    "agg_hll_distinct_customers", oracle=HLL_ORACLE, tags=("sketch", "hll", "agg")
+)
+def agg_hll_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority via a hand-rolled 64-register
+    HyperLogLog, attested against DuckDB recomputing the identical sketch
+    (and against the exact distinct count carried alongside).
+
+    At 100 TB the shape is: one narrow shuffle keyed (group, register)
+    whose output is ≤ 64·|groups| rows regardless of input size, then an
+    O(|groups|) merge — vs ``count(DISTINCT)``'s full repartition of every
+    distinct key.  Registers from different corpora union+max-merge, which
+    is how per-partition sketches roll up without a rescan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    hexd = F.md5(F.col("o_custkey").cast("string"))
+    tail = F.substring(hexd, 3, 13)
+    parts = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.pmod(F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long"), F.lit(64)).alias(
+            "reg"
+        ),
+        _rank_from_hex_tail(tail).alias("r"),
+    )
+    regs = parts.groupBy("prio", "reg").agg(F.max("r").alias("r"))
+    merged = regs.groupBy("prio").agg(
+        F.sum(F.expr("shiftleft(1L, 55 - r)")).alias("s_present"),
+        F.count("*").alias("n_regs"),
+    )
+    est = merged.select(
+        "prio",
+        (F.lit(64) - F.col("n_regs")).alias("v_zero"),
+        (
+            F.lit(_HLL_ALPHA * 4096.0 * float(_TWO55))
+            / (
+                F.col("s_present")
+                + (F.lit(64) - F.col("n_regs")) * F.lit(_TWO55)
+            ).cast("double")
+        ).alias("raw"),
+    )
+    fin = est.select(
+        "prio",
+        "v_zero",
+        F.when(
+            (F.col("v_zero") > 0) & (F.col("raw") <= 160.0),
+            F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero").cast("double")),
+        )
+        .otherwise(F.col("raw"))
+        .alias("e"),
+    )
+    exact = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return (
+        fin.join(exact, "prio")
+        .select(
+            "prio",
+            "v_zero",
+            (F.floor(F.col("e") * 100.0 + 0.5) / 100.0).alias("hll_estimate"),
+            "n_exact",
+        )
+        .orderBy("prio")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch, depth 4 × width 1024, over the document token stream.
+#
+# Build order matters at scale: exact token counts FIRST (map-side
+# combinable, vocabulary-sized output), then md5 once per (distinct token,
+# row) — the hash work is O(vocab·4), not O(token occurrences·4).  The
+# sketch itself is the 4096-cell grouped sum; the point query for token t
+# is min over the 4 cells t hashes to, which can only overestimate.
+# Heavy hitters = tokens whose sketch estimate clears 1/200 of the stream.
+# --------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 1024
+
+_DUCK_CM_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || token), 1, 8)) AS BIGINT)"
+    f" % {_CM_W}"
+)
+
+CM_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), hashed AS (
+  SELECT token, c, j, {_DUCK_CM_BUCKET} AS bucket
+  FROM counts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u
+), cells AS (
+  SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cell FROM hashed GROUP BY j, bucket
+), est AS (
+  SELECT h.token, max(h.c) AS exact_count, min(cells.cell) AS est_count
+  FROM hashed h JOIN cells ON h.j = cells.j AND h.bucket = cells.bucket
+  GROUP BY h.token
+)
+SELECT token, est_count, exact_count
+FROM est
+WHERE CAST(est_count AS DOUBLE)
+      >= (SELECT sum(c) FROM counts) / 200.0
+ORDER BY est_count DESC, token
+"""
+
+
+@register(
+    "sketch_cm_heavy_hitters", oracle=CM_ORACLE, tags=("sketch", "countmin", "text")
+)
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens from a 4×1024 count-min sketch, with the exact
+    count alongside (sketch law: ``est_count >= exact_count`` always —
+    tests/test_sketches.py asserts it row-wise).
+
+    The sketch is 4096 bigint cells however large the corpus — cells from
+    per-batch sketches ADD, so a 100 TB corpus builds per-partition
+    sketches map-side and merges O(1) state; the full token stream is never
+    reshuffled (only the vocab-sized count table moves).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    hashed = counts.select(
+        "token",
+        "c",
+        F.explode(F.array([F.lit(j) for j in range(_CM_D)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("token"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_CM_W),
+        ),
+    )
+    cells = hashed.groupBy("j", "bucket").agg(F.sum("c").alias("cell"))
+    est = (
+        hashed.join(cells, ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.max("c").alias("exact_count"), F.min("cell").alias("est_count"))
+    )
+    total = counts.agg(F.sum("c").alias("t"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count").cast("double") >= F.col("t") / 200.0)
+        .select("token", "est_count", "exact_count")
+        .orderBy(F.desc("est_count"), "token")
+    )

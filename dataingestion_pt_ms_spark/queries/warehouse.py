@@ -301,3 +301,216 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff: classify added / removed / changed rows between two table
+# versions — the audit step behind every incremental publish ("what did
+# this batch actually change?") and the input to a CDC stream when the
+# upstream has no binlog.  Both snapshots derive deterministically from
+# orders: "old" = orders before 1998-06; "new" = orders before 1998-12
+# minus keys % 89 == 0 (deletes), with keys % 7 == 0 repriced (+5%).
+# Shape: one full-outer join on the key, change class from null-ness +
+# value compare.  At 100 TB both sides are bucketed/partitioned on the key
+# so the join co-locates; output is only the changed delta, never the
+# unchanged bulk.
+# --------------------------------------------------------------------------
+SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'
+), new AS (
+  SELECT o_orderkey AS k,
+         round(CASE WHEN o_orderkey % 7 = 0
+                    THEN floor(o_totalprice * 1.05 * 100 + 0.5) / 100
+                    ELSE o_totalprice END, 2) AS price
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-12-01' AND o_orderkey % 89 <> 0
+)
+SELECT coalesce(o.k, n.k) AS k,
+       o.price AS old_price,
+       n.price AS new_price,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL OR o.price <> n.price
+ORDER BY k
+"""
+
+
+@register(
+    "warehouse_snapshot_diff",
+    oracle=SNAPSHOT_DIFF_ORACLE,
+    tags=("warehouse", "diff", "cdc"),
+)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("k"), F.round("o_totalprice", 2).alias("old_price")
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit("1998-12-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 89 != 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(
+                F.when(
+                    F.col("o_orderkey") % 7 == 0,
+                    F.floor(F.col("o_totalprice") * 1.05 * 100 + 0.5) / 100,
+                ).otherwise(F.col("o_totalprice")),
+                2,
+            ).alias("new_price"),
+        )
+    )
+    diff = old.join(new, "k", "full_outer")
+    return (
+        diff.filter(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            "k",
+            "old_price",
+            "new_price",
+            F.when(F.col("old_price").isNull(), "added")
+            .when(F.col("new_price").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit suite: the dbt-test / Deequ constraint-check shape —
+# one summary row per declared constraint, computed in as few passes as the
+# constraints allow.  Null/range/duplicate checks on the same table share
+# ONE conditional-aggregation scan (not one scan per check); referential
+# checks are anti-join counts on the FK (key-partitioned shuffle — both
+# sides are fact-sized, so no broadcast hint; AQE may still pick one).  The
+# output is O(#checks) rows regardless of input size, which is what makes
+# the suite runnable as a gate after every 100 TB batch load.
+# --------------------------------------------------------------------------
+DQ_ORACLE = """
+WITH o_scan AS (
+  SELECT
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+    count(*) - count(DISTINCT o_orderkey) AS dup_orderkey,
+    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price
+  FROM orders
+), l_scan AS (
+  SELECT
+    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpos_qty,
+    sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+      AS bad_discount,
+    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_lineitem_key
+  FROM lineitem
+), orphans AS (
+  SELECT
+    (SELECT count(*) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      AS orphan_lineitems,
+    (SELECT count(*) FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      AS orphan_orders
+)
+SELECT check_name, violations,
+       CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM (
+  SELECT 'orders.o_custkey_not_null' AS check_name,
+         CAST(null_custkey AS BIGINT) AS violations FROM o_scan
+  UNION ALL
+  SELECT 'orders.o_orderkey_unique', CAST(dup_orderkey AS BIGINT) FROM o_scan
+  UNION ALL
+  SELECT 'orders.o_totalprice_positive', CAST(nonpos_price AS BIGINT) FROM o_scan
+  UNION ALL
+  SELECT 'lineitem.l_quantity_positive', CAST(nonpos_qty AS BIGINT) FROM l_scan
+  UNION ALL
+  SELECT 'lineitem.l_discount_in_0_1', CAST(bad_discount AS BIGINT) FROM l_scan
+  UNION ALL
+  SELECT 'lineitem.key_unique', CAST(dup_lineitem_key AS BIGINT) FROM l_scan
+  UNION ALL
+  SELECT 'lineitem.l_orderkey_in_orders', CAST(orphan_lineitems AS BIGINT)
+  FROM orphans
+  UNION ALL
+  SELECT 'orders.o_custkey_in_customer', CAST(orphan_orders AS BIGINT) FROM orphans
+)
+ORDER BY check_name
+"""
+
+
+@register("warehouse_dq_checks", oracle=DQ_ORACLE, tags=("warehouse", "quality"))
+def warehouse_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def one(name, col):
+        return F.struct(F.lit(name).alias("check_name"), col.cast("long").alias("violations"))
+
+    o_scan = orders.agg(
+        F.array(
+            one(
+                "orders.o_custkey_not_null",
+                F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            ),
+            one(
+                "orders.o_orderkey_unique",
+                F.count("*") - F.countDistinct("o_orderkey"),
+            ),
+            one(
+                "orders.o_totalprice_positive",
+                F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+            ),
+        ).alias("checks")
+    )
+    l_scan = lineitem.agg(
+        F.array(
+            one(
+                "lineitem.l_quantity_positive",
+                F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)),
+            ),
+            one(
+                "lineitem.l_discount_in_0_1",
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                    ).otherwise(0)
+                ),
+            ),
+            one(
+                "lineitem.key_unique",
+                F.count("*")
+                - F.countDistinct(F.struct("l_orderkey", "l_linenumber")),
+            ),
+        ).alias("checks")
+    )
+    orphan_l = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.array(one("lineitem.l_orderkey_in_orders", F.count("*"))).alias("checks"))
+    )
+    orphan_o = (
+        orders.join(
+            customer.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.array(one("orders.o_custkey_in_customer", F.count("*"))).alias("checks"))
+    )
+    unioned = o_scan.unionByName(l_scan).unionByName(orphan_l).unionByName(orphan_o)
+    flat = unioned.select(F.explode("checks").alias("c")).select("c.*")
+    return flat.select(
+        "check_name",
+        "violations",
+        F.when(F.col("violations") == 0, "pass").otherwise("fail").alias("status"),
+    ).orderBy("check_name")

@@ -1,0 +1,72 @@
+"""Sketch-law and graph-algorithm invariants the DuckDB differential check
+cannot express: the count-min overestimate guarantee, HLL register-state
+bounds, and degree-oriented triangle counting agreeing with the naive
+enumeration on an adversarially skewed graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataingestion_pt_ms_spark.operators.graph import triangle_counts
+from dataingestion_pt_ms_spark.queries import registry
+
+
+def _run(spark, sf_dir, name):
+    return registry()[name].fn(spark, sf_dir)
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    rows = _run(spark, sf_dir, "sketch_cm_heavy_hitters").collect()
+    assert rows, "heavy-hitter set empty on the fixture corpus"
+    for r in rows:
+        assert r.est_count >= r.exact_count, r
+
+
+def test_hll_registers_bounded_and_estimate_sane(spark, sf_dir):
+    rows = _run(spark, sf_dir, "agg_hll_distinct_customers").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.v_zero < 64
+        # m=64 registers => ~13% standard error; 3 sigma with margin
+        assert abs(r.hll_estimate - r.n_exact) / r.n_exact < 0.5, r
+
+
+def test_triangle_counts_match_naive_on_skewed_graph(spark):
+    # star K1,5 (hub 0) + triangle closing two spokes + a disjoint K4:
+    # exercises the celebrity-node case the orientation exists for.
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    k4 = [10, 11, 12, 13]
+    edges += [(a, b) for a in k4 for b in k4 if a < b]
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {
+        r.node: r.n_triangles for r in triangle_counts(df).collect()
+    }
+    # naive: triangle (0,1,2); K4 has C(4,3)=4 triangles, each node in 3
+    assert got == {0: 1, 1: 1, 2: 1, 10: 3, 11: 3, 12: 3, 13: 3}
+
+
+def test_dq_checks_detect_known_fixture_violation(spark, sf_dir):
+    # the driver's synthetic lineitem reuses (l_orderkey, l_linenumber) —
+    # a REAL constraint violation the suite must flag; everything else
+    # about the fixture is clean and must pass.
+    rows = _run(spark, sf_dir, "warehouse_dq_checks").collect()
+    assert len(rows) == 8
+    by_name = {r.check_name: r for r in rows}
+    assert by_name["lineitem.key_unique"].status == "fail"
+    assert by_name["lineitem.key_unique"].violations > 0
+    for name, r in by_name.items():
+        if name != "lineitem.key_unique":
+            assert r.status == "pass", r
+
+
+def test_snapshot_diff_classes_consistent(spark, sf_dir):
+    rows = _run(spark, sf_dir, "warehouse_snapshot_diff").collect()
+    kinds = {r.change_type for r in rows}
+    assert kinds == {"added", "removed", "changed"}
+    for r in rows:
+        if r.change_type == "added":
+            assert r.old_price is None and r.new_price is not None
+        elif r.change_type == "removed":
+            assert r.new_price is None and r.old_price is not None
+        else:
+            assert r.old_price != r.new_price
