@@ -124,6 +124,14 @@ HEADLINE = [
     "sim_cosine_topk_bruteforce",
     "sim_ann_ivf_topk",
     "sim_blocked_nearest_neighbor",
+    # round-3 additions: warehouse / sketch / graph / drift / tokenizer
+    "cdc_merge_apply",
+    "warehouse_zorder_layout",
+    "agg_hll_distinct_customers",
+    "sketch_cm_heavy_hitters",
+    "graph_copurchase_triangles",
+    "events_ewma_daily",
+    "text_bpe_pair_counts",
 ]
 
 

@@ -243,3 +243,113 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """(node, hops): minimum hop distance from any seed node, exploring at
+    most ``max_hops`` rounds of frontier expansion over the *undirected*
+    edge set. The k-hop reachability primitive behind "blast radius" /
+    related-item expansion queries.
+
+    Frontier BFS, not all-pairs: each round joins only the newly-reached
+    frontier against the edge table and anti-joins out already-settled
+    nodes, so total work is O(edges touched by the expansion), and each
+    round is one shuffle join + one anti-join on node id. State per round
+    (settled + frontier) is localCheckpoint'd — same lineage discipline as
+    ``connected_components``. Early-exits when the frontier drains (a
+    LIMIT-1 probe, scans until first hit).
+
+    Deterministic for any edge/seed set, so a fixed ``max_hops`` is exactly
+    reproducible by a bounded recursive CTE (the oracle strategy).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, frontier.node == sym.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if not new.take(1):
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
+        frontier = new.select("node")
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, community) after ``rounds`` of *synchronous* label
+    propagation (Raghavan et al. 2007) over the undirected edge set:
+    labels start as the node id; each round every node adopts the most
+    frequent label among its neighbours, ties broken by the smallest
+    label; isolated-in-this-round nodes keep their label.
+
+    The synchronous fixed-round variant (not the randomized asynchronous
+    one) is chosen deliberately: it is deterministic, so a small fixed
+    ``rounds`` is exactly reproducible by unrolled SQL CTEs — the same
+    oracle strategy as ``pagerank``. Per round: one groupBy(node, label)
+    count shuffle + a per-node row_number window (partitioned by node,
+    never global) + a left join back for keep-own-label fallbacks. The
+    label table is localCheckpoint'd per round to truncate lineage.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
+    for _ in range(rounds):
+        cnt = (
+            sym.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        winner = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lab").alias("community"))

@@ -60,6 +60,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         aggregates,
         curation,
+        drift,
         functions2,
         graph_analytics,
         joins,

@@ -1,0 +1,272 @@
+"""Distribution-monitoring queries (round-3 additions, SURVEY.md §2.B).
+
+The reference re-ingests the same assets on a schedule
+(``app/main.py:53-66``) but never checks whether the data it refreshed
+still *looks like* yesterday's data. At 100 TB that check is the first
+thing a pipeline owner adds: a drift score between snapshots, a robust
+outlier flagger that a few fat-tailed rows can't saturate, and
+engagement-continuity (streak) metrics. All three are expressible as
+pure grouped aggregation + broadcast joins — no global windows, no
+driver-side state — so they keep the 100× scale shape for free.
+
+Every query carries a full DuckDB oracle: bins, medians
+(Spark ``percentile`` ≡ DuckDB ``quantile_cont``) and island arithmetic
+are computed with identical integer/double expressions in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+# --------------------------------------------------------------------------
+# Population Stability Index between two order cohorts (pre-/post-1996),
+# over fixed-width o_totalprice bins. PSI = Σ (p_cur − p_base)·ln(p_cur/p_base)
+# with Laplace (+1) smoothing so empty bins never hit ln(0). One conditional-
+# aggregation scan → 10-bin frame → broadcast total join: the whole statistic
+# costs a single pass over orders regardless of scale.
+# --------------------------------------------------------------------------
+_CUT = "1996-01-01"
+_BIN_W = 60000.0
+_NBINS = 10
+
+PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT least(CAST(floor(o_totalprice / {_BIN_W}) AS BIGINT), {_NBINS - 1}) AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '{_CUT}' THEN 1 ELSE 0 END AS is_base
+  FROM orders
+), counts AS (
+  SELECT bin,
+         CAST(sum(is_base) AS BIGINT) AS n_base,
+         CAST(sum(1 - is_base) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT sum(n_base) AS t_base, sum(n_cur) AS t_cur FROM counts
+), terms AS (
+  SELECT bin, n_base, n_cur,
+         CAST(n_base + 1 AS DOUBLE) / (t_base + {_NBINS}) AS p_base,
+         CAST(n_cur + 1 AS DOUBLE) / (t_cur + {_NBINS}) AS p_cur
+  FROM counts CROSS JOIN tot
+)
+SELECT bin, n_base, n_cur,
+       round(p_base, 6) AS p_base,
+       round(p_cur, 6) AS p_cur,
+       round((p_cur - p_base) * ln(p_cur / p_base), 6) AS psi_term
+FROM terms
+ORDER BY bin
+"""
+
+
+@register("warehouse_psi_drift", oracle=PSI_ORACLE, tags=("warehouse", "stats"))
+def warehouse_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    is_base = (F.col("o_orderdate") < F.lit(_CUT).cast("timestamp")).cast("int")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / _BIN_W).cast("bigint"), F.lit(_NBINS - 1)
+    )
+    counts = (
+        orders.select(bin_col.alias("bin"), is_base.alias("is_base"))
+        .groupBy("bin")
+        .agg(
+            F.sum("is_base").alias("n_base"),
+            F.sum(F.lit(1) - F.col("is_base")).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    p_base = (F.col("n_base") + 1).cast("double") / (F.col("t_base") + _NBINS)
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + _NBINS)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_base",
+            "n_cur",
+            F.round(p_base, 6).alias("p_base"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust outlier flagging: median/MAD per event_type instead of mean/stddev
+# (events_anomaly_zscore) — the estimator a few huge values can't drag.
+# robust_z = (v − median) / (1.4826·MAD). Two grouped exact-percentile
+# passes (both tiny: one row per event_type) + broadcast join-backs; the
+# 100 TB swap-in is approx_percentile with the same plan shape, exactly as
+# text_quantile_filter_approx documents for the quantile gate.
+# --------------------------------------------------------------------------
+_MAD_K = 1.4826
+_MAD_THR = 3.5
+
+MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 4) AS value,
+       round((e.value - m.med) / ({_MAD_K} * d.mad), 4) AS robust_z
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE d.mad > 0 AND abs((e.value - m.med) / ({_MAD_K} * d.mad)) > {_MAD_THR}
+ORDER BY e.event_id
+"""
+
+
+@register("events_anomaly_mad", oracle=MAD_ORACLE, tags=("timeseries", "stats"))
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    rz = (F.col("value") - F.col("med")) / (F.lit(_MAD_K) * F.col("mad"))
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > _MAD_THR))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user — gaps-and-islands with
+# the classic `day − row_number()` island key, windows partitioned BY USER
+# (never global). The (user, day) grid is deduped before any window so
+# heavy event users cost one row per active day, not per event.
+# --------------------------------------------------------------------------
+STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), isl AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '1970-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+), runs AS (
+  SELECT user_id, grp, count(*) AS run_len FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       max(run_len) AS longest_streak,
+       CAST(sum(run_len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY user_id
+HAVING max(run_len) >= 2
+ORDER BY user_id
+"""
+
+
+@register("events_user_longest_streak", oracle=STREAK_ORACLE, tags=("timeseries",))
+def events_user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.datediff("d", F.lit("1970-01-01").cast("date")) - F.row_number().over(w)
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count("*").alias("run_len"))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").alias("longest_streak"),
+            F.sum("run_len").cast("bigint").alias("n_active_days"),
+        )
+        .filter(F.col("longest_streak") >= 2)
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Truncated exponentially-weighted moving average over the per-type daily
+# value series: ewma_t = Σ_{k=0..L-1} (1-α)^k · x_{t-k} / Σ (1-α)^k, summing
+# only the calendar days present (gaps and series starts renormalize
+# identically in both engines). The recursion is deliberately truncated at
+# L=14 days so the statistic is a *bounded* self-join on (type, day-k) —
+# two shuffles total, no per-series sequential scan, no window spill; at
+# (1-α)=0.7 the dropped tail weighs < 0.7^14 ≈ 0.7 % of the mass.
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+_EWMA_L = 14
+
+EWMA_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, sum(value) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), terms AS (
+  SELECT cur.event_type, cur.d, cur.x,
+         power(1.0 - {_EWMA_ALPHA}, t.k) AS w,
+         past.x AS px
+  FROM daily cur
+  CROSS JOIN range(0, {_EWMA_L}) t(k)
+  JOIN daily past
+    ON past.event_type = cur.event_type
+   AND past.d = cur.d - CAST(t.k AS INTEGER)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS d,
+       round(any_value(x), 4) AS x,
+       round(sum(w * px) / sum(w), 4) AS ewma
+FROM terms
+GROUP BY event_type, d
+ORDER BY event_type, d
+"""
+
+
+@register("events_ewma_daily", oracle=EWMA_ORACLE, tags=("timeseries", "stats"))
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum("value").alias("x"))
+    terms = (
+        daily.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(_EWMA_L - 1))))
+        .withColumn("past_d", F.date_sub(F.col("d"), F.col("k")))
+        .alias("cur")
+        .join(
+            daily.select(
+                F.col("event_type").alias("pt"),
+                F.col("d").alias("pd"),
+                F.col("x").alias("px"),
+            ),
+            (F.col("cur.event_type") == F.col("pt")) & (F.col("past_d") == F.col("pd")),
+        )
+        .select(
+            F.col("cur.event_type").alias("event_type"),
+            F.col("cur.d").alias("d"),
+            F.col("cur.x").alias("x"),
+            F.pow(F.lit(1.0 - _EWMA_ALPHA), F.col("k")).alias("w"),
+            "px",
+        )
+    )
+    return (
+        terms.groupBy("event_type", "d")
+        .agg(
+            F.round(F.any_value("x"), 4).alias("x"),
+            F.round(F.sum(F.col("w") * F.col("px")) / F.sum("w"), 4).alias("ewma"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "x",
+            "ewma",
+        )
+        .orderBy("event_type", "d")
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.graph import pagerank, triangle_counts
+from ..operators.graph import bfs_hops, label_propagation, pagerank, triangle_counts
 from . import register
 
 _D = 0.85
@@ -145,3 +145,104 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("sup")
     )
     return triangle_counts(edges).orderBy(F.desc("n_triangles"), "node")
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS over the co-purchase graph: minimum hop distance from
+# the Brand#4 parts to everything reachable within 3 hops — the "blast
+# radius" / related-item expansion primitive. The operator
+# (operators/graph.py:bfs_hops) expands a frontier (work = edges touched,
+# never all-pairs); the oracle is a hop-bounded recursive CTE whose UNION
+# dedups (node, hops) rows per step, so both enumerate min distances.
+# --------------------------------------------------------------------------
+_BFS_BRAND = "Brand#4"
+_BFS_HOPS = 3
+
+BFS_ORACLE = f"""
+WITH RECURSIVE e0 AS ({_TRI_EDGES_SQL}),
+e AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
+seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = '{_BFS_BRAND}'),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.b, w.hops + 1 FROM walk w JOIN e ON e.a = w.node
+  WHERE w.hops < {_BFS_HOPS}
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
+@register("graph_bfs_copurchase_hops", oracle=BFS_ORACLE, tags=("graph", "iterative"))
+def graph_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .drop("sup")
+    )
+    seeds = part.filter(F.col("p_brand") == _BFS_BRAND).select(
+        F.col("p_partkey").alias("node")
+    )
+    dist = bfs_hops(edges, seeds, max_hops=_BFS_HOPS, src="u", dst="v")
+    return dist.select("node", F.col("hops").cast("bigint").alias("hops")).orderBy(
+        "node"
+    )
+
+
+# --------------------------------------------------------------------------
+# Community detection: synchronous label propagation (2 fixed rounds) over
+# the same co-purchase graph. Deterministic-by-construction (most-frequent
+# neighbour label, ties -> min label), so the oracle unrolls the rounds as
+# CTEs exactly like the PageRank oracle above.
+# --------------------------------------------------------------------------
+_LPA_ITER_SQL = """
+cnt{r} AS (
+  SELECT e.b AS node, p.lab, count(*) AS c
+  FROM e JOIN lab{p} p ON p.node = e.a GROUP BY e.b, p.lab
+),
+sel{r} AS (
+  SELECT node, lab,
+         row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+  FROM cnt{r}
+),
+lab{r} AS (
+  SELECT l.node, coalesce(s.lab, l.lab) AS lab
+  FROM lab{p} l
+  LEFT JOIN (SELECT node, lab FROM sel{r} WHERE rn = 1) s ON s.node = l.node
+)"""
+
+LPA_ORACLE = f"""
+WITH e0 AS ({_TRI_EDGES_SQL}),
+e AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
+lab0 AS (SELECT DISTINCT a AS node, a AS lab FROM e),
+{_LPA_ITER_SQL.format(r=1, p=0)},
+{_LPA_ITER_SQL.format(r=2, p=1)}
+SELECT node, lab AS community FROM lab2 ORDER BY node
+"""
+
+
+@register(
+    "graph_copurchase_communities", oracle=LPA_ORACLE, tags=("graph", "iterative")
+)
+def graph_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .drop("sup")
+    )
+    return label_propagation(edges, rounds=2, src="u", dst="v").orderBy("node")

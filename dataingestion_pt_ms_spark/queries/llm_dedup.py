@@ -644,3 +644,79 @@ def dedup_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source corpus-overlap matrix: Jaccard similarity between every
+# source pair over their distinct 3-gram shingle sets — the corpus-level
+# "which feeds share content" audit that precedes per-document
+# decontamination. Shape at scale: one map-side-combinable
+# (source, shingle) distinct, then a shingle-keyed self-join whose output
+# is bounded by #sources² per shingle (sources are a small dimension), and
+# two broadcast joins for the set sizes. Never touches doc pairs.
+# --------------------------------------------------------------------------
+SOURCE_OVERLAP_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT source, sh FROM (
+    SELECT source, unnest({DSHINGLES}) AS sh FROM documents
+  )
+), sizes AS (
+  SELECT source, count(*) AS n FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    oracle=SOURCE_OVERLAP_ORACLE,
+    tags=("llm", "dedup", "audit"),
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(shingles(tokens(F.col("text")))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "sh")
+    b = sh.select(F.col("source").alias("src_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -785,3 +785,59 @@ def sample_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFram
         .select("lang", "n_tokens", F.round(F.col("raw_w") / F.col("norm"), 6).alias("mix_weight"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-style adjacent-pair statistics: the inner loop of byte-pair-encoding
+# tokenizer training is "count every adjacent symbol pair across the
+# corpus, weighted by word frequency" (Sennrich et al. 2016). At the
+# character stage that is: collapse the corpus to its distinct-word
+# frequency table first (the classic BPE trick — pair work scales with
+# VOCABULARY size, not corpus size), then explode each distinct word into
+# its len-1 adjacent character pairs and weight by the word count. Both
+# stages are map-side-combinable groupBys; no Python in the loop.
+# --------------------------------------------------------------------------
+_BPE_TOPK = 50
+
+BPE_ORACLE = f"""
+WITH words AS (
+  SELECT word, count(*) AS c FROM (
+    SELECT unnest({DTOKS}) AS word FROM documents
+  ) WHERE len(word) > 0 GROUP BY word
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+                i -> substr(word, CAST(i AS INTEGER), 2))) AS pair, c
+  FROM words WHERE len(word) >= 2
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT {_BPE_TOPK}
+"""
+
+
+@register("text_bpe_pair_counts", oracle=BPE_ORACLE, tags=("llm", "tokenize"))
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            "word",
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "c")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(_BPE_TOPK)
+    )

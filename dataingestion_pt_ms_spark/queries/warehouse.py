@@ -514,3 +514,75 @@ def warehouse_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violations",
         F.when(F.col("violations") == 0, "pass").otherwise("fail").alias("status"),
     ).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout audit: interleave the bits of two bucketized
+# dimensions (price bin × customer shard) into one sort key, split the
+# z-sorted table into fixed-width z-buckets ("files"), and report each
+# bucket's per-dimension min/max envelope. This is the multi-dimensional
+# clustering trick behind lakehouse OPTIMIZE ZORDER BY: sorting by the
+# interleaved key keeps BOTH dimensions' min/max spans per file small, so
+# file-skipping works for predicates on either column — a pure write-time
+# layout win at 100 TB (the sort is one range-partitioned exchange). The
+# bit interleave is plain integer arithmetic ((x div 2^b) % 2 placed at
+# bit 2b), identical in both engines, so the audit carries a full oracle.
+# --------------------------------------------------------------------------
+_Z_BITS = 8
+_Z_PRICE_W = 2000.0  # o_totalprice < 512k -> 256 bins
+_Z_SHARD = 256
+_Z_FILE_W = 2048  # 65536 z-values / 2048 = 32 "files"
+
+
+def _z_sql(xc: str, yc: str) -> str:
+    terms = [
+        f"(({xc} // {1 << b}) % 2) * {1 << (2 * b)}"
+        f" + (({yc} // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(_Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+ZORDER_ORACLE = f"""
+WITH dims AS (
+  SELECT CAST(least(floor(o_totalprice / {_Z_PRICE_W}), 255) AS BIGINT) AS x,
+         o_custkey % {_Z_SHARD} AS y
+  FROM orders
+), z AS (
+  SELECT x, y, ({_z_sql("x", "y")}) AS zval FROM dims
+)
+SELECT zval // {_Z_FILE_W} AS zbucket,
+       count(*) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max,
+       max(x) - min(x) AS x_span,
+       max(y) - min(y) AS y_span
+FROM z
+GROUP BY zbucket
+ORDER BY zbucket
+"""
+
+
+@register("warehouse_zorder_layout", oracle=ZORDER_ORACLE, tags=("warehouse", "layout"))
+def warehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dims = orders.select(
+        F.least(F.floor(F.col("o_totalprice") / _Z_PRICE_W), F.lit(255))
+        .cast("bigint")
+        .alias("x"),
+        (F.col("o_custkey") % _Z_SHARD).alias("y"),
+    )
+    z = dims.withColumn("zval", F.expr(_z_sql("x", "y").replace("//", "div")))
+    return (
+        z.groupBy((F.expr(f"zval div {_Z_FILE_W}")).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+        .orderBy("zbucket")
+    )

@@ -837,3 +837,51 @@ def test_pagerank_iters_validated(spark):
     edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
     with pytest.raises(ValueError, match="iters"):
         pagerank(edges, iters=0)
+
+
+def test_bfs_hops_min_distance_and_early_exit(spark):
+    """Path graph 1-2-3-4-5 with seeds {1}: hops = node distance, capped at
+    max_hops; a disconnected node is absent; seeds always appear at hop 0.
+    Also drives the frontier-drain early exit (max_hops far beyond the
+    diameter must not loop forever or duplicate rows)."""
+    from dataingestion_pt_ms_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=10).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    capped = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert capped == {1: 0, 2: 1, 3: 2}
+    # undirected: seeding from the far end walks the reversed edges
+    rev = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, spark.createDataFrame([(5,)], "node int"), max_hops=10).collect()
+    }
+    assert rev == {5: 0, 4: 1, 3: 2, 2: 3, 1: 4}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge. Hand-unrolled synchronous
+    rounds (labels start = node id, most-frequent neighbour label, ties →
+    min): after round 3 the left triangle is uniformly 1 and the right
+    triangle uniformly 3 (label 3 leaked over the bridge in round 1 and
+    won the right side) — two communities, never merged."""
+    from dataingestion_pt_ms_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src int, dst int",
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
