@@ -48,7 +48,7 @@ BASELINE_SEC = {
     "pivot_status_matrix": 0.25,
     "set_except_all": 0.22,
     "udf_grouped_map_zscore": 0.42,
-    "dedup_simhash_banded_pairs": 4.3,
+    "dedup_simhash_banded_pairs": 2.7,  # collapse-first rewrite, round 3
     "ingest_status_serving": 0.33,
     "events_sessionize_gap30m": 0.42,
     "asof_join_last_purchase": 0.10,
@@ -71,6 +71,13 @@ BASELINE_SEC = {
     "sim_cosine_topk_bruteforce": 0.31,
     "sim_ann_ivf_topk": 0.49,
     "sim_blocked_nearest_neighbor": 0.35,
+    "cdc_merge_apply": 0.64,
+    "warehouse_zorder_layout": 0.17,
+    "agg_hll_distinct_customers": 0.26,
+    "sketch_cm_heavy_hitters": 0.30,
+    "graph_copurchase_triangles": 1.83,
+    "events_ewma_daily": 0.23,
+    "text_bpe_pair_counts": 0.22,
 }
 GUARD_FACTOR = 2.0
 

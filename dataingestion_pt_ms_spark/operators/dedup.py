@@ -572,8 +572,20 @@ def simhash_banded_pairs(
     width = 64 // bands
     mask = (1 << width) - 1
     sim = simhash63(df, text_col, key_col, base_hash).localCheckpoint(eager=False)
-    banded = sim.select(
-        F.col(key_col).alias("k"),
+    # Exact-collapse first (round-3 perf; same hazard fix as the MinHash
+    # family): a near-dup-dense corpus puts hundreds of IDENTICAL simhash
+    # values in one (band_idx, chunk) bucket, and banding raw doc keys then
+    # pays quadratic candidate expansion for pairs the hash already proves
+    # are hamming-0. Band the DISTINCT sim values only (bucket cost tracks
+    # distinct sims), verify rep pairs, then re-expand: identical sims band
+    # identically, so the expanded pair set is bit-for-bit the same as
+    # doc-level banding — the DuckDB oracle keeps the naive formulation.
+    groups = sim.groupBy("simhash").agg(F.min(key_col).alias("rep")).localCheckpoint(
+        eager=False
+    )
+    banded = groups.select(
+        F.col("rep").alias("k"),
+        F.col("simhash"),
         F.explode(
             F.array(
                 *[
@@ -597,27 +609,53 @@ def simhash_banded_pairs(
         F.col("ks"),
         lambda x, i: F.transform(
             F.slice(F.col("ks"), i + 2, F.size(F.col("ks"))),
-            lambda y: F.struct(x.alias("key_a"), y.alias("key_b")),
+            lambda y: F.struct(x.alias("rep_a"), y.alias("rep_b")),
         ),
     )
-    cands = (
+    rep_cands = (
         grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
-        .select("p.key_a", "p.key_b")
+        .select("p.rep_a", "p.rep_b")
         .distinct()
     )
-    a = sim.select(F.col(key_col).alias("key_a"), F.col("simhash").alias("sim_a"))
-    b = sim.select(F.col(key_col).alias("key_b"), F.col("simhash").alias("sim_b"))
-    return (
-        cands.join(a, "key_a")
-        .join(b, "key_b")
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("simhash").alias("sim_a"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("simhash").alias("sim_b"))
+    rep_pairs = (
+        rep_cands.join(ga, "rep_a")
+        .join(gb, "rep_b")
         .select(
-            "key_a",
-            "key_b",
+            "rep_a",
+            "rep_b",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .orderBy("key_a", "key_b")
     )
+    members = sim.join(groups, "simhash").select(
+        F.col(key_col).alias("member"), "rep"
+    )
+    cross = (
+        rep_pairs.join(
+            members.withColumnsRenamed({"member": "m_a", "rep": "rep_a"}), "rep_a"
+        )
+        .join(members.withColumnsRenamed({"member": "m_b", "rep": "rep_b"}), "rep_b")
+        .select(
+            F.least("m_a", "m_b").alias("key_a"),
+            F.greatest("m_a", "m_b").alias("key_b"),
+            "hamming",
+        )
+    )
+    # hamming-0 pairs never reach rep_pairs (identical sims share one rep):
+    # emit them directly as the within-group self-join
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "rep")
+        .filter(F.col("x.member") < F.col("y.member"))
+        .select(
+            F.col("x.member").alias("key_a"),
+            F.col("y.member").alias("key_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra).orderBy("key_a", "key_b")
 
 
 def simhash_near_dups(

@@ -353,3 +353,49 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Surviving (node, deg) pairs after ``rounds`` of k-core peeling over
+    the undirected edge set: each round drops every node of degree < k and
+    all its edges. Peeling is deterministic and idempotent once stable, so
+    a fixed round count is exactly reproducible by unrolled SQL CTEs (the
+    oracle strategy) AND an early-converged run returns the same answer as
+    one that executes all rounds — the convergence probe is purely a cost
+    optimization. Per round: one degree groupBy + two semi-joins on node
+    id; the shrinking edge table is localCheckpoint'd each round.
+    """
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = cur.count()
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n_next = cur.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        cur.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").alias("deg"))
+    )

@@ -353,3 +353,34 @@ def sample_weighted_no_replacement(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy("es_key", "doc_id")
         .limit(_WS_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split assignment: the standard 80/10/10
+# holdout keyed by a content-stable md5 bucket of the document id, so the
+# assignment is reproducible across runs, clusters and engines (no RNG, no
+# state) and a document can never migrate between splits when the corpus
+# grows — the property per-run `rand()` splits lack. Pure projection over
+# the scan; the split is free at any scale.
+# --------------------------------------------------------------------------
+_SPLIT_BUCKET = _duck_md5_bucket("doc_id", 100)
+
+SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+            WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("sample_train_val_test_split", oracle=SPLIT_ORACLE, tags=("llm", "sample"))
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = _spark_md5_bucket("doc_id", 100)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    ).orderBy("doc_id")

@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.graph import bfs_hops, label_propagation, pagerank, triangle_counts
+from ..operators.graph import (
+    bfs_hops,
+    k_core_peel,
+    label_propagation,
+    pagerank,
+    triangle_counts,
+)
 from . import register
 
 _D = 0.85
@@ -246,3 +252,59 @@ def graph_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("sup")
     )
     return label_propagation(edges, rounds=2, src="u", dst="v").orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (k=3) of the co-purchase graph: the densest-region
+# extraction used to find the stable "frequently bought together" backbone.
+# Peeling is deterministic and idempotent once stable, so the oracle
+# unrolls the same fixed number of peel rounds as CTEs; the Spark operator
+# may early-exit on convergence and still return the identical answer.
+# --------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+# MATERIALIZED is load-bearing: each CTE is referenced 3x by the next
+# round, and DuckDB would otherwise inline them — 3^rounds edge-build
+# re-evaluations (measured 357 s vs 0.1 s at sf0.01).
+_KCORE_ITER_SQL = """
+keep{r} AS MATERIALIZED (
+  SELECT a FROM e{p} GROUP BY a HAVING count(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{p} e
+  JOIN keep{r} ka ON ka.a = e.a
+  JOIN keep{r} kb ON kb.a = e.b
+)"""
+
+KCORE_ORACLE = (
+    f"WITH e00 AS MATERIALIZED ({_TRI_EDGES_SQL}),\n"
+    f"e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM e00 UNION SELECT v, u FROM e00),\n"
+    + ",\n".join(
+        _KCORE_ITER_SQL.format(r=r, p=r - 1, k=_KCORE_K)
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    + f"""
+SELECT a AS node, count(*) AS deg
+FROM e{_KCORE_ROUNDS} GROUP BY a ORDER BY node
+"""
+)
+
+
+@register("graph_copurchase_kcore", oracle=KCORE_ORACLE, tags=("graph", "iterative"))
+def graph_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .drop("sup")
+    )
+    return k_core_peel(
+        edges, k=_KCORE_K, rounds=_KCORE_ROUNDS, src="u", dst="v"
+    ).orderBy("node")

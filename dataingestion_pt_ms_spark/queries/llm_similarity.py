@@ -615,3 +615,58 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == _QID)
     return pq_adc_topk(emb, query, k=10, train_mod=4)
+
+
+# --------------------------------------------------------------------------
+# Embedding covariance matrix (upper triangle of the leading 8×8 block):
+# the distributed linear-algebra primitive behind PCA / whitening of an
+# embedding table. Each row contributes its 36 dimension-pair products via
+# a pure array expression (no self-join, no UDF); one groupBy(i, j) then
+# assembles n, Σxi, Σxj, Σxixj and the textbook unbiased covariance
+# (Σxixj − ΣxiΣxj/n)/(n−1). At 100 TB the map side emits d(d+1)/2 tiny
+# partial aggregates per partition — pair count is a constant, never a
+# function of rows. float32 inputs are cast to double BEFORE any product
+# in both engines so the arithmetic is identical.
+# --------------------------------------------------------------------------
+_COV_D = 8
+
+COV_ORACLE = f"""
+WITH pairs AS (
+  SELECT i.i AS i, j.j AS j,
+         CAST(embedding[CAST(i.i + 1 AS INTEGER)] AS DOUBLE) AS xi,
+         CAST(embedding[CAST(j.j + 1 AS INTEGER)] AS DOUBLE) AS xj
+  FROM embeddings, range(0, {_COV_D}) i(i), range(0, {_COV_D}) j(j)
+  WHERE j.j >= i.i
+)
+SELECT i, j, count(*) AS n,
+       round((sum(xi * xj) - sum(xi) * sum(xj) / count(*)) / (count(*) - 1), 6)
+         AS cov
+FROM pairs GROUP BY i, j ORDER BY i, j
+"""
+
+
+@register("emb_covariance_matrix", oracle=COV_ORACLE, tags=("llm", "embedding"))
+def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pair_expr = f"""
+      flatten(transform(sequence(0, {_COV_D - 1}), i ->
+        transform(sequence(i, {_COV_D - 1}), j -> struct(
+          i AS i, j AS j,
+          CAST(element_at(embedding, i + 1) AS DOUBLE) AS xi,
+          CAST(element_at(embedding, j + 1) AS DOUBLE) AS xj))))
+    """
+    pairs = emb.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        F.col("p.i").cast("bigint").alias("i"),
+        F.col("p.j").cast("bigint").alias("j"),
+        "p.xi",
+        "p.xj",
+    )
+    n = F.count("*")
+    cov = (F.sum(F.col("xi") * F.col("xj")) - F.sum("xi") * F.sum("xj") / n) / (
+        n - 1
+    )
+    return (
+        pairs.groupBy("i", "j")
+        .agg(n.alias("n"), F.round(cov, 6).alias("cov"))
+        .orderBy("i", "j")
+    )
