@@ -195,3 +195,39 @@ def running_counts_tws_stream(events: DataFrame, key_col: str = "event_type") ->
         outputMode="Update",
         timeMode="None",
     )
+
+
+def windowed_histogram_stream(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bin_w: float = 50.0,
+    nbins: int = 10,
+) -> DataFrame:
+    """Per-window value histogram — the streaming half of a distribution
+    drift monitor (batch twin: queries.drift.warehouse_psi_drift). Emits
+    (window_start, bin, n) from ONE watermarked stateful aggregation whose
+    state is bounded at nbins rows per open window; the PSI assembly
+    against a baseline distribution is a stateless O(nbins) join done at
+    serving time on the emitted counts (deliberately NOT a second
+    streaming aggregation — the reduction is the part that needs the
+    streaming engine, and keeping a single stateful operator keeps state
+    accounting trivial at 100 TB/day rates).
+    """
+    bin_col = F.least(
+        F.floor(F.col(value_col) / bin_w).cast("bigint"), F.lit(nbins - 1)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "bin",
+            "n",
+        )
+    )

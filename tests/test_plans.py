@@ -210,3 +210,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_layout_prunes_scan_single_exchange(spark, sf_dir):
+    """The z-order audit must read exactly the 2 contributing columns of
+    the 9-column orders table and aggregate in one exchange (partial +
+    final hash aggregate around a single shuffle)."""
+    from dataingestion_pt_ms_spark.queries.warehouse import warehouse_zorder_layout
+
+    df = warehouse_zorder_layout(spark, sf_dir)
+    assert_read_schema_pruned(df, "o_totalprice", 2)
+    plan = formatted_plan(df)
+    # formatted plans print each node twice (tree line + detail section):
+    # <= 4 mentions == <= 2 physical Exchanges (agg shuffle + orderBy range)
+    assert plan.count("Exchange") <= 4
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_covariance_matrix_is_join_free(spark, sf_dir):
+    """The covariance matrix must come from per-row array expansion + one
+    grouped aggregation — never a self-join on vec_id."""
+    from dataingestion_pt_ms_spark.queries.llm_similarity import emb_covariance_matrix
+
+    plan = formatted_plan(emb_covariance_matrix(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2

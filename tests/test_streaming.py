@@ -662,3 +662,68 @@ def test_transform_with_state_running_counts(spark, tmp_path):
     assert latest == {"click": 3, "buy": 1}
     totals = {r.key: r.running_total for r in rows if r.running_count == latest[r.key]}
     assert totals == {"click": 6.0, "buy": 5.0}
+
+
+def test_windowed_histogram_stream_matches_batch_and_psi(spark, events_dir):
+    """Drive the drift-monitor histogram through the real streaming engine
+    (file source, availableNow) and check (a) the emitted per-window bin
+    counts equal the batch groupBy of the same binning, and (b) a PSI
+    assembled from the emitted counts against a static baseline equals the
+    PSI computed directly from the batch table — i.e. the single stateful
+    aggregation is sufficient state for the full drift statistic."""
+    from dataingestion_pt_ms_spark.streaming.jobs import windowed_histogram_stream
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        windowed_histogram_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["bin"]): r["n"]
+        for r in spark.table("hist_stream").collect()
+    }
+    ev = spark.read.parquet(events_dir)
+    bin_col = F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9))
+    batch = (
+        ev.groupBy(
+            F.date_format(
+                F.window("ts", "6 hours").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            bin_col.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["window_start"], r["bin"]): r["n"] for r in batch.collect()}
+    # append mode withholds the final (watermark-open) window; every
+    # emitted (window, bin) must match the batch count exactly
+    assert got, "no windows emitted"
+    assert all(got[k] == want[k] for k in got)
+    open_windows = {w for (w, _) in want} - {w for (w, _) in got}
+    assert len(open_windows) <= 1
+    # PSI from emitted counts vs PSI from the batch table (baseline = the
+    # whole table's bin distribution), Laplace(+1) smoothing as in the
+    # batch twin — pure python assembly over O(windows * nbins) rows
+    import math
+
+    base = {r["bin"]: r["n"] for r in ev.groupBy(bin_col.alias("bin")).count().withColumnRenamed("count", "n").collect()}
+    t_base = sum(base.values())
+
+    def psi(counts: dict) -> float:
+        t_cur = sum(counts.values())
+        s = 0.0
+        for b in range(10):
+            p_b = (base.get(b, 0) + 1) / (t_base + 10)
+            p_c = (counts.get(b, 0) + 1) / (t_cur + 10)
+            s += (p_c - p_b) * math.log(p_c / p_b)
+        return s
+
+    for w in {w for (w, _) in got}:
+        stream_psi = psi({b: n for (ww, b), n in got.items() if ww == w})
+        batch_psi = psi({b: n for (ww, b), n in want.items() if ww == w})
+        assert abs(stream_psi - batch_psi) < 1e-12
