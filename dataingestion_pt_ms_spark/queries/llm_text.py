@@ -841,3 +841,87 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary encode: map each document's leading tokens to integer ids from
+# a corpus-derived top-K vocabulary (id = dense rank by count desc, token
+# asc; out-of-vocabulary -> 0) — the "apply the tokenizer" step that turns
+# curated text into model-ready id sequences. Scale shape: the vocabulary
+# is a top-K aggregate (map-side combinable, K rows) that BROADCASTS to
+# the encode join, positions explode only the first _ENC_LEN tokens per
+# doc, and the id sequence reassembles with one per-doc groupBy — no
+# Python, no global window (vocab ranking is over K+ rows via a window on
+# a single small partition of the count table's top slice).
+# --------------------------------------------------------------------------
+_VOCAB_K = 1000
+_ENC_LEN = 30
+
+ENCODE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM (
+    SELECT doc_id,
+           unnest({DTOKS}) AS tok,
+           unnest(generate_series(1, len({DTOKS}))) AS pos
+    FROM documents
+  ) t(doc_id, tok, pos)
+  WHERE t.pos <= {_ENC_LEN}
+), counts AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest({DTOKS}) AS tok FROM documents
+  ) GROUP BY tok
+), vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS id
+  FROM counts ORDER BY c DESC, tok LIMIT {_VOCAB_K}
+)
+SELECT t.doc_id,
+       string_agg(CAST(coalesce(v.id, 0) AS VARCHAR), ',' ORDER BY t.pos)
+         AS token_ids
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("text_encode_token_ids", oracle=ENCODE_ORACLE, tags=("llm", "tokenize"))
+def text_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok")
+    ).filter(F.col("pos0") < _ENC_LEN)
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # rank only the top-K slice: distributed top-K first (TakeOrdered),
+    # then a window over the K survivors — never a global window over the
+    # full vocabulary
+    topk = counts.orderBy(F.desc("c"), "tok").limit(_VOCAB_K)
+    vocab = topk.withColumn(
+        "id",
+        F.row_number().over(W.partitionBy(F.lit(1)).orderBy(F.desc("c"), "tok")),
+    ).select("tok", "id")
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.coalesce("id", F.lit(0)).alias("id"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                ",",
+            ).alias("token_ids")
+        )
+        .orderBy("doc_id")
+    )

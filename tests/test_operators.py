@@ -885,3 +885,35 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(edges, rounds=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_zorder_interleave_bijective_property():
+    """Property: the z-order bit-interleave used by warehouse_zorder_layout
+    is a bijection on [0,256)² — deinterleaving the even/odd bits recovers
+    (x, y) exactly. Pure-python mirror of the SQL arithmetic (same integer
+    div/mod formula), so a formula regression breaks this before it breaks
+    the cross-engine oracle."""
+    from hypothesis import given, strategies as st
+
+    from dataingestion_pt_ms_spark.queries.warehouse import _Z_BITS, _z_sql
+
+    def z_py(x: int, y: int) -> int:
+        return sum(
+            ((x >> b) & 1) * (1 << (2 * b)) + ((y >> b) & 1) * (1 << (2 * b + 1))
+            for b in range(_Z_BITS)
+        )
+
+    # the generated SQL evaluates to the same value as the python mirror
+    sql = _z_sql("x", "y")
+    for x, y in [(0, 0), (255, 255), (1, 2), (170, 85)]:
+        assert eval(sql, {}, {"x": x, "y": y}) == z_py(x, y)
+
+    @given(st.integers(0, 255), st.integers(0, 255))
+    def check(x, y):
+        z = z_py(x, y)
+        dx = sum(((z >> (2 * b)) & 1) << b for b in range(_Z_BITS))
+        dy = sum(((z >> (2 * b + 1)) & 1) << b for b in range(_Z_BITS))
+        assert (dx, dy) == (x, y)
+        assert 0 <= z < 1 << (2 * _Z_BITS)
+
+    check()
