@@ -270,3 +270,61 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorization (clip at per-type P05/P95): the standard tail-taming
+# transform before training on heavy-tailed telemetry. Same two-phase
+# shape as the MAD flagger: one tiny grouped exact-percentile pass
+# broadcast back over the stream; the 100 TB swap-in is approx_percentile
+# with the identical plan. Output is the per-type audit (bounds, clip
+# counts, mean shift) — O(groups) rows, so rounding rules are the
+# aggregate ones (6 dp on means).
+# --------------------------------------------------------------------------
+WINSOR_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(any_value(b.p05), 6) AS p05,
+       round(any_value(b.p95), 6) AS p95,
+       CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       round(avg(e.value), 6) AS mean_before,
+       round(avg(least(greatest(e.value, b.p05), b.p95)), 6) AS mean_after
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("events_winsorize_stats", oracle=WINSOR_ORACLE, tags=("timeseries", "stats"))
+def events_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("p05"), 6).alias("p05"),
+            F.round(F.any_value("p95"), 6).alias("p95"),
+            F.sum((F.col("value") < F.col("p05")).cast("long")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("p95")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.avg("value"), 6).alias("mean_before"),
+            F.round(F.avg(clipped), 6).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )

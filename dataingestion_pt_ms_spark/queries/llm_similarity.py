@@ -670,3 +670,72 @@ def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(n.alias("n"), F.round(cov, 6).alias("cov"))
         .orderBy("i", "j")
     )
+
+
+# --------------------------------------------------------------------------
+# kNN graph within IVF cells: every vector's top-3 cosine neighbours drawn
+# from its own cell — the backbone structure for kNN-graph clustering /
+# graph-based dedup over embeddings. Scale shape: the self-join key is the
+# cell id, so the pair space is Σ|cell|² (never corpus²), exactly the
+# blocked-GEMM bound sim_blocked_nearest_neighbor documents; ranking is a
+# per-vector window (partitioned by vec_id, never global). Ties rank on
+# the ROUNDED cosine + neighbour id so both engines order identically.
+# --------------------------------------------------------------------------
+_KNN_K = 3
+
+KNN_GRAPH_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nb, a.label AS label,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, nb, label, cosine_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine_sim DESC, nb) AS rnk
+  FROM pairs
+)
+SELECT vec_id, nb, label, cosine_sim, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY vec_id, rnk
+"""
+
+
+@register(
+    "sim_knn_graph_cells", oracle=KNN_GRAPH_ORACLE, tags=("llm", "similarity", "knn")
+)
+def sim_knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "label",
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        "label",
+        F.col("vec_id").alias("nb"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("nb"))
+        .select(
+            "vec_id",
+            "nb",
+            "label",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine_sim"), "nb")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .orderBy("vec_id", "rnk")
+    )
