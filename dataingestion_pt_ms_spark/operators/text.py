@@ -689,3 +689,65 @@ def bigram_logprob(
             F.round(F.exp(F.avg(neg_log_p)), 4).alias("ppl"),
         )
     )
+
+
+def windowed_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 3,
+    top_n: int = 300,
+) -> DataFrame:
+    """Windowed token co-occurrence with PMI scoring (word2vec / phrase-mining
+    prep): for every token, pair it with its next ``window`` successors, count
+    pairs corpus-wide, and score each surviving pair with pointwise mutual
+    information ln(P(a,b) / (P(a)·P(b))).
+
+    Scale shape: pair generation is a pure map-side array expression
+    (``transform`` with the index lambda + ``slice`` — no positional
+    self-join, so there is no doc_id-keyed shuffle and no skew on long
+    documents; pair fan-out per token is bounded by ``window``). The only
+    wide stages are the two wordcount-style groupBys (pairs and marginals),
+    both map-side combined. Marginal counts and the two scalar totals are
+    broadcast back — vocabulary ≪ corpus at any scale. Beyond-reference [NS];
+    the reference has no text analytics (SURVEY.md §2.B).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(par).select(_tok(text_col).alias("toks"))
+    # (t, i) -> pairs (t, toks[i+1 .. i+window]); slice is 1-based and
+    # clamps at the array end, so short/1-token docs yield no pairs.
+    pair_expr = (
+        "flatten(transform(toks, (t, i) -> "
+        f"transform(slice(toks, i + 2, {window}), "
+        "u -> named_struct('tok_a', t, 'tok_b', u))))"
+    )
+    pairs = base.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.tok_a", "p.tok_b"
+    )
+    pc = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("pair_count"))
+    marg = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    totals = pc.agg(F.sum("pair_count").cast("double").alias("cp")).crossJoin(
+        marg.agg(F.sum("c").alias("ct"))
+    )
+    ma = marg.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    mb = marg.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count").cast("double") / F.col("cp"))
+            / ((F.col("ca") / F.col("ct")) * (F.col("cb") / F.col("ct")))
+        ),
+        6,
+    ).alias("pmi")
+    return (
+        pc.where(F.col("pair_count") >= min_count)
+        .join(F.broadcast(ma), "tok_a")
+        .join(F.broadcast(mb), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .select("tok_a", "tok_b", "pair_count", pmi)
+        .orderBy(F.col("pair_count").desc(), "tok_a", "tok_b")
+        .limit(top_n)
+    )

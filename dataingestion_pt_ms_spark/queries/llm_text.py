@@ -925,3 +925,33 @@ def text_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PMI_COOC_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b
+       FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3),
+pc AS (SELECT tok_a, tok_b, count(*) AS pair_count FROM pr GROUP BY 1, 2),
+m  AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM pos GROUP BY 1),
+tot AS (SELECT CAST((SELECT count(*) FROM pr) AS DOUBLE) AS cp,
+               CAST((SELECT count(*) FROM pos) AS DOUBLE) AS ct)
+SELECT pc.tok_a, pc.tok_b, pair_count,
+       round(ln((CAST(pair_count AS DOUBLE) / cp) / ((ma.c / ct) * (mb.c / ct))), 6) AS pmi
+FROM pc JOIN m ma ON ma.tok = pc.tok_a JOIN m mb ON mb.tok = pc.tok_b CROSS JOIN tot
+WHERE pair_count >= 3
+ORDER BY pair_count DESC, tok_a, tok_b
+LIMIT 300
+"""
+
+
+@register("text_pmi_cooccurrence", oracle=PMI_COOC_ORACLE, tags=("llm", "text", "agg"))
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (k=3) token co-occurrence counts + PMI scores — the
+    word2vec / collocation-mining statistic. Pair generation is a map-side
+    array lambda (no positional self-join; fan-out bounded by the window),
+    then two wordcount groupBys and broadcast marginal join-backs. The
+    oracle recomputes the identical pair space positionally in DuckDB.
+    Beyond-reference [NS] (SURVEY.md §2.B text analysis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.windowed_cooccurrence(docs, "text", window=3, min_count=3, top_n=300)
