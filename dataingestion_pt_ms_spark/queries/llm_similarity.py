@@ -739,3 +739,115 @@ def sim_knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_K)
         .orderBy("vec_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top eigenvector by power iteration over the embedding covariance
+# matrix — iterative numerical linear algebra expressed as DataFrame ops.
+# Scale shape: the ONLY corpus-sized pass is the covariance aggregation
+# (map-side d² partials per row, identical to emb_covariance_matrix); every
+# iteration afterwards runs on the d×d matrix and the d-vector (tiny,
+# broadcast), so iteration cost is independent of corpus size. State is
+# localCheckpoint'd per round (house style for iterative ops — PageRank /
+# k-core) to truncate lineage. Cross-engine float discipline: the matrix
+# and the vector are re-rounded to 6 dp each round on BOTH sides, so
+# summation-order noise (~1e-12) never reaches the value hash.
+# Beyond-reference [NS] (SURVEY.md §2.B embeddings).
+# --------------------------------------------------------------------------
+_PI_ITERS = 8
+
+_PI_A_CTES = f"""
+pi_pairs AS (
+  SELECT i.i AS i, j.j AS j,
+         CAST(embedding[CAST(i.i + 1 AS INTEGER)] AS DOUBLE) AS xi,
+         CAST(embedding[CAST(j.j + 1 AS INTEGER)] AS DOUBLE) AS xj
+  FROM embeddings, range(0, {_COV_D}) i(i), range(0, {_COV_D}) j(j)
+),
+pi_a AS MATERIALIZED (
+  SELECT i, j,
+         round((sum(xi * xj) - sum(xi) * sum(xj) / count(*)) / (count(*) - 1), 6)
+           AS a
+  FROM pi_pairs GROUP BY i, j
+),
+v0 AS (SELECT i.i AS idx, CAST(1.0 AS DOUBLE) AS v FROM range(0, {_COV_D}) i(i))"""
+
+# MATERIALIZED is load-bearing: each v{t} reads w{t} twice (scalar-subquery
+# norm + FROM) and w{t} reads v{t-1} — without it DuckDB inlines the CTEs
+# and the chain re-evaluates 2^t times (same lesson as the k-core oracle).
+_PI_ITER_CTES = "".join(
+    f""",
+w{t} AS MATERIALIZED (SELECT pi_a.i AS idx, sum(pi_a.a * v{t - 1}.v) AS w
+         FROM pi_a JOIN v{t - 1} ON v{t - 1}.idx = pi_a.j GROUP BY 1),
+v{t} AS MATERIALIZED (SELECT idx, round(w / sqrt((SELECT sum(w * w) FROM w{t})), 6) AS v
+         FROM w{t})"""
+    for t in range(1, _PI_ITERS + 1)
+)
+
+PCA_POWER_ORACLE = f"""
+WITH {_PI_A_CTES}{_PI_ITER_CTES},
+pi_av AS (SELECT pi_a.i AS idx, sum(pi_a.a * v{_PI_ITERS}.v) AS av
+          FROM pi_a JOIN v{_PI_ITERS} ON v{_PI_ITERS}.idx = pi_a.j GROUP BY 1),
+pi_lam AS (SELECT round(sum(pi_av.av * v{_PI_ITERS}.v), 6) AS eigenvalue
+           FROM pi_av JOIN v{_PI_ITERS} ON v{_PI_ITERS}.idx = pi_av.idx)
+SELECT v{_PI_ITERS}.idx AS i, v{_PI_ITERS}.v AS component, pi_lam.eigenvalue
+FROM v{_PI_ITERS} CROSS JOIN pi_lam ORDER BY i
+"""
+
+
+@register(
+    "emb_pca_power_iteration",
+    oracle=PCA_POWER_ORACLE,
+    tags=("llm", "embedding", "iterative"),
+)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pair_expr = f"""
+      flatten(transform(sequence(0, {_COV_D - 1}), i ->
+        transform(sequence(0, {_COV_D - 1}), j -> struct(
+          i AS i, j AS j,
+          CAST(element_at(embedding, i + 1) AS DOUBLE) AS xi,
+          CAST(element_at(embedding, j + 1) AS DOUBLE) AS xj))))
+    """
+    pairs = emb.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        F.col("p.i").cast("bigint").alias("i"),
+        F.col("p.j").cast("bigint").alias("j"),
+        "p.xi",
+        "p.xj",
+    )
+    n = F.count("*")
+    cov = (F.sum(F.col("xi") * F.col("xj")) - F.sum("xi") * F.sum("xj") / n) / (
+        n - 1
+    )
+    a = pairs.groupBy("i", "j").agg(F.round(cov, 6).alias("a")).localCheckpoint()
+    v = spark.createDataFrame(
+        [(i, 1.0) for i in range(_COV_D)], "idx bigint, v double"
+    )
+    for _ in range(_PI_ITERS):
+        w = (
+            a.join(F.broadcast(v), a["j"] == v["idx"])
+            .groupBy(a["i"])
+            .agg(F.sum(F.col("a") * F.col("v")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("idx"),
+                F.round(F.col("w") / F.col("nrm"), 6).alias("v"),
+            )
+            .localCheckpoint()
+        )
+    av = (
+        a.join(F.broadcast(v), a["j"] == v["idx"])
+        .groupBy(a["i"])
+        .agg(F.sum(F.col("a") * F.col("v")).alias("av"))
+    )
+    lam = (
+        av.join(F.broadcast(v), av["i"] == v["idx"])
+        .agg(F.round(F.sum(F.col("av") * F.col("v")), 6).alias("eigenvalue"))
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(F.col("idx").alias("i"), F.col("v").alias("component"), "eigenvalue")
+        .orderBy("i")
+    )
