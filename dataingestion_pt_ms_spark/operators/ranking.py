@@ -118,3 +118,44 @@ def global_ntile(
         r <= cut, F.ceil(r / (q + F.lit(1)))
     ).otherwise(rem + F.ceil((r - cut) / q))
     return with_n.withColumn(out_col, bucket.cast("int")).drop("_gnt_r", "_n")
+
+
+def global_running_sum(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list[Column | str],
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global prefix sum of ``weight_col`` in ``order_cols``
+    order, computed distributedly — same shape as ``global_row_number``
+    (range partition → per-partition running sum → broadcast earlier-
+    partition totals), so no single-reducer global window. ``order_cols``
+    must be a total order for a deterministic result."""
+    sort_exprs = _cols(order_cols)
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = df.repartitionByRange(p, *sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parts = parts.withColumn(
+        "_lcs",
+        F.sum(weight_col).over(
+            W.partitionBy("_pid")
+            .orderBy(*sort_exprs)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    parts = parts.localCheckpoint(eager=False)
+    sums = parts.groupBy("_pid").agg(F.sum(weight_col).alias("_wsum"))
+    earlier = sums.select(F.col("_pid").alias("_pid2"), F.col("_wsum").alias("_w2"))
+    offsets = (
+        sums.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_w2"), F.lit(0)).alias("_off"))
+    )
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lcs")).cast("long"))
+        .drop("_pid", "_lcs", "_off")
+    )

@@ -384,3 +384,56 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Training-shard manifest: pack documents (in stable doc_id order) into
+# fixed token-budget shards — the webdataset/arrow-shard planning step of a
+# pretraining pipeline. A doc is assigned to the shard its cumulative
+# token count STARTS in: shard_id = tokens_before_doc div budget.
+# Scale shape: the global prefix sum is operators/ranking.py's distributed
+# running sum (range partition → local running sum → broadcast earlier-
+# partition totals) — no single-reducer global window at any corpus size;
+# the manifest rollup is an ordinary grouped agg on shard_id.
+# Beyond-reference [NS] (SURVEY.md §2.B sampling/curation).
+# --------------------------------------------------------------------------
+_SHARD_BUDGET = 20_000  # tokens per shard
+
+SHARD_MANIFEST_ORACLE = f"""
+WITH t AS (SELECT doc_id, CAST(len({DTOKS}) AS BIGINT) AS w FROM documents),
+c AS (SELECT doc_id, w,
+             CAST(sum(w) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM t),
+s AS (SELECT doc_id, w, CAST((cum - w) // {_SHARD_BUDGET} AS BIGINT) AS shard_id FROM c)
+SELECT shard_id, count(*) AS n_docs,
+       min(doc_id) AS doc_id_lo, max(doc_id) AS doc_id_hi,
+       CAST(sum(w) AS BIGINT) AS shard_tokens
+FROM s GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+@register(
+    "docs_shard_manifest", oracle=SHARD_MANIFEST_ORACLE, tags=("llm", "curation")
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("bigint").alias("w")
+    )
+    cum = global_running_sum(docs, "w", ["doc_id"], out_col="cum")
+    shards = cum.withColumn(
+        "shard_id", F.expr(f"(cum - w) div {_SHARD_BUDGET}")
+    )
+    return (
+        shards.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("doc_id_lo"),
+            F.max("doc_id").alias("doc_id_hi"),
+            F.sum("w").alias("shard_tokens"),
+        )
+        .orderBy("shard_id")
+    )
