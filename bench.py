@@ -78,6 +78,9 @@ BASELINE_SEC = {
     "graph_copurchase_triangles": 1.83,
     "events_ewma_daily": 0.23,
     "text_bpe_pair_counts": 0.22,
+    "text_pmi_cooccurrence": 1.25,
+    "emb_pca_power_iteration": 2.55,
+    "docs_shard_manifest": 0.76,
 }
 GUARD_FACTOR = 2.0
 
@@ -139,6 +142,9 @@ HEADLINE = [
     "graph_copurchase_triangles",
     "events_ewma_daily",
     "text_bpe_pair_counts",
+    "text_pmi_cooccurrence",
+    "emb_pca_power_iteration",
+    "docs_shard_manifest",
 ]
 
 
