@@ -81,6 +81,7 @@ BASELINE_SEC = {
     "text_pmi_cooccurrence": 1.25,
     "emb_pca_power_iteration": 2.55,
     "docs_shard_manifest": 0.76,
+    "sim_rrf_hybrid_fusion": 0.96,
 }
 GUARD_FACTOR = 2.0
 
@@ -145,6 +146,7 @@ HEADLINE = [
     "text_pmi_cooccurrence",
     "emb_pca_power_iteration",
     "docs_shard_manifest",
+    "sim_rrf_hybrid_fusion",
 ]
 
 
