@@ -917,3 +917,40 @@ def test_zorder_interleave_bijective_property():
         assert 0 <= z < 1 << (2 * _Z_BITS)
 
     check()
+
+
+def test_global_running_sum_matches_window_twin(spark):
+    """operators/ranking.global_running_sum ≡ sum() OVER (ORDER BY ...) on a
+    fixture with duplicate weights and a non-trivial partition count, and no
+    single-partition WindowExec in its plan."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from dataingestion_pt_ms_spark.operators.ranking import global_running_sum
+
+    rows = [(i, (i * 7) % 5) for i in range(257)]
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+    got = {
+        r["k"]: r["rs"]
+        for r in global_running_sum(df, "w", ["k"], out_col="rs", num_partitions=8)
+        .collect()
+    }
+    want = {
+        r["k"]: r["rs"]
+        for r in df.withColumn(
+            "rs",
+            F.sum("w").over(
+                W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        ).collect()
+    }
+    assert got == want
+    # an unpartitioned global window would force an Exchange SinglePartition;
+    # the distributed shape must not contain one anywhere in its lineage
+    plan = (
+        global_running_sum(df, "w", ["k"], out_col="rs", num_partitions=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
