@@ -744,3 +744,34 @@ def incremental_minhash_dedup(
         .filter(F.col("est_jaccard") >= threshold)
         .orderBy("new_key", "stored_key")
     )
+
+
+def lsh_band_cost_profile(
+    sig_df: DataFrame, key_col: str, bands: int = 8, rows_per_band: int = 8
+) -> DataFrame:
+    """Per-band LSH cost audit — the sizing tool you run BEFORE a full-corpus
+    dedup: for each band, the bucket count, total keys, largest bucket, and
+    the exact candidate-pair bill Σ sz·(sz−1)/2 that ``lsh_candidate_pairs``
+    would generate. At 100 TB this one cheap aggregation (signatures →
+    band-group sizes → 8-row rollup) tells you whether the (bands × rows)
+    choice explodes quadratically on a skewed corpus — before you pay for it.
+
+    Bucket membership is hash-independent (two keys share a bucket iff their
+    signature slices are equal), so the profile has a full SQL oracle even
+    over xxhash64-grouped bands."""
+    banded = _banded(sig_df, key_col, bands, rows_per_band)
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("sz").alias("n_keys"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(
+                (F.col("sz") * (F.col("sz") - F.lit(1)) / F.lit(2)).cast("long")
+            ).alias("candidate_pairs"),
+        )
+        .orderBy("band_idx")
+    )

@@ -720,3 +720,30 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+BAND_COST_ORACLE = f"""
+WITH {_MINHASH_PIPE_CTES},
+sizes AS (
+  SELECT band_idx, band_key, count(*) AS sz FROM banded GROUP BY 1, 2
+)
+SELECT band_idx, count(*) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_keys,
+       max(sz) AS max_bucket,
+       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM sizes GROUP BY band_idx ORDER BY band_idx
+"""
+
+
+@register(
+    "dedup_lsh_band_cost_audit", oracle=BAND_COST_ORACLE, tags=("llm", "dedup", "lsh")
+)
+def dedup_lsh_band_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket histogram + exact candidate-pair bill — the
+    pre-flight sizing audit for the MinHash dedup family (see
+    operators/dedup.py:lsh_band_cost_profile). md5 base hash so the whole
+    signature → band → bucket-size pipeline is oracle-reproducible; bucket
+    membership itself is hash-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, "text", "doc_id")
+    return D.lsh_band_cost_profile(sig, "doc_id")
