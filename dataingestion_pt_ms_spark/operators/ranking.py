@@ -154,8 +154,11 @@ def global_running_sum(
         .groupBy("_pid")
         .agg(F.coalesce(F.sum("_w2"), F.lit(0)).alias("_off"))
     )
+    # keep the sum's natural dtype (decimal weights must NOT truncate to
+    # long — a cent dropped here silently shifts any threshold classifier
+    # downstream); integral weights still come out as bigint via sum()
     return (
         parts.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_lcs")).cast("long"))
+        .withColumn(out_col, F.col("_off") + F.col("_lcs"))
         .drop("_pid", "_lcs", "_off")
     )

@@ -586,3 +586,129 @@ def warehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Key-skew audit: the diagnostic behind the salted join/agg decision. One
+# wordcount-style pass over the join key (events.user_id), then an
+# O(#keys) rollup: key cardinality, mean/max bucket, skew factor
+# (max/mean), and the share of rows carried by the 10 heaviest keys — the
+# numbers that say whether a shuffle on this key needs salting or AQE skew
+# handling BEFORE the 100 TB job runs. Top-10 selection is a distributed
+# TakeOrdered, never a global window. Ratios use the floor(x·1e6+0.5)/1e6
+# rounding both engines share (BENCH.md "Cross-engine rounding").
+# --------------------------------------------------------------------------
+SKEW_AUDIT_ORACLE = """
+WITH kc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(max(c) AS BIGINT) AS max_c FROM kc),
+top AS (SELECT CAST(sum(c) AS BIGINT) AS top10_rows
+        FROM (SELECT c FROM kc ORDER BY c DESC, user_id LIMIT 10))
+SELECT n_keys, n_rows, max_c AS max_bucket,
+       floor(CAST(n_rows AS DOUBLE) / n_keys * 1e6 + 0.5) / 1e6 AS mean_bucket,
+       floor(CAST(max_c AS DOUBLE) * n_keys / n_rows * 1e6 + 0.5) / 1e6 AS skew_factor,
+       floor(CAST(top10_rows AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6 AS top10_share
+FROM tot CROSS JOIN top
+"""
+
+
+@register("warehouse_key_skew_audit", oracle=SKEW_AUDIT_ORACLE, tags=("warehouse", "audit"))
+def warehouse_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    kc = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    kc = kc.localCheckpoint(eager=False)  # three consumers below
+    tot = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+    )
+    top = (
+        kc.orderBy(F.col("c").desc(), "user_id")
+        .limit(10)
+        .agg(F.sum("c").alias("top10_rows"))
+    )
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .select(
+            "n_keys",
+            "n_rows",
+            F.col("max_c").alias("max_bucket"),
+            _r6(F.col("n_rows").cast("double") / F.col("n_keys")).alias("mean_bucket"),
+            _r6(
+                F.col("max_c").cast("double") * F.col("n_keys") / F.col("n_rows")
+            ).alias("skew_factor"),
+            _r6(F.col("top10_rows").cast("double") / F.col("n_rows")).alias(
+                "top10_share"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ABC / Pareto classification: rank customers by revenue, classify by
+# cumulative revenue share (A ≤ 70% < B ≤ 90% < C) — the classic "which 20%
+# of keys carry 80% of the value" curation cut. The cumulative sum over the
+# revenue-ranked customer grain is operators/ranking.py:global_running_sum
+# (range partition → local running sum → broadcast offsets), so there is no
+# single-reducer global window at any customer-table size. Money stays
+# DECIMAL until the final share division. Beyond-reference [NS].
+# --------------------------------------------------------------------------
+ABC_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(o_totalprice) AS DECIMAL(18, 2)) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+c AS (
+  SELECT o_custkey, revenue,
+         CAST(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(18, 2)) AS cum_rev,
+         CAST(sum(revenue) OVER () AS DECIMAL(18, 2)) AS tot_rev
+  FROM rev
+),
+cls AS (
+  SELECT o_custkey,
+         CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) <= 0.70 THEN 'A'
+              WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) <= 0.90 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         revenue
+  FROM c
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(sum(revenue), 2) AS DOUBLE) AS class_revenue
+FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+@register("orders_abc_pareto_classes", oracle=ABC_ORACLE, tags=("warehouse", "agg"))
+def orders_abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").cast("decimal(18,2)").alias("revenue")
+    )
+    cum = global_running_sum(
+        rev, "revenue", [F.col("revenue").desc(), F.col("o_custkey")], out_col="_cum"
+    ).withColumn("cum_rev", F.col("_cum").cast("decimal(18,2)"))
+    tot = rev.agg(F.sum("revenue").cast("decimal(18,2)").alias("tot_rev"))
+    share = F.col("cum_rev").cast("double") / F.col("tot_rev").cast("double")
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "revenue",
+        F.when(share <= 0.70, "A").when(share <= 0.90, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("revenue"), 2).cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
