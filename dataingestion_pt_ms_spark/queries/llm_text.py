@@ -955,3 +955,60 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Beyond-reference [NS] (SURVEY.md §2.B text analysis)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.windowed_cooccurrence(docs, "text", window=3, min_count=3, top_n=300)
+
+
+# --------------------------------------------------------------------------
+# CCNet-style head/middle/tail split: bucket every document into perplexity
+# tertiles of the corpus-trained unigram LM (CCNet keeps "head", optionally
+# "middle", drops "tail"). The per-doc NLL is the already-oracled unigram
+# pipeline; the two tertile cuts are ONE exact-percentile aggregate
+# broadcast back (approx_percentile is the stated 100 TB swap, as in the
+# quantile-gate family). Thresholds compare on the 6-dp-rounded NLL both
+# engines share, so the cut is engine-stable. Beyond-reference [NS].
+# --------------------------------------------------------------------------
+CCNET_BUCKETS_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+), cnt AS (
+  SELECT token, count(*) AS cnt FROM tk GROUP BY token
+), sc AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS vocab
+  FROM cnt
+), pp AS (
+  SELECT doc_id, round(-avg(ln((cnt + 1.0) / (n_total + vocab))), 6) AS nll
+  FROM tk JOIN cnt USING (token) CROSS JOIN sc
+  GROUP BY doc_id
+), th AS (
+  SELECT quantile_cont(nll, 1.0/3) AS t1, quantile_cont(nll, 2.0/3) AS t2 FROM pp
+)
+SELECT doc_id, nll,
+       CASE WHEN nll <= t1 THEN 'head'
+            WHEN nll <= t2 THEN 'middle'
+            ELSE 'tail' END AS ccnet_bucket
+FROM pp CROSS JOIN th
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_ccnet_ppl_buckets", oracle=CCNET_BUCKETS_ORACLE, tags=("llm", "text", "quality")
+)
+def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pp = T.unigram_logprob(docs).select("doc_id", "nll")
+    th = pp.agg(
+        F.percentile("nll", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("nll", F.lit(2.0 / 3)).alias("t2"),
+    )
+    return (
+        pp.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            "nll",
+            F.when(F.col("nll") <= F.col("t1"), "head")
+            .when(F.col("nll") <= F.col("t2"), "middle")
+            .otherwise("tail")
+            .alias("ccnet_bucket"),
+        )
+        .orderBy("doc_id")
+    )
