@@ -437,3 +437,72 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --------------------------------------------------------------------------
+# APPLY the T5 temperature mix: deterministic per-source downsampling that
+# realizes the α=0.5 temperature weights (sample_temperature_mix_weights
+# computes the weights; this query executes them). Keep-rate per source is
+# (c_min/c_s)^(1−α) scaled to an integer md5-bucket threshold, so the kept
+# set is content-stable (same doc set on re-run, no RNG, survives corpus
+# append like every md5-bucket sampler here). One grouped count + broadcast
+# threshold join + pure-projection filter — no shuffle of the kept rows.
+# Beyond-reference [NS] (SURVEY.md §2.B sampling/data mixing).
+# --------------------------------------------------------------------------
+_TMIX_ALPHA = 0.5
+_TMIX_MOD = 10_000
+
+TEMP_APPLY_ORACLE = f"""
+WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source),
+mn AS (SELECT min(c) AS c_min FROM per),
+th AS (SELECT source, c,
+              CAST(floor({_TMIX_MOD} * sqrt(CAST(c_min AS DOUBLE) / c) + 0.5) AS BIGINT)
+                AS keep_threshold
+       FROM per CROSS JOIN mn),
+kept AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN th ON th.source = d.source
+  WHERE {_duck_md5_bucket("d.doc_id", _TMIX_MOD)} < th.keep_threshold
+)
+SELECT th.source, th.c AS n_docs, th.keep_threshold,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM th LEFT JOIN (SELECT source, count(*) AS n_kept FROM kept GROUP BY source) k
+  ON k.source = th.source
+ORDER BY th.source
+"""
+
+
+@register(
+    "sample_apply_temperature_mix", oracle=TEMP_APPLY_ORACLE, tags=("llm", "sample")
+)
+def sample_apply_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    mn = per.agg(F.min("c").alias("c_min"))
+    th = per.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "c",
+        F.floor(
+            F.lit(_TMIX_MOD)
+            * F.sqrt(F.col("c_min").cast("double") / F.col("c"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("keep_threshold"),
+    )
+    kept = (
+        docs.join(F.broadcast(th), "source")
+        .where(_spark_md5_bucket("doc_id", _TMIX_MOD) < F.col("keep_threshold"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        th.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("c").alias("n_docs"),
+            "keep_threshold",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
