@@ -286,3 +286,108 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "est_count", "exact_count")
         .orderBy(F.desc("est_count"), "token")
     )
+
+
+# --------------------------------------------------------------------------
+# HLL partial-merge: build one 64-register sketch PER (priority, order-year)
+# partition, then max-merge the partials into the per-priority estimate —
+# the exact operational pattern at 100 TB (sketch each ingest
+# partition/day once; answer "distinct over any span" later by merging
+# registers, never rescanning the data). max() is associative/idempotent,
+# so the merged registers — and therefore the estimate — are bit-identical
+# to agg_hll_distinct_customers' single-pass sketch; the oracle recomputes
+# the two-level pipeline independently in DuckDB.
+# --------------------------------------------------------------------------
+HLL_MERGE_ORACLE = f"""
+WITH h AS (
+  SELECT o_orderpriority AS prio,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         md5(CAST(o_custkey AS VARCHAR)) AS hex
+  FROM orders
+), parts AS (
+  SELECT prio, yr,
+         CAST(('0x' || substr(hex, 1, 2)) AS BIGINT) % 64 AS reg,
+         length(regexp_extract(substr(hex, 3, 13), '^(0*)', 1)) AS zrun,
+         substr(substr(hex, 3, 13),
+                length(regexp_extract(substr(hex, 3, 13), '^(0*)', 1)) + 1,
+                1) AS first_d
+  FROM h
+), partial_regs AS (
+  SELECT prio, yr, reg, max({_DUCK_RANK}) AS r
+  FROM parts GROUP BY prio, yr, reg
+), merged_regs AS (
+  SELECT prio, reg, max(r) AS r FROM partial_regs GROUP BY prio, reg
+), merged AS (
+  SELECT prio,
+         sum(1::BIGINT << (55 - r)) AS s_present,
+         count(*) AS n_regs
+  FROM merged_regs GROUP BY prio
+), np AS (
+  SELECT prio, CAST(count(DISTINCT yr) AS BIGINT) AS n_partials
+  FROM partial_regs GROUP BY prio
+), est AS (
+  SELECT prio,
+         64 - n_regs AS v_zero,
+         ({_HLL_ALPHA} * 4096.0 * {float(_TWO55)})
+           / CAST(s_present + (64 - n_regs) * {_TWO55} AS DOUBLE) AS raw
+  FROM merged
+), fin AS (
+  SELECT prio, v_zero,
+         CASE WHEN v_zero > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+              ELSE raw END AS e
+  FROM est
+)
+SELECT f.prio, np.n_partials, f.v_zero,
+       floor(f.e * 100.0 + 0.5) / 100.0 AS hll_estimate
+FROM fin f JOIN np USING (prio)
+ORDER BY prio
+"""
+
+
+@register(
+    "agg_hll_merge_partials", oracle=HLL_MERGE_ORACLE, tags=("sketch", "hll", "agg")
+)
+def agg_hll_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hexd = F.md5(F.col("o_custkey").cast("string"))
+    tail = F.substring(hexd, 3, 13)
+    parts = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.pmod(F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long"), F.lit(64)).alias(
+            "reg"
+        ),
+        _rank_from_hex_tail(tail).alias("r"),
+    )
+    partial_regs = parts.groupBy("prio", "yr", "reg").agg(F.max("r").alias("r"))
+    partial_regs = partial_regs.localCheckpoint(eager=False)  # two consumers
+    merged_regs = partial_regs.groupBy("prio", "reg").agg(F.max("r").alias("r"))
+    merged = merged_regs.groupBy("prio").agg(
+        F.sum(F.expr("shiftleft(1L, 55 - r)")).alias("s_present"),
+        F.count("*").alias("n_regs"),
+    )
+    np_ = partial_regs.groupBy("prio").agg(
+        F.countDistinct("yr").alias("n_partials")
+    )
+    v_zero = (F.lit(64) - F.col("n_regs")).alias("v_zero")
+    raw = (F.lit(_HLL_ALPHA) * F.lit(4096.0) * F.lit(float(_TWO55))) / (
+        F.col("s_present") + (F.lit(64) - F.col("n_regs")) * F.lit(_TWO55)
+    ).cast("double")
+    est = merged.select("prio", v_zero, raw.alias("raw"))
+    e = F.when(
+        (F.col("v_zero") > 0) & (F.col("raw") <= 160.0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero").cast("double")),
+    ).otherwise(F.col("raw"))
+    return (
+        est.join(np_, "prio")
+        .select(
+            "prio",
+            "n_partials",
+            "v_zero",
+            (F.floor(e * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "hll_estimate"
+            ),
+        )
+        .orderBy("prio")
+    )

@@ -712,3 +712,48 @@ def orders_abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --------------------------------------------------------------------------
+# Broadcast range-lookup join: classify every order by a tiered banding
+# dimension (value BETWEEN lo AND hi), the tax-bracket / pricing-tier shape.
+# The tier table is constant-sized, so the non-equi join is a broadcast
+# nested loop over 3 rows per probe — at 100 TB this is a pure map-side
+# lookup, never a shuffle (the plan guard asserts no CartesianProduct;
+# BroadcastNestedLoopJoin with the band predicate is the intended shape).
+# Bands are half-open [lo, hi) so every value lands in exactly one tier.
+# --------------------------------------------------------------------------
+_TIERS = [("small", 0.0, 100_000.0), ("mid", 100_000.0, 300_000.0),
+          ("large", 300_000.0, 1e12)]
+_TIERS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)
+
+RANGE_LOOKUP_ORACLE = f"""
+WITH tiers(tier, lo, hi) AS (VALUES {_TIERS_SQL})
+SELECT tier, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18, 2))), 2) AS DOUBLE)
+         AS tier_revenue
+FROM orders JOIN tiers
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier ORDER BY tier
+"""
+
+
+@register("join_broadcast_range_lookup", oracle=RANGE_LOOKUP_ORACLE, tags=("join", "range"))
+def join_broadcast_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(tiers),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("tier_revenue"),
+        )
+        .orderBy("tier")
+    )
