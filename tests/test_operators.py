@@ -954,3 +954,23 @@ def test_global_running_sum_matches_window_twin(spark):
         .toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_band_cost_audit_bounds_actual_candidates(spark, sf_dir):
+    """The band-cost audit's per-band pair bill must (a) sum to an upper
+    bound on the cross-band-deduped candidate set lsh_candidate_pairs
+    actually generates, and (b) equal it exactly for a single-band config
+    (no cross-band dedup possible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, "text", "doc_id")
+    sig = sig.localCheckpoint(eager=False)
+
+    profile = D.lsh_band_cost_profile(sig, "doc_id", bands=8, rows_per_band=8)
+    billed = sum(r.candidate_pairs for r in profile.collect())
+    actual = D.lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=8).count()
+    assert actual <= billed
+
+    one_band = D.lsh_band_cost_profile(sig, "doc_id", bands=1, rows_per_band=8)
+    billed1 = sum(r.candidate_pairs for r in one_band.collect())
+    actual1 = D.lsh_candidate_pairs(sig, "doc_id", bands=1, rows_per_band=8).count()
+    assert actual1 == billed1
