@@ -775,3 +775,119 @@ def lsh_band_cost_profile(
         )
         .orderBy("band_idx")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    key_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Asymmetric shingle-set containment for candidate pairs:
+    c_a_in_b = |A∩B| / |A| (how much of doc A's shingle set doc B covers)
+    and the mirror c_b_in_a — the quote / boilerplate / subset-dup
+    semantics Jaccard misses (a short doc fully quoted inside a long one
+    has high containment but low Jaccard). Same verify-step scale shape as
+    ``jaccard_pairs``: shingles only for docs in a candidate pair."""
+    keys = (
+        pairs.select(F.col("key_a").alias("k"))
+        .unionByName(pairs.select(F.col("key_b").alias("k")))
+        .distinct()
+    )
+    needed = docs.join(F.broadcast(keys), docs[key_col] == keys["k"], "left_semi")
+    sh = needed.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(key_col).alias("k"),
+        shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
+    )
+    a = sh.select(F.col("k").alias("key_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("k").alias("key_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "key_a")
+        .join(b, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.round(
+                F.when(F.size("sh_a") != 0, inter / F.size("sh_a")).otherwise(0.0), 6
+            ).alias("c_a_in_b"),
+            F.round(
+                F.when(F.size("sh_b") != 0, inter / F.size("sh_b")).otherwise(0.0), 6
+            ).alias("c_b_in_a"),
+        )
+    )
+
+
+def containment_near_dups(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 3,
+    bucket_cap: int | None = None,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """End-to-end asymmetric-containment near-dups with the same
+    collapse-first scale shape as ``minhash_lsh_near_dups``: exact-collapse →
+    signature/banding over representatives → containment verify → re-expand.
+    Identical texts have identical shingle sets, so rep-level containment
+    values carry to every member pair verbatim; the one asymmetric wrinkle
+    is orientation — when least/greatest reorders an expanded pair, the two
+    containment columns swap with it. Keeps pairs with containment ≥
+    ``threshold`` in EITHER direction (orientation-independent gate)."""
+    df = df.select(key_col, text_col)
+    reps, members = collapse_exact(df, text_col, key_col)
+    reps = reps.localCheckpoint(eager=False)
+    members = members.localCheckpoint(eager=False)
+    rows = num_perm // bands
+    sig = minhash_signature(reps, text_col, key_col, num_perm, shingle_k, base_hash)
+    cands = lsh_candidate_pairs(sig, key_col, bands, rows, bucket_cap)
+    cont = containment_pairs(reps, cands, text_col, key_col, shingle_k)
+    rep_pairs = cont.filter(
+        (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
+    ).localCheckpoint(eager=False)
+    ma = members.select(F.col("rep").alias("key_a"), F.col("member").alias("ma"))
+    mb = members.select(F.col("rep").alias("key_b"), F.col("member").alias("mb"))
+    swapped = F.col("ma") > F.col("mb")
+    cross = (
+        rep_pairs.join(ma, "key_a")
+        .join(mb, "key_b")
+        .select(
+            F.least("ma", "mb").alias("key_a"),
+            F.greatest("ma", "mb").alias("key_b"),
+            F.when(swapped, F.col("c_b_in_a"))
+            .otherwise(F.col("c_a_in_b"))
+            .alias("c_a_in_b"),
+            F.when(swapped, F.col("c_a_in_b"))
+            .otherwise(F.col("c_b_in_a"))
+            .alias("c_b_in_a"),
+        )
+    )
+    ok_reps = reps.filter(F.size(tokens(F.col(text_col))) >= shingle_k).select(
+        F.col(key_col).alias("rep")
+    )
+    dup_groups = (
+        members.join(ok_reps, "rep", "left_semi")
+        .groupBy("rep")
+        .agg(F.array_sort(F.collect_list("member")).alias("ks"))
+        .filter(F.size("ks") > 1)
+    )
+    within_arrays = F.transform(
+        F.col("ks"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ks"), i + 2, F.size(F.col("ks"))),
+            lambda y: F.struct(x.alias("key_a"), y.alias("key_b")),
+        ),
+    )
+    within = dup_groups.select(
+        F.explode(F.flatten(within_arrays)).alias("p")
+    ).select(
+        "p.key_a",
+        "p.key_b",
+        F.lit(1.0).alias("c_a_in_b"),
+        F.lit(1.0).alias("c_b_in_a"),
+    )
+    return cross.unionByName(within).orderBy("key_a", "key_b")

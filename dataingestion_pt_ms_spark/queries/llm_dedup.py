@@ -747,3 +747,38 @@ def dedup_lsh_band_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = D.minhash_signature(docs, "text", "doc_id")
     return D.lsh_band_cost_profile(sig, "doc_id")
+
+
+_DCONT_A = (
+    "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / CAST(len(a.sh) AS DOUBLE), 6)"
+)
+_DCONT_B = (
+    "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / CAST(len(b.sh) AS DOUBLE), 6)"
+)
+
+CONTAINMENT_ORACLE = f"""
+WITH {_MINHASH_PIPE_CTES}
+SELECT key_a, key_b, {_DCONT_A} AS c_a_in_b, {_DCONT_B} AS c_b_in_a
+FROM pairs
+JOIN shl a ON pairs.key_a = a.doc_id
+JOIN shl b ON pairs.key_b = b.doc_id
+WHERE {_DCONT_A} >= 0.9 OR {_DCONT_B} >= 0.9
+"""
+
+
+@register(
+    "dedup_containment_pairs", oracle=CONTAINMENT_ORACLE, tags=("llm", "dedup", "lsh")
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (|A∩B|/|A|) over MinHash-LSH candidates at
+    ≥0.9 either direction — catches subset duplication (quotes,
+    boilerplate-wrapped copies) that the symmetric Jaccard gate misses.
+    md5 base hash so candidate generation is oracle-reproducible; the
+    containment verify itself is hash-independent. Collapse-first like the
+    whole MinHash family — signature/bucket cost tracks DISTINCT texts,
+    while the oracle keeps the raw doc-level formulation
+    (operators/dedup.py:containment_near_dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_near_dups(docs, "text", "doc_id", threshold=0.9)
