@@ -399,3 +399,62 @@ def k_core_peel(
         cur.groupBy(F.col("a").alias("node"))
         .agg(F.count("*").alias("deg"))
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, ppr) after ``iters`` synchronous rounds of PageRank with the
+    teleport vector concentrated on ``seeds`` (column ``node``):
+    ppr'(v) = (1-d)·t(v) + d·Σ_{u→v} ppr(u)·w(u,v)/W(u), t = 1/|S| on the
+    seed set, 0 elsewhere; start state = t. The "rank relative to these
+    seeds" recommender/expansion primitive. Same scale shape, dangling-mass
+    simplification, and unrolled-CTE oracle strategy as ``pagerank``."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_t"),
+        F.col(weight).cast("double").alias("_w"),
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_t").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select("node").distinct()
+    ns = sd.agg(F.count("*").cast("double").alias("_ns"))
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_wout")).filter(F.col("_wout") != 0)
+    t = (
+        nodes.join(sd.withColumn("_is_seed", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.when(F.col("_is_seed") == 1, F.lit(1.0) / F.col("_ns"))
+            .otherwise(0.0)
+            .alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pr = t.select("node", F.col("t").alias("pr"))
+    for _ in range(iters):
+        contribs = (
+            e.join(pr.withColumnRenamed("node", "_s"), "_s")
+            .join(outw, "_s")
+            .groupBy("_t")
+            .agg(F.sum(F.col("pr") * F.col("_w") / F.col("_wout")).alias("_c"))
+        )
+        pr = t.join(contribs.withColumnRenamed("_t", "node"), "node", "left").select(
+            "node",
+            (
+                (1.0 - damping) * F.col("t")
+                + damping * F.coalesce(F.col("_c"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr

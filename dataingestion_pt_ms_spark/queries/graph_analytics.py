@@ -308,3 +308,73 @@ def graph_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core_peel(
         edges, k=_KCORE_K, rounds=_KCORE_ROUNDS, src="u", dst="v"
     ).orderBy("node")
+
+
+# one personalized-PageRank round: teleport mass goes to the seed vector t
+_PPR_ITER_SQL = f"""
+  SELECT t.node,
+         (1.0 - {_D}) * t.t
+         + {_D} * coalesce(sum({{prev}}.pr * e.w / outw.wout), 0.0) AS pr
+  FROM t
+  LEFT JOIN e ON e.dst = t.node
+  LEFT JOIN {{prev}} ON {{prev}}.node = e.src
+  LEFT JOIN outw ON outw.src = e.src
+  GROUP BY t.node, t.t
+"""
+
+PPR_ORACLE = f"""
+WITH e AS ({_EDGES_SQL}),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+),
+sd AS (SELECT DISTINCT n_nationkey AS node FROM nation WHERE n_regionkey = 2),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS _ns FROM sd),
+outw AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+t AS (
+  SELECT nodes.node,
+         CASE WHEN sd.node IS NOT NULL THEN 1.0 / ns._ns ELSE 0.0 END AS t
+  FROM nodes LEFT JOIN sd ON sd.node = nodes.node CROSS JOIN ns
+),
+pr0 AS (SELECT node, t AS pr FROM t),
+pr1 AS ({_PPR_ITER_SQL.format(prev="pr0")}),
+pr2 AS ({_PPR_ITER_SQL.format(prev="pr1")})
+SELECT nat.n_name, round(pr2.pr, 6) AS ppr
+FROM pr2 JOIN nation nat ON nat.n_nationkey = pr2.node
+ORDER BY ppr DESC, n_name
+"""
+
+
+@register(
+    "graph_personalized_pagerank", oracle=PPR_ORACLE, tags=("graph", "iterative")
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the nation trade graph with the teleport
+    vector on region-2 (ASIA) nations — "trade influence relative to these
+    seed economies". Same unrolled-round oracle strategy as the global
+    PageRank; the seed set is a broadcast dim
+    (operators/graph.py:personalized_pagerank)."""
+    from ..operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    seeds = nation.filter(F.col("n_regionkey") == 2).select(
+        F.col("n_nationkey").alias("node")
+    )
+    pr = personalized_pagerank(edges, seeds, iters=2, damping=_D)
+    return (
+        pr.join(F.broadcast(nation), pr.node == nation.n_nationkey)
+        .select("n_name", F.round("pr", 6).alias("ppr"))
+        .orderBy(F.col("ppr").desc(), "n_name")
+    )
