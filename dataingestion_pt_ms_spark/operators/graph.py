@@ -458,3 +458,53 @@ def personalized_pagerank(
             ).alias("pr"),
         )
     return pr
+
+
+def jaccard_link_prediction(
+    edges: DataFrame, src: str = "u", dst: str = "v", min_common: int = 2
+) -> DataFrame:
+    """Common-neighbour Jaccard link prediction over an undirected edge
+    list (id-ordered pairs): for every NON-adjacent pair sharing ≥
+    ``min_common`` neighbours, score = |N(u)∩N(w)| / |N(u)∪N(w)|.
+
+    Scale shape: candidate pairs come from the wedge self-join keyed on the
+    shared neighbour — pair space Σdeg², the same bound the triangle
+    counter documents, and only meaningful on a support-thresholded sparse
+    graph (threshold BEFORE predicting). Existing edges are removed with an
+    anti-join; degrees broadcast back. Deterministic, so fully
+    SQL-oracled."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    wa = sym.select(F.col("v").alias("n"), F.col("u").alias("a"))
+    wb = sym.select(F.col("v").alias("n"), F.col("u").alias("b"))
+    cand = (
+        wa.join(wb, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= min_common)
+    )
+    non_adjacent = cand.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        non_adjacent.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard_score"),
+        )
+    )

@@ -378,3 +378,58 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", F.round("pr", 6).alias("ppr"))
         .orderBy(F.col("ppr").desc(), "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction on the thresholded co-purchase graph: which part pairs
+# are NOT yet co-purchased (≥2 shared orders) but share many co-purchase
+# neighbours — the "customers who bought these also bought" candidate
+# generator. Candidates from the wedge join (Σdeg² on the sparse graph),
+# existing edges anti-joined away, common-neighbour Jaccard scored.
+# --------------------------------------------------------------------------
+LINKPRED_ORACLE = f"""
+WITH e AS ({_TRI_EDGES_SQL}),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+cand AS (
+  SELECT a.u AS a, b.u AS b, count(*) AS cn
+  FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+nonadj AS (
+  SELECT cand.* FROM cand
+  LEFT JOIN e ON e.u = cand.a AND e.v = cand.b
+  WHERE e.u IS NULL
+)
+SELECT nonadj.a AS u, nonadj.b AS v, cn,
+       round(CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE), 6)
+         AS jaccard_score
+FROM nonadj
+JOIN deg da ON da.u = nonadj.a
+JOIN deg db ON db.u = nonadj.b
+ORDER BY jaccard_score DESC, u, v
+"""
+
+
+@register(
+    "graph_copurchase_link_prediction", oracle=LINKPRED_ORACLE, tags=("graph",)
+)
+def graph_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import jaccard_link_prediction
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .drop("sup")
+    )
+    return jaccard_link_prediction(edges, min_common=2).orderBy(
+        F.col("jaccard_score").desc(), "u", "v"
+    )

@@ -422,3 +422,50 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "edit_dist")
         .orderBy("key_a", "key_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the join that treats
+# NULL as a joinable value instead of dropping those rows — the semantics
+# users need when a nullable business key ("no bucket") must still line up
+# across tables. Both sides aggregate to their key grain FIRST (≤101 rows
+# incl. the NULL bucket), so the null-safe comparison runs over two tiny
+# frames; at scale the NULL bucket is the classic skew key, and pre-agging
+# to the grain is exactly what keeps it from exploding a row-level join.
+# --------------------------------------------------------------------------
+NULLSAFE_JOIN_ORACLE = """
+WITH a AS (
+  SELECT nullif(o_custkey % 100, 0) AS k, count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT nullif(c_custkey % 100, 0) AS k, count(*) AS n_customers
+  FROM customer GROUP BY 1
+)
+SELECT a.k AS bucket, a.n_orders, b.n_customers
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY bucket NULLS FIRST
+"""
+
+
+@register(
+    "join_null_safe_buckets", oracle=NULLSAFE_JOIN_ORACLE, tags=("join", "null-safe")
+)
+def join_null_safe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = (
+        orders.select(F.nullif(F.col("o_custkey") % 100, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    b = (
+        cust.select(F.nullif(F.col("c_custkey") % 100, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"].alias("bucket"), "n_orders", "n_customers")
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )
