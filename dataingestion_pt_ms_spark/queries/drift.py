@@ -328,3 +328,161 @@ def events_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# User-lifetime survival curve (discrete Kaplan-Meier with no censoring —
+# every observed user's lifetime is complete within the fixture window):
+# lifetime = days between first and last event; survival(k) = share of
+# users still active ≥ k days after their first event, k = 0..14. The per-
+# user grain is one groupBy; the curve is 15 conditional sums over that
+# grain (fixed-size output), so the whole query is two map-side-combined
+# aggregations regardless of event volume. Ratio uses the shared
+# floor-trick rounding.
+# --------------------------------------------------------------------------
+_SURV_MAX_K = 14
+
+_SURV_CONDS = ",\n       ".join(
+    f"floor(CAST(sum(CASE WHEN lifetime_days >= {k} THEN 1 ELSE 0 END) AS DOUBLE)"
+    f" / count(*) * 1e6 + 0.5) / 1e6 AS s{k}"
+    for k in range(_SURV_MAX_K + 1)
+)
+
+SURVIVAL_ORACLE = f"""
+WITH lt AS (
+  SELECT user_id,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+           AS lifetime_days
+  FROM events GROUP BY user_id
+),
+wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users, {_SURV_CONDS} FROM lt
+)
+SELECT k.k AS day_k, wide.n_users,
+       CASE k.k {" ".join(f"WHEN {k} THEN s{k}" for k in range(_SURV_MAX_K + 1))}
+       END AS survival
+FROM wide, range(0, {_SURV_MAX_K + 1}) k(k)
+ORDER BY day_k
+"""
+
+
+@register("events_survival_curve", oracle=SURVIVAL_ORACLE, tags=("drift", "agg"))
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    lt = events.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias(
+            "lifetime_days"
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n_users")] + [
+        (
+            F.floor(
+                F.sum(F.when(F.col("lifetime_days") >= k, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias(f"s{k}")
+        for k in range(_SURV_MAX_K + 1)
+    ]
+    wide = lt.agg(*aggs)
+    grid = spark.range(0, _SURV_MAX_K + 1).select(F.col("id").alias("day_k"))
+    surv = None
+    for k in range(_SURV_MAX_K + 1):
+        surv = (
+            F.when(F.col("day_k") == k, F.col(f"s{k}"))
+            if surv is None
+            else surv.when(F.col("day_k") == k, F.col(f"s{k}"))
+        )
+    return (
+        grid.crossJoin(F.broadcast(wide))
+        .select("day_k", "n_users", surv.alias("survival"))
+        .orderBy("day_k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mean-shift change detection per event type: for every anchor day, compare
+# the 7-day recent window mean against the 7 days before it; flag when the
+# shift exceeds 2× the type's overall daily-count stddev. The deterministic,
+# scale-safe cousin of CUSUM (which is a nonlinear recursive fold): here
+# each anchor day reads a BOUNDED day-diff band [0..13] via a truncated
+# self-join on (type, day) — the events_ewma_daily pattern — so there is no
+# sequential scan, no global window, and work is O(days × 14) per type.
+# Missing days count as zero (fixed /7 denominators). The flag compares
+# ROUNDED score to ROUNDED threshold so the cut cannot boundary-flip
+# between engines.
+# --------------------------------------------------------------------------
+MEAN_SHIFT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, round(2 * stddev_samp(CAST(c AS DOUBLE)), 6) AS thresh
+  FROM daily GROUP BY event_type
+),
+band AS (
+  SELECT a.event_type, a.day,
+         round(sum(CASE WHEN date_diff('day', b.day, a.day) <= 6
+                        THEN b.c ELSE 0 END) / 7.0
+               - sum(CASE WHEN date_diff('day', b.day, a.day) >= 7
+                          THEN b.c ELSE 0 END) / 7.0, 6) AS shift
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type
+             AND date_diff('day', b.day, a.day) BETWEEN 0 AND 13
+  GROUP BY 1, 2
+)
+SELECT band.event_type, strftime(band.day, '%Y-%m-%d') AS day, abs(shift) AS shift_score,
+       CAST(abs(shift) > st.thresh AS BOOLEAN) AS shifted
+FROM band JOIN st USING (event_type)
+ORDER BY event_type, day
+"""
+
+
+@register("events_mean_shift_detect", oracle=MEAN_SHIFT_ORACLE, tags=("drift",))
+def events_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = daily.localCheckpoint(eager=False)  # feeds band + stddev branches
+    st = daily.groupBy("event_type").agg(
+        F.round(F.lit(2) * F.stddev_samp(F.col("c").cast("double")), 6).alias(
+            "thresh"
+        )
+    )
+    a = daily.select("event_type", F.col("day").alias("day_a"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"), F.col("day").alias("day_b"), "c"
+    )
+    diff = F.datediff(F.col("day_a"), F.col("day_b"))
+    band = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (diff >= 0)
+            & (diff <= 13),
+        )
+        .groupBy("event_type", "day_a")
+        .agg(
+            F.round(
+                F.sum(F.when(diff <= 6, F.col("c")).otherwise(0)) / F.lit(7.0)
+                - F.sum(F.when(diff >= 7, F.col("c")).otherwise(0)) / F.lit(7.0),
+                6,
+            ).alias("shift")
+        )
+    )
+    return (
+        band.join(F.broadcast(st), "event_type")
+        .select(
+            "event_type",
+            F.date_format("day_a", "yyyy-MM-dd").alias("day"),
+            F.abs(F.col("shift")).alias("shift_score"),
+            (F.abs(F.col("shift")) > F.col("thresh")).alias("shifted"),
+        )
+        .orderBy("event_type", "day")
+    )
