@@ -1012,3 +1012,62 @@ def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PII scan + redaction (regex family): detect and mask email addresses and
+# IPv4 literals, reporting per-row match counts and the redacted text's
+# fingerprint. The fixture corpus contains no PII, so the scanned column is
+# BUILT deterministically from customer fields in BOTH engines (same
+# concat), making the scan/redact machinery testable with non-degenerate
+# output — swap the synthetic column for a real text column in production.
+# Pure projection + regexp (RE2-safe patterns that parse identically in
+# Java regex and RE2); pushes entirely into one codegen stage over the
+# scan. Beyond-reference [NS] (SURVEY.md §2.B text analysis).
+# --------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9.]+@[a-z]+\\.com"
+_PII_IPV4 = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+PII_REDACT_ORACLE = f"""
+WITH synth AS (
+  SELECT c_custkey,
+         'contact ' || lower(replace(c_name, ' ', '.')) || '@example.com'
+         || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR)
+         || '.0.' || CAST(c_custkey % 100 AS VARCHAR)
+         || ' segment ' || c_mktsegment AS contact_text
+  FROM customer
+)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(contact_text, '{_PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(contact_text, '{_PII_IPV4}')) AS BIGINT)
+         AS n_ips,
+       md5(regexp_replace(regexp_replace(contact_text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_IPV4}', '<IP>', 'g')) AS redacted_md5
+FROM synth
+ORDER BY c_custkey
+"""
+
+
+@register("text_pii_redact_scan", oracle=PII_REDACT_ORACLE, tags=("llm", "text", "pii"))
+def text_pii_redact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lit("contact "),
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+        F.lit("@example.com from 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("c_custkey") % 100).cast("string"),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+    )
+    return cust.select(
+        "c_custkey",
+        F.regexp_count(contact, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(contact, F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("c_custkey")
