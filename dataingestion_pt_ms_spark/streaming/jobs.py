@@ -231,3 +231,59 @@ def windowed_histogram_stream(
             "n",
         )
     )
+
+
+def streaming_incremental_dedup(
+    spark,
+    doc_stream: DataFrame,
+    sig_store_path: str,
+    dups_out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.5,
+    base_hash: str = "md5",
+):
+    """Streaming corpus dedup steady-state: each arriving micro-batch of
+    documents is (1) checked for near-dups against the PERSISTED signature
+    store (operators/dedup.incremental_minhash_dedup — store never
+    re-hashes, batch side broadcasts) with hits appended to
+    ``dups_out_path``, then (2) its own signatures appended to the store so
+    later batches see it. This is the nightly-ingest dedup loop the batch
+    operator documents, driven by Structured Streaming: foreachBatch gives
+    the store read-modify-append transactional per-epoch semantics, and the
+    checkpoint makes re-delivery idempotent (a replayed epoch re-writes the
+    same signatures; the store is keyed, so consumers dedupe on
+    (key, epoch) or read via dropDuplicates(key) — same contract as the
+    reference's R16 upsert).
+
+    At 100 TB: the store scan is the only corpus-sized read per trigger and
+    it streams through the band join; batch-sized work is everything else.
+    """
+    from ..operators.dedup import incremental_minhash_dedup, minhash_signature
+    from ..sources.sinks import _table_exists
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.select(key_col, text_col).localCheckpoint()
+        if _table_exists(spark, sig_store_path):
+            stored = spark.read.parquet(sig_store_path)
+            dups = incremental_minhash_dedup(
+                batch_df,
+                stored,
+                text_col,
+                key_col,
+                threshold=threshold,
+                base_hash=base_hash,
+            )
+            dups.write.mode("append").parquet(dups_out_path)
+        sigs = minhash_signature(batch_df, text_col, key_col, base_hash=base_hash)
+        sigs.write.mode("append").parquet(sig_store_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -727,3 +727,69 @@ def test_windowed_histogram_stream_matches_batch_and_psi(spark, events_dir):
         stream_psi = psi({b: n for (ww, b), n in got.items() if ww == w})
         batch_psi = psi({b: n for (ww, b), n in want.items() if ww == w})
         assert abs(stream_psi - batch_psi) < 1e-12
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Two micro-batches through streaming_incremental_dedup must leave
+    (a) a signature store identical to batch minhash_signature over all
+    docs, and (b) a dups table equal to the batch incremental check of
+    batch 2 against batch 1's signatures (batch 1 sees an empty store)."""
+    from dataingestion_pt_ms_spark.catalog import load_table
+    from dataingestion_pt_ms_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signature,
+    )
+    from dataingestion_pt_ms_spark.streaming.jobs import streaming_incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    src = str(tmp_path / "docs_src")
+    # one file per batch → maxFilesPerTrigger=1 yields two epochs in order
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = stream_from_dir(spark, src, schema, max_files_per_trigger=1)
+    store = str(tmp_path / "sig_store")
+    dups = str(tmp_path / "dups_out")
+    q = streaming_incremental_dedup(
+        spark, stream, store, dups, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got_sigs = {
+        r.doc_id: tuple(r.signature)
+        for r in spark.read.parquet(store).collect()
+    }
+    want_sigs = {
+        r.doc_id: tuple(r.signature)
+        for r in minhash_signature(docs, "text", "doc_id").collect()
+    }
+    assert got_sigs == want_sigs
+
+    # file commit order is not guaranteed to follow append order — recover
+    # which split formed each epoch from the store-less first batch: dups
+    # were only checked for the SECOND epoch, against the first's sigs.
+    got_dups = {
+        (r.new_key, r.stored_key, r.est_jaccard)
+        for r in spark.read.parquet(dups).collect()
+    }
+    want_a = {
+        (r.new_key, r.stored_key, r.est_jaccard)
+        for r in incremental_minhash_dedup(
+            b2, minhash_signature(b1, "text", "doc_id"), "text", "doc_id"
+        ).collect()
+    }
+    want_b = {
+        (r.new_key, r.stored_key, r.est_jaccard)
+        for r in incremental_minhash_dedup(
+            b1, minhash_signature(b2, "text", "doc_id"), "text", "doc_id"
+        ).collect()
+    }
+    assert got_dups in (want_a, want_b)
