@@ -391,3 +391,131 @@ def agg_hll_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# --------------------------------------------------------------------------
+# HLL set-operation estimates via inclusion-exclusion: |A ∪ B| comes free
+# from the register max-merge (union of sketches IS the sketch of the
+# union), and |A ∩ B| ≈ E(A) + E(B) − E(A∪B) — the standard way to answer
+# audience-overlap questions from per-segment sketches without ever joining
+# the raw key sets. A = customers with URGENT orders, B = customers with
+# HIGH orders. All registers come from ONE grouped pass; estimates use the
+# same integer-exact harmonic sums as the base HLL query; exact overlap
+# carried alongside for the attestation.
+# --------------------------------------------------------------------------
+HLL_INTERSECT_ORACLE = f"""
+WITH h AS (
+  SELECT o_orderpriority AS prio, md5(CAST(o_custkey AS VARCHAR)) AS hex
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), parts AS (
+  SELECT prio,
+         CAST(('0x' || substr(hex, 1, 2)) AS BIGINT) % 64 AS reg,
+         length(regexp_extract(substr(hex, 3, 13), '^(0*)', 1)) AS zrun,
+         substr(substr(hex, 3, 13),
+                length(regexp_extract(substr(hex, 3, 13), '^(0*)', 1)) + 1,
+                1) AS first_d
+  FROM h
+), regs AS (
+  SELECT prio, reg, max({_DUCK_RANK}) AS r FROM parts GROUP BY prio, reg
+), union_regs AS (
+  SELECT reg, max(r) AS r FROM regs GROUP BY reg
+), est_parts AS (
+  SELECT prio AS side, 64 - count(*) AS v_zero,
+         (0.709 * 4096.0 * {float(_TWO55)})
+           / CAST(sum(1::BIGINT << (55 - r)) + (64 - count(*)) * {float(_TWO55)}
+                  AS DOUBLE) AS raw
+  FROM regs GROUP BY prio
+), est_union AS (
+  SELECT 'UNION' AS side, 64 - count(*) AS v_zero,
+         (0.709 * 4096.0 * {float(_TWO55)})
+           / CAST(sum(1::BIGINT << (55 - r)) + (64 - count(*)) * {float(_TWO55)}
+                  AS DOUBLE) AS raw
+  FROM union_regs
+), fin AS (
+  SELECT side,
+         CASE WHEN v_zero > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+              ELSE raw END AS e
+  FROM (SELECT * FROM est_parts UNION ALL SELECT * FROM est_union)
+), pivoted AS (
+  SELECT max(CASE WHEN side = '1-URGENT' THEN e END) AS ea,
+         max(CASE WHEN side = '2-HIGH' THEN e END) AS eb,
+         max(CASE WHEN side = 'UNION' THEN e END) AS eu
+  FROM fin
+), exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact_overlap FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+  )
+)
+SELECT floor(ea * 100.0 + 0.5) / 100.0 AS est_a,
+       floor(eb * 100.0 + 0.5) / 100.0 AS est_b,
+       floor(eu * 100.0 + 0.5) / 100.0 AS est_union,
+       floor((ea + eb - eu) * 100.0 + 0.5) / 100.0 AS est_intersection,
+       n_exact_overlap
+FROM pivoted CROSS JOIN exact
+"""
+
+
+@register(
+    "agg_hll_intersection_estimate",
+    oracle=HLL_INTERSECT_ORACLE,
+    tags=("sketch", "hll", "agg"),
+)
+def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    two = orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    hexd = F.md5(F.col("o_custkey").cast("string"))
+    tail = F.substring(hexd, 3, 13)
+    parts = two.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.pmod(F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long"), F.lit(64)).alias(
+            "reg"
+        ),
+        _rank_from_hex_tail(tail).alias("r"),
+    )
+    regs = parts.groupBy("prio", "reg").agg(F.max("r").alias("r"))
+    regs = regs.localCheckpoint(eager=False)  # per-side + union branches
+    union_regs = regs.groupBy("reg").agg(F.max("r").alias("r"))
+
+    def _estimate(reg_df, label):
+        m = reg_df.agg(
+            F.sum(F.expr("shiftleft(1L, 55 - r)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        raw = (F.lit(_HLL_ALPHA) * F.lit(4096.0) * F.lit(float(_TWO55))) / (
+            F.col("s") + (F.lit(64) - F.col("n")) * F.lit(_TWO55)
+        ).cast("double")
+        vz = (F.lit(64) - F.col("n")).alias("v_zero")
+        e = F.when(
+            (F.col("v_zero") > 0) & (F.col("raw") <= 160.0),
+            F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero").cast("double")),
+        ).otherwise(F.col("raw"))
+        return m.select(vz, raw.alias("raw")).select(e.alias(label))
+
+    ea = _estimate(regs.filter(F.col("prio") == "1-URGENT"), "ea")
+    eb = _estimate(regs.filter(F.col("prio") == "2-HIGH"), "eb")
+    eu = _estimate(union_regs, "eu")
+    a_keys = two.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b_keys = two.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    exact = (
+        a_keys.intersect(b_keys)
+        .agg(F.count(F.lit(1)).alias("n_exact_overlap"))
+    )
+
+    def _r2(col):
+        return F.floor(col * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            _r2(F.col("ea")).alias("est_a"),
+            _r2(F.col("eb")).alias("est_b"),
+            _r2(F.col("eu")).alias("est_union"),
+            _r2(F.col("ea") + F.col("eb") - F.col("eu")).alias("est_intersection"),
+            "n_exact_overlap",
+        )
+    )

@@ -825,3 +825,62 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonality index: avg daily event volume per weekday divided
+# by the overall daily average — the profile that says "Mondays run 1.3×".
+# Two fixed-size aggregations (daily grain → 7-row profile) plus one
+# broadcast scalar; index uses the shared floor-trick rounding. dayofweek
+# is ISO-numbered identically via Spark dayofweek ≡ DuckDB dayofweek + 1
+# alignment handled by computing it the same way on both sides.
+# --------------------------------------------------------------------------
+DOW_SEASONALITY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+per_dow AS (
+  SELECT CAST(isodow(day) AS BIGINT) AS iso_dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         floor(avg(CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS avg_events
+  FROM daily GROUP BY 1
+),
+overall AS (SELECT avg(CAST(c AS DOUBLE)) AS oa FROM daily)
+SELECT iso_dow, n_days, avg_events,
+       floor(avg_events / oa * 1e6 + 0.5) / 1e6 AS seasonality_index
+FROM per_dow CROSS JOIN overall
+ORDER BY iso_dow
+"""
+
+
+@register(
+    "events_dow_seasonality", oracle=DOW_SEASONALITY_ORACLE, tags=("timeseries", "agg")
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = daily.localCheckpoint(eager=False)  # profile + overall branches
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    # ISO weekday (Mon=1..Sun=7): Spark dayofweek is Sun=1..Sat=7
+    iso = ((F.dayofweek("day") + 5) % 7 + 1).cast("long")
+    per = daily.groupBy(iso.alias("iso_dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        _r6(F.avg(F.col("c").cast("double"))).alias("avg_events"),
+    )
+    overall = daily.agg(F.avg(F.col("c").cast("double")).alias("oa"))
+    return (
+        per.crossJoin(F.broadcast(overall))
+        .select(
+            "iso_dow",
+            "n_days",
+            "avg_events",
+            _r6(F.col("avg_events") / F.col("oa")).alias("seasonality_index"),
+        )
+        .orderBy("iso_dow")
+    )
