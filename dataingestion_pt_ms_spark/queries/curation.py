@@ -506,3 +506,114 @@ def sample_apply_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline v2 — composition of this round's operators:
+#   1. CCNet perplexity gate: keep head+middle tertiles of unigram-LM NLL;
+#   2. temperature-mix downsample (α=0.5) per source over the SURVIVORS
+#      (md5-bucket thresholds recomputed on the gated corpus);
+#   3. pack what's kept into fixed token-budget training shards
+#      (distributed prefix sum — no global window).
+# Output = the shard manifest of the curated corpus. Three corpus passes +
+# two broadcast threshold joins + one range-partitioned prefix sum; no
+# stage collects, every intermediate is a DataFrame. The DuckDB oracle
+# recomputes the identical three stages over shared CTEs.
+# --------------------------------------------------------------------------
+PIPELINE_V2_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({DTOKS}) AS token FROM documents
+), cnt AS (
+  SELECT token, count(*) AS cnt FROM tk GROUP BY token
+), sc AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS vocab
+  FROM cnt
+), pp AS (
+  SELECT doc_id, round(-avg(ln((cnt + 1.0) / (n_total + vocab))), 6) AS nll
+  FROM tk JOIN cnt USING (token) CROSS JOIN sc
+  GROUP BY doc_id
+), th AS (
+  SELECT quantile_cont(nll, 2.0/3) AS t2 FROM pp
+), gated AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN pp USING (doc_id) CROSS JOIN th
+  WHERE pp.nll <= th.t2
+), per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM gated GROUP BY source
+), mn AS (SELECT min(c) AS c_min FROM per),
+tmix AS (
+  SELECT source,
+         CAST(floor(10000 * sqrt(CAST(c_min AS DOUBLE) / c) + 0.5) AS BIGINT)
+           AS keep_threshold
+  FROM per CROSS JOIN mn
+), kept AS (
+  SELECT g.doc_id, g.text
+  FROM gated g JOIN tmix ON tmix.source = g.source
+  WHERE {_duck_md5_bucket("g.doc_id", 10_000)} < tmix.keep_threshold
+), w AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS w
+  FROM kept
+), c2 AS (
+  SELECT doc_id, w,
+         CAST(sum(w) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM w
+), s AS (
+  SELECT doc_id, w, CAST((cum - w) // 20000 AS BIGINT) AS shard_id FROM c2
+)
+SELECT shard_id, count(*) AS n_docs,
+       min(doc_id) AS doc_id_lo, max(doc_id) AS doc_id_hi,
+       CAST(sum(w) AS BIGINT) AS shard_tokens
+FROM s GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+@register(
+    "pipeline_curation_v2", oracle=PIPELINE_V2_ORACLE, tags=("llm", "pipeline")
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    # stage 1: CCNet gate (drop the worst-perplexity tertile)
+    pp = T.unigram_logprob(docs).select("doc_id", "nll")
+    th = pp.agg(F.percentile("nll", F.lit(2.0 / 3)).alias("t2"))
+    gated = (
+        docs.join(pp, "doc_id")
+        .crossJoin(F.broadcast(th))
+        .where(F.col("nll") <= F.col("t2"))
+        .select("doc_id", "source", "text")
+    )
+    gated = gated.localCheckpoint(eager=False)  # feeds counts + kept filter
+    # stage 2: temperature-mix downsample over the survivors
+    per = gated.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    mn = per.agg(F.min("c").alias("c_min"))
+    tmix = per.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.floor(
+            F.lit(10_000) * F.sqrt(F.col("c_min").cast("double") / F.col("c"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("keep_threshold"),
+    )
+    kept = (
+        gated.join(F.broadcast(tmix), "source")
+        .where(_spark_md5_bucket("doc_id", 10_000) < F.col("keep_threshold"))
+        .select("doc_id", F.size(T.tokens(F.col("text"))).cast("bigint").alias("w"))
+    )
+    # stage 3: token-budget shard manifest
+    cum = global_running_sum(kept, "w", ["doc_id"], out_col="cum")
+    shards = cum.withColumn("shard_id", F.expr("(cum - w) div 20000"))
+    return (
+        shards.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("doc_id_lo"),
+            F.max("doc_id").alias("doc_id_hi"),
+            F.sum("w").alias("shard_tokens"),
+        )
+        .orderBy("shard_id")
+    )
