@@ -82,6 +82,13 @@ BASELINE_SEC = {
     "emb_pca_power_iteration": 2.55,
     "docs_shard_manifest": 0.76,
     "sim_rrf_hybrid_fusion": 0.96,
+    "pipeline_curation_v2": 2.05,
+    "dedup_containment_pairs": 4.45,
+    "graph_copurchase_link_prediction": 3.26,
+    "agg_hll_intersection_estimate": 0.87,
+    "warehouse_key_skew_audit": 0.33,
+    "orders_abc_pareto_classes": 0.84,
+    "text_ccnet_ppl_buckets": 0.50,
 }
 GUARD_FACTOR = 2.0
 
@@ -147,6 +154,13 @@ HEADLINE = [
     "emb_pca_power_iteration",
     "docs_shard_manifest",
     "sim_rrf_hybrid_fusion",
+    "pipeline_curation_v2",
+    "dedup_containment_pairs",
+    "graph_copurchase_link_prediction",
+    "agg_hll_intersection_estimate",
+    "warehouse_key_skew_audit",
+    "orders_abc_pareto_classes",
+    "text_ccnet_ppl_buckets",
 ]
 
 
