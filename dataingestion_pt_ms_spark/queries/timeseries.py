@@ -884,3 +884,76 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-concurrency curve ("shipments in transit per day"): classic
+# sweep-line counting — +1 delta at each interval start, −1 the day after
+# it ends, prefix-sum the deltas in day order, roll up to monthly peak/avg.
+# The prefix sum is operators/ranking.py:global_running_sum (range
+# partition + broadcast offsets — no single-reducer window even if the day
+# grain were huge); everything else is fixed-grain aggregation. Transit
+# time is synthesized deterministically (1 + l_orderkey % 14 days) since
+# the fixture has no receipt date — swap for the real end column in
+# production. Beyond-reference [NS].
+# --------------------------------------------------------------------------
+TRANSIT_CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + CAST(1 + l_orderkey % 14 AS INTEGER) AS e
+  FROM lineitem
+),
+deltas AS (
+  SELECT s AS day, 1 AS d FROM iv
+  UNION ALL
+  SELECT e + 1 AS day, -1 AS d FROM iv
+),
+daily AS (SELECT day, CAST(sum(d) AS BIGINT) AS dd FROM deltas GROUP BY day),
+cum AS (
+  SELECT day,
+         CAST(sum(dd) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS in_transit
+  FROM daily
+)
+SELECT strftime(date_trunc('month', day), '%Y-%m') AS month,
+       CAST(max(in_transit) AS BIGINT) AS peak_in_transit,
+       floor(avg(CAST(in_transit AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         AS avg_in_transit
+FROM cum GROUP BY month ORDER BY month
+"""
+
+
+@register(
+    "lineitem_transit_concurrency",
+    oracle=TRANSIT_CONCURRENCY_ORACLE,
+    tags=("timeseries", "interval"),
+)
+def lineitem_transit_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (F.lit(1) + F.col("l_orderkey") % 14).cast("int"),
+        ).alias("e"),
+    )
+    deltas = li.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionByName(
+        li.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("dd"))
+    cum = global_running_sum(daily, "dd", ["day"], out_col="in_transit")
+    return (
+        cum.groupBy(F.date_format(F.date_trunc("month", "day"), "yyyy-MM").alias("month"))
+        .agg(
+            F.max("in_transit").cast("long").alias("peak_in_transit"),
+            (
+                F.floor(
+                    F.avg(F.col("in_transit").cast("double")) * F.lit(1e6) + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("avg_in_transit"),
+        )
+        .orderBy("month")
+    )
