@@ -1071,3 +1071,48 @@ def text_pii_redact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(contact, F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the "hashing trick"): map every token into a fixed
+# d=64-bucket space via md5 and emit each document's sparse (bucket, count)
+# vector — the stateless, vocabulary-free text vectorizer (no fitted vocab
+# to ship; collisions are the accepted trade). One explode + one
+# (doc, bucket) groupBy; output size ≤ 64 per doc. md5 bucketing is the
+# repo's shared engine-stable hash discipline. Beyond-reference [NS].
+# --------------------------------------------------------------------------
+_FH_D = 64
+
+FEATURE_HASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {_FH_D} AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM tok
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
+
+
+@register(
+    "text_feature_hashing", oracle=FEATURE_HASH_ORACLE, tags=("llm", "text", "ml-prep")
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text import tokens as _toks
+
+    return (
+        docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("token"))
+        .select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long"),
+                F.lit(_FH_D),
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )

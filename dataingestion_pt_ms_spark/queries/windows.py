@@ -198,3 +198,47 @@ def sort_global_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.select("s_suppkey", "s_name", "s_acctbal").orderBy(
         F.col("s_acctbal").desc(), "s_suppkey"
     )
+
+
+# --------------------------------------------------------------------------
+# Time-RANGE window frame: per-user trailing 72-hour event-value sum — the
+# window feature ROWS frames can't express (the frame is defined by the
+# timestamp AXIS, not row count, so gaps and bursts are handled correctly).
+# Both engines evaluate the frame over epoch seconds (Spark rangeBetween
+# takes numeric bounds; DuckDB gets the identical integer axis), partitioned
+# by user — no global window. RANGE frames include peer rows (ties on the
+# axis), so a single ORDER BY key is both required (DuckDB) and sufficient
+# for a deterministic sum. Money-free doubles, final-only rounding.
+# --------------------------------------------------------------------------
+RANGE_FRAME_ORACLE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW), 6)
+         AS trailing_72h_sum
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@register(
+    "window_range_interval_frame", oracle=RANGE_FRAME_ORACLE, tags=("window", "range")
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # exact microsecond axis on BOTH sides: second-granular unix_timestamp
+    # truncates sub-second timestamps and flips frame membership at the
+    # 72 h boundary (found at sf0.1 — 3 rows)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-259_200_000_000, 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 6).alias("trailing_72h_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
