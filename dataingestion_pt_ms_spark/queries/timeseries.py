@@ -957,3 +957,76 @@ def lineitem_transit_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Bollinger bands over the resampled daily bars — the reference-domain
+# technical indicator (its OHLCV bars are exactly this input,
+# app/alpaca_service.py:125-162): 20-bar rolling mean ± 2σ of the close,
+# per symbol (event_type stands in). ROWS-frame windows partitioned by
+# symbol — never global; bars with fewer than 2 trailing rows yield NULL
+# bands (sample stddev undefined), which both engines agree on. The close
+# itself reuses the dual-row_number last-event convention of
+# ohlc_daily_resample.
+# --------------------------------------------------------------------------
+BOLLINGER_ORACLE = """
+WITH t AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_date,
+         value, ts, event_id
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bar_date
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t
+), bars AS (
+  SELECT event_type, bar_date,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close
+  FROM r GROUP BY event_type, bar_date
+), bands AS (
+  SELECT event_type, bar_date, round(close, 2) AS close,
+         round(avg(close) OVER w, 6) AS mid,
+         round(avg(close) OVER w + 2 * stddev_samp(close) OVER w, 6) AS upper,
+         round(avg(close) OVER w - 2 * stddev_samp(close) OVER w, 6) AS lower
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY bar_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM bands ORDER BY event_type, bar_date
+"""
+
+
+@register(
+    "ohlc_bollinger_bands", oracle=BOLLINGER_ORACLE, tags=("timeseries", "ohlc", "window")
+)
+def ohlc_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bar_date"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_desc = W.partitionBy("event_type", "bar_date").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bars = (
+        ev.withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "bar_date")
+        .agg(F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bar_date")
+        .rowsBetween(-19, 0)
+    )
+    mid = F.avg("close").over(w)
+    sd = F.stddev_samp("close").over(w)
+    return bars.select(
+        "event_type",
+        "bar_date",
+        F.round("close", 2).alias("close"),
+        F.round(mid, 6).alias("mid"),
+        F.round(mid + 2 * sd, 6).alias("upper"),
+        F.round(mid - 2 * sd, 6).alias("lower"),
+    ).orderBy("event_type", "bar_date")
