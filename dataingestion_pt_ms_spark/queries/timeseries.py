@@ -1030,3 +1030,108 @@ def ohlc_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mid + 2 * sd, 6).alias("upper"),
         F.round(mid - 2 * sd, 6).alias("lower"),
     ).orderBy("event_type", "bar_date")
+
+
+# --------------------------------------------------------------------------
+# SMA-RSI (14-bar) and running max-drawdown per symbol — two more
+# reference-domain indicators over the same daily-close bars. RSI here is
+# the SMA variant (Wilder's smoothing is a recursive fold — not expressible
+# as a window; the truncated-EWMA pattern in queries/drift.py is the
+# engine's answer for that class): gain/lag deltas → 14-bar ROWS-window
+# averages → 100 − 100/(1+RS), with the all-gain (RS → ∞) edge pinned to
+# 100 in both engines. Drawdown = close / running-max(close) − 1, running
+# min of that — all windows partitioned by symbol.
+# --------------------------------------------------------------------------
+RSI_DRAWDOWN_ORACLE = """
+WITH t AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_date,
+         value, ts, event_id
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, bar_date
+                               ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t
+), bars AS (
+  SELECT event_type, bar_date,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close
+  FROM r GROUP BY event_type, bar_date
+), d AS (
+  SELECT event_type, bar_date, close,
+         close - lag(close) OVER ws AS delta,
+         max(close) OVER wc AS run_max
+  FROM bars
+  WINDOW ws AS (PARTITION BY event_type ORDER BY bar_date),
+         wc AS (PARTITION BY event_type ORDER BY bar_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), g AS (
+  SELECT event_type, bar_date, close, run_max,
+         avg(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER w14 AS avg_gain,
+         avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER w14 AS avg_loss
+  FROM d
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY bar_date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bar_date,
+       CASE WHEN avg_loss = 0 THEN 100.0
+            ELSE round(100.0 - 100.0 / (1.0 + avg_gain / avg_loss), 6) END AS rsi,
+       round(min(close / run_max - 1.0) OVER (
+         PARTITION BY event_type ORDER BY bar_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS max_drawdown
+FROM g
+ORDER BY event_type, bar_date
+"""
+
+
+@register(
+    "ohlc_rsi_drawdown", oracle=RSI_DRAWDOWN_ORACLE, tags=("timeseries", "ohlc", "window")
+)
+def ohlc_rsi_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bar_date"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_desc = W.partitionBy("event_type", "bar_date").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bars = (
+        ev.withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "bar_date")
+        .agg(F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"))
+    )
+    ws = W.partitionBy("event_type").orderBy("bar_date")
+    wc = ws.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w14 = ws.rowsBetween(-13, 0)
+    d = bars.select(
+        "event_type",
+        "bar_date",
+        "close",
+        (F.col("close") - F.lag("close").over(ws)).alias("delta"),
+        F.max("close").over(wc).alias("run_max"),
+    )
+    g = d.select(
+        "event_type",
+        "bar_date",
+        "close",
+        "run_max",
+        F.avg(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0.0))
+        .over(w14)
+        .alias("avg_gain"),
+        F.avg(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0.0))
+        .over(w14)
+        .alias("avg_loss"),
+    )
+    rsi = F.when(F.col("avg_loss") == 0, F.lit(100.0)).otherwise(
+        F.round(
+            F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("avg_gain") / F.col("avg_loss")),
+            6,
+        )
+    )
+    dd = F.round(
+        F.min(F.col("close") / F.col("run_max") - F.lit(1.0)).over(wc), 6
+    )
+    return g.select(
+        "event_type", "bar_date", rsi.alias("rsi"), dd.alias("max_drawdown")
+    ).orderBy("event_type", "bar_date")
