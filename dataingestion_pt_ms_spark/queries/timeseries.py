@@ -1135,3 +1135,175 @@ def ohlc_rsi_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type", "bar_date", rsi.alias("rsi"), dd.alias("max_drawdown")
     ).orderBy("event_type", "bar_date")
+
+
+# --------------------------------------------------------------------------
+# Cross-symbol correlation matrix: Pearson corr of daily closes between
+# every symbol pair over their shared days — the pairs-trading screen.
+# Day-aligned self-join keyed on bar_date (grain = days, never events),
+# pair space = symbols², sample-corr formula written identically in both
+# engines (agg_corr_covar discipline), final-only rounding.
+# --------------------------------------------------------------------------
+SYMBOL_CORR_ORACLE = """
+WITH t AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_date,
+         value, ts, event_id
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, bar_date
+                               ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t
+), bars AS (
+  SELECT event_type, bar_date,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close
+  FROM r GROUP BY event_type, bar_date
+)
+SELECT a.event_type AS sym_a, b.event_type AS sym_b,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round((sum(a.close * b.close) - sum(a.close) * sum(b.close) / count(*))
+             / sqrt((sum(a.close * a.close) - sum(a.close) * sum(a.close) / count(*))
+                    * (sum(b.close * b.close) - sum(b.close) * sum(b.close) / count(*))),
+             6) AS corr
+FROM bars a JOIN bars b
+  ON a.bar_date = b.bar_date AND a.event_type < b.event_type
+GROUP BY sym_a, sym_b
+ORDER BY sym_a, sym_b
+"""
+
+
+@register(
+    "ohlc_symbol_correlation", oracle=SYMBOL_CORR_ORACLE, tags=("timeseries", "ohlc", "agg")
+)
+def ohlc_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bar_date"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_desc = W.partitionBy("event_type", "bar_date").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bars = (
+        ev.withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "bar_date")
+        .agg(F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"))
+    )
+    bars = bars.localCheckpoint(eager=False)  # both join sides
+    a = bars.select(
+        F.col("event_type").alias("sym_a"), "bar_date", F.col("close").alias("ca")
+    )
+    b = bars.select(
+        F.col("event_type").alias("sym_b"), "bar_date", F.col("close").alias("cb")
+    )
+    j = a.join(b, "bar_date").filter(F.col("sym_a") < F.col("sym_b"))
+    n = F.count(F.lit(1))
+    num = F.sum(F.col("ca") * F.col("cb")) - F.sum("ca") * F.sum("cb") / n
+    va = F.sum(F.col("ca") * F.col("ca")) - F.sum("ca") * F.sum("ca") / n
+    vb = F.sum(F.col("cb") * F.col("cb")) - F.sum("cb") * F.sum("cb") / n
+    return (
+        j.groupBy("sym_a", "sym_b")
+        .agg(
+            n.alias("n_days"),
+            F.round(num / F.sqrt(va * vb), 6).alias("corr"),
+        )
+        .orderBy("sym_a", "sym_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily → weekly bar re-aggregation — the reference's Week timeframe
+# (app/config.py:62-71 enumerates Minute/Hour/Day/Week/Month): weekly
+# open = first daily open, close = last daily close (by bar_date order
+# within the ISO week), high/low = extrema, volume = sum. Same dual
+# row_number convention as ohlc_daily_resample, one more grouping level —
+# the generic timeframe-rollup shape that covers Month too.
+# --------------------------------------------------------------------------
+WEEKLY_BARS_ORACLE = """
+WITH t AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_date,
+         value, ts, event_id
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bar_date ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bar_date ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t
+), daily AS (
+  SELECT event_type, bar_date,
+         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         max(value) AS high, min(value) AS low,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         sum(value) AS volume
+  FROM r GROUP BY event_type, bar_date
+), wk AS (
+  SELECT *,
+         strftime(date_trunc('week', CAST(bar_date AS DATE)), '%Y-%m-%d') AS week_start,
+         row_number() OVER (PARTITION BY event_type,
+                            date_trunc('week', CAST(bar_date AS DATE))
+                            ORDER BY bar_date) AS wrn_a,
+         row_number() OVER (PARTITION BY event_type,
+                            date_trunc('week', CAST(bar_date AS DATE))
+                            ORDER BY bar_date DESC) AS wrn_d
+  FROM daily
+)
+SELECT event_type, week_start,
+       round(max(CASE WHEN wrn_a = 1 THEN open END), 2) AS open,
+       round(max(high), 2) AS high,
+       round(min(low), 2) AS low,
+       round(max(CASE WHEN wrn_d = 1 THEN close END), 2) AS close,
+       round(sum(volume), 2) AS volume,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM wk GROUP BY event_type, week_start
+ORDER BY event_type, week_start
+"""
+
+
+@register(
+    "ohlc_weekly_rollup", oracle=WEEKLY_BARS_ORACLE, tags=("timeseries", "ohlc", "agg")
+)
+def ohlc_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bar_date"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_asc = W.partitionBy("event_type", "bar_date").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("event_type", "bar_date").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "bar_date")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.sum("value").alias("volume"),
+        )
+    )
+    wk_key = F.date_trunc("week", F.col("bar_date").cast("date"))
+    ww_a = W.partitionBy("event_type", wk_key).orderBy("bar_date")
+    ww_d = W.partitionBy("event_type", wk_key).orderBy(F.col("bar_date").desc())
+    wk = (
+        daily.withColumn("week_start", F.date_format(wk_key, "yyyy-MM-dd"))
+        .withColumn("wrn_a", F.row_number().over(ww_a))
+        .withColumn("wrn_d", F.row_number().over(ww_d))
+    )
+    return (
+        wk.groupBy("event_type", "week_start")
+        .agg(
+            F.round(F.max(F.when(F.col("wrn_a") == 1, F.col("open"))), 2).alias("open"),
+            F.round(F.max("high"), 2).alias("high"),
+            F.round(F.min("low"), 2).alias("low"),
+            F.round(F.max(F.when(F.col("wrn_d") == 1, F.col("close"))), 2).alias("close"),
+            F.round(F.sum("volume"), 2).alias("volume"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type", "week_start")
+    )
