@@ -486,3 +486,72 @@ def events_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Out-of-orderness profile → watermark recommendation: using event_id as
+# the arrival-order proxy (monotone in the fixture generator), measure how
+# far each event's timestamp regresses behind the running max ts seen so
+# far per user — the exact statistic that tells you what
+# `withWatermark(...)` bound the streaming jobs need. Per-user running max
+# is a partitioned window; the rollup reports the late fraction and the
+# P50/P95/P99/max lateness in seconds. Exact percentiles here;
+# approx_percentile is the stated 100 TB swap (quantile-gate discipline).
+# --------------------------------------------------------------------------
+OOO_PROFILE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS high_water
+  FROM events
+), late AS (
+  SELECT CASE WHEN high_water IS NOT NULL AND ts < high_water
+              THEN CAST(epoch_us(high_water) - epoch_us(ts) AS DOUBLE) / 1e6
+              ELSE 0.0 END AS late_s
+  FROM seq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       floor(CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1e6 + 0.5) / 1e6 AS late_fraction,
+       round(quantile_cont(late_s, 0.50), 4) AS p50_late_s,
+       round(quantile_cont(late_s, 0.95), 4) AS p95_late_s,
+       round(quantile_cont(late_s, 0.99), 4) AS p99_late_s,
+       round(max(late_s), 4) AS max_late_s
+FROM late
+"""
+
+
+@register(
+    "events_out_of_order_profile", oracle=OOO_PROFILE_ORACLE, tags=("drift", "streaming")
+)
+def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = events.select(
+        "ts", F.max("ts").over(w).alias("high_water")
+    )
+    late_s = F.when(
+        F.col("high_water").isNotNull() & (F.col("ts") < F.col("high_water")),
+        (F.unix_micros("high_water") - F.unix_micros("ts")).cast("double")
+        / F.lit(1e6),
+    ).otherwise(0.0)
+    late = seq.select(late_s.alias("late_s"))
+    n = F.count(F.lit(1))
+    n_late = F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+    return late.agg(
+        n.alias("n_events"),
+        n_late.alias("n_late"),
+        (F.floor(n_late.cast("double") / n * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "late_fraction"
+        ),
+        F.round(F.percentile("late_s", F.lit(0.50)), 4).alias("p50_late_s"),
+        F.round(F.percentile("late_s", F.lit(0.95)), 4).alias("p95_late_s"),
+        F.round(F.percentile("late_s", F.lit(0.99)), 4).alias("p99_late_s"),
+        F.round(F.max("late_s"), 4).alias("max_late_s"),
+    )
