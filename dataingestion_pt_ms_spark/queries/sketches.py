@@ -519,3 +519,53 @@ def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_exact_overlap",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# EXACT distinct count via grouped bitmaps — the bounded-domain complement
+# to HLL (roaring-bitmap idea in pure SQL): pack user ids into 63-bit words
+# (word = id div 63, bit = id mod 63 — bit 63 is skipped because DuckDB's
+# checked signed shift raises on 1 << 63 while Spark wraps silently), OR
+# the bits per (group, word), then popcount. State per group = ceil(domain/64) words no matter how many
+# billions of rows stream through, updates are associative/commutative (a
+# mergeable exact sketch), and unlike count(DISTINCT) the shuffle carries
+# (group, word) partial ORs, never raw ids. Exactness is attested by
+# carrying count(DISTINCT) alongside — the two columns must be equal.
+# --------------------------------------------------------------------------
+BITMAP_DISTINCT_ORACLE = """
+WITH bits AS (
+  SELECT event_type, user_id // 63 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS bm
+  FROM events GROUP BY event_type, word
+), pc AS (
+  SELECT event_type, CAST(sum(bit_count(bm)) AS BIGINT) AS bitmap_distinct
+  FROM bits GROUP BY event_type
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT pc.event_type, bitmap_distinct, exact_distinct
+FROM pc JOIN exact USING (event_type)
+ORDER BY event_type
+"""
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle=BITMAP_DISTINCT_ORACLE,
+    tags=("sketch", "bitmap", "agg"),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bits = events.groupBy(
+        "event_type", F.expr("user_id div 63").alias("word")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, cast(user_id % 63 as int)))").alias("bm")
+    )
+    pc = bits.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("bitmap_distinct")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return pc.join(exact, "event_type").orderBy("event_type")
