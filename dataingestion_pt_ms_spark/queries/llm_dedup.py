@@ -782,3 +782,83 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:containment_near_dups)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.containment_near_dups(docs, "text", "doc_id", threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator-error audit: on every banded candidate pair, compare
+# the signature-estimated Jaccard (fraction of equal components — what the
+# incremental/streaming dedup path trusts when stored text is gone) against
+# the exact shingle Jaccard, and roll up the error profile per true-Jaccard
+# decile. This is the evaluation that justifies the signature-store design:
+# if estimator error were biased or wide near the 0.5 threshold, the
+# incremental path's decisions would drift from the batch path's. Pair
+# space = banded candidates (near-dup-density-sized), never corpus².
+# --------------------------------------------------------------------------
+_SIG_EQ_FRAC = "CAST(" + " + ".join(
+    f"CASE WHEN sa.m{p} = sb.m{p} THEN 1 ELSE 0 END" for p in range(64)
+) + " AS DOUBLE) / 64.0"
+
+_LJACC = (
+    "round(CAST(len(list_intersect(la.sh, lb.sh)) AS DOUBLE)"
+    " / (CAST(len(la.sh) AS DOUBLE) + CAST(len(lb.sh) AS DOUBLE)"
+    " - CAST(len(list_intersect(la.sh, lb.sh)) AS DOUBLE)), 6)"
+)
+
+ESTIMATOR_ERROR_ORACLE = f"""
+WITH {_MINHASH_PIPE_CTES},
+scored AS (
+  SELECT round({_SIG_EQ_FRAC}, 6) AS est_j, {_LJACC} AS true_j
+  FROM pairs
+  JOIN sig sa ON pairs.key_a = sa.doc_id
+  JOIN sig sb ON pairs.key_b = sb.doc_id
+  JOIN shl la ON pairs.key_a = la.doc_id
+  JOIN shl lb ON pairs.key_b = lb.doc_id
+)
+SELECT CAST(floor(true_j * 10) AS BIGINT) AS true_j_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(est_j - true_j)), 6) AS mean_abs_err,
+       round(max(abs(est_j - true_j)), 6) AS max_abs_err
+FROM scored
+GROUP BY true_j_decile
+ORDER BY true_j_decile
+"""
+
+
+@register(
+    "dedup_estimator_error_profile",
+    oracle=ESTIMATOR_ERROR_ORACLE,
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_estimator_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, "text", "doc_id")
+    sig = sig.localCheckpoint(eager=False)  # candidates + both estimator sides
+    cands = D.lsh_candidate_pairs(sig, "doc_id")
+    sa = sig.select(F.col("doc_id").alias("key_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("key_b"), F.col("signature").alias("sig_b"))
+    eq_frac = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(64.0)
+    est = (
+        cands.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select("key_a", "key_b", F.round(eq_frac, 6).alias("est_j"))
+    )
+    true_j = D.jaccard_pairs(docs, cands, "text", "doc_id").withColumnRenamed(
+        "jaccard", "true_j"
+    )
+    scored = est.join(true_j, ["key_a", "key_b"])
+    err = F.abs(F.col("est_j") - F.col("true_j"))
+    return (
+        scored.groupBy(
+            F.floor(F.col("true_j") * 10).cast("long").alias("true_j_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(err), 6).alias("mean_abs_err"),
+            F.round(F.max(err), 6).alias("max_abs_err"),
+        )
+        .orderBy("true_j_decile")
+    )
