@@ -555,3 +555,64 @@ def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("late_s", F.lit(0.99)), 4).alias("p99_late_s"),
         F.round(F.max("late_s"), 4).alias("max_late_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bot / automation detection heuristics: humans have bursty inter-event
+# gaps, schedulers have metronomic ones. Per user: gap stats via one lag
+# window (partitioned by user), regularity = stddev(gap)/mean(gap)
+# (coefficient of variation), flag when CV < 0.1 over ≥ 20 events. The
+# microsecond axis discipline applies (sub-second gaps are the signal).
+# Scale: one window + one grouped agg; flags compare ROUNDED CV to the
+# constant so the cut is engine-stable.
+# --------------------------------------------------------------------------
+BOT_DETECT_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS DOUBLE) / 1e6 AS gap_s
+  FROM events
+), st AS (
+  SELECT user_id,
+         CAST(count(gap_s) AS BIGINT) AS n_gaps,
+         round(avg(gap_s), 6) AS mean_gap_s,
+         round(CASE WHEN avg(gap_s) = 0 THEN 0.0
+                    ELSE stddev_samp(gap_s) / avg(gap_s) END, 6) AS cv
+  FROM g
+  WHERE gap_s IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_gaps, mean_gap_s, cv,
+       CAST(n_gaps >= 20 AND cv < 0.1 AS BOOLEAN) AS bot_flag
+FROM st
+ORDER BY user_id
+"""
+
+
+@register("events_bot_regularity_flags", oracle=BOT_DETECT_ORACLE, tags=("drift",))
+def events_bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    g = events.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).cast("double")
+            / F.lit(1e6)
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    cv = F.when(F.avg("gap_s") == 0, F.lit(0.0)).otherwise(
+        F.stddev_samp("gap_s") / F.avg("gap_s")
+    )
+    st = g.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+        F.round(cv, 6).alias("cv"),
+    )
+    return st.select(
+        "user_id",
+        "n_gaps",
+        "mean_gap_s",
+        "cv",
+        ((F.col("n_gaps") >= 20) & (F.col("cv") < 0.1)).alias("bot_flag"),
+    ).orderBy("user_id")

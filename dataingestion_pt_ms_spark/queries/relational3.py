@@ -955,3 +955,93 @@ def rank_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("o_orderkey", "o_totalprice", "row_num").orderBy(
         "row_num"
     ).limit(1000)
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence (WOE) binning + information value — the credit-risk /
+# scorecard feature-engineering standard: bin a numeric feature
+# (c_acctbal, fixed-width bins so edges are unambiguous), label = customer
+# has ≥1 returned-item order ("bad"), WOE(bin) = ln(good share / bad
+# share) with Laplace smoothing, IV = Σ (good% − bad%)·WOE. Two grouped
+# aggregations + broadcast totals; every share and the log ratio round
+# identically in both engines. Beyond-reference [NS] (ML-prep family).
+# --------------------------------------------------------------------------
+WOE_ORACLE = """
+WITH lbl AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+         ) THEN 1 ELSE 0 END AS bad
+  FROM customer c
+), binned AS (
+  SELECT CAST(floor((c_acctbal + 1000.0) / 1500.0) AS BIGINT) AS bin, bad
+  FROM lbl
+), agg AS (
+  SELECT bin,
+         CAST(sum(1 - bad) AS BIGINT) AS n_good,
+         CAST(sum(bad) AS BIGINT) AS n_bad
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n_good) AS DOUBLE) AS tg, CAST(sum(n_bad) AS DOUBLE) AS tb
+  FROM agg
+), woe AS (
+  SELECT bin, n_good, n_bad,
+         round(ln(((n_good + 0.5) / tg) / ((n_bad + 0.5) / tb)), 6) AS woe,
+         ((n_good + 0.5) / tg - (n_bad + 0.5) / tb)
+           * ln(((n_good + 0.5) / tg) / ((n_bad + 0.5) / tb)) AS ivc
+  FROM agg CROSS JOIN tot
+)
+SELECT bin, n_good, n_bad, woe,
+       round(sum(ivc) OVER (), 6) AS information_value
+FROM woe
+ORDER BY bin
+"""
+
+
+@register("customer_woe_binning", oracle=WOE_ORACLE, tags=("ml-prep", "agg"))
+def customer_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_keys = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey")
+        .distinct()
+    )
+    lbl = cust.join(
+        bad_keys.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+            "_bad", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
+    ).select(
+        F.floor((F.col("c_acctbal") + 1000.0) / 1500.0).cast("long").alias("bin"),
+        F.coalesce(F.col("_bad"), F.lit(0)).alias("bad"),
+    )
+    agg = lbl.groupBy("bin").agg(
+        F.sum(F.lit(1) - F.col("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    agg = agg.localCheckpoint(eager=False)  # rows + totals branches
+    tot = agg.agg(
+        F.sum("n_good").cast("double").alias("tg"),
+        F.sum("n_bad").cast("double").alias("tb"),
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    gshare = (F.col("n_good") + 0.5) / F.col("tg")
+    bshare = (F.col("n_bad") + 0.5) / F.col("tb")
+    woe = j.select(
+        "bin",
+        "n_good",
+        "n_bad",
+        F.round(F.log(gshare / bshare), 6).alias("woe"),
+        ((gshare - bshare) * F.log(gshare / bshare)).alias("ivc"),
+    )
+    iv = woe.agg(F.round(F.sum("ivc"), 6).alias("information_value"))
+    return (
+        woe.crossJoin(F.broadcast(iv))
+        .select("bin", "n_good", "n_bad", "woe", "information_value")
+        .orderBy("bin")
+    )
