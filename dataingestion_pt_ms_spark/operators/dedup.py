@@ -690,6 +690,7 @@ def incremental_minhash_dedup(
     bands: int = 8,
     shingle_k: int = 3,
     base_hash: str = "md5",
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: a NEW batch of documents against a
     persisted signature store — the production steady-state of corpus
@@ -710,7 +711,14 @@ def incremental_minhash_dedup(
     Returns (new_key, stored_key, est_jaccard) with est ≥ threshold.
     """
     rows = num_perm // bands
-    sig_new = minhash_signature(new_docs, text_col, key_col, num_perm, shingle_k, base_hash)
+    # ``new_sigs`` lets callers that already signed the batch (e.g. the
+    # streaming sink, which both checks and persists signatures) skip the
+    # re-hash; it must come from minhash_signature with identical params.
+    sig_new = (
+        new_sigs
+        if new_sigs is not None
+        else minhash_signature(new_docs, text_col, key_col, num_perm, shingle_k, base_hash)
+    )
     b_new = _banded(sig_new, key_col, bands, rows).select(
         F.col("k").alias("new_key"), "band_idx", "band_hash"
     )

@@ -983,7 +983,10 @@ WITH lbl AS (
          CAST(sum(bad) AS BIGINT) AS n_bad
   FROM binned GROUP BY bin
 ), tot AS (
-  SELECT CAST(sum(n_good) AS DOUBLE) AS tg, CAST(sum(n_bad) AS DOUBLE) AS tb
+  -- Totals are Laplace-smoothed too (tg + 0.5 per bin): an all-bad (or
+  -- all-good) corpus then yields finite WOE instead of dividing by zero.
+  SELECT CAST(sum(n_good) AS DOUBLE) + 0.5 * count(*) AS tg,
+         CAST(sum(n_bad) AS DOUBLE) + 0.5 * count(*) AS tb
   FROM agg
 ), woe AS (
   SELECT bin, n_good, n_bad,
@@ -1025,9 +1028,12 @@ def customer_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bad").cast("long").alias("n_bad"),
     )
     agg = agg.localCheckpoint(eager=False)  # rows + totals branches
+    # Smooth the totals as well (+0.5 per bin, mirroring the per-bin +0.5):
+    # guarantees tg, tb > 0 even when one class is empty at small SF, so the
+    # log-ratio never divides by zero under ANSI mode.
     tot = agg.agg(
-        F.sum("n_good").cast("double").alias("tg"),
-        F.sum("n_bad").cast("double").alias("tb"),
+        (F.sum("n_good").cast("double") + 0.5 * F.count(F.lit(1))).alias("tg"),
+        (F.sum("n_bad").cast("double") + 0.5 * F.count(F.lit(1))).alias("tb"),
     )
     j = agg.crossJoin(F.broadcast(tot))
     gshare = (F.col("n_good") + 0.5) / F.col("tg")

@@ -362,7 +362,9 @@ def seed_if_absent(
     to_insert = seed.dropDuplicates(key_cols)
     if _table_exists(spark, path):
         existing = spark.read.parquet(path).select(*key_cols)
-        to_insert = seed.join(F.broadcast(existing.distinct()), key_cols, "left_anti")
+        to_insert = to_insert.join(
+            F.broadcast(existing.distinct()), key_cols, "left_anti"
+        )
     to_insert = to_insert.localCheckpoint(eager=True)
     n = to_insert.count()
     if n:

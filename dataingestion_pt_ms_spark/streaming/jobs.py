@@ -245,17 +245,24 @@ def streaming_incremental_dedup(
     base_hash: str = "md5",
 ):
     """Streaming corpus dedup steady-state: each arriving micro-batch of
-    documents is (1) checked for near-dups against the PERSISTED signature
-    store (operators/dedup.incremental_minhash_dedup — store never
-    re-hashes, batch side broadcasts) with hits appended to
-    ``dups_out_path``, then (2) its own signatures appended to the store so
-    later batches see it. This is the nightly-ingest dedup loop the batch
-    operator documents, driven by Structured Streaming: foreachBatch gives
-    the store read-modify-append transactional per-epoch semantics, and the
-    checkpoint makes re-delivery idempotent (a replayed epoch re-writes the
-    same signatures; the store is keyed, so consumers dedupe on
-    (key, epoch) or read via dropDuplicates(key) — same contract as the
-    reference's R16 upsert).
+    documents is (1) checked for near-dups WITHIN the batch itself
+    (so same-trigger near-dup arrivals and the entire first batch are
+    covered), (2) checked against the PERSISTED signature store
+    (operators/dedup.incremental_minhash_dedup — store never re-hashes,
+    batch side broadcasts), then (3) its own signatures written to the
+    store so later batches see it. This is the nightly-ingest dedup loop
+    the batch operator documents, driven by Structured Streaming.
+
+    Replay idempotency (ADVICE r3, medium): both sinks are
+    epoch-partitioned — ``<path>/epoch=<id>`` written with overwrite — so
+    a crash between the signature write and the checkpoint commit makes
+    the replayed epoch OVERWRITE its own partition rather than re-append.
+    The store read is additionally pruned to ``epoch < epoch_id``
+    (partition pruning, no data read from newer dirs), so a replayed
+    epoch sees exactly the store state the original attempt saw: no
+    self-matches, no phantom within-batch pairs from its own half-written
+    signatures. Epoch ids are checkpoint-managed and strictly increase
+    across restarts.
 
     At 100 TB: the store scan is the only corpus-sized read per trigger and
     it streams through the band join; batch-sized work is everything else.
@@ -267,19 +274,38 @@ def streaming_incremental_dedup(
         if batch_df.isEmpty():
             return
         batch_df = batch_df.select(key_col, text_col).localCheckpoint()
+        sigs = minhash_signature(
+            batch_df, text_col, key_col, base_hash=base_hash
+        ).localCheckpoint()
+        # intra-batch pass: the batch against its own signatures, upper
+        # triangle only (ADVICE r3, low — same-trigger near-dups were
+        # previously invisible)
+        dups = incremental_minhash_dedup(
+            batch_df,
+            sigs,
+            text_col,
+            key_col,
+            threshold=threshold,
+            base_hash=base_hash,
+            new_sigs=sigs,
+        ).filter(F.col("new_key") < F.col("stored_key"))
         if _table_exists(spark, sig_store_path):
-            stored = spark.read.parquet(sig_store_path)
-            dups = incremental_minhash_dedup(
-                batch_df,
-                stored,
-                text_col,
-                key_col,
-                threshold=threshold,
-                base_hash=base_hash,
+            stored = spark.read.parquet(sig_store_path).filter(
+                F.col("epoch") < F.lit(epoch_id)
             )
-            dups.write.mode("append").parquet(dups_out_path)
-        sigs = minhash_signature(batch_df, text_col, key_col, base_hash=base_hash)
-        sigs.write.mode("append").parquet(sig_store_path)
+            dups = dups.unionByName(
+                incremental_minhash_dedup(
+                    batch_df,
+                    stored.select(key_col, "signature"),
+                    text_col,
+                    key_col,
+                    threshold=threshold,
+                    base_hash=base_hash,
+                    new_sigs=sigs,
+                )
+            )
+        dups.write.mode("overwrite").parquet(f"{dups_out_path}/epoch={epoch_id}")
+        sigs.write.mode("overwrite").parquet(f"{sig_store_path}/epoch={epoch_id}")
 
     return (
         doc_stream.writeStream.foreachBatch(sink)

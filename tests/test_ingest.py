@@ -319,6 +319,16 @@ def test_seed_if_absent_dedupes_within_batch(spark, tmp_path):
     assert sorted(rows) == ["QQQ", "SPY"]
     # and the dedup also applies on the anti-join path (table now exists)
     assert seed_if_absent(spark, out, seed, ["symbol"]) == 0
+    # a NEW key duplicated within the batch, seeded into an EXISTING table,
+    # must still insert exactly once (VERDICT r3 #2: the anti-join branch
+    # used to rebind from the raw seed, silently dropping its own dedupe)
+    seed2 = spark.createDataFrame(
+        [("IWM", "alpaca"), ("IWM", "alpaca"), ("SPY", "alpaca")],
+        "symbol string, provider string",
+    )
+    assert seed_if_absent(spark, out, seed2, ["symbol"]) == 1
+    rows2 = [r.symbol for r in spark.read.parquet(out).collect()]
+    assert sorted(rows2) == ["IWM", "QQQ", "SPY"]
 
 
 def test_compact_recovers_stranded_old_dir(spark, tmp_path):

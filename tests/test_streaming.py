@@ -774,22 +774,100 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got_sigs == want_sigs
 
     # file commit order is not guaranteed to follow append order — recover
-    # which split formed each epoch from the store-less first batch: dups
-    # were only checked for the SECOND epoch, against the first's sigs.
+    # which split formed each epoch from the store-less first batch: the
+    # cross-store check only ran for the SECOND epoch, against the first's
+    # sigs; the intra-batch upper-triangle pass ran for BOTH epochs.
     got_dups = {
         (r.new_key, r.stored_key, r.est_jaccard)
         for r in spark.read.parquet(dups).collect()
     }
+
+    def intra(b):
+        return {
+            (r.new_key, r.stored_key, r.est_jaccard)
+            for r in incremental_minhash_dedup(
+                b, minhash_signature(b, "text", "doc_id"), "text", "doc_id"
+            )
+            .filter(F.col("new_key") < F.col("stored_key"))
+            .collect()
+        }
+
+    intra_all = intra(b1) | intra(b2)
     want_a = {
         (r.new_key, r.stored_key, r.est_jaccard)
         for r in incremental_minhash_dedup(
             b2, minhash_signature(b1, "text", "doc_id"), "text", "doc_id"
         ).collect()
-    }
+    } | intra_all
     want_b = {
         (r.new_key, r.stored_key, r.est_jaccard)
         for r in incremental_minhash_dedup(
             b1, minhash_signature(b2, "text", "doc_id"), "text", "doc_id"
         ).collect()
-    }
+    } | intra_all
     assert got_dups in (want_a, want_b)
+
+
+def test_streaming_incremental_dedup_replay_idempotent(spark, sf_dir, tmp_path):
+    """Crash-after-signature-write replay must not change outputs (ADVICE
+    r3, medium): simulate a replay by pre-writing epoch 0's signatures to
+    the store WITHOUT committing a checkpoint, then run the stream. The
+    replayed epoch 0 must overwrite its own partition (not re-append) and
+    must NOT emit self-matches or phantom within-batch pairs from its own
+    half-written signatures."""
+    from dataingestion_pt_ms_spark.catalog import load_table
+    from dataingestion_pt_ms_spark.operators.dedup import minhash_signature
+    from dataingestion_pt_ms_spark.streaming.jobs import streaming_incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(1).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    store = str(tmp_path / "sig_store")
+    dups = str(tmp_path / "dups_out")
+
+    # clean run first, to capture the expected outputs
+    q = streaming_incremental_dedup(
+        spark,
+        stream_from_dir(spark, src, schema),
+        store,
+        dups,
+        str(tmp_path / "ckpt_clean"),
+    )
+    q.awaitTermination(120)
+    want_sigs = sorted(
+        (r.doc_id, tuple(r.signature)) for r in spark.read.parquet(store).collect()
+    )
+    want_dups = sorted(
+        (r.new_key, r.stored_key) for r in spark.read.parquet(dups).collect()
+    )
+
+    # crashed-replay run: epoch 0's signatures are already in the store
+    # (from the "crashed" first attempt) but the checkpoint was never
+    # committed — a fresh checkpoint dir replays epoch 0 from scratch
+    store2 = str(tmp_path / "sig_store2")
+    dups2 = str(tmp_path / "dups_out2")
+    pre = minhash_signature(docs, "text", "doc_id")
+    pre.write.parquet(f"{store2}/epoch=0")
+    q2 = streaming_incremental_dedup(
+        spark,
+        stream_from_dir(spark, src, schema),
+        store2,
+        dups2,
+        str(tmp_path / "ckpt_replay"),
+    )
+    q2.awaitTermination(120)
+    got_sigs = sorted(
+        (r.doc_id, tuple(r.signature)) for r in spark.read.parquet(store2).collect()
+    )
+    got_dups = sorted(
+        (r.new_key, r.stored_key) for r in spark.read.parquet(dups2).collect()
+    )
+    assert got_sigs == want_sigs  # overwrote, did not double-append
+    assert got_dups == want_dups  # no self-matches / phantom pairs
