@@ -759,8 +759,10 @@ def lsh_band_cost_profile(
 ) -> DataFrame:
     """Per-band LSH cost audit — the sizing tool you run BEFORE a full-corpus
     dedup: for each band, the bucket count, total keys, largest bucket, and
-    the exact candidate-pair bill Σ sz·(sz−1)/2 that ``lsh_candidate_pairs``
-    would generate. At 100 TB this one cheap aggregation (signatures →
+    the candidate-pair bill Σ sz·(sz−1)/2 — exact per band, and an UPPER
+    BOUND on the deduped candidate set ``lsh_candidate_pairs`` emits (that
+    operator dedups pairs that collide in several bands and may apply
+    ``bucket_cap``). At 100 TB this one cheap aggregation (signatures →
     band-group sizes → 8-row rollup) tells you whether the (bands × rows)
     choice explodes quadratically on a skewed corpus — before you pay for it.
 

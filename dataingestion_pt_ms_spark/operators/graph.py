@@ -423,12 +423,16 @@ def personalized_pagerank(
         F.col(dst).alias("_t"),
         F.col(weight).cast("double").alias("_w"),
     ).localCheckpoint(eager=False)
+    sd = seeds.select("node").distinct()
+    # Seeds are unioned into the node set: an isolated seed (no edges) still
+    # holds its 1/|S| teleport share instead of silently vanishing while
+    # diluting the others — total teleport mass stays exactly 1 (ADVICE r3).
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_t").alias("node")))
+        .unionByName(sd)
         .distinct()
     )
-    sd = seeds.select("node").distinct()
     ns = sd.agg(F.count("*").cast("double").alias("_ns"))
     outw = e.groupBy("_s").agg(F.sum("_w").alias("_wout")).filter(F.col("_wout") != 0)
     t = (

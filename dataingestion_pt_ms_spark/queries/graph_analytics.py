@@ -324,12 +324,14 @@ _PPR_ITER_SQL = f"""
 
 PPR_ORACLE = f"""
 WITH e AS ({_EDGES_SQL}),
+sd AS (SELECT DISTINCT n_nationkey AS node FROM nation WHERE n_regionkey = 2),
+-- seeds union into the node set (isolated seeds keep their teleport share)
 nodes AS (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+    UNION ALL SELECT node FROM sd
   )
 ),
-sd AS (SELECT DISTINCT n_nationkey AS node FROM nation WHERE n_regionkey = 2),
 ns AS (SELECT CAST(count(*) AS DOUBLE) AS _ns FROM sd),
 outw AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
 t AS (

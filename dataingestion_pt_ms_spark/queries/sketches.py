@@ -422,13 +422,13 @@ WITH h AS (
 ), est_parts AS (
   SELECT prio AS side, 64 - count(*) AS v_zero,
          (0.709 * 4096.0 * {float(_TWO55)})
-           / CAST(sum(1::BIGINT << (55 - r)) + (64 - count(*)) * {float(_TWO55)}
+           / CAST(sum(1::BIGINT << (55 - r)) + (64 - count(*)) * {_TWO55}
                   AS DOUBLE) AS raw
   FROM regs GROUP BY prio
 ), est_union AS (
   SELECT 'UNION' AS side, 64 - count(*) AS v_zero,
          (0.709 * 4096.0 * {float(_TWO55)})
-           / CAST(sum(1::BIGINT << (55 - r)) + (64 - count(*)) * {float(_TWO55)}
+           / CAST(sum(1::BIGINT << (55 - r)) + (64 - count(*)) * {_TWO55}
                   AS DOUBLE) AS raw
   FROM union_regs
 ), fin AS (

@@ -831,6 +831,22 @@ def test_pagerank_zero_weight_source_is_dangling(spark):
     assert rows[3] < rows[1]
 
 
+def test_personalized_pagerank_isolated_seed_keeps_teleport(spark):
+    """A seed with no edges must appear in the output holding its 1/|S|
+    teleport share — not vanish while still diluting the other seeds
+    (ADVICE r3, low: teleport mass must total exactly 1)."""
+    from dataingestion_pt_ms_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0)], "src long, dst long, w double"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")  # 99 isolated
+    rows = {r.node: r.pr for r in personalized_pagerank(edges, seeds, iters=2).collect()}
+    assert set(rows) == {1, 2, 99}
+    # isolated seed: no in-edges, so pr = (1-d)·(1/2) every round
+    assert abs(rows[99] - 0.15 * 0.5) < 1e-12
+
+
 def test_pagerank_iters_validated(spark):
     from dataingestion_pt_ms_spark.operators.graph import pagerank
 
