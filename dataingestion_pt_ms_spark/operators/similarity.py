@@ -307,3 +307,90 @@ def blocked_nearest_neighbor(
     return prepared.groupBy(block_col).applyInPandas(
         block_nn, "vec_id long, label long, nn_vec_id long, cosine_sim double"
     )
+
+
+def covariance_sums(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    d: int = 8,
+    method: str = "expr",
+) -> DataFrame:
+    """Upper-triangle second-moment sums over an embedding column: one row
+    per dimension pair ``0 <= i <= j < d`` with the global aggregates
+    ``(i, j, n, sxi, sxj, sxij)`` — everything the unbiased covariance
+    ``(sxij - sxi*sxj/n) / (n-1)`` (or a correlation / whitening matrix)
+    needs. Symmetry is exploited: d(d+1)/2 pairs, never d².
+
+    Two physical strategies (VERDICT r3 #5):
+
+    - ``method="expr"``: per-row struct explode of the pair list, pure
+      codegen, full map-side partial aggregation. Right for small d (the
+      8-dim fixture) and keeps arithmetic bit-comparable to a SQL oracle.
+    - ``method="numpy"``: ``mapInPandas`` per-ARROW-BATCH partials — one
+      ``V.T @ V`` GEMM and a column sum per batch, emitting d(d+1)/2 tiny
+      partial rows per batch, then one (i, j) rollup. Per-row cost is the
+      O(d) Arrow transfer; no d² struct materialization ever happens. This
+      is the 100 TB path for production dims (d=768: the expr path would
+      build ~295k structs PER ROW; here the same work is one 768×768 GEMM
+      per ~10k-row batch). Same sanctioned-numpy rationale as
+      ``blocked_cosine_pairs`` above.
+
+    Both paths return identical values up to double summation order
+    (engine-tested equal after 6 dp rounding at d=8).
+    """
+    if method == "expr":
+        pair_expr = f"""
+          flatten(transform(sequence(0, {d - 1}), i ->
+            transform(sequence(i, {d - 1}), j -> struct(
+              i AS i, j AS j,
+              CAST(element_at({vec_col}, i + 1) AS DOUBLE) AS xi,
+              CAST(element_at({vec_col}, j + 1) AS DOUBLE) AS xj))))
+        """
+        pairs = corpus.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+            F.col("p.i").cast("bigint").alias("i"),
+            F.col("p.j").cast("bigint").alias("j"),
+            "p.xi",
+            "p.xj",
+        )
+        return pairs.groupBy("i", "j").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xi").alias("sxi"),
+            F.sum("xj").alias("sxj"),
+            F.sum(F.col("xi") * F.col("xj")).alias("sxij"),
+        )
+    if method != "numpy":
+        raise ValueError(f"method must be 'expr' or 'numpy', got {method!r}")
+
+    import numpy as np
+    import pandas as pd
+
+    iu_i, iu_j = np.triu_indices(d)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            s = v.sum(axis=0)
+            ss = v.T @ v
+            yield pd.DataFrame(
+                {
+                    "i": iu_i.astype("int64"),
+                    "j": iu_j.astype("int64"),
+                    "n": np.int64(len(pdf)),
+                    "sxi": s[iu_i],
+                    "sxj": s[iu_j],
+                    "sxij": ss[iu_i, iu_j],
+                }
+            )
+
+    prepared = corpus.select(_dvec(vec_col).alias("_v"))
+    part = prepared.mapInPandas(
+        partials, "i long, j long, n long, sxi double, sxj double, sxij double"
+    )
+    return part.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+        F.sum("sxij").alias("sxij"),
+    )

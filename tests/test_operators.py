@@ -711,6 +711,41 @@ def test_bloom_probe_joins_broadcast(spark):
 # --------------------------------------------------------------------------
 # Product quantization (operators/clustering.py:pq_*)
 # --------------------------------------------------------------------------
+def test_covariance_sums_numpy_matches_expr(spark, sf_dir):
+    """The mapInPandas GEMM-partial covariance path (the 100 TB swap for
+    production dims — VERDICT r3 #5) must agree with the codegen struct-
+    explode path: same pairs, same n, same covariance to 6 dp (double
+    summation order is the only difference)."""
+    from dataingestion_pt_ms_spark.operators.similarity import covariance_sums
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def cov_rows(method):
+        sums = covariance_sums(emb, "embedding", 8, method=method)
+        cov = (F.col("sxij") - F.col("sxi") * F.col("sxj") / F.col("n")) / (
+            F.col("n") - 1
+        )
+        return {
+            (r.i, r.j): (r.n, round(r.cov, 6))
+            for r in sums.select("i", "j", "n", cov.alias("cov")).collect()
+        }
+
+    expr_rows = cov_rows("expr")
+    numpy_rows = cov_rows("numpy")
+    assert set(expr_rows) == {(i, j) for i in range(8) for j in range(8) if j >= i}
+    assert expr_rows == numpy_rows
+
+
+def test_covariance_sums_method_validated(spark, sf_dir):
+    import pytest
+
+    from dataingestion_pt_ms_spark.operators.similarity import covariance_sums
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(5)
+    with pytest.raises(ValueError, match="method"):
+        covariance_sums(emb, "embedding", 8, method="scipy")
+
+
 def test_pq_encode_shape_and_code_range(spark, sf_dir):
     from dataingestion_pt_ms_spark.operators.clustering import (
         pq_codebooks,
