@@ -39,12 +39,75 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(_: bytes) -> None:
-    """Real decoder entry point — no codecs in this container."""
-    raise NotImplementedError(
-        "image/audio decoding requires codec libraries not present in this "
-        "environment; fake_feature_extract provides the deterministic stand-in"
+try:  # runtime escape hatch (VERDICT r3 #6): the cluster target ships
+    # codecs even though this container doesn't — register the real decode
+    # path when Pillow is importable, keep the deterministic fake otherwise
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover - exercised in codec-less containers
+    _PILImage = None
+    HAVE_PIL = False
+
+
+def decode_image(data: bytes):
+    """Decode an image payload to a PIL image when a codec library is
+    present; raises ``NotImplementedError`` otherwise (the deterministic
+    ``fake_feature_extract`` is the codec-less stand-in)."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not present in this "
+            "environment; fake_feature_extract provides the deterministic "
+            "stand-in"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(data))
+    img.load()
+    return img
+
+
+def image_feature_extract(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """REAL feature extractor over the binary column (requires Pillow):
+    per Arrow batch, decode each payload, record (width, height, mode) and
+    a ``FEATURE_DIM``-pixel grayscale strip (resampled, /255-normalized) —
+    the same batch/schema/partitioning machinery as
+    ``fake_feature_extract``, with an actual codec in the loop. Raises
+    ``NotImplementedError`` when no codec is available, so callers choose
+    the fake explicitly rather than silently degrading."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image_feature_extract requires Pillow; use fake_feature_extract"
+        )
+    schema = (
+        f"{key_col} long, width long, height long, mode string, "
+        "feature array<double>"
     )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            widths, heights, modes, feats = [], [], [], []
+            for payload in pdf["media_bytes"]:
+                img = _PILImage.open(io.BytesIO(payload))
+                img.load()
+                widths.append(img.width)
+                heights.append(img.height)
+                modes.append(img.mode)
+                strip = img.convert("L").resize((FEATURE_DIM, 1))
+                feats.append([px / 255.0 for px in strip.getdata()])
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "width": pd.Series(widths, dtype="int64"),
+                    "height": pd.Series(heights, dtype="int64"),
+                    "mode": pd.Series(modes, dtype="object"),
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return df.select(key_col, "media_bytes").mapInPandas(extract, schema)
 
 
 def fake_feature_extract(df: DataFrame, key_col: str = "doc_id") -> DataFrame:

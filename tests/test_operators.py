@@ -389,8 +389,34 @@ def test_multimodal_stub_plumbing(spark, sf_dir):
     for r in rows:
         assert len(r.feature) == M.FEATURE_DIM
         assert all(0.0 <= x <= 1.0 for x in r.feature)
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+    if not M.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\x89PNG")
+        with pytest.raises(NotImplementedError):
+            M.image_feature_extract(with_bin)
+
+
+@pytest.mark.skipif(not M.HAVE_PIL, reason="Pillow not installed (codec-less container)")
+def test_multimodal_real_decode_path(spark):
+    """When a codec library IS present (the cluster target), the real
+    decode path must run end-to-end: PNG bytes → (width, height, mode) +
+    a FEATURE_DIM grayscale strip (VERDICT r3 #6 escape hatch)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    img = M.decode_image(png)
+    assert (img.width, img.height) == (4, 2)
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, media_bytes binary")
+    rows = M.image_feature_extract(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.width, r.height, r.mode) == (4, 2, "RGB")
+    assert len(r.feature) == M.FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in r.feature)
 
 
 def test_cosine_similarity_null_on_zero_vector(spark):
