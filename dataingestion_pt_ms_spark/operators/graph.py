@@ -512,3 +512,81 @@ def jaccard_link_prediction(
             ).alias("jaccard_score"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, hub, authority) after ``iters`` synchronous HITS rounds on a
+    weighted digraph: a'(v) = Σ_{u→v} h(u)·w, h'(u) = Σ_{u→v} a'(v)·w, each
+    half-step L2-normalized. Kleinberg's hubs-and-authorities — the "who
+    aggregates vs who is sourced" complement to PageRank, same unrolled-CTE
+    oracle strategy and per-round rounding/localCheckpoint discipline as
+    ``pagerank``.
+
+    Scale shape: per round, two edge-sized shuffles (groupBy dst then src)
+    plus two broadcast scalar norms; state is one double per node. Nodes
+    with no in-edges hold authority 0 (they still appear — node set is the
+    union of both endpoints), mirroring the dangling-mass convention.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_t"),
+        F.col(weight).cast("double").alias("_w"),
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "_s"), "_s")
+            .groupBy(F.col("_t").alias("node"))
+            .agg(F.sum(F.col("h") * F.col("_w")).alias("_ar"))
+        )
+        a_all = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("_ar", F.lit(0.0)).alias("_ar")
+        )
+        a_nrm = a_all.agg(F.sqrt(F.sum(F.col("_ar") * F.col("_ar"))).alias("_n"))
+        a = (
+            a_all.crossJoin(F.broadcast(a_nrm))
+            .select(
+                "node",
+                F.when(F.col("_n") > 0, F.round(F.col("_ar") / F.col("_n"), 6))
+                .otherwise(0.0)
+                .alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "_t"), "_t")
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum(F.col("a") * F.col("_w")).alias("_hr"))
+        )
+        h_all = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("_hr", F.lit(0.0)).alias("_hr")
+        )
+        h_nrm = h_all.agg(F.sqrt(F.sum(F.col("_hr") * F.col("_hr"))).alias("_n"))
+        h = (
+            h_all.crossJoin(F.broadcast(h_nrm))
+            .select(
+                "node",
+                F.when(F.col("_n") > 0, F.round(F.col("_hr") / F.col("_n"), 6))
+                .otherwise(0.0)
+                .alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return h.join(a, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )

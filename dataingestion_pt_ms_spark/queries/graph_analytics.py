@@ -435,3 +435,88 @@ def graph_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFr
     return jaccard_link_prediction(edges, min_common=2).orderBy(
         F.col("jaccard_score").desc(), "u", "v"
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities on the nation trade graph — "who aggregates
+# demand vs who sources supply", the directed complement of PageRank.
+# Unrolled-round MATERIALIZED-CTE oracle (house strategy for iterative
+# ops); each half-step L2-normalizes and rounds to 6 dp on BOTH sides so
+# summation-order noise never reaches the value hash. Beyond-reference
+# [NS] (SURVEY.md §2.B graph analytics).
+# --------------------------------------------------------------------------
+_HITS_ITERS = 3
+
+
+def _hits_round(t: int) -> str:
+    return f""",
+ar{t} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(sum(h{t - 1}.h * e.w), 0.0) AS ar
+  FROM nodes LEFT JOIN e ON e.dst = nodes.node
+             LEFT JOIN h{t - 1} ON h{t - 1}.node = e.src
+  GROUP BY nodes.node
+),
+a{t} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN (SELECT sqrt(sum(ar * ar)) FROM ar{t}) > 0
+              THEN round(ar / (SELECT sqrt(sum(ar * ar)) FROM ar{t}), 6)
+              ELSE 0.0 END AS a
+  FROM ar{t}
+),
+hr{t} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(sum(a{t}.a * e.w), 0.0) AS hr
+  FROM nodes LEFT JOIN e ON e.src = nodes.node
+             LEFT JOIN a{t} ON a{t}.node = e.dst
+  GROUP BY nodes.node
+),
+h{t} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN (SELECT sqrt(sum(hr * hr)) FROM hr{t}) > 0
+              THEN round(hr / (SELECT sqrt(sum(hr * hr)) FROM hr{t}), 6)
+              ELSE 0.0 END AS h
+  FROM hr{t}
+)"""
+
+
+HITS_ORACLE = f"""
+WITH e AS ({_EDGES_SQL}),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+),
+h0 AS (SELECT node, 1.0 AS h FROM nodes){"".join(_hits_round(t) for t in range(1, _HITS_ITERS + 1))}
+SELECT nat.n_name, h{_HITS_ITERS}.h AS hub, a{_HITS_ITERS}.a AS authority
+FROM h{_HITS_ITERS}
+JOIN a{_HITS_ITERS} ON a{_HITS_ITERS}.node = h{_HITS_ITERS}.node
+JOIN nation nat ON nat.n_nationkey = h{_HITS_ITERS}.node
+ORDER BY n_name
+"""
+
+
+@register("graph_hits_nation_trade", oracle=HITS_ORACLE, tags=("graph", "iterative"))
+def graph_hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the customer-nation → supplier-nation trade graph
+    (operators/graph.py:hits): hub score = the nation as demand aggregator,
+    authority = the nation as supply source. Edge build is the same star
+    join as PageRank; per round two edge-sized shuffles + broadcast norms."""
+    from ..operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    hs = hits(edges, iters=_HITS_ITERS)
+    return (
+        hs.join(F.broadcast(nation), hs.node == nation.n_nationkey)
+        .select("n_name", "hub", "authority")
+        .orderBy("n_name")
+    )

@@ -1307,3 +1307,286 @@ def ohlc_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 indicator family over daily bars (reference domain: the OHLCV
+# bars app/alpaca_service.py:125-162 ingests — here re-derived from events
+# by the ohlc_daily_resample shape, then classic technical indicators as
+# per-symbol window functions; every window partitions by event_type so
+# nothing is ever global). Shared CTE builds UNROUNDED bars (identical
+# doubles both engines); only final indicator columns round.
+# --------------------------------------------------------------------------
+_DAILY_BARS_CTE = """
+t AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_date,
+         value, ts, event_id
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bar_date ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bar_date ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t
+), bars AS (
+  SELECT event_type, bar_date,
+         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         sum(value) AS volume
+  FROM r GROUP BY event_type, bar_date
+)"""
+
+
+def _daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrounded daily OHLCV bars per event_type — the Spark twin of
+    ``_DAILY_BARS_CTE`` (dual-row_number first/last, deterministic under
+    ties; one shuffle on (event_type, bar_date))."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bar_date"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_asc = W.partitionBy("event_type", "bar_date").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("event_type", "bar_date").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "bar_date")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.sum("value").alias("volume"),
+        )
+    )
+
+
+ATR_ORACLE = f"""
+WITH {_DAILY_BARS_CTE},
+pc AS (
+  SELECT event_type, bar_date, high, low, close,
+         lag(close) OVER (PARTITION BY event_type ORDER BY bar_date) AS prev_close
+  FROM bars
+), tr AS (
+  SELECT event_type, bar_date,
+         CASE WHEN prev_close IS NULL THEN high - low
+              ELSE greatest(high - low, abs(high - prev_close),
+                            abs(low - prev_close)) END AS tr_val
+  FROM pc
+)
+SELECT event_type, bar_date, round(tr_val, 6) AS true_range,
+       round(avg(tr_val) OVER (PARTITION BY event_type ORDER BY bar_date
+                               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6)
+         AS atr14
+FROM tr ORDER BY event_type, bar_date
+"""
+
+
+@register("ohlc_atr14", oracle=ATR_ORACLE, tags=("timeseries", "ohlc", "window"))
+def ohlc_atr14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range (14-bar): TR = max(high-low, |high-prev_close|,
+    |low-prev_close|) (first bar falls back to high-low), ATR = 14-bar SMA
+    of TR. Volatility sizing for the reference's bar domain. One shuffle on
+    event_type; every window is per-symbol."""
+    bars = _daily_bars(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("bar_date")
+    w14 = w.rowsBetween(-13, 0)
+    pc = F.lag("close").over(w)
+    tr = F.when(pc.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - pc),
+            F.abs(F.col("low") - pc),
+        )
+    )
+    return (
+        bars.withColumn("tr_val", tr)
+        .select(
+            "event_type",
+            "bar_date",
+            F.round("tr_val", 6).alias("true_range"),
+            F.round(F.avg("tr_val").over(w14), 6).alias("atr14"),
+        )
+        .orderBy("event_type", "bar_date")
+    )
+
+
+STOCH_ORACLE = f"""
+WITH {_DAILY_BARS_CTE},
+chan AS (
+  SELECT event_type, bar_date, close,
+         min(low) OVER w14 AS lo14,
+         max(high) OVER w14 AS hi14
+  FROM bars
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY bar_date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), k AS (
+  SELECT event_type, bar_date,
+         CASE WHEN hi14 = lo14 THEN 50.0
+              ELSE 100.0 * (close - lo14) / (hi14 - lo14) END AS pct_k
+  FROM chan
+)
+SELECT event_type, bar_date, round(pct_k, 6) AS pct_k,
+       round(avg(pct_k) OVER (PARTITION BY event_type ORDER BY bar_date
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS pct_d
+FROM k ORDER BY event_type, bar_date
+"""
+
+
+@register(
+    "ohlc_stochastic_kd", oracle=STOCH_ORACLE, tags=("timeseries", "ohlc", "window")
+)
+def ohlc_stochastic_kd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − 14-bar low) / (14-bar range)
+    (flat channel pins to 50 — defined, not a divide-by-zero), %D = 3-bar
+    SMA of %K. Same per-symbol window discipline as ATR."""
+    bars = _daily_bars(spark, sf_dir)
+    w14 = W.partitionBy("event_type").orderBy("bar_date").rowsBetween(-13, 0)
+    w3 = W.partitionBy("event_type").orderBy("bar_date").rowsBetween(-2, 0)
+    lo14 = F.min("low").over(w14)
+    hi14 = F.max("high").over(w14)
+    pct_k = F.when(hi14 == lo14, F.lit(50.0)).otherwise(
+        100.0 * (F.col("close") - lo14) / (hi14 - lo14)
+    )
+    return (
+        bars.withColumn("pct_k_raw", pct_k)
+        .select(
+            "event_type",
+            "bar_date",
+            F.round("pct_k_raw", 6).alias("pct_k"),
+            F.round(F.avg("pct_k_raw").over(w3), 6).alias("pct_d"),
+        )
+        .orderBy("event_type", "bar_date")
+    )
+
+
+OBV_ORACLE = f"""
+WITH {_DAILY_BARS_CTE},
+d AS (
+  SELECT event_type, bar_date, volume,
+         sign(close - lag(close) OVER (PARTITION BY event_type ORDER BY bar_date))
+           AS direction
+  FROM bars
+)
+SELECT event_type, bar_date,
+       round(coalesce(direction, 0.0) * volume, 2) AS signed_volume,
+       round(sum(coalesce(direction, 0.0) * volume)
+               OVER (PARTITION BY event_type ORDER BY bar_date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS obv
+FROM d ORDER BY event_type, bar_date
+"""
+
+
+@register("ohlc_obv", oracle=OBV_ORACLE, tags=("timeseries", "ohlc", "window"))
+def ohlc_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume: running sum of sign(close change) × bar volume —
+    the classic volume-flow confirmation indicator. The running sum is an
+    ordered window accumulation (identical fold order both engines)."""
+    bars = _daily_bars(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("bar_date")
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    signed = F.coalesce(
+        F.signum(F.col("close") - F.lag("close").over(w)), F.lit(0.0)
+    ) * F.col("volume")
+    return (
+        bars.withColumn("sv", signed)
+        .select(
+            "event_type",
+            "bar_date",
+            F.round("sv", 2).alias("signed_volume"),
+            F.round(F.sum("sv").over(wrun), 2).alias("obv"),
+        )
+        .orderBy("event_type", "bar_date")
+    )
+
+
+CANDLE_ORACLE = f"""
+WITH {_DAILY_BARS_CTE},
+b AS (
+  SELECT event_type, bar_date, open, high, low, close,
+         abs(close - open) AS body,
+         high - low AS rng,
+         high - greatest(open, close) AS upper_shadow,
+         least(open, close) - low AS lower_shadow,
+         lag(open) OVER w AS p_open,
+         lag(close) OVER w AS p_close
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+)
+SELECT event_type, bar_date,
+       (rng > 0 AND body <= 0.1 * rng) AS doji,
+       (lower_shadow >= 2 * body AND upper_shadow <= body) AS hammer,
+       (p_close IS NOT NULL AND close > open AND p_close < p_open
+        AND close >= p_open AND open <= p_close) AS bullish_engulfing,
+       (p_close IS NOT NULL AND close < open AND p_close > p_open
+        AND close <= p_open AND open >= p_close) AS bearish_engulfing
+FROM b ORDER BY event_type, bar_date
+"""
+
+
+@register(
+    "ohlc_candlestick_flags",
+    oracle=CANDLE_ORACLE,
+    tags=("timeseries", "ohlc", "window"),
+)
+def ohlc_candlestick_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern screen per bar: doji (body ≤ 10% of range),
+    hammer (long lower shadow, tiny upper), bullish/bearish engulfing
+    (current body engulfs previous, opposite colors). Pure lag comparisons
+    over identical bar doubles — flags are exact in both engines."""
+    bars = _daily_bars(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("bar_date")
+    body = F.abs(F.col("close") - F.col("open"))
+    rng = F.col("high") - F.col("low")
+    upper = F.col("high") - F.greatest("open", "close")
+    lower = F.least("open", "close") - F.col("low")
+    p_open = F.lag("open").over(w)
+    p_close = F.lag("close").over(w)
+    return (
+        bars.select(
+            "event_type",
+            "bar_date",
+            "open",
+            "high",
+            "low",
+            "close",
+            body.alias("body"),
+            rng.alias("rng"),
+            upper.alias("upper_shadow"),
+            lower.alias("lower_shadow"),
+            p_open.alias("p_open"),
+            p_close.alias("p_close"),
+        )
+        .select(
+            "event_type",
+            "bar_date",
+            ((F.col("rng") > 0) & (F.col("body") <= 0.1 * F.col("rng"))).alias("doji"),
+            (
+                (F.col("lower_shadow") >= 2 * F.col("body"))
+                & (F.col("upper_shadow") <= F.col("body"))
+            ).alias("hammer"),
+            (
+                F.col("p_close").isNotNull()
+                & (F.col("close") > F.col("open"))
+                & (F.col("p_close") < F.col("p_open"))
+                & (F.col("close") >= F.col("p_open"))
+                & (F.col("open") <= F.col("p_close"))
+            ).alias("bullish_engulfing"),
+            (
+                F.col("p_close").isNotNull()
+                & (F.col("close") < F.col("open"))
+                & (F.col("p_close") > F.col("p_open"))
+                & (F.col("close") <= F.col("p_open"))
+                & (F.col("open") >= F.col("p_close"))
+            ).alias("bearish_engulfing"),
+        )
+        .orderBy("event_type", "bar_date")
+    )

@@ -966,6 +966,24 @@ def test_pagerank_iters_validated(spark):
         pagerank(edges, iters=0)
 
 
+def test_hits_star_graph(spark):
+    """On a star 1→{2,3,4}: node 1 is the only hub (authority 0), leaves
+    are pure authorities (hub 0) with equal scores 1/√3; L2 norms are 1."""
+    from dataingestion_pt_ms_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 1.0), (1, 4, 1.0)], "src long, dst long, w double"
+    )
+    rows = {r.node: (r.hub, r.authority) for r in hits(edges, iters=3).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1][0] == 1.0 and rows[1][1] == 0.0
+    leaf_auth = round(1.0 / 3 ** 0.5, 6)
+    for n in (2, 3, 4):
+        assert rows[n] == (0.0, leaf_auth)
+    with pytest.raises(ValueError, match="iters"):
+        hits(edges, iters=0)
+
+
 def test_bfs_hops_min_distance_and_early_exit(spark):
     """Path graph 1-2-3-4-5 with seeds {1}: hops = node distance, capped at
     max_hops; a disconnected node is absent; seeds always appear at hop 0.
