@@ -89,6 +89,75 @@ BASELINE_SEC = {
     "warehouse_key_skew_audit": 0.33,
     "orders_abc_pareto_classes": 0.84,
     "text_ccnet_ppl_buckets": 0.50,
+    # round-4 full-coverage sweep: every registered query measured at
+    # sf0.1 (min-of-2 hot) — all >0.3 s entered HEADLINE (VERDICT r3 #7)
+    "agg_approx_count_distinct": 0.312,
+    "agg_bitmap_exact_distinct": 0.41,
+    "agg_corr_covar": 0.362,
+    "agg_cube_flags": 0.334,
+    "agg_hll_merge_partials": 0.835,
+    "agg_incremental_summary": 0.303,
+    "basket_pair_affinity": 1.769,
+    "correlated_subqueries_sql": 0.363,
+    "customer_woe_binning": 0.682,
+    "dedup_cluster_assignment": 2.297,
+    "dedup_cluster_canonical": 1.247,
+    "dedup_cluster_keep_longest": 2.305,
+    "dedup_cluster_near_dups": 8.169,
+    "dedup_cross_corpus_minhash_md5": 3.528,
+    "dedup_estimator_error_profile": 2.748,
+    "dedup_incremental_minhash": 3.41,
+    "dedup_lsh_band_cost_audit": 1.813,
+    "dedup_minhash_lsh_pairs_md5": 3.755,
+    "dedup_ngram_jaccard_pairs": 0.487,
+    "dedup_simhash_pairs": 2.243,
+    "dedup_source_overlap_matrix": 8.289,
+    "docs_source_kl_divergence": 0.363,
+    "events_anomaly_mad": 0.549,
+    "events_markov_transitions": 0.421,
+    "events_mean_shift_detect": 0.346,
+    "events_retention_cohorts": 0.32,
+    "events_survival_curve": 0.475,
+    "events_user_longest_streak": 0.304,
+    "graph_bfs_copurchase_hops": 2.229,
+    "graph_copurchase_communities": 1.999,
+    "graph_copurchase_kcore": 1.731,
+    "graph_hits_nation_trade": 2.533,
+    "graph_nation_trade_pagerank": 0.85,
+    "graph_personalized_pagerank": 0.915,
+    "join_broadcast_range_lookup": 0.371,
+    "join_fuzzy_name_match": 5.22,
+    "lineitem_transit_concurrency": 0.619,
+    "multimodal_fake_features": 0.396,
+    "multimodal_frame_sample": 0.416,
+    "ohlc_atr14": 0.581,
+    "ohlc_candlestick_flags": 0.388,
+    "ohlc_obv": 0.325,
+    "ohlc_stochastic_kd": 0.388,
+    "ohlc_symbol_correlation": 0.419,
+    "orders_rfm_segmentation": 1.477,
+    "q10_returned_items": 0.367,
+    "q2_min_cost_supplier": 0.846,
+    "q4_order_priority_checking": 0.452,
+    "q7_volume_shipping": 0.448,
+    "q8_market_share": 0.38,
+    "rank_global_row_number": 0.466,
+    "scalar_json_extract": 0.404,
+    "sim_ann_ivf_multiprobe": 0.454,
+    "sim_ann_lsh_bucketed": 1.157,
+    "sim_centroid_outliers": 0.353,
+    "sim_kmeans_clusters": 0.932,
+    "sim_knn_graph_cells": 7.358,
+    "text_chunk_documents": 0.377,
+    "text_contamination_check": 7.74,
+    "text_duplicate_ngram_fraction": 5.003,
+    "text_feature_hashing": 0.376,
+    "text_line_dedup_boilerplate": 0.328,
+    "text_pack_sequences": 0.327,
+    "text_repetition_score": 0.424,
+    "text_tf_idf_topk": 1.36,
+    "text_token_entropy": 0.444,
+    "warehouse_dq_checks": 0.374,
 }
 GUARD_FACTOR = 2.0
 
@@ -161,6 +230,75 @@ HEADLINE = [
     "warehouse_key_skew_audit",
     "orders_abc_pareto_classes",
     "text_ccnet_ppl_buckets",
+    # round-4: every query measured >0.3 s at sf0.1 + the new indicator/
+    # graph additions (VERDICT r3 #7 full bench coverage)
+    "agg_approx_count_distinct",
+    "agg_bitmap_exact_distinct",
+    "agg_corr_covar",
+    "agg_cube_flags",
+    "agg_hll_merge_partials",
+    "agg_incremental_summary",
+    "basket_pair_affinity",
+    "correlated_subqueries_sql",
+    "customer_woe_binning",
+    "dedup_cluster_assignment",
+    "dedup_cluster_canonical",
+    "dedup_cluster_keep_longest",
+    "dedup_cluster_near_dups",
+    "dedup_cross_corpus_minhash_md5",
+    "dedup_estimator_error_profile",
+    "dedup_incremental_minhash",
+    "dedup_lsh_band_cost_audit",
+    "dedup_minhash_lsh_pairs_md5",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_pairs",
+    "dedup_source_overlap_matrix",
+    "docs_source_kl_divergence",
+    "events_anomaly_mad",
+    "events_markov_transitions",
+    "events_mean_shift_detect",
+    "events_retention_cohorts",
+    "events_survival_curve",
+    "events_user_longest_streak",
+    "graph_bfs_copurchase_hops",
+    "graph_copurchase_communities",
+    "graph_copurchase_kcore",
+    "graph_hits_nation_trade",
+    "graph_nation_trade_pagerank",
+    "graph_personalized_pagerank",
+    "join_broadcast_range_lookup",
+    "join_fuzzy_name_match",
+    "lineitem_transit_concurrency",
+    "multimodal_fake_features",
+    "multimodal_frame_sample",
+    "ohlc_atr14",
+    "ohlc_candlestick_flags",
+    "ohlc_obv",
+    "ohlc_stochastic_kd",
+    "ohlc_symbol_correlation",
+    "orders_rfm_segmentation",
+    "q10_returned_items",
+    "q2_min_cost_supplier",
+    "q4_order_priority_checking",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "rank_global_row_number",
+    "scalar_json_extract",
+    "sim_ann_ivf_multiprobe",
+    "sim_ann_lsh_bucketed",
+    "sim_centroid_outliers",
+    "sim_kmeans_clusters",
+    "sim_knn_graph_cells",
+    "text_chunk_documents",
+    "text_contamination_check",
+    "text_duplicate_ngram_fraction",
+    "text_feature_hashing",
+    "text_line_dedup_boilerplate",
+    "text_pack_sequences",
+    "text_repetition_score",
+    "text_tf_idf_topk",
+    "text_token_entropy",
+    "warehouse_dq_checks",
 ]
 
 

@@ -960,3 +960,80 @@ def sim_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return fused
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation distortion (round 4): how much does cosine
+# similarity move when vectors are truncated to a prefix of k dims — the
+# sizing audit behind MRL-style "store 64, search 8/16/32" retrieval
+# stacks. Pair space is deterministic and LINEAR (vec_id v paired with
+# v+1), one row per (k, pair) via a 3-element explode, one rollup per k.
+# Per-pair cosines round to 6 dp in BOTH engines before the distortion
+# subtraction so the value hash never sees summation noise.
+# Beyond-reference [NS] (SURVEY.md §2.B similarity search).
+# --------------------------------------------------------------------------
+_MRL_KS = (8, 16, 32)
+
+MATRYOSHKA_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         a.embedding::DOUBLE[] AS ea, b.embedding::DOUBLE[] AS eb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+), per_k AS (
+  SELECT k.k AS k_dims,
+         round(list_cosine_similarity(ea, eb), 6) AS cos_full,
+         round(list_cosine_similarity(ea[1:k.k], eb[1:k.k]), 6) AS cos_trunc
+  FROM pairs, (VALUES {", ".join(f"({k})" for k in _MRL_KS)}) k(k)
+)
+SELECT CAST(k_dims AS BIGINT) AS k_dims,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(cos_full - cos_trunc)), 6) AS avg_distortion,
+       round(max(abs(cos_full - cos_trunc)), 6) AS max_distortion
+FROM per_k GROUP BY k_dims ORDER BY k_dims
+"""
+
+
+@register(
+    "emb_matryoshka_distortion",
+    oracle=MATRYOSHKA_ORACLE,
+    tags=("llm", "embedding"),
+)
+def emb_matryoshka_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+    )
+    pairs = a.join(b, F.col("vb") == F.col("va") + 1)
+    per_k = pairs.select(
+        F.explode(F.array(*[F.lit(k) for k in _MRL_KS])).alias("k_dims"),
+        F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("cos_full"),
+        "ea",
+        "eb",
+    ).select(
+        F.col("k_dims").cast("bigint").alias("k_dims"),
+        "cos_full",
+        F.round(
+            cosine_similarity(
+                F.slice("ea", 1, F.col("k_dims").cast("int")),
+                F.slice("eb", 1, F.col("k_dims").cast("int")),
+            ),
+            6,
+        ).alias("cos_trunc"),
+    )
+    dist = F.abs(F.col("cos_full") - F.col("cos_trunc"))
+    return (
+        per_k.groupBy("k_dims")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(dist), 6).alias("avg_distortion"),
+            F.round(F.max(dist), 6).alias("max_distortion"),
+        )
+        .orderBy("k_dims")
+    )

@@ -1116,3 +1116,61 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("doc_id", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit (round 4): per source, the least-squares slope of
+# ln(freq) vs ln(rank) over the token frequency table — natural corpora sit
+# near −1; a synthetic/templated source shows up as a flat or kinked
+# curve, so the slope is a one-number generator-vs-natural screen. Shape:
+# one wordcount shuffle per (source, token), a per-source rank window over
+# the (small) distinct-token table, one regr_slope rollup. regr_slope is
+# built-in in BOTH engines. Beyond-reference [NS] (text-analysis family).
+# --------------------------------------------------------------------------
+ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({DTOKS}) AS token FROM documents
+), freq AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, token
+), ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS r
+  FROM freq
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens_distinct,
+       round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+         AS zipf_slope
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+@register("text_zipf_slope", oracle=ZIPF_ORACLE, tags=("llm", "text", "stats"))
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("c").desc(), "token")
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_distinct"),
+            F.round(
+                F.regr_slope(
+                    F.log(F.col("c").cast("double")),
+                    F.log(F.col("r").cast("double")),
+                ),
+                6,
+            ).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )

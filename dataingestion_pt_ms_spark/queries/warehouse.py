@@ -757,3 +757,134 @@ def join_broadcast_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (round 4): the classic fraud/DQ screen — does
+# the leading digit of a value column follow log10(1+1/d)? First digit is
+# extracted from the INTEGER cents string (engine-stable; float log10 at
+# exact powers of ten is the cross-engine trap), then one 9-row rollup with
+# the expected shares and the chi-square statistic as a window sum. One
+# scan + one tiny shuffle. Beyond-reference [NS] (data-quality family).
+# --------------------------------------------------------------------------
+BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice > 0
+), c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+), t AS (
+  SELECT digit, n,
+         CAST(sum(n) OVER () AS DOUBLE) AS total,
+         log10(1.0 + 1.0 / digit) AS expected_share
+  FROM c
+)
+SELECT digit, n,
+       round(n / total, 6) AS observed_share,
+       round(expected_share, 6) AS expected_share,
+       round(sum((n / total - expected_share) * (n / total - expected_share)
+                 / expected_share) OVER (), 6) AS chi_sq_stat
+FROM t ORDER BY digit
+"""
+
+
+@register("warehouse_benford_audit", oracle=BENFORD_ORACLE, tags=("warehouse", "dq"))
+def warehouse_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = (
+        li.where(F.col("l_extendedprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = W.partitionBy()
+    total = F.sum("n").over(wall).cast("double")
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    t = c.select(
+        "digit",
+        "n",
+        total.alias("total"),
+        expected.alias("expected_share"),
+    )
+    dev = (F.col("n") / F.col("total") - F.col("expected_share"))
+    return t.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("observed_share"),
+        F.round("expected_share", 6).alias("expected_share"),
+        F.round(
+            F.sum(dev * dev / F.col("expected_share")).over(wall), 6
+        ).alias("chi_sq_stat"),
+    ).orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance (round 4): the lakehouse
+# pattern where a monthly-revenue MV is kept current by MERGING a delta
+# partition's partial aggregate into the stored base aggregate instead of
+# recomputing from scratch. Spark side: base agg ⟗ delta agg, coalesced
+# sums/counts — the mergeable-partials contract (same algebra that makes
+# sketches work). Oracle: the DIRECT aggregate over the full table, which
+# is exactly what merge-maintenance must equal. Deletes would enter as
+# negative deltas (same merge); avg derives from sum/count, never merged
+# directly. Beyond-reference [NS] (warehouse family).
+# --------------------------------------------------------------------------
+INCR_MV_ORACLE = """
+SELECT o_orderpriority,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_orderpriority, order_month
+ORDER BY o_orderpriority, order_month
+"""
+
+
+@register(
+    "warehouse_incremental_mv", oracle=INCR_MV_ORACLE, tags=("warehouse", "agg")
+)
+def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # deterministic split standing in for "yesterday's MV" + "today's delta"
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    delta = orders.where(F.col("o_orderkey") % 10 == 0)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "order_month"
+            ),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # DECIMAL sums: the merge adds two partials while the oracle sums
+            # once — decimal arithmetic is order-independent, doubles are not
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+
+    merged = (
+        agg(base)
+        .withColumnsRenamed({"n_orders": "n_b", "revenue": "r_b"})
+        .join(
+            agg(delta).withColumnsRenamed({"n_orders": "n_d", "revenue": "r_d"}),
+            ["o_orderpriority", "order_month"],
+            "full_outer",
+        )
+        .select(
+            "o_orderpriority",
+            "order_month",
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                F.coalesce("r_b", F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce("r_d", F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("revenue"),
+        )
+    )
+    return merged.orderBy("o_orderpriority", "order_month")
