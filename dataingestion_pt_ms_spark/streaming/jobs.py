@@ -313,3 +313,47 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_stream(
+    errors: DataFrame,
+    clicks: DataFrame,
+    lookback_minutes: int = 10,
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each error event matched (inner) to the
+    same user's click events in the ``lookback_minutes`` before it — the
+    streaming form of ``join_range_clicks_before_error`` (whose batch
+    oracle twin makes this engine-testable).
+
+    Scale/state shape: the equi key (user_id) carries the shuffle; the
+    time-range predicate bounds STATE, not just output — with both sides
+    watermarked, Spark retains clicks only until no future error can reach
+    back to them (watermark + lookback) and errors only until their
+    interval closes, so state is O(rate × window), never unbounded. This
+    is the mandatory discipline for stream-stream joins: an un-watermarked
+    interval join grows state forever. Pairs (not aggregates) are emitted
+    so the job stays a single stateful operator in append mode.
+    """
+    e = (
+        errors.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", watermark)
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            "value",
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    return e.join(c, cond, "inner").select(
+        "event_id", "user_id", "c_ts", "value"
+    )

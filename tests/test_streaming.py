@@ -871,3 +871,42 @@ def test_streaming_incremental_dedup_replay_idempotent(spark, sf_dir, tmp_path):
     )
     assert got_sigs == want_sigs  # overwrote, did not double-append
     assert got_dups == want_dups  # no self-matches / phantom pairs
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (errors ⋈ same-user clicks in the prior
+    10 minutes, both sides watermarked) must emit exactly the batch inner
+    join's pairs — the streaming twin of join_range_clicks_before_error."""
+    from dataingestion_pt_ms_spark.catalog import load_table
+    from dataingestion_pt_ms_spark.streaming.jobs import interval_join_stream
+
+    stream_e = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
+    stream_c = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
+    _run_to_memory(
+        interval_join_stream(stream_e, stream_c), "ijoin_out", "append"
+    )
+    got = {
+        (r.event_id, r.user_id, r.c_ts, r.value)
+        for r in spark.sql("SELECT * FROM ijoin_out").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "value"
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    want = {
+        (r.event_id, r.user_id, r.c_ts, r.value)
+        for r in errors.join(clicks, cond, "inner")
+        .select("event_id", "user_id", "c_ts", "value")
+        .collect()
+    }
+    assert got == want
+    assert want  # non-vacuous: fixture has clicks-before-error pairs
