@@ -158,6 +158,12 @@ BASELINE_SEC = {
     "text_tf_idf_topk": 1.36,
     "text_token_entropy": 0.444,
     "warehouse_dq_checks": 0.374,
+    "emb_matryoshka_distortion": 0.468,
+    "sim_ann_recall_audit": 1.296,
+    "sketch_bloom_fpr_audit": 0.539,
+    "text_zipf_slope": 0.306,
+    "warehouse_benford_audit": 0.591,
+    "warehouse_incremental_mv": 0.557,
 }
 GUARD_FACTOR = 2.0
 
@@ -299,6 +305,12 @@ HEADLINE = [
     "text_tf_idf_topk",
     "text_token_entropy",
     "warehouse_dq_checks",
+    "emb_matryoshka_distortion",
+    "sim_ann_recall_audit",
+    "sketch_bloom_fpr_audit",
+    "text_zipf_slope",
+    "warehouse_benford_audit",
+    "warehouse_incremental_mv",
 ]
 
 

@@ -1037,3 +1037,136 @@ def emb_matryoshka_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_dims")
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall audit (round 4): measured recall@10 of the IVF index
+# (nprobe=1, label-centroid cells — the sim_ann_ivf_topk configuration)
+# against the exact brute-force top-10, over a fixed 10-query panel. This
+# is the accept/reject gate every production ANN deployment runs before
+# trading exactness for speed; pair space is 10 × corpus (panel-bounded),
+# and both rankings break ties on (rounded cosine DESC, vec_id) so the
+# rank-10 boundary is engine-independent. Beyond-reference [NS]
+# (SURVEY.md §2.B similarity search).
+# --------------------------------------------------------------------------
+_RECALL_NQ = 10
+_RECALL_K = 10
+
+RECALL_ORACLE = f"""
+WITH exploded AS (
+  SELECT label, pos, CAST(val AS DOUBLE) AS val
+  FROM (SELECT label, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+centroids AS (
+  SELECT label, list(avg_val ORDER BY pos) AS cvec
+  FROM (SELECT label, pos, avg(val) AS avg_val FROM exploded GROUP BY label, pos)
+  GROUP BY label
+),
+qs AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_RECALL_NQ}
+),
+best AS (
+  SELECT qid, label FROM (
+    SELECT qs.qid, c.label,
+           row_number() OVER (PARTITION BY qs.qid
+             ORDER BY round(list_cosine_similarity(c.cvec, qs.qv), 6) DESC,
+                      c.label) AS rn
+    FROM centroids c, qs
+  ) WHERE rn = 1
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qs.qid, e.vec_id,
+           row_number() OVER (PARTITION BY qs.qid
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], qs.qv), 6) DESC,
+                      e.vec_id) AS rn
+    FROM embeddings e, qs WHERE e.vec_id <> qs.qid
+  ) WHERE rn <= {_RECALL_K}
+),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qs.qid, e.vec_id,
+           row_number() OVER (PARTITION BY qs.qid
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], qs.qv), 6) DESC,
+                      e.vec_id) AS rn
+    FROM embeddings e
+    JOIN best ON e.label = best.label
+    JOIN qs ON qs.qid = best.qid
+    WHERE e.vec_id <> qs.qid
+  ) WHERE rn <= {_RECALL_K}
+)
+SELECT exact.qid,
+       CAST(count(approx.vec_id) AS BIGINT) AS n_hits,
+       round(count(approx.vec_id) / {_RECALL_K}.0, 6) AS recall_at_10
+FROM exact LEFT JOIN approx
+  ON approx.qid = exact.qid AND approx.vec_id = exact.vec_id
+GROUP BY exact.qid ORDER BY exact.qid
+"""
+
+
+@register(
+    "sim_ann_recall_audit", oracle=RECALL_ORACLE, tags=("llm", "similarity", "ivf")
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(emb).withColumnRenamed("blk", "label")
+    qs = emb.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    wq = W.partitionBy("qid")
+    # nprobe=1 cell per query
+    best = (
+        cents.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(
+                    F.round(cosine_similarity("centroid", "qv"), 6).desc(), "label"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", "label")
+    )
+    corpus = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sim_rank = F.row_number().over(
+        wq.orderBy(F.round(cosine_similarity("v", "qv"), 6).desc(), "vec_id")
+    )
+    exact = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rn", sim_rank)
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    approx = (
+        corpus.join(F.broadcast(best), "label")
+        .join(F.broadcast(qs), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rn", sim_rank)
+        .filter(F.col("rn") <= _RECALL_K)
+        .select(F.col("qid").alias("a_qid"), F.col("vec_id").alias("a_vec"))
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("a_qid") == F.col("qid")) & (F.col("a_vec") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("a_vec").alias("n_hits"),
+            F.round(F.count("a_vec") / float(_RECALL_K), 6).alias("recall_at_10"),
+        )
+        .orderBy("qid")
+    )

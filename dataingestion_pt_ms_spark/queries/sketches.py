@@ -569,3 +569,133 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return pc.join(exact, "event_type").orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter build + false-positive-rate audit (round 4): build an
+# m=8190-bit (130 × 63-bit words — bit 63 unused, ANSI-safe like the exact
+# bitmap above), k=3 Bloom filter over the customers-with-orders key set,
+# probe it with the customers WITHOUT orders (guaranteed non-members, so
+# every positive is a false positive), and report measured FPR next to the
+# (1 − e^{−kn/m})^k theory. The md5-prefix hash makes every bit position
+# engine-reproducible (same trick as count-min). At 100 TB the filter is
+# 130 mergeable bigint words built map-side — the shuffle carries words,
+# never keys; this is the engine-agnostic twin of the runtime bloom join
+# (join_bloom_runtime_filter), with the sketch itself auditable.
+# --------------------------------------------------------------------------
+_BLOOM_WORDS = 130
+_BLOOM_M = 63 * _BLOOM_WORDS  # 8190 bits
+_BLOOM_K = 3
+
+_DUCK_BLOOM_POS = (
+    "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(key AS VARCHAR)),"
+    f" 1, 8)) AS BIGINT) % {_BLOOM_M}"
+)
+
+BLOOM_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+), mbits AS (
+  SELECT {_DUCK_BLOOM_POS} AS pos
+  FROM members CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) u
+), words AS (
+  SELECT CAST(pos / 63 AS BIGINT) AS w,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bm
+  FROM mbits GROUP BY w
+), probes AS (
+  SELECT c_custkey AS key FROM customer
+  WHERE c_custkey NOT IN (SELECT key FROM members)
+), pbits AS (
+  SELECT key, {_DUCK_BLOOM_POS} AS pos
+  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) u
+), tested AS (
+  SELECT p.key,
+         min(CASE WHEN (coalesce(words.bm, 0) >> CAST(p.pos % 63 AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS all_set
+  FROM pbits p LEFT JOIN words ON words.w = CAST(p.pos / 63 AS BIGINT)
+  GROUP BY p.key
+), n AS (
+  SELECT CAST((SELECT count(*) FROM members) AS DOUBLE) AS n_members,
+         CAST((SELECT count(*) FROM probes) AS DOUBLE) AS n_probes,
+         CAST((SELECT sum(all_set) FROM tested) AS DOUBLE) AS fp
+)
+SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_probes AS BIGINT) AS n_probes,
+       CAST(fp AS BIGINT) AS false_positives,
+       round(fp / n_probes, 6) AS measured_fpr,
+       round(pow(1.0 - exp(-{_BLOOM_K}.0 * n_members / {_BLOOM_M}.0),
+                 {_BLOOM_K}), 6) AS theory_fpr
+FROM n
+"""
+
+
+@register(
+    "sketch_bloom_fpr_audit", oracle=BLOOM_ORACLE, tags=("sketch", "bloom", "dq")
+)
+def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = orders.select(F.col("o_custkey").alias("key")).distinct()
+    members = members.localCheckpoint(eager=False)  # bits + probe anti-join
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+
+    def pos_expr():
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("j"), F.col("key"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    words = (
+        members.select("key", js)
+        .select((pos_expr()).alias("pos"))
+        .groupBy((F.col("pos") / 63).cast("long").alias("w"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(pos % 63 as int)))").alias("bm")
+        )
+    )
+    probes = cust.select(F.col("c_custkey").alias("key")).join(
+        members, "key", "left_anti"
+    )
+    pbits = probes.select("key", js).select("key", pos_expr().alias("pos"))
+    tested = (
+        pbits.join(F.broadcast(words), (F.col("pos") / 63).cast("long") == F.col("w"), "left")
+        .select(
+            "key",
+            F.expr(
+                "CASE WHEN (shiftright(coalesce(bm, 0L),"
+                " cast(pos % 63 as int)) & 1) = 1 THEN 1 ELSE 0 END"
+            ).alias("hit"),
+        )
+        .groupBy("key")
+        .agg(F.min("hit").alias("all_set"))
+    )
+    stats = (
+        tested.agg(
+            F.count(F.lit(1)).cast("double").alias("n_probes"),
+            F.sum("all_set").cast("double").alias("fp"),
+        )
+        .crossJoin(
+            F.broadcast(members.agg(F.count(F.lit(1)).cast("double").alias("n_members")))
+        )
+    )
+    theory = F.pow(
+        1.0 - F.exp(-float(_BLOOM_K) * F.col("n_members") / float(_BLOOM_M)),
+        float(_BLOOM_K),
+    )
+    return stats.select(
+        F.lit(_BLOOM_M).cast("long").alias("m_bits"),
+        F.lit(_BLOOM_K).cast("long").alias("k_hashes"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_probes").cast("long").alias("n_probes"),
+        F.col("fp").cast("long").alias("false_positives"),
+        F.round(F.col("fp") / F.col("n_probes"), 6).alias("measured_fpr"),
+        F.round(theory, 6).alias("theory_fpr"),
+    )
