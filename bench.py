@@ -164,6 +164,9 @@ BASELINE_SEC = {
     "text_zipf_slope": 0.306,
     "warehouse_benford_audit": 0.591,
     "warehouse_incremental_mv": 0.557,
+    "events_sequence_detect": 0.521,
+    "join_cardinality_estimate": 0.419,
+    "join_scd2_point_in_time": 0.403,
 }
 GUARD_FACTOR = 2.0
 
@@ -311,6 +314,9 @@ HEADLINE = [
     "text_zipf_slope",
     "warehouse_benford_audit",
     "warehouse_incremental_mv",
+    "events_sequence_detect",
+    "join_cardinality_estimate",
+    "join_scd2_point_in_time",
 ]
 
 

@@ -1590,3 +1590,70 @@ def ohlc_candlestick_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_date")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequential pattern detection (round 4): MATCH_RECOGNIZE-style scan for
+# the consecutive pattern view → click → purchase inside each user's
+# ordered event stream, with the whole match within 2 hours. Expressed as
+# two lead() windows over ONE shuffle on user_id — pattern detection as a
+# window scan, never a self-join (the funnel query is the aggregate
+# cousin; this one emits each concrete match). Beyond-reference [NS]
+# (timeseries/window family).
+# --------------------------------------------------------------------------
+SEQ_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+         lead(event_type, 1) OVER w AS t1, lead(ts, 1) OVER w AS ts1,
+         lead(event_id, 1) OVER w AS id1,
+         lead(event_type, 2) OVER w AS t2, lead(ts, 2) OVER w AS ts2,
+         lead(event_id, 2) OVER w AS id2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS view_id, id1 AS click_id, id2 AS purchase_id,
+       strftime(ts, '{_TS_FMT_DUCK}') AS view_ts,
+       round(CAST(epoch_us(ts2) - epoch_us(ts) AS DOUBLE) / 1e6, 6)
+         AS span_seconds
+FROM o
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND epoch_us(ts2) - epoch_us(ts) <= 7200000000::BIGINT
+ORDER BY user_id, view_id
+"""
+
+
+@register(
+    "events_sequence_detect", oracle=SEQ_ORACLE, tags=("timeseries", "window", "pattern")
+)
+def events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_id", 1).over(w).alias("id1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+        F.lead("event_id", 2).over(w).alias("id2"),
+    )
+    span_us = F.unix_micros("ts2") - F.unix_micros("ts")
+    return (
+        o.where(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+            & (span_us <= 7200 * 1_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("id1").alias("click_id"),
+            F.col("id2").alias("purchase_id"),
+            F.date_format("ts", _TS_FMT).alias("view_ts"),
+            F.round(span_us.cast("double") / 1e6, 6).alias("span_seconds"),
+        )
+        .orderBy("user_id", "view_id")
+    )

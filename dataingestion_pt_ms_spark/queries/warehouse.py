@@ -888,3 +888,175 @@ def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("o_orderpriority", "order_month")
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join (round 4): facts (purchase events) matched to the
+# dimension version valid at fact time — THE temporal-warehouse lookup.
+# The dimension is each user's status history (Type-2 runs over the
+# non-purchase event stream, same island build as events_scd2_history).
+# Spark-first mechanism: NOT a range join — dim-version starts and facts
+# are unioned onto one per-user timeline and the valid version is a
+# last(..., ignorenulls) LOCF window (one shuffle + sort per user, O(n),
+# no interval explosion); at equal timestamps the dim row sorts first so
+# `valid_from <= ts` is inclusive, exactly matching the oracle's
+# vf <= ts < vt half-open interval join. Beyond-reference [NS].
+# --------------------------------------------------------------------------
+SCD2_PIT_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM ordered
+), hist AS (
+  SELECT user_id, island, min(event_type) AS state, min(ts) AS vf
+  FROM islands GROUP BY user_id, island
+), hist2 AS (
+  SELECT user_id, state, vf,
+         lead(vf) OVER (PARTITION BY user_id ORDER BY island) AS vt
+  FROM hist
+)
+SELECT f.event_id, f.user_id,
+       strftime(f.ts, '{{TSF}}') AS ts,
+       coalesce(h.state, 'none') AS state_at_purchase,
+       coalesce(strftime(h.vf, '{{TSF}}'), '') AS state_since
+FROM events f
+LEFT JOIN hist2 h
+  ON h.user_id = f.user_id AND h.vf <= f.ts AND (h.vt > f.ts OR h.vt IS NULL)
+WHERE f.event_type = 'purchase'
+ORDER BY f.event_id
+""".replace("{TSF}", "%Y-%m-%d %H:%M:%S.%f")
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle=SCD2_PIT_ORACLE,
+    tags=("warehouse", "join", "scd2"),
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev = load_table(spark, sf_dir, "events")
+    dim_src = ev.filter(F.col("event_type") != "purchase")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    lag_t = F.lag("event_type").over(wo)
+    chg = F.when(
+        lag_t.isNull() | (lag_t != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = dim_src.select(
+        "user_id", "event_type", "ts", F.sum(chg).over(wrun).alias("island")
+    )
+    hist = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+    )
+    dim_rows = hist.select(
+        "user_id",
+        F.col("vf").alias("t"),
+        F.lit(0).alias("is_fact"),
+        F.col("island").alias("tie"),
+        "state",
+        F.col("vf").alias("since"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    fact_rows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_fact"),
+        F.col("event_id").alias("tie"),
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("timestamp").alias("since"),
+        "event_id",
+    )
+    wt = W.partitionBy("user_id").orderBy("t", "is_fact", "tie").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    timeline = dim_rows.unionByName(fact_rows).select(
+        "*",
+        F.last("state", ignorenulls=True).over(wt).alias("cur_state"),
+        F.last("since", ignorenulls=True).over(wt).alias("cur_since"),
+    )
+    return (
+        timeline.filter(F.col("is_fact") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("t", _TS_FMT).alias("ts"),
+            F.coalesce("cur_state", F.lit("none")).alias("state_at_purchase"),
+            F.coalesce(F.date_format("cur_since", _TS_FMT), F.lit("")).alias(
+                "state_since"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimation by key sampling (round 4): the planner-side
+# audit — estimate |customer ⋈ orders on custkey| from a 1/16 deterministic
+# KEY sample (md5(key) % 16 == 0; sampling KEYS not rows is what keeps the
+# estimator unbiased for joins — row sampling squares the inclusion
+# probability of a matched pair), scaled back by 16, next to the exact
+# size. Both engines share the md5 sample so the estimate is reproducible.
+# This is how you cost a join before running it at 100 TB: the sample pass
+# touches 1/16 of the key space and only counts. Beyond-reference [NS].
+# --------------------------------------------------------------------------
+_CARD_MOD = 16
+
+CARD_EST_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey AS key, count(*) AS n_c FROM customer GROUP BY key
+), o AS (
+  SELECT o_custkey AS key, count(*) AS n_o FROM orders GROUP BY key
+), j AS (
+  SELECT c.key, n_c * n_o AS pairs,
+         CAST(('0x' || substr(md5(CAST(c.key AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_CARD_MOD} = 0 AS sampled
+  FROM c JOIN o ON o.key = c.key
+)
+SELECT CAST(sum(pairs) AS BIGINT) AS exact_join_size,
+       CAST(sum(CASE WHEN sampled THEN pairs ELSE 0 END) * {_CARD_MOD}
+            AS BIGINT) AS estimated_join_size,
+       round(abs(sum(CASE WHEN sampled THEN pairs ELSE 0 END) * {_CARD_MOD}.0
+                 - sum(pairs)) / sum(pairs), 6) AS rel_error
+FROM j
+"""
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=CARD_EST_ORACLE,
+    tags=("warehouse", "join", "stats"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c = cust.groupBy(F.col("c_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    o = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    sampled = (
+        F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _CARD_MOD
+        == 0
+    )
+    j = c.join(o, "key").select(
+        (F.col("n_c") * F.col("n_o")).alias("pairs"), sampled.alias("sampled")
+    )
+    est = F.sum(F.when(F.col("sampled"), F.col("pairs")).otherwise(0)) * _CARD_MOD
+    exact = F.sum("pairs")
+    return j.agg(
+        exact.cast("long").alias("exact_join_size"),
+        est.cast("long").alias("estimated_join_size"),
+        F.round(F.abs(est.cast("double") - exact) / exact, 6).alias("rel_error"),
+    )
