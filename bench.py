@@ -167,6 +167,8 @@ BASELINE_SEC = {
     "events_sequence_detect": 0.521,
     "join_cardinality_estimate": 0.419,
     "join_scd2_point_in_time": 0.403,
+    "events_sliding_7d_distinct": 0.68,
+    "ohlc_trend_forecast": 0.337,
 }
 GUARD_FACTOR = 2.0
 
@@ -317,6 +319,8 @@ HEADLINE = [
     "events_sequence_detect",
     "join_cardinality_estimate",
     "join_scd2_point_in_time",
+    "events_sliding_7d_distinct",
+    "ohlc_trend_forecast",
 ]
 
 

@@ -35,7 +35,7 @@ bounded-state generalizations of those counters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -698,4 +698,59 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").cast("long").alias("false_positives"),
         F.round(F.col("fp") / F.col("n_probes"), 6).alias("measured_fpr"),
         F.round(theory, 6).alias("theory_fpr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding 7-day EXACT distinct users (round 4): the classic "hard" sliding
+# aggregate — distinct doesn't decompose over overlapping windows, so the
+# naive form rescans 7 days of raw events per output day. Mergeable-bitmap
+# form: one (day, word) bit_or pass over the events (the same 63-bit words
+# as agg_bitmap_exact_distinct), then a RANGE(-6 days) window OR per word
+# over the dense day×word grid, then popcount — raw events are read ONCE
+# however many windows overlap, and the window state is words (users/63
+# bigints), not user ids. The oracle is the semantically-direct correlated
+# count(DISTINCT) — the two must agree exactly. Beyond-reference [NS].
+# --------------------------------------------------------------------------
+SLIDING_DISTINCT_ORACLE = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST((SELECT count(DISTINCT e.user_id) FROM events e
+             WHERE e.ts >= d - INTERVAL 6 DAY
+               AND e.ts < d + INTERVAL 1 DAY) AS BIGINT) AS users_7d
+FROM days ORDER BY day
+"""
+
+
+@register(
+    "events_sliding_7d_distinct",
+    oracle=SLIDING_DISTINCT_ORACLE,
+    tags=("sketch", "bitmap", "timeseries"),
+)
+def events_sliding_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.select(
+        F.date_trunc("day", "ts").alias("d"),
+        (F.col("user_id") / 63).cast("long").alias("w"),
+        F.expr("shiftleft(1L, cast(user_id % 63 as int))").alias("bit"),
+    ).groupBy("d", "w").agg(F.expr("bit_or(bit)").alias("bm"))
+    per_day = per_day.localCheckpoint(eager=False)  # grid + window branches
+    # dense day×word grid so the RANGE window sees every word on every day
+    # (a word absent on day d but present within the window must still OR in)
+    days = per_day.select("d").distinct()
+    words = per_day.select("w").distinct()
+    grid = days.crossJoin(F.broadcast(words))
+    filled = grid.join(per_day, ["d", "w"], "left").select(
+        "d", "w", F.coalesce("bm", F.lit(0)).alias("bm"),
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).alias("di"),
+    )
+    win = W.partitionBy("w").orderBy("di").rangeBetween(-6, 0)
+    rolled = filled.select(
+        "d", "w", F.expr("bit_or(bm)").over(win).alias("bm7")
+    )
+    return (
+        rolled.groupBy("d")
+        .agg(F.sum(F.bit_count("bm7")).alias("users_7d"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "users_7d")
+        .orderBy("day")
     )

@@ -1657,3 +1657,57 @@ def events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "view_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-symbol linear trend + next-day forecast (round 4): least-squares fit
+# of close vs day index per event_type (built-in regr_slope/regr_intercept
+# both engines — one grouped aggregate over the daily bars, no iteration),
+# forecast = intercept + slope · (max_index + 1). The per-series
+# mini-model shape (one model per key, fit as an aggregate) that a
+# forecasting pipeline fans out across millions of series.
+# Beyond-reference [NS] (timeseries family).
+# --------------------------------------------------------------------------
+TREND_ORACLE = f"""
+WITH {_DAILY_BARS_CTE},
+idx AS (
+  SELECT event_type, bar_date, close,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bar_date) - 1
+              AS DOUBLE) AS di
+  FROM bars
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(regr_slope(close, di), 6) AS slope,
+       round(regr_intercept(close, di), 6) AS intercept,
+       round(regr_intercept(close, di) + regr_slope(close, di) * max(di + 1), 6)
+         AS next_day_forecast
+FROM idx GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "ohlc_trend_forecast", oracle=TREND_ORACLE, tags=("timeseries", "ohlc", "stats")
+)
+def ohlc_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("bar_date")
+    idx = bars.select(
+        "event_type",
+        "close",
+        (F.row_number().over(w) - 1).cast("double").alias("di"),
+    )
+    slope = F.regr_slope("close", "di")
+    intercept = F.regr_intercept("close", "di")
+    return (
+        idx.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(intercept + slope * F.max(F.col("di") + 1), 6).alias(
+                "next_day_forecast"
+            ),
+        )
+        .orderBy("event_type")
+    )
