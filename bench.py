@@ -169,6 +169,7 @@ BASELINE_SEC = {
     "join_scd2_point_in_time": 0.403,
     "events_sliding_7d_distinct": 0.68,
     "ohlc_trend_forecast": 0.337,
+    "events_ks_drift_test": 1.323,
 }
 GUARD_FACTOR = 2.0
 
@@ -321,6 +322,7 @@ HEADLINE = [
     "join_scd2_point_in_time",
     "events_sliding_7d_distinct",
     "ohlc_trend_forecast",
+    "events_ks_drift_test",
 ]
 
 

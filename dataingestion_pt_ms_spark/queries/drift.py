@@ -616,3 +616,154 @@ def events_bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cv",
         ((F.col("n_gaps") >= 20) & (F.col("cv") < 0.1)).alias("bot_flag"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test (round 4): KS = max |F_a − F_b|
+# between the click and purchase value distributions, with the 5%
+# asymptotic critical value 1.36·√((n_a+n_b)/(n_a·n_b)) alongside — the
+# standard nonparametric "did the distribution move" gate. Scale shape:
+# the CDFs step only at DISTINCT values, so the union collapses to one
+# (value, n_a, n_b) table (bounded by the value domain, not the stream),
+# and the running counts come from operators/ranking.global_running_sum —
+# the range-partitioned distributed prefix sum, never a single-reducer
+# global window. The drift flag compares the two 6-dp-rounded numbers so
+# it is engine-stable. Beyond-reference [NS] (drift/stats family).
+# --------------------------------------------------------------------------
+KS_ORACLE = """
+WITH tagged AS (
+  SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+  FROM events WHERE event_type IN ('click', 'purchase')
+), pv AS (
+  SELECT value, CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b
+  FROM tagged GROUP BY value
+), c AS (
+  SELECT sum(n_a) OVER w AS ca, sum(n_b) OVER w AS cb
+  FROM pv WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+), t AS (
+  SELECT CAST(sum(n_a) AS DOUBLE) AS na, CAST(sum(n_b) AS DOUBLE) AS nb
+  FROM pv
+)
+SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_purchase,
+       round(max(abs(ca / na - cb / nb)), 6) AS ks_stat,
+       round(1.36 * sqrt((na + nb) / (na * nb)), 6) AS crit_05,
+       round(max(abs(ca / na - cb / nb)), 6)
+         > round(1.36 * sqrt((na + nb) / (na * nb)), 6) AS drifted
+FROM c CROSS JOIN t
+GROUP BY na, nb
+"""
+
+
+@register("events_ks_drift_test", oracle=KS_ORACLE, tags=("drift", "stats"))
+def events_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ib"),
+    )
+    pv = tagged.groupBy("value").agg(
+        F.sum("ia").alias("n_a"), F.sum("ib").alias("n_b")
+    )
+    cum = global_running_sum(pv, "n_a", ["value"], out_col="ca")
+    cum = global_running_sum(cum, "n_b", ["value"], out_col="cb")
+    totals = pv.agg(
+        F.sum("n_a").cast("double").alias("na"),
+        F.sum("n_b").cast("double").alias("nb"),
+    )
+    d = cum.crossJoin(F.broadcast(totals)).select(
+        "na",
+        "nb",
+        F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")).alias("dev"),
+    )
+    crit = F.round(
+        1.36 * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb"))), 6
+    )
+    return d.groupBy("na", "nb").agg(F.round(F.max("dev"), 6).alias("ks_stat")).select(
+        F.col("na").cast("long").alias("n_click"),
+        F.col("nb").cast("long").alias("n_purchase"),
+        "ks_stat",
+        crit.alias("crit_05"),
+        (F.col("ks_stat") > crit).alias("drifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B Welch t-test (round 4): users deterministically split into two arms
+# by md5(user_id) parity (the content-stable assignment the curation
+# splits use — no RNG), then Welch's unequal-variance t statistic and
+# Welch–Satterthwaite degrees of freedom over click values. Two grouped
+# aggregates + a one-row combine; the experiment-analysis primitive.
+# Beyond-reference [NS] (stats family).
+# --------------------------------------------------------------------------
+AB_TTEST_ORACLE = """
+WITH assigned AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2 AS arm,
+         value
+  FROM events WHERE event_type = 'click'
+), s AS (
+  SELECT arm, CAST(count(*) AS DOUBLE) AS n, avg(value) AS m,
+         var_samp(value) AS v
+  FROM assigned GROUP BY arm
+), wide AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS na,
+         max(CASE WHEN arm = 0 THEN m END) AS ma,
+         max(CASE WHEN arm = 0 THEN v END) AS va,
+         max(CASE WHEN arm = 1 THEN n END) AS nb,
+         max(CASE WHEN arm = 1 THEN m END) AS mb,
+         max(CASE WHEN arm = 1 THEN v END) AS vb
+  FROM s
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+       round(pow(va / na + vb / nb, 2)
+             / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)),
+             6) AS welch_df
+FROM wide
+"""
+
+
+@register("events_ab_welch_ttest", oracle=AB_TTEST_ORACLE, tags=("drift", "stats"))
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    s = (
+        ev.where(F.col("event_type") == "click")
+        .select(arm.alias("arm"), "value")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    wide = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{'a' if a == 0 else 'b'}")
+            for a in (0, 1)
+            for c in ("n", "m", "v")
+        ]
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+        + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+    )
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(df_w, 6).alias("welch_df"),
+    )
