@@ -235,3 +235,45 @@ def test_covariance_matrix_is_join_free(spark, sf_dir):
     plan = formatted_plan(emb_covariance_matrix(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_scd2_pit_join_is_join_free(spark, sf_dir):
+    """The point-in-time lookup must be the union+LOCF timeline (one sort
+    per user), never a range/interval join — no Join node at all."""
+    from dataingestion_pt_ms_spark.queries.warehouse import join_scd2_point_in_time
+
+    plan = formatted_plan(join_scd2_point_in_time(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_sliding_distinct_grid_broadcasts(spark, sf_dir):
+    """The day×word grid cross must ship the tiny word list broadcast
+    (BroadcastNestedLoopJoin), never a CartesianProduct, and the bitmap
+    build must partial-aggregate map-side."""
+    from dataingestion_pt_ms_spark.queries.sketches import events_sliding_7d_distinct
+
+    plan = formatted_plan(events_sliding_7d_distinct(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ks_test_no_global_window(spark, sf_dir):
+    """The KS CDF cumsum must never run a window over one global
+    partition: every Window node visible in the plan partitions by the
+    prefix-sum's _pid (the range-partitioned distributed prefix sum; its
+    internal rangepartitioning exchange sits behind a localCheckpoint, so
+    assert the absence of the anti-pattern rather than the exchange)."""
+    from dataingestion_pt_ms_spark.queries.drift import events_ks_drift_test
+
+    plan = formatted_plan(events_ks_drift_test(spark, sf_dir))
+    window_lines = [l for l in plan.splitlines() if l.strip().startswith("Window")]
+    # formatted plans show window partition specs in the detail section;
+    # a single-partition window would also force Exchange SinglePartition
+    # ahead of a Window — assert that pairing never occurs
+    assert "windowspartitionby" not in plan.lower().replace(" ", "")
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Window" in l and "Exchange SinglePartition" in "".join(lines[max(0, i - 3):i]):
+            raise AssertionError(f"global window at plan line {i}: {l}")
