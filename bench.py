@@ -170,6 +170,8 @@ BASELINE_SEC = {
     "events_sliding_7d_distinct": 0.68,
     "ohlc_trend_forecast": 0.337,
     "events_ks_drift_test": 1.323,
+    "events_ab_welch_ttest": 0.252,
+    "sim_dbscan_cells": 3.558,
 }
 GUARD_FACTOR = 2.0
 
@@ -323,6 +325,8 @@ HEADLINE = [
     "events_sliding_7d_distinct",
     "ohlc_trend_forecast",
     "events_ks_drift_test",
+    "events_ab_welch_ttest",
+    "sim_dbscan_cells",
 ]
 
 

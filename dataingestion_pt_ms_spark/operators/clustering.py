@@ -233,3 +233,87 @@ def pq_adc_topk(
         .orderBy("approx_l2sq", key_col)
         .limit(k)
     )
+
+
+def density_clusters(
+    corpus: DataFrame,
+    eps_cosine: float = 0.15,
+    min_pts: int = 3,
+    block_col: str = "label",
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-blocked DBSCAN over an embedding column: a vector is a CORE
+    point when ≥ ``min_pts`` same-cell neighbours sit within the cosine
+    radius (rounded cosine ≥ ``eps_cosine`` — rounding first keeps the
+    radius boundary engine-stable); clusters are the connected components
+    of the core-core neighbour graph (``graph.connected_components``, the
+    pointer-jumping CC); non-core vectors adjacent to a core join that
+    core's cluster as BORDER points (smallest adjacent cluster id —
+    deterministic); everything else is NOISE (cluster_id −1).
+
+    Scale shape: the neighbour search is blocked on ``block_col`` (IVF
+    cells), so the pair space is Σ|cell|², never corpus² — the same bound
+    as every blocked similarity operator here; CC runs on the (sparse)
+    core graph only. Returns (key, block, role, cluster_id).
+    """
+    from .graph import connected_components
+    from .similarity import blocked_cosine_pairs
+
+    # per-cell cosine matrices via the numpy-GEMM pair operator (identical
+    # 6-dp rounded cosines to the expression/oracle path; ~5× faster than
+    # the interpreted HOF at |cell| in the hundreds)
+    pairs = (
+        blocked_cosine_pairs(
+            corpus, eps_cosine, block_col=block_col, key_col=key_col, vec_col=vec_col
+        )
+        .select(
+            F.col("key_a").alias("ka"),
+            F.col("key_b").alias("kb"),
+            F.col("cosine_sim").alias("c"),
+        )
+        .localCheckpoint(eager=False)  # counts, core edges, border join
+    )
+    neigh = (
+        pairs.select(F.col("ka").alias("k"), F.col("kb").alias("n"))
+        .unionByName(pairs.select(F.col("kb").alias("k"), F.col("ka").alias("n")))
+    )
+    deg = neigh.groupBy("k").agg(F.count(F.lit(1)).alias("n_neigh"))
+    keys = corpus.select(
+        F.col(key_col).alias("k"), F.col(block_col).alias("blk")
+    )
+    roles = keys.join(deg, "k", "left").select(
+        "k",
+        "blk",
+        F.coalesce("n_neigh", F.lit(0)).alias("n_neigh"),
+    )
+    cores = roles.filter(F.col("n_neigh") >= min_pts).select("k")
+    cores = cores.localCheckpoint(eager=False)
+    core_edges = (
+        pairs.join(cores.withColumnRenamed("k", "ka"), "ka", "left_semi")
+        .join(cores.withColumnRenamed("k", "kb"), "kb", "left_semi")
+        .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+    )
+    cc = connected_components(core_edges, nodes=cores, node_col="k")
+    core_assign = cc.select(
+        F.col("node").alias("k"), F.col("component").alias("cluster_id")
+    )
+    border_assign = (
+        neigh.join(cores.withColumnRenamed("k", "n"), "n", "left_semi")
+        .join(core_assign.withColumnRenamed("k", "n"), "n")
+        .join(cores, "k", "left_anti")
+        .groupBy("k")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    assigned = core_assign.withColumn("role", F.lit("core")).unionByName(
+        border_assign.withColumn("role", F.lit("border"))
+    )
+    return (
+        roles.join(assigned, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("blk").alias(block_col),
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id"),
+        )
+    )

@@ -1170,3 +1170,74 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# Cell-blocked DBSCAN density clustering (round 4): core points have ≥ 3
+# same-cell neighbours at rounded-cosine ≥ 0.15, clusters = connected
+# components of the core graph (Spark: the pointer-jumping CC operator;
+# oracle: a min-label recursive CTE restricted to labels below the node,
+# which converges to the component minimum), borders join their smallest
+# adjacent core cluster, everything else is noise (−1). Pair space is
+# Σ|cell|² via label blocking; CC touches only the sparse core graph.
+# Beyond-reference [NS] (SURVEY.md §2.B clustering family).
+# --------------------------------------------------------------------------
+_DB_EPS = 0.15
+_DB_MINPTS = 3
+
+DBSCAN_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), p AS (
+  SELECT a.vec_id AS ka, b.vec_id AS kb
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_DB_EPS}
+), nb AS (
+  SELECT ka AS k, kb AS nbr FROM p UNION ALL SELECT kb, ka FROM p
+), deg AS (
+  SELECT k, count(*) AS n_neigh FROM nb GROUP BY k
+), cores AS (
+  SELECT k FROM deg WHERE n_neigh >= {_DB_MINPTS}
+), ce2 AS (
+  SELECT ka AS a, kb AS b FROM p
+  WHERE ka IN (SELECT k FROM cores) AND kb IN (SELECT k FROM cores)
+  UNION
+  SELECT kb, ka FROM p
+  WHERE ka IN (SELECT k FROM cores) AND kb IN (SELECT k FROM cores)
+), walk(node, lbl) AS (
+  SELECT k, k FROM cores
+  UNION
+  SELECT ce2.b, w.lbl FROM walk w JOIN ce2 ON ce2.a = w.node
+  WHERE w.lbl < ce2.b
+), assign AS (
+  SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node
+), border AS (
+  SELECT nb.k, min(a2.cluster_id) AS cluster_id
+  FROM nb
+  JOIN cores c ON c.k = nb.nbr
+  JOIN assign a2 ON a2.node = nb.nbr
+  WHERE nb.k NOT IN (SELECT k FROM cores)
+  GROUP BY nb.k
+)
+SELECT e.vec_id, e.label,
+       CASE WHEN a.node IS NOT NULL THEN 'core'
+            WHEN b.k IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(a.cluster_id, b.cluster_id, -1) AS cluster_id
+FROM e
+LEFT JOIN assign a ON a.node = e.vec_id
+LEFT JOIN border b ON b.k = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+@register(
+    "sim_dbscan_cells", oracle=DBSCAN_ORACLE, tags=("llm", "clustering", "graph")
+)
+def sim_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import density_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return density_clusters(
+        emb, eps_cosine=_DB_EPS, min_pts=_DB_MINPTS
+    ).orderBy("vec_id")

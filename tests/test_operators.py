@@ -966,6 +966,39 @@ def test_pagerank_iters_validated(spark):
         pagerank(edges, iters=0)
 
 
+def test_density_clusters_roles(spark):
+    """Hand-built cell: three mutually-close vectors (cores, one cluster),
+    one vector near a single core (border), one far vector (noise)."""
+    from dataingestion_pt_ms_spark.operators.clustering import density_clusters
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.1, 0.0], 0),
+        (3, [0.98, 0.15, 0.0], 0),
+        (4, [0.95, 0.2, 0.0], 0),   # close to 1-3 too (still core)
+        (5, [0.0, 1.0, 0.0], 0),    # orthogonal to the bundle: noise
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r.vec_id: (r.role, r.cluster_id)
+        for r in density_clusters(df, eps_cosine=0.9, min_pts=3).collect()
+    }
+    assert got[1] == ("core", 1)
+    assert got[2] == ("core", 1)
+    assert got[3] == ("core", 1)
+    assert got[4] == ("core", 1)
+    assert got[5] == ("noise", -1)
+    # border case: drop vec 4's closeness by raising min_pts
+    got2 = {
+        r.vec_id: (r.role, r.cluster_id)
+        for r in density_clusters(df, eps_cosine=0.9, min_pts=4).collect()
+    }
+    assert got2[5] == ("noise", -1)
+    assert all(got2[k][0] in ("core", "border", "noise") for k in got2)
+
+
 def test_hits_star_graph(spark):
     """On a star 1→{2,3,4}: node 1 is the only hub (authority 0), leaves
     are pure authorities (hub 0) with equal scores 1/√3; L2 norms are 1."""
