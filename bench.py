@@ -172,6 +172,7 @@ BASELINE_SEC = {
     "events_ks_drift_test": 1.323,
     "events_ab_welch_ttest": 0.252,
     "sim_dbscan_cells": 3.558,
+    "graph_cheapest_path_rounds": 2.653,
 }
 GUARD_FACTOR = 2.0
 
@@ -327,6 +328,7 @@ HEADLINE = [
     "events_ks_drift_test",
     "events_ab_welch_ttest",
     "sim_dbscan_cells",
+    "graph_cheapest_path_rounds",
 ]
 
 

@@ -590,3 +590,48 @@ def hits(
     return h.join(a, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("authority")
     )
+
+
+def bellman_ford_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+) -> DataFrame:
+    """(node, dist): cheapest known path cost from the seed set after a
+    FIXED number of synchronous Bellman-Ford relaxation rounds over an
+    undirected weighted graph — the weighted companion of ``bfs_hops``
+    (hop distance ⊂ this with cost ≡ 1). Fixed rounds keep the result
+    exactly reproducible by unrolled SQL CTEs (house oracle strategy);
+    a round that relaxes nothing is already the fixpoint.
+
+    Scale shape per round: one edge-sized join + groupBy(node) min — the
+    frontier-less dense form (correct even when negative... costs here are
+    positive; for sparse frontiers bfs_hops' delta expansion is the model).
+    State is one (node, dist) row per reached node; localCheckpoint per
+    round truncates the iterative lineage.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), F.col(cost).alias("c"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"), F.col(cost).alias("c"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select(F.col("node"), F.lit(0).cast("long").alias("dist")).distinct()
+    for _ in range(rounds):
+        relaxed = (
+            sym.join(dist.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), (F.col("dist") + F.col("c")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -520,3 +520,75 @@ def graph_hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "hub", "authority")
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted cheapest-path distances (round 4): bounded Bellman-Ford from
+# the Brand#4 seed parts over the co-purchase graph, edge cost =
+# 1000 // support (integer floor-division — exact in both engines; strong
+# co-purchase links are cheap to traverse). Three unrolled relaxation
+# rounds, MATERIALIZED per round. The weighted companion of the BFS hop
+# query. Beyond-reference [NS] (graph family).
+# --------------------------------------------------------------------------
+_BF_ROUNDS = 3
+
+_BF_EDGES_SQL = """
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         1000 // count(*) AS cost
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v
+  HAVING count(*) >= 2
+"""
+
+_BF_ROUND_CTES = "".join(
+    f""",
+d{t} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{t - 1}
+    UNION ALL
+    SELECT e.b, d{t - 1}.dist + e.cost FROM d{t - 1} JOIN e ON e.a = d{t - 1}.node
+  ) GROUP BY node
+)"""
+    for t in range(1, _BF_ROUNDS + 1)
+)
+
+BF_ORACLE = f"""
+WITH e0 AS ({_BF_EDGES_SQL}),
+e AS (SELECT u AS a, v AS b, cost FROM e0 UNION ALL SELECT v, u, cost FROM e0),
+d0 AS (SELECT DISTINCT p_partkey AS node, 0 AS dist
+       FROM part WHERE p_brand = 'Brand#4'){_BF_ROUND_CTES}
+SELECT node, CAST(dist AS BIGINT) AS dist
+FROM d{_BF_ROUNDS} ORDER BY node
+"""
+
+
+@register(
+    "graph_cheapest_path_rounds", oracle=BF_ORACLE, tags=("graph", "iterative")
+)
+def graph_cheapest_path_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bellman_ford_rounds
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select(
+            "u", "v", F.floor(F.lit(1000) / F.col("sup")).cast("long").alias("cost")
+        )
+    )
+    seeds = part.filter(F.col("p_brand") == "Brand#4").select(
+        F.col("p_partkey").alias("node")
+    )
+    d = bellman_ford_rounds(
+        edges, seeds, rounds=_BF_ROUNDS, src="u", dst="v", cost="cost"
+    )
+    return d.select("node", F.col("dist").cast("long").alias("dist")).orderBy("node")
