@@ -173,6 +173,7 @@ BASELINE_SEC = {
     "events_ab_welch_ttest": 0.252,
     "sim_dbscan_cells": 3.558,
     "graph_cheapest_path_rounds": 2.653,
+    "emb_hard_negative_mining": 1.343,
 }
 GUARD_FACTOR = 2.0
 
@@ -329,6 +330,7 @@ HEADLINE = [
     "events_ab_welch_ttest",
     "sim_dbscan_cells",
     "graph_cheapest_path_rounds",
+    "emb_hard_negative_mining",
 ]
 
 

@@ -1241,3 +1241,103 @@ def sim_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_clusters(
         emb, eps_cosine=_DB_EPS, min_pts=_DB_MINPTS
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Contrastive-pair mining (round 4): for each anchor in a fixed panel, the
+# strongest POSITIVE (highest cosine, same label, not self) and the
+# HARDEST NEGATIVE (highest cosine, different label) plus the margin
+# between them — the batch-mining step that builds triplet/contrastive
+# training data for embedding models. Pair space is panel × corpus (the
+# panel broadcasts); rankings tie-break on (rounded cosine, vec_id) so
+# the winner is engine-independent. Beyond-reference [NS]
+# (training-data-pipeline family).
+# --------------------------------------------------------------------------
+_MINE_NQ = 20
+
+HARDNEG_ORACLE = f"""
+WITH qs AS (
+  SELECT vec_id AS anchor, label AS a_label, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_MINE_NQ}
+), scored AS (
+  SELECT qs.anchor, qs.a_label, e.vec_id, e.label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], qs.qv), 6) AS c
+  FROM embeddings e, qs WHERE e.vec_id <> qs.anchor
+), pos AS (
+  SELECT anchor, vec_id AS pos_id, c AS pos_sim FROM (
+    SELECT anchor, vec_id, c,
+           row_number() OVER (PARTITION BY anchor ORDER BY c DESC, vec_id) AS rn
+    FROM scored WHERE label = a_label
+  ) WHERE rn = 1
+), neg AS (
+  SELECT anchor, vec_id AS neg_id, c AS neg_sim FROM (
+    SELECT anchor, vec_id, c,
+           row_number() OVER (PARTITION BY anchor ORDER BY c DESC, vec_id) AS rn
+    FROM scored WHERE label <> a_label
+  ) WHERE rn = 1
+)
+SELECT pos.anchor, pos_id, pos_sim, neg_id, neg_sim,
+       round(pos_sim - neg_sim, 6) AS margin
+FROM pos JOIN neg ON neg.anchor = pos.anchor
+ORDER BY pos.anchor
+"""
+
+
+@register(
+    "emb_hard_negative_mining",
+    oracle=HARDNEG_ORACLE,
+    tags=("llm", "embedding", "curation"),
+)
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _MINE_NQ).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    scored = (
+        emb.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("anchor"))
+        .select(
+            "anchor",
+            "a_label",
+            "vec_id",
+            "label",
+            F.round(cosine_similarity("v", "qv"), 6).alias("c"),
+        )
+        .localCheckpoint(eager=False)  # pos + neg branches share the scan
+    )
+    wq = W.partitionBy("anchor").orderBy(F.col("c").desc(), "vec_id")
+
+    def top1(df, out_id, out_sim):
+        return (
+            df.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") == 1)
+            .select(
+                "anchor",
+                F.col("vec_id").alias(out_id),
+                F.col("c").alias(out_sim),
+            )
+        )
+
+    pos = top1(scored.filter(F.col("label") == F.col("a_label")), "pos_id", "pos_sim")
+    neg = top1(scored.filter(F.col("label") != F.col("a_label")), "neg_id", "neg_sim")
+    return (
+        pos.join(neg, "anchor")
+        .select(
+            "anchor",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+        .orderBy("anchor")
+    )
