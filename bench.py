@@ -57,8 +57,8 @@ BASELINE_SEC = {
     "pipeline_pretrain_corpus": 1.3,
     "text_quality_score": 0.15,
     "dedup_exact_groups": 0.17,
-    "dedup_minhash_lsh_pairs": 4.5,  # xxhash64 path since round 3
-    "dedup_cross_corpus_minhash": 2.5,  # xxhash64 path since round 3
+    "dedup_minhash_lsh_pairs": 3.1,  # xxhash64 path since round 3
+    "dedup_cross_corpus_minhash": 3.6,  # xxhash64 path since round 3
     "text_unigram_logprob": 0.63,
     "text_bigram_logprob": 1.26,
     "docs_source_stats": 0.15,
@@ -83,7 +83,7 @@ BASELINE_SEC = {
     "docs_shard_manifest": 0.76,
     "sim_rrf_hybrid_fusion": 0.96,
     "pipeline_curation_v2": 2.05,
-    "dedup_containment_pairs": 4.45,
+    "dedup_containment_pairs": 2.93,
     "graph_copurchase_link_prediction": 3.26,
     "agg_hll_intersection_estimate": 0.87,
     "warehouse_key_skew_audit": 0.33,
@@ -105,13 +105,13 @@ BASELINE_SEC = {
     "dedup_cluster_keep_longest": 2.305,
     "dedup_cluster_near_dups": 8.169,
     "dedup_cross_corpus_minhash_md5": 3.528,
-    "dedup_estimator_error_profile": 2.748,
-    "dedup_incremental_minhash": 3.41,
-    "dedup_lsh_band_cost_audit": 1.813,
-    "dedup_minhash_lsh_pairs_md5": 3.755,
+    "dedup_estimator_error_profile": 2.45,
+    "dedup_incremental_minhash": 3.05,
+    "dedup_lsh_band_cost_audit": 1.21,
+    "dedup_minhash_lsh_pairs_md5": 2.93,
     "dedup_ngram_jaccard_pairs": 0.487,
     "dedup_simhash_pairs": 2.243,
-    "dedup_source_overlap_matrix": 8.289,
+    "dedup_source_overlap_matrix": 1.38,
     "docs_source_kl_divergence": 0.363,
     "events_anomaly_mad": 0.549,
     "events_markov_transitions": 0.421,
@@ -149,8 +149,8 @@ BASELINE_SEC = {
     "sim_kmeans_clusters": 0.932,
     "sim_knn_graph_cells": 7.358,
     "text_chunk_documents": 0.377,
-    "text_contamination_check": 7.74,
-    "text_duplicate_ngram_fraction": 5.003,
+    "text_contamination_check": 0.46,
+    "text_duplicate_ngram_fraction": 0.57,
     "text_feature_hashing": 0.376,
     "text_line_dedup_boilerplate": 0.328,
     "text_pack_sequences": 0.327,

@@ -116,8 +116,6 @@ def minhash_signature(
       SQL oracle (candidate *recall* is the only hash-dependent part; the
       exact-Jaccard verify step is hash-independent).
     """
-    # spread CPU-bound work: one small parquet file = one partition otherwise
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     if base_hash == "xxhash64":
         hash_expr = F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE31))
     elif base_hash == "md5":
@@ -127,10 +125,26 @@ def minhash_signature(
         )
     else:
         raise ValueError(f"base_hash must be 'md5' or 'xxhash64', got {base_hash!r}")
-    exploded = df.select(
-        F.col(key_col),
-        F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("_s"),
-    ).select(key_col, hash_expr.alias("_h"))
+    # Codegen shingle stream (round 4; BENCH §4 lesson): posexplode tokens →
+    # k−1 window leads → concat_ws, whole-stage codegen end-to-end — the
+    # array-building `shingles` HOF is interpreted per element and measured
+    # 7+ s/5k docs alone at sf0.1. The lead stream emits duplicate shingles
+    # where the HOF emitted array_distinct ones; the 64 min-aggregates are
+    # duplicate-insensitive, so signatures are bit-identical. The window's
+    # (key) exchange doubles as the groupBy distribution — one shuffle,
+    # and short docs (< k tokens) drop out exactly as before.
+    from pyspark.sql import Window as _W
+
+    wd = _W.partitionBy(key_col).orderBy("_pos")
+    leads = [F.lead("_t", j).over(wd) for j in range(1, shingle_k)]
+    tokd = df.select(
+        F.col(key_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t")
+    )
+    sh_stream = tokd.select(
+        F.col(key_col), F.concat_ws(" ", F.col("_t"), *leads).alias("_s"),
+        (leads[-1] if leads else F.col("_t")).alias("_guard"),
+    ).where(F.col("_guard").isNotNull()).drop("_guard")
+    exploded = sh_stream.select(key_col, hash_expr.alias("_h"))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE31))).alias(
             f"_m{p}"

@@ -307,34 +307,57 @@ def contamination_check(
     short docs through unexamined.
     """
 
-    def _sh(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(key_col),
-            F.explode_outer(shingles(tokens(F.col(text_col)), shingle_k)).alias("_s"),
-        ).select(key_col, F.md5("_s").alias("_h"))
+    from pyspark.sql import Window as W
 
-    bench = (
-        _sh(benchmark)
-        .select("_h")
-        .filter(F.col("_h").isNotNull())
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
+    def _sh(df: DataFrame) -> DataFrame:
+        # codegen shingle stream (round 4 — the array-building HOF is
+        # interpreted per element, see minhash_signature): posexplode →
+        # k−1 leads → concat_ws → md5, then per-doc distinct (the HOF
+        # path's array_distinct semantic)
+        wd = W.partitionBy(key_col).orderBy("_pos")
+        leads = [F.lead("_t", j).over(wd) for j in range(1, shingle_k)]
+        tokd = df.select(
+            F.col(key_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t")
+        )
+        return (
+            tokd.select(
+                F.col(key_col),
+                F.md5(F.concat_ws(" ", F.col("_t"), *leads)).alias("_h"),
+                (leads[-1] if leads else F.col("_t")).alias("_g"),
+            )
+            .where(F.col("_g").isNotNull())
+            .drop("_g")
+            .distinct()
+        )
+
+    bench = _sh(benchmark).select("_h").distinct().withColumn("_hit", F.lit(1))
     counted = (
         _sh(corpus)
         .join(F.broadcast(bench), "_h", "left")
         .groupBy(key_col)
         .agg(
-            F.count("_h").alias("n_shingles"),  # non-null = real shingles
+            F.count("_h").alias("n_shingles"),
             F.count("_hit").alias("n_contaminated"),
         )
     )
-    return counted.withColumn(
-        "contamination_ratio",
-        F.when(
-            F.col("n_shingles") > 0,
-            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
-        ),
+    # every corpus doc must appear: docs too short to shingle (< shingle_k
+    # tokens) dropped out of the lead stream — re-attach with n_shingles=0
+    # and a NULL ratio ("uncheckable", distinct from 0.0 "checked, clean")
+    return (
+        corpus.select(key_col)
+        .join(counted, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+            ),
+        )
     )
 
 
@@ -439,20 +462,26 @@ def duplicate_ngram_fraction(
     a second map-side-combined aggregate on key — two shuffles, both on
     keys, nothing corpus-global.
     """
-    toks = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    per_gram = (
-        df.select(F.col(key_col), F.explode(grams).alias("gram"))
-        .groupBy(key_col, "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+
+    # codegen n-gram stream (posexplode + leads — occurrence counts need
+    # the duplicates, so no distinct; see minhash_signature for the trade)
+    wd = W.partitionBy(key_col).orderBy("_pos")
+    leads = [F.lead("_t", j).over(wd) for j in range(1, n)]
+    tokd = df.select(
+        F.col(key_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t")
+    )
+    gram_stream = (
+        tokd.select(
+            F.col(key_col),
+            F.concat_ws(" ", F.col("_t"), *leads).alias("gram"),
+            (leads[-1] if leads else F.col("_t")).alias("_g"),
+        )
+        .where(F.col("_g").isNotNull())
+        .drop("_g")
+    )
+    per_gram = gram_stream.groupBy(key_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     return (
         per_gram.groupBy(key_col)

@@ -685,17 +685,48 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textfns import shingles, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "source", F.explode(shingles(tokens(F.col("text")))).alias("sh")
-    ).distinct()
+    # Codegen shingle build (BENCH §4 lesson: the array-building `shingles`
+    # HOF is interpreted per element — 7+ s alone at sf0.1): posexplode
+    # tokens → two window leads → concat_ws, end-to-end whole-stage
+    # codegen, identical trigram strings. Materialized once for the three
+    # consuming branches (sizes + pair expansion).
+    from pyspark.sql import Window as W
+
+    tok = docs.select(
+        "source", "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.select(
+            "source",
+            F.concat_ws(
+                " ", "t", F.lead("t", 1).over(wd), F.lead("t", 2).over(wd)
+            ).alias("sh"),
+            F.lead("t", 2).over(wd).alias("_t2"),
+        )
+        .where(F.col("_t2").isNotNull())
+        .drop("_t2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("source").alias("src_a"), "sh")
-    b = sh.select(F.col("source").alias("src_b"), "sh")
+    # per-shingle source-set pair expansion (the LSH bucket trick) instead
+    # of a shingle-keyed self-join: one groupBy(sh) collects the ≤|sources|
+    # set, pairs expand in-expression (≤ C(20,2) per shingle), and a second
+    # groupBy counts — the wide string join key never shuffles twice
+    by_sh = sh.groupBy("sh").agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    pair_arrays = F.transform(
+        F.col("ss"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+            lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+        ),
+    )
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").alias("n_common"))
+        by_sh.filter(F.size("ss") > 1)
+        .select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
         inter.join(
