@@ -126,7 +126,7 @@ BASELINE_SEC = {
     "graph_nation_trade_pagerank": 0.85,
     "graph_personalized_pagerank": 0.915,
     "join_broadcast_range_lookup": 0.371,
-    "join_fuzzy_name_match": 5.22,
+    "join_fuzzy_name_match": 3.45,
     "lineitem_transit_concurrency": 0.619,
     "multimodal_fake_features": 0.396,
     "multimodal_frame_sample": 0.416,
@@ -147,7 +147,7 @@ BASELINE_SEC = {
     "sim_ann_lsh_bucketed": 1.157,
     "sim_centroid_outliers": 0.353,
     "sim_kmeans_clusters": 0.932,
-    "sim_knn_graph_cells": 7.358,
+    "sim_knn_graph_cells": 0.48,
     "text_chunk_documents": 0.377,
     "text_contamination_check": 0.46,
     "text_duplicate_ngram_fraction": 0.57,

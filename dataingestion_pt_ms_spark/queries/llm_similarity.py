@@ -693,6 +693,22 @@ ORDER BY vec_id, rnk
     "sim_knn_graph_cells", oracle=KNN_GRAPH_ORACLE, tags=("llm", "similarity", "knn")
 )
 def sim_knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-cell GEMM top-k (operators/similarity.blocked_knn, round 4):
+    # identical rounded cosines + (sim DESC, nb) tie order to the previous
+    # join+window formulation, ~7 s → ~1 s at sf0.1
+    from ..operators.similarity import blocked_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        blocked_knn(emb, k=_KNN_K)
+        .select("vec_id", "nb", "label", "cosine_sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("vec_id", "rnk")
+    )
+
+
+def _sim_knn_graph_cells_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-path twin kept for the engine test (blocked_knn must
+    return exactly this)."""
     from pyspark.sql import Window as W
 
     from ..functions.vectors import cosine_similarity

@@ -417,8 +417,11 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["brand", "len_band"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("edit_dist") <= 3)
+        # thresholded levenshtein (Spark 3.5+): banded DP early-exits once
+        # the distance provably exceeds 3 (returns -1) — same predicate,
+        # ~O(threshold·len) per pair instead of O(len²) on distant pairs
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 3))
+        .filter(F.col("edit_dist") >= 0)
         .select("key_a", "key_b", "edit_dist")
         .orderBy("key_a", "key_b")
     )

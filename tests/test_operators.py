@@ -1152,3 +1152,23 @@ def test_band_cost_audit_bounds_actual_candidates(spark, sf_dir):
     billed1 = sum(r.candidate_pairs for r in one_band.collect())
     actual1 = D.lsh_candidate_pairs(sig, "doc_id", bands=1, rows_per_band=8).count()
     assert actual1 == billed1
+
+
+def test_blocked_knn_matches_expression_path(spark, sf_dir):
+    """The per-cell GEMM top-k (blocked_knn) must return exactly the
+    join+window expression formulation's rows: same neighbours, same
+    rounded cosines, same (sim DESC, nb) tie order."""
+    from dataingestion_pt_ms_spark.queries.llm_similarity import (
+        _sim_knn_graph_cells_expr,
+        sim_knn_graph_cells,
+    )
+
+    got = {
+        (r.vec_id, r.rnk): (r.nb, r.label, r.cosine_sim)
+        for r in sim_knn_graph_cells(spark, sf_dir).collect()
+    }
+    want = {
+        (r.vec_id, r.rnk): (r.nb, r.label, r.cosine_sim)
+        for r in _sim_knn_graph_cells_expr(spark, sf_dir).collect()
+    }
+    assert got == want and got
