@@ -174,6 +174,7 @@ BASELINE_SEC = {
     "sim_dbscan_cells": 3.558,
     "graph_cheapest_path_rounds": 2.653,
     "emb_hard_negative_mining": 1.343,
+    "text_chunk_overlapping": 0.615,
 }
 GUARD_FACTOR = 2.0
 
@@ -331,6 +332,7 @@ HEADLINE = [
     "sim_dbscan_cells",
     "graph_cheapest_path_rounds",
     "emb_hard_negative_mining",
+    "text_chunk_overlapping",
 ]
 
 

@@ -1174,3 +1174,78 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Overlapping chunk layout (round 4): RAG-style sliding chunks — window 64
+# tokens, stride 32, so every token belongs to exactly two chunks (except
+# the first 32). Membership is computed WITHOUT materializing chunk
+# arrays: posexplode → a 2-row overlap explode → (doc, chunk) rollup; at
+# 100 TB the stream is (doc, pos, token) rows and two map-side integer
+# ops, never per-doc array building. Beyond-reference [NS] (chunking
+# family; non-overlapping twin = text_chunk_documents).
+# --------------------------------------------------------------------------
+_OVL_WINDOW = 64
+_OVL_STRIDE = 32
+
+OVERLAP_CHUNK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT doc_id, {DTOKS} AS toks FROM documents)
+), member AS (
+  SELECT doc_id, pos,
+         (pos // {_OVL_STRIDE}) - j.j AS chunk_id
+  FROM tok, (SELECT unnest([0, 1]) AS j) j
+  WHERE (pos // {_OVL_STRIDE}) - j.j >= 0
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+       CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(max(pos) AS BIGINT) AS end_pos
+FROM member
+GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "text_chunk_overlapping",
+    oracle=OVERLAP_CHUNK_ORACLE,
+    tags=("llm", "text", "chunk"),
+)
+def text_chunk_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    member = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            (F.floor(F.col("pos") / _OVL_STRIDE) - F.col("j")).alias("chunk_id"),
+        )
+        .where(F.col("chunk_id") >= 0)
+    )
+    return (
+        member.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunk_tokens"),
+            F.min("pos").cast("long").alias("start_pos"),
+            F.max("pos").cast("long").alias("end_pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "n_chunk_tokens",
+            "start_pos",
+            "end_pos",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -320,6 +320,7 @@ def interval_join_stream(
     clicks: DataFrame,
     lookback_minutes: int = 10,
     watermark: str = "15 minutes",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each error event matched (inner) to the
     same user's click events in the ``lookback_minutes`` before it — the
@@ -334,6 +335,13 @@ def interval_join_stream(
     is the mandatory discipline for stream-stream joins: an un-watermarked
     interval join grows state forever. Pairs (not aggregates) are emitted
     so the job stays a single stateful operator in append mode.
+
+    ``join_type="left_outer"`` adds the un-matched errors with NULL click
+    columns — but only once the watermark proves no matching click can
+    still arrive (Spark holds the outer row back until the interval is
+    provably closed; an un-watermarked outer interval join is rejected by
+    the engine). This is the "errors with no preceding activity" alerting
+    shape.
     """
     e = (
         errors.filter(F.col("event_type") == "error")
@@ -354,6 +362,6 @@ def interval_join_stream(
         & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTES"))
         & (F.col("c_ts") < F.col("e_ts"))
     )
-    return e.join(c, cond, "inner").select(
+    return e.join(c, cond, join_type).select(
         "event_id", "user_id", "c_ts", "value"
     )

@@ -910,3 +910,53 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, events_dir):
     }
     assert got == want
     assert want  # non-vacuous: fixture has clicks-before-error pairs
+
+
+def test_interval_join_stream_left_outer(spark, sf_dir, events_dir):
+    """left_outer adds errors with NO same-user click in the prior 10 min
+    as NULL-click rows, emitted once the watermark closes their interval;
+    matched pairs are identical to the inner join."""
+    from dataingestion_pt_ms_spark.catalog import load_table
+    from dataingestion_pt_ms_spark.streaming.jobs import interval_join_stream
+
+    stream_e = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
+    stream_c = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
+    _run_to_memory(
+        interval_join_stream(stream_e, stream_c, join_type="left_outer"),
+        "ijoin_lo_out",
+        "append",
+    )
+    rows = spark.sql("SELECT * FROM ijoin_lo_out").collect()
+    got_matched = {(r.event_id, r.user_id, r.c_ts, r.value) for r in rows if r.c_ts is not None}
+    got_unmatched = {(r.event_id, r.user_id) for r in rows if r.c_ts is None}
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "value"
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    inner = errors.join(clicks, cond, "inner").select(
+        "event_id", "user_id", "c_ts", "value"
+    )
+    want_matched = {(r.event_id, r.user_id, r.c_ts, r.value) for r in inner.collect()}
+    matched_ids = {r.event_id for r in inner.select("event_id").distinct().collect()}
+    want_unmatched = {
+        (r.event_id, r.user_id)
+        for r in errors.collect()
+        if r.event_id not in matched_ids
+    }
+    assert got_matched == want_matched
+    # watermark may withhold outer rows whose interval never provably
+    # closes at end-of-stream (the final watermark advance is best-effort);
+    # every emitted NULL row must be a true non-match, and most must emit
+    assert got_unmatched <= want_unmatched
+    assert len(got_unmatched) >= int(0.8 * len(want_unmatched)), (
+        len(got_unmatched), len(want_unmatched)
+    )
