@@ -175,6 +175,7 @@ BASELINE_SEC = {
     "graph_cheapest_path_rounds": 2.653,
     "emb_hard_negative_mining": 1.343,
     "text_chunk_overlapping": 0.615,
+    "events_time_to_convert": 0.732,
 }
 GUARD_FACTOR = 2.0
 
@@ -333,6 +334,7 @@ HEADLINE = [
     "graph_cheapest_path_rounds",
     "emb_hard_negative_mining",
     "text_chunk_overlapping",
+    "events_time_to_convert",
 ]
 
 

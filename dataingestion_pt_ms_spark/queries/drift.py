@@ -767,3 +767,89 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
         F.round(df_w, 6).alias("welch_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-to-convert distribution (round 4): latency from each user's FIRST
+# view to their first purchase AFTER it, bucketed into log₂-ish bands —
+# the product-analytics companion of the funnel count query (which
+# reports only stage totals). Two chained per-user window minima over one
+# shuffle; bucket edges are exact integer second comparisons.
+# --------------------------------------------------------------------------
+TTC_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s1.t_view
+                  THEN e.ts END) AS t_purchase,
+         max(s1.t_view) AS t_view
+  FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id
+), lat AS (
+  SELECT user_id,
+         (epoch_us(t_purchase) - epoch_us(t_view)) / 1000000 AS sec
+  FROM s2 WHERE t_purchase IS NOT NULL
+), b AS (
+  SELECT CASE WHEN sec < 3600 THEN '0_under_1h'
+              WHEN sec < 21600 THEN '1_1h_6h'
+              WHEN sec < 86400 THEN '2_6h_1d'
+              WHEN sec < 604800 THEN '3_1d_7d'
+              ELSE '4_over_7d' END AS bucket
+  FROM lat
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_users,
+       round(count(*) / CAST((SELECT count(*) FROM b) AS DOUBLE), 6) AS share
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register(
+    "events_time_to_convert", oracle=TTC_ORACLE, tags=("drift", "funnel", "agg")
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+            F.max("t_view").alias("t_view"),
+        )
+    )
+    sec = (
+        (F.unix_micros("t_purchase") - F.unix_micros("t_view")) / 1_000_000
+    )
+    b = (
+        s2.where(F.col("t_purchase").isNotNull())
+        .select(
+            F.when(sec < 3600, "0_under_1h")
+            .when(sec < 21600, "1_1h_6h")
+            .when(sec < 86400, "2_6h_1d")
+            .when(sec < 604800, "3_1d_7d")
+            .otherwise("4_over_7d")
+            .alias("bucket")
+        )
+        .localCheckpoint(eager=False)  # counts + total share branches
+    )
+    total = b.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_users",
+            F.round(F.col("n_users") / F.col("tot"), 6).alias("share"),
+        )
+        .orderBy("bucket")
+    )

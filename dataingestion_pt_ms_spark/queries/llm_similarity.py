@@ -1357,3 +1357,78 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding drift (round 4): split the table into two
+# deterministic halves (vec_id parity — stand-in for "last week's batch vs
+# this week's") and report, per dimension, the standardized mean shift
+# |μ₁−μ₂| / pooled σ plus a drift flag — the feature-drift screen run on
+# embedding pipelines after a model or preprocessing change. One
+# posexplode → (half, dim) aggregate → d-row join; never a d² structure.
+# Beyond-reference [NS] (drift × embedding family).
+# --------------------------------------------------------------------------
+EMB_DRIFT_ORACLE = """
+WITH x AS (
+  SELECT vec_id % 2 AS half, pos, CAST(val AS DOUBLE) AS val
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+), s AS (
+  SELECT half, pos, count(*) AS n, avg(val) AS m, var_samp(val) AS v
+  FROM x GROUP BY half, pos
+), wide AS (
+  SELECT pos,
+         max(CASE WHEN half = 0 THEN n END) AS n0,
+         max(CASE WHEN half = 0 THEN m END) AS m0,
+         max(CASE WHEN half = 0 THEN v END) AS v0,
+         max(CASE WHEN half = 1 THEN n END) AS n1,
+         max(CASE WHEN half = 1 THEN m END) AS m1,
+         max(CASE WHEN half = 1 THEN v END) AS v1
+  FROM s GROUP BY pos
+)
+SELECT CAST(pos - 1 AS BIGINT) AS dim,
+       round(m0, 6) AS mean_a, round(m1, 6) AS mean_b,
+       round(abs(m0 - m1)
+             / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)), 6)
+         AS std_shift,
+       abs(m0 - m1)
+         / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)) > 0.1
+         AS drifted
+FROM wide ORDER BY dim
+"""
+
+
+@register(
+    "emb_dimension_drift", oracle=EMB_DRIFT_ORACLE, tags=("llm", "embedding", "drift")
+)
+def emb_dimension_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    s = x.groupBy("half", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("val").alias("m"),
+        F.var_samp("val").alias("v"),
+    )
+    wide = s.groupBy("pos").agg(
+        *[
+            F.max(F.when(F.col("half") == h, F.col(c))).alias(f"{c}{h}")
+            for h in (0, 1)
+            for c in ("n", "m", "v")
+        ]
+    )
+    pooled = F.sqrt(
+        ((F.col("n0") - 1) * F.col("v0") + (F.col("n1") - 1) * F.col("v1"))
+        / (F.col("n0") + F.col("n1") - 2)
+    )
+    shift = F.abs(F.col("m0") - F.col("m1")) / pooled
+    return wide.select(
+        F.col("pos").cast("long").alias("dim"),
+        F.round("m0", 6).alias("mean_a"),
+        F.round("m1", 6).alias("mean_b"),
+        F.round(shift, 6).alias("std_shift"),
+        (shift > 0.1).alias("drifted"),
+    ).orderBy("dim")
