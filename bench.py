@@ -176,6 +176,7 @@ BASELINE_SEC = {
     "emb_hard_negative_mining": 1.343,
     "text_chunk_overlapping": 0.615,
     "events_time_to_convert": 0.732,
+    "rec_als_rank2_round": 2.212,
 }
 GUARD_FACTOR = 2.0
 
@@ -335,6 +336,7 @@ HEADLINE = [
     "emb_hard_negative_mining",
     "text_chunk_overlapping",
     "events_time_to_convert",
+    "rec_als_rank2_round",
 ]
 
 
