@@ -258,3 +258,39 @@ def scalar_cast_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("o_orderkey").cast("string"), 1, 2).cast("long").alias("okey_prefix"),
         F.col("o_orderdate").cast("date").cast("string").alias("order_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT surface (round 4, Spark 4): parse the JSON props column into the
+# open VARIANT type and extract typed fields — the semi-structured path
+# that replaces schema-on-write structs for ragged JSON at lake scale
+# (parse once, extract lazily, no schema migration on new keys). The
+# oracle extracts the same field with DuckDB's JSON operators; counts and
+# sums over the typed extraction must agree exactly.
+# --------------------------------------------------------------------------
+VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("scalar_variant_json", oracle=VARIANT_ORACLE, tags=("scalar", "json", "variant"))
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )

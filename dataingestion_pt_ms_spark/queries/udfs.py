@@ -132,3 +132,44 @@ def udtf_token_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.idx, t.tok "
         "FROM _udtf_docs, LATERAL token_expand(doc_id, text) t"
     )
+
+
+# --------------------------------------------------------------------------
+# mapInArrow surface (round 4): the lowest-level vectorized-Python path —
+# raw Arrow RecordBatches in/out, no pandas conversion. The transform is a
+# simple arithmetic normalization so the oracle is plain SQL; what the row
+# attests is the API surface (batch iteration, schema contract, zero-copy
+# Arrow) that high-throughput feature pipelines drop to when even pandas
+# overhead matters. SURVEY §2.B UDF-surface family.
+# --------------------------------------------------------------------------
+MAP_IN_ARROW_ORACLE = """
+SELECT event_id, user_id,
+       round(value * 100.0 / 25.0, 6) AS value_pct
+FROM events WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
+@register("udf_map_in_arrow", oracle=MAP_IN_ARROW_ORACLE, tags=("udf", "arrow"))
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def normalize(batches):
+        for batch in batches:
+            value = batch.column("value")
+            pct = pa.compute.round(
+                pa.compute.divide(pa.compute.multiply(value, 100.0), 25.0), 6
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), batch.column("user_id"), pct],
+                ["event_id", "user_id", "value_pct"],
+            )
+
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value")
+        .mapInArrow(normalize, "event_id long, user_id long, value_pct double")
+        .orderBy("event_id")
+    )
