@@ -177,6 +177,7 @@ BASELINE_SEC = {
     "text_chunk_overlapping": 0.615,
     "events_time_to_convert": 0.732,
     "rec_als_rank2_round": 2.212,
+    "sql_recursive_cte_reachability": 4.909,
 }
 GUARD_FACTOR = 2.0
 
@@ -337,6 +338,7 @@ HEADLINE = [
     "text_chunk_overlapping",
     "events_time_to_convert",
     "rec_als_rank2_round",
+    "sql_recursive_cte_reachability",
 ]
 
 

@@ -592,3 +592,49 @@ def graph_cheapest_path_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, seeds, rounds=_BF_ROUNDS, src="u", dst="v", cost="cost"
     )
     return d.select("node", F.col("dist").cast("long").alias("dist")).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE SQL surface (round 4, Spark 4): hop-bounded reachability
+# from the smallest Brand#4 part over the co-purchase graph, written as
+# WITH RECURSIVE in BOTH engines — the declarative twin of the operator-
+# level BFS (graph_bfs_copurchase_hops). The recursion is UNION ALL with
+# an explicit hop guard (< 2) so the frontier is bounded regardless of
+# dedup strategy; min(hops) collapses multiple discovery paths.
+# --------------------------------------------------------------------------
+_RCTE_TEMPLATE = """
+WITH RECURSIVE e0 AS ({edges}),
+e AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+seed AS (SELECT min(p_partkey) AS node FROM part WHERE p_brand = 'Brand#4'),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seed
+  UNION ALL
+  SELECT e.b, w.hops + 1 FROM walk w JOIN e ON e.a = w.node
+  WHERE w.hops < 2
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node ORDER BY node
+"""
+
+RCTE_ORACLE = _RCTE_TEMPLATE.format(edges=_TRI_EDGES_SQL)
+
+_SPARK_TRI_EDGES = """
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v
+  HAVING count(*) >= 2
+"""
+
+
+@register(
+    "sql_recursive_cte_reachability",
+    oracle=RCTE_ORACLE,
+    tags=("graph", "sql", "recursive"),
+)
+def sql_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RCTE_TEMPLATE.format(edges=_SPARK_TRI_EDGES))
