@@ -960,3 +960,51 @@ def test_interval_join_stream_left_outer(spark, sf_dir, events_dir):
     assert len(got_unmatched) >= int(0.8 * len(want_unmatched)), (
         len(got_unmatched), len(want_unmatched)
     )
+
+
+def test_incremental_mv_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming the orders table through the MV maintainer in two
+    micro-batches must leave a stored MV exactly equal to the one-shot
+    batch aggregate (mergeable-partials algebra; DECIMAL sums make it
+    arrival-order independent)."""
+    from dataingestion_pt_ms_spark.catalog import load_table
+    from dataingestion_pt_ms_spark.streaming.jobs import incremental_mv_stream
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    src = str(tmp_path / "orders_src")
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(src)
+    orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    mv = str(tmp_path / "mv")
+    q = incremental_mv_stream(spark, stream, mv, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (r.o_orderpriority, r.order_month): (r.n_orders, str(r.revenue))
+        for r in spark.read.parquet(mv).collect()
+    }
+    want = {
+        (r.o_orderpriority, r.order_month): (r.n_orders, str(r.revenue))
+        for r in orders.groupBy(
+            "o_orderpriority",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "order_month"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want and got
