@@ -178,6 +178,8 @@ BASELINE_SEC = {
     "events_time_to_convert": 0.732,
     "rec_als_rank2_round": 2.212,
     "sql_recursive_cte_reachability": 4.909,
+    "dedup_sorted_neighborhood": 1.991,
+    "sample_neyman_stratified": 0.75,
 }
 GUARD_FACTOR = 2.0
 
@@ -339,6 +341,8 @@ HEADLINE = [
     "events_time_to_convert",
     "rec_als_rank2_round",
     "sql_recursive_cte_reachability",
+    "dedup_sorted_neighborhood",
+    "sample_neyman_stratified",
 ]
 
 

@@ -617,3 +617,97 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (round 4): the statistics-optimal
+# stratified design — stratum h gets n_h ∝ N_h·σ_h of the total budget
+# (high-variance strata oversampled), vs the naive proportional n_h ∝ N_h.
+# Selection within each stratum is the house deterministic hash-rank (md5
+# order, no RNG), so the chosen doc set is exactly reproducible in SQL.
+# Allocation uses floor + largest-remainder so Σn_h = budget exactly.
+# Beyond-reference [NS] (sampling-design family).
+# --------------------------------------------------------------------------
+_NEY_BUDGET = 100
+
+NEYMAN_ORACLE = f"""
+WITH s AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n_h, stddev_samp(n_chars) AS sd
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_h, sd, n_h * sd AS wt,
+         (SELECT sum(n_h * sd) FROM s) AS wtot
+  FROM s
+), alloc0 AS (
+  SELECT lang, n_h,
+         CAST(floor({_NEY_BUDGET} * wt / wtot) AS BIGINT) AS base,
+         {_NEY_BUDGET} * wt / wtot - floor({_NEY_BUDGET} * wt / wtot) AS rem
+  FROM w
+), ranked AS (
+  SELECT lang, n_h, base,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+         CAST({_NEY_BUDGET} - (SELECT sum(base) FROM alloc0) AS BIGINT) AS leftover
+  FROM alloc0
+), alloc AS (
+  SELECT lang, n_h,
+         base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS n_take
+  FROM ranked
+), picked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rk
+  FROM documents d
+)
+SELECT p.doc_id, p.lang, a.n_take
+FROM picked p JOIN alloc a ON a.lang = p.lang
+WHERE p.rk <= a.n_take
+ORDER BY p.lang, p.doc_id
+"""
+
+
+@register(
+    "sample_neyman_stratified", oracle=NEYMAN_ORACLE, tags=("llm", "sample", "stats")
+)
+def sample_neyman_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n_h"),
+        F.stddev_samp("n_chars").alias("sd"),
+    )
+    s = s.withColumn("wt", F.col("n_h") * F.col("sd"))
+    wtot = s.agg(F.sum("wt").alias("wtot"))
+    alloc0 = s.crossJoin(F.broadcast(wtot)).select(
+        "lang",
+        "n_h",
+        F.floor(_NEY_BUDGET * F.col("wt") / F.col("wtot")).cast("long").alias("base"),
+        (
+            _NEY_BUDGET * F.col("wt") / F.col("wtot")
+            - F.floor(_NEY_BUDGET * F.col("wt") / F.col("wtot"))
+        ).alias("rem"),
+    )
+    base_sum = alloc0.agg(F.sum("base").alias("bsum"))
+    wr = W.orderBy(F.col("rem").desc(), "lang")
+    alloc = (
+        alloc0.crossJoin(F.broadcast(base_sum))
+        .withColumn("rr", F.row_number().over(wr))
+        .select(
+            "lang",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rr") <= _NEY_BUDGET - F.col("bsum"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_take"),
+        )
+    )
+    wp = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    picked = docs.select("doc_id", "lang", F.row_number().over(wp).alias("rk"))
+    return (
+        picked.join(F.broadcast(alloc), "lang")
+        .where(F.col("rk") <= F.col("n_take"))
+        .select("doc_id", "lang", "n_take")
+        .orderBy("lang", "doc_id")
+    )

@@ -893,3 +893,127 @@ def dedup_estimator_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("true_j_decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood dedup (round 4): the OTHER classic entity-resolution
+# blocking paradigm next to LSH — sort every doc by a fingerprint key
+# (first 3 tokens joined), then compare each doc only to its w−1 sorted
+# neighbors via window leads. Pair space is exactly (w−1)·n regardless of
+# data distribution (LSH's is data-dependent), the trade being recall on
+# dissimilar-prefix duplicates. Expressed as the distributed global
+# ordering (range partition via repartitionByRange + window within
+# partitions would split windows at partition edges): the ranked stream
+# from operators/ranking.global_row_number gives every doc its global
+# position, and neighbour pairs come from an EQUI-JOIN on pos+j = pos —
+# a distributed shuffle join on the rank, never an unpartitioned window.
+# Verified at exact Jaccard ≥ 0.5.
+# --------------------------------------------------------------------------
+_SNM_W = 4  # compare each doc to the next 3 in fingerprint order
+
+SNM_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, text,
+         array_to_string(TOKS[1:3], ' ') AS fkey
+  FROM (SELECT doc_id, text, {{DTOKS}} AS TOKS FROM documents)
+), ordered AS (
+  SELECT doc_id, text, fkey,
+         row_number() OVER (ORDER BY fkey, doc_id) AS pos
+  FROM fp
+), pairs AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, a.text AS ta, b.text AS tb
+  FROM ordered a JOIN ordered b
+    ON b.pos > a.pos AND b.pos <= a.pos + {_SNM_W - 1}
+), j AS (
+  SELECT key_a, key_b,
+         round(
+           CAST(len(list_intersect(SHA, SHB)) AS DOUBLE)
+           / (len(SHA) + len(SHB) - len(list_intersect(SHA, SHB))), 6) AS jaccard
+  FROM (
+    SELECT key_a, key_b,
+           list_distinct(CASE WHEN len(TA2) >= 3 THEN
+             list_transform(range(1, len(TA2) - 1),
+                            i -> TA2[i] || ' ' || TA2[i + 1] || ' ' || TA2[i + 2])
+             ELSE [] END) AS SHA,
+           list_distinct(CASE WHEN len(TB2) >= 3 THEN
+             list_transform(range(1, len(TB2) - 1),
+                            i -> TB2[i] || ' ' || TB2[i + 1] || ' ' || TB2[i + 2])
+             ELSE [] END) AS SHB
+    FROM (SELECT key_a, key_b,
+                 string_split_regex(lower(trim(ta)), '\\s+') AS TA2,
+                 string_split_regex(lower(trim(tb)), '\\s+') AS TB2
+          FROM pairs)
+  )
+  WHERE len(SHA) > 0 AND len(SHB) > 0
+)
+SELECT key_a, key_b, jaccard FROM j
+WHERE jaccard >= 0.5
+ORDER BY key_a, key_b
+""".replace("{DTOKS}", "string_split_regex(lower(trim(text)), '\\s+')")
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=SNM_ORACLE,
+    tags=("llm", "dedup", "blocking"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.textfns import tokens
+    from ..operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "text",
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 3)).alias("fkey"),
+    )
+    ordered = global_row_number(
+        fp, [F.col("fkey"), F.col("doc_id")], out_col="pos"
+    ).localCheckpoint(eager=False)  # both join sides
+    # neighbour pairs by RANK ARITHMETIC, not a global-ordering window
+    # (lead() over an unpartitioned window is the single-reducer
+    # anti-pattern): explode the w−1 offsets and equi-join pos+j = pos —
+    # a distributed shuffle join keyed on the global rank
+    a = ordered.select(
+        F.col("doc_id").alias("key_a"), F.col("text").alias("ta"), "pos"
+    ).withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(1, _SNM_W)]))
+    ).select("key_a", "ta", (F.col("pos") + F.col("j")).alias("bpos"))
+    b = ordered.select(
+        F.col("doc_id").alias("key_b"), F.col("pos").alias("bpos")
+    )
+    pairs = a.join(b, "bpos").select("key_a", "key_b")
+    # per-doc distinct shingle sets ONCE via the codegen lead stream
+    # (building shingle arrays per PAIR row re-ran the interpreted HOF
+    # 2×(w−1)×n times — measured 31 s at sf0.1; this form is ~1 s)
+    wd = W.partitionBy("doc_id").orderBy("_pos")
+    l1, l2 = F.lead("_t", 1).over(wd), F.lead("_t", 2).over(wd)
+    sh_sets = (
+        docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("_pos", "_t"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "_t", l1, l2).alias("sh"),
+            l2.alias("_g"),
+        )
+        .where(F.col("_g").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shset"))
+        .localCheckpoint(eager=False)  # both pair sides
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        pairs.join(
+            sh_sets.select(F.col("doc_id").alias("key_a"), F.col("shset").alias("sha")),
+            "key_a",
+        )
+        .join(
+            sh_sets.select(F.col("doc_id").alias("key_b"), F.col("shset").alias("shb")),
+            "key_b",
+        )
+        .select("key_a", "key_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("key_a", "key_b")
+    )
