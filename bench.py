@@ -180,6 +180,8 @@ BASELINE_SEC = {
     "sql_recursive_cte_reachability": 4.909,
     "dedup_sorted_neighborhood": 1.991,
     "sample_neyman_stratified": 0.75,
+    "sim_pq_refine_rerank": 1.801,
+    "sketch_histogram_quantiles": 3.125,
 }
 GUARD_FACTOR = 2.0
 
@@ -343,6 +345,8 @@ HEADLINE = [
     "sql_recursive_cte_reachability",
     "dedup_sorted_neighborhood",
     "sample_neyman_stratified",
+    "sim_pq_refine_rerank",
+    "sketch_histogram_quantiles",
 ]
 
 

@@ -1432,3 +1432,79 @@ def emb_dimension_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(shift, 6).alias("std_shift"),
         (shift > 0.1).alias("drifted"),
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# Two-stage ANN serving: PQ-ADC shortlist → EXACT re-rank (round 4). The
+# production retrieval pattern: the quantized scan is cheap but lossy, so
+# the top-20 shortlist is re-scored against the RAW vectors and the final
+# top-5 ranks on exact L2² — recovering exactness on a candidate set whose
+# size is k, not corpus. The raw-vector read is shortlist-pruned (semi-
+# join pushdown); ranks break ties on (rounded distance, vec_id).
+# Beyond-reference [NS] (similarity family; stage 1 = sim_pq_adc_topk).
+# --------------------------------------------------------------------------
+_REFINE_SHORT = 20
+_REFINE_K = 5
+
+PQ_REFINE_ORACLE = (
+    PQ_ADC_ORACLE.rsplit("SELECT enc.vec_id", 1)[0]
+    + f""",
+short AS (
+  SELECT enc.vec_id, round(sum(dt.dsub), 6) AS approx_l2sq
+  FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+  GROUP BY enc.vec_id
+  ORDER BY approx_l2sq, vec_id
+  LIMIT {_REFINE_SHORT}
+), exact AS (
+  SELECT dims.vec_id,
+         round(sum((dims.x - qd.x) * (dims.x - qd.x)), 6) AS exact_l2sq
+  FROM dims JOIN qd ON dims.sub = qd.sub AND dims.sd = qd.sd
+  WHERE dims.vec_id IN (SELECT vec_id FROM short)
+  GROUP BY dims.vec_id
+), ranked AS (
+  SELECT s.vec_id, s.approx_l2sq, e.exact_l2sq,
+         row_number() OVER (ORDER BY e.exact_l2sq, s.vec_id) AS rnk
+  FROM short s JOIN exact e ON e.vec_id = s.vec_id
+)
+SELECT vec_id, approx_l2sq, exact_l2sq, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_REFINE_K} ORDER BY rnk
+"""
+)
+
+
+@register(
+    "sim_pq_refine_rerank", oracle=PQ_REFINE_ORACLE, tags=("llm", "similarity", "pq")
+)
+def sim_pq_refine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.clustering import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == _QID)
+    short = pq_adc_topk(emb, query, k=_REFINE_SHORT, train_mod=4)
+    qv = F.broadcast(
+        query.select(F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    exact_expr = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("qv"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        emb.join(short.select("vec_id"), "vec_id", "left_semi")
+        .crossJoin(qv)
+        .select("vec_id", F.round(exact_expr, 6).alias("exact_l2sq"))
+    )
+    wr = W.orderBy(F.col("exact_l2sq").asc(), "vec_id")  # ≤ 20 rows: bounded
+    return (
+        short.join(exact, "vec_id")
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _REFINE_K)
+        .select("vec_id", "approx_l2sq", "exact_l2sq", "rnk")
+        .orderBy("rnk")
+    )

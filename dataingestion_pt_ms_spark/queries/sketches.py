@@ -754,3 +754,145 @@ def events_sliding_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "users_7d")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram-quantile sketch + error audit (round 4): approximate P50/P95/
+# P99 of l_extendedprice per returnflag from a 256-bin equi-width
+# histogram — the mergeable-quantile pattern that, unlike the engine-
+# private approx_percentile sketch, is EXACTLY reproducible cross-engine
+# (bin counts are integers; the interpolation is shared arithmetic).
+# Two passes: global min/max/width broadcast, then one (group, bin) count
+# aggregate; the per-group cumulative walk is a ≤256-row window. Reported
+# next to the exact percentile with the absolute error — the sketch
+# acceptance audit. Bins ADD across partitions/batches: the 100 TB merge
+# story in one integer vector per group.
+# --------------------------------------------------------------------------
+_HQ_BINS = 256
+_HQ_QS = (0.5, 0.95, 0.99)
+
+HISTQ_ORACLE = f"""
+WITH stats AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+  FROM lineitem
+), b AS (
+  SELECT l_returnflag AS g,
+         CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / {_HQ_BINS}.0)),
+                    {_HQ_BINS - 1}) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM lineitem CROSS JOIN stats
+  GROUP BY g, bin
+), cum AS (
+  SELECT g, bin, c,
+         sum(c) OVER (PARTITION BY g ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM b
+), ng AS (
+  SELECT g, CAST(sum(c) AS DOUBLE) AS n FROM b GROUP BY g
+), qs AS (SELECT unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS q),
+hit AS (
+  SELECT cum.g, qs.q, cum.bin, cum.c, cum.cc, ng.n,
+         qs.q * ng.n AS target
+  FROM cum JOIN ng ON ng.g = cum.g CROSS JOIN qs
+  WHERE cum.cc >= qs.q * ng.n AND cum.cc - cum.c < qs.q * ng.n
+), est AS (
+  SELECT hit.g, hit.q,
+         round(stats.mn + ((stats.mx - stats.mn) / {_HQ_BINS}.0) * hit.bin
+               + ((stats.mx - stats.mn) / {_HQ_BINS}.0)
+                 * (hit.target - (hit.cc - hit.c)) / hit.c, 6) AS est_pctl
+  FROM hit CROSS JOIN stats
+), exact_wide AS (
+  SELECT l_returnflag AS g,
+         quantile_cont(l_extendedprice, 0.5) AS p0,
+         quantile_cont(l_extendedprice, 0.95) AS p1,
+         quantile_cont(l_extendedprice, 0.99) AS p2
+  FROM lineitem GROUP BY g
+), exact AS (
+  SELECT g, 0.5 AS q, p0 AS exact_pctl FROM exact_wide
+  UNION ALL SELECT g, 0.95, p1 FROM exact_wide
+  UNION ALL SELECT g, 0.99, p2 FROM exact_wide
+)
+SELECT est.g AS l_returnflag, est.q AS q,
+       est.est_pctl,
+       round(exact.exact_pctl, 6) AS exact_pctl,
+       round(abs(est.est_pctl - exact.exact_pctl), 6) AS abs_error
+FROM est JOIN exact ON exact.g = est.g AND exact.q = est.q
+ORDER BY l_returnflag, est.q
+"""
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=HISTQ_ORACLE,
+    tags=("sketch", "quantile", "agg"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    w_expr = (F.col("mx") - F.col("mn")) / float(_HQ_BINS)
+    b = (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / w_expr),
+                F.lit(_HQ_BINS - 1),
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # cum walk + group totals
+    )
+    wc = W.partitionBy("g").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = b.select("g", "bin", "c", F.sum("c").over(wc).alias("cc"))
+    ng = b.groupBy("g").agg(F.sum("c").cast("double").alias("n"))
+    qs = F.broadcast(
+        stats.sparkSession.createDataFrame([(q,) for q in _HQ_QS], "q double")
+    )
+    hit = (
+        cum.join(ng, "g")
+        .crossJoin(qs)
+        .where(
+            (F.col("cc") >= F.col("q") * F.col("n"))
+            & (F.col("cc") - F.col("c") < F.col("q") * F.col("n"))
+        )
+    )
+    est = hit.crossJoin(F.broadcast(stats)).select(
+        "g",
+        "q",
+        F.round(
+            F.col("mn")
+            + w_expr * F.col("bin")
+            + w_expr
+            * (F.col("q") * F.col("n") - (F.col("cc") - F.col("c")))
+            / F.col("c"),
+            6,
+        ).alias("est_pctl"),
+    )
+    exact_wide = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {q}D)").alias(f"p{i}")
+            for i, q in enumerate(_HQ_QS)
+        ]
+    )
+    stack_args = ", ".join(f"{q}D, p{i}" for i, q in enumerate(_HQ_QS))
+    exact = exact_wide.select(
+        "g", F.expr(f"stack({len(_HQ_QS)}, {stack_args}) AS (q, exact_pctl)")
+    )
+    return (
+        est.join(exact, ["g", "q"])
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "q",
+            "est_pctl",
+            F.round("exact_pctl", 6).alias("exact_pctl"),
+            F.round(F.abs(F.col("est_pctl") - F.col("exact_pctl")), 6).alias(
+                "abs_error"
+            ),
+        )
+        .orderBy("l_returnflag", "q")
+    )
