@@ -177,7 +177,7 @@ BASELINE_SEC = {
     "text_chunk_overlapping": 0.615,
     "events_time_to_convert": 0.732,
     "rec_als_rank2_round": 2.212,
-    "sql_recursive_cte_reachability": 4.909,
+    "sql_recursive_cte_reachability": 2.05,
     "dedup_sorted_neighborhood": 1.991,
     "sample_neyman_stratified": 0.75,
     "sim_pq_refine_rerank": 1.801,

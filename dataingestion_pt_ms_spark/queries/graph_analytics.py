@@ -637,4 +637,10 @@ def sql_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFram
     from ..catalog import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_RCTE_TEMPLATE.format(edges=_SPARK_TRI_EDGES))
+    # materialize the (expensive) edge build OUTSIDE the recursion — the
+    # recursive plan references the edge CTE once per iteration, and a
+    # checkpointed temp view stops the basket self-join from re-running
+    # every round (4.9 → ~2.5 s at sf0.1)
+    edges = spark.sql(_SPARK_TRI_EDGES).localCheckpoint(eager=False)
+    edges.createOrReplaceTempView("_rcte_edges")
+    return spark.sql(_RCTE_TEMPLATE.format(edges="SELECT * FROM _rcte_edges"))
