@@ -182,6 +182,7 @@ BASELINE_SEC = {
     "sample_neyman_stratified": 0.75,
     "sim_pq_refine_rerank": 1.801,
     "sketch_histogram_quantiles": 3.125,
+    "text_ngram_novelty": 1.133,
 }
 GUARD_FACTOR = 2.0
 
@@ -347,6 +348,7 @@ HEADLINE = [
     "sample_neyman_stratified",
     "sim_pq_refine_rerank",
     "sketch_histogram_quantiles",
+    "text_ngram_novelty",
 ]
 
 

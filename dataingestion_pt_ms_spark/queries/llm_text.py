@@ -1249,3 +1249,74 @@ def text_chunk_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty curve (round 4): per document (in doc_id ingestion
+# order), the fraction of its distinct trigrams whose FIRST corpus
+# occurrence is this document — the "how much new content does each doc
+# contribute" curation signal (dedup catches copies; novelty ranks the
+# long tail of partial overlap). Shape: codegen trigram stream → global
+# (shingle → min doc) aggregate → join back per doc — two shuffles, both
+# on bounded keys. Beyond-reference [NS] (curation family).
+# --------------------------------------------------------------------------
+NOVELTY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t,
+         len(toks) AS n
+  FROM (SELECT doc_id, {DTOKS} AS toks FROM documents)
+), tri AS (
+  SELECT DISTINCT a.doc_id,
+         a.t || ' ' || b.t || ' ' || c.t AS sh
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+), first_seen AS (
+  SELECT sh, min(doc_id) AS first_doc FROM tri GROUP BY sh
+)
+SELECT tri.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN first_seen.first_doc = tri.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN first_seen.first_doc = tri.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM tri JOIN first_seen ON first_seen.sh = tri.sh
+GROUP BY tri.doc_id
+ORDER BY tri.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=NOVELTY_ORACLE, tags=("llm", "text", "curation"))
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wd = W.partitionBy("doc_id").orderBy("_pos")
+    l1, l2 = F.lead("_t", 1).over(wd), F.lead("_t", 2).over(wd)
+    tri = (
+        docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("_pos", "_t"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "_t", l1, l2).alias("sh"),
+            l2.alias("_g"),
+        )
+        .where(F.col("_g").isNotNull())
+        .drop("_g")
+        .distinct()
+        .localCheckpoint(eager=False)  # first-seen + join-back branches
+    )
+    first_seen = tri.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        tri.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
