@@ -183,6 +183,7 @@ BASELINE_SEC = {
     "sim_pq_refine_rerank": 1.801,
     "sketch_histogram_quantiles": 3.125,
     "text_ngram_novelty": 1.133,
+    "orders_dup_invoice_screen": 0.608,
 }
 GUARD_FACTOR = 2.0
 
@@ -349,6 +350,7 @@ HEADLINE = [
     "sim_pq_refine_rerank",
     "sketch_histogram_quantiles",
     "text_ngram_novelty",
+    "orders_dup_invoice_screen",
 ]
 
 

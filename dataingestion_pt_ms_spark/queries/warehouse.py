@@ -1060,3 +1060,61 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.cast("long").alias("estimated_join_size"),
         F.round(F.abs(est.cast("double") - exact) / exact, 6).alias("rel_error"),
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-invoice screen (round 4): same customer, same total, order
+# dates within 7 days — the classic AP-fraud / double-billing detector.
+# Blocking on the exact (custkey, totalprice) pair makes the self-join
+# equi-keyed (pair space = Σ group², groups are almost always singletons),
+# with the date-window predicate applied inside each matched group; an
+# integer day-difference keeps the boundary engine-exact.
+# --------------------------------------------------------------------------
+DUP_INVOICE_ORACLE = """
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       a.o_custkey AS custkey,
+       round(a.o_totalprice, 2) AS amount,
+       CAST(abs(date_diff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
+         AS days_apart
+FROM orders a
+JOIN orders b
+  ON b.o_custkey = a.o_custkey
+ AND b.o_totalprice = a.o_totalprice
+ AND b.o_orderkey > a.o_orderkey
+WHERE abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 7
+ORDER BY key_a, key_b
+"""
+
+
+@register(
+    "orders_dup_invoice_screen",
+    oracle=DUP_INVOICE_ORACLE,
+    tags=("warehouse", "dq", "join"),
+)
+def orders_dup_invoice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("date_a"),
+    )
+    b = orders.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("date_b"),
+    )
+    days = F.abs(F.datediff(F.col("date_a"), F.col("date_b")))
+    return (
+        a.join(b, ["custkey", "amount"])
+        .where((F.col("key_b") > F.col("key_a")) & (days <= 7))
+        .select(
+            "key_a",
+            "key_b",
+            "custkey",
+            F.round("amount", 2).alias("amount"),
+            days.cast("long").alias("days_apart"),
+        )
+        .orderBy("key_a", "key_b")
+    )
