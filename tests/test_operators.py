@@ -1172,3 +1172,21 @@ def test_blocked_knn_matches_expression_path(spark, sf_dir):
         for r in _sim_knn_graph_cells_expr(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_bellman_ford_rounds_tiny_graph(spark):
+    """Known cheapest paths on a weighted path graph: 1-2 (cost 5),
+    2-3 (cost 1), 1-3 (cost 10): after 2 rounds dist(3) must take the
+    cheaper 2-hop route (6), not the direct edge (10)."""
+    import pytest as _pytest
+
+    from dataingestion_pt_ms_spark.operators.graph import bellman_ford_rounds
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 10)], "src long, dst long, cost long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    d = {r.node: r.dist for r in bellman_ford_rounds(edges, seeds, rounds=2).collect()}
+    assert d == {1: 0, 2: 5, 3: 6}
+    with _pytest.raises(ValueError, match="rounds"):
+        bellman_ford_rounds(edges, seeds, rounds=0)
