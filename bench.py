@@ -184,6 +184,8 @@ BASELINE_SEC = {
     "sketch_histogram_quantiles": 3.125,
     "text_ngram_novelty": 1.133,
     "orders_dup_invoice_screen": 0.608,
+    "text_bm25_topk": 0.915,
+    "text_phrase_search": 0.464,
 }
 GUARD_FACTOR = 2.0
 
@@ -351,6 +353,8 @@ HEADLINE = [
     "sketch_histogram_quantiles",
     "text_ngram_novelty",
     "orders_dup_invoice_screen",
+    "text_bm25_topk",
+    "text_phrase_search",
 ]
 
 

@@ -1320,3 +1320,135 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (round 4): the standard sparse-retrieval scorer — for a
+# fixed query-term set, score(d) = Σ_t idf(t) · tf·(k1+1) /
+# (tf + k1·(1−b+b·len/avgdl)) with k1=1.2, b=0.75 and the Robertson
+# idf ln(1 + (N−df+0.5)/(df+0.5)). All inputs are exact integers (tf, df,
+# doclen, N) plus one broadcast avgdl scalar, so both engines compute the
+# identical formula; ranking breaks ties on (rounded score, doc_id).
+# Pairs with sim_rrf_hybrid_fusion (which fuses dense + keyword-count
+# retrievers — this is the principled sparse side). Beyond-reference [NS].
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("data", "query", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DTOKS}) AS t FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         (SELECT avg(dlen) FROM dl) AS avgdl
+), tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, t
+), df AS (
+  SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * dl.dlen / stats.avgdl))) AS s
+  FROM tf
+  JOIN df ON df.t = tf.t
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM scored
+ORDER BY round(s, 6) DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register("text_bm25_topk", oracle=BM25_ORACLE, tags=("llm", "text", "retrieval"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tok = tok.localCheckpoint(eager=False)  # dl + tf branches
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dlen"))
+    dl = dl.localCheckpoint(eager=False)  # avgdl + join-back
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    avgdl = dl.agg(F.avg("dlen").alias("avgdl"))
+    stats = F.broadcast(n_docs.crossJoin(avgdl))
+    tf = (
+        tok.where(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    tf = tf.localCheckpoint(eager=False)  # df + scoring branches
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_BM25_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search (round 4): exact-phrase retrieval ("data query")
+# from a POSITIONAL inverted index — postings carry token positions, and a
+# phrase hit is a position-adjacency join (pos+1 = pos) between the two
+# terms' postings, never a string rescan. The IR-native companion of
+# text_inverted_index (doc-level postings). At 100 TB the join touches
+# only the two terms' postings — term-selective, not corpus-sized.
+# --------------------------------------------------------------------------
+_PHRASE = ("data", "query")
+
+PHRASE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+  FROM (SELECT doc_id, {DTOKS} AS toks FROM documents)
+), a AS (SELECT doc_id, pos FROM tok WHERE t = '{_PHRASE[0]}'),
+b AS (SELECT doc_id, pos FROM tok WHERE t = '{_PHRASE[1]}')
+SELECT a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(a.pos) AS BIGINT) AS first_pos
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
+
+
+@register("text_phrase_search", oracle=PHRASE_ORACLE, tags=("llm", "text", "retrieval"))
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    tok = tok.localCheckpoint(eager=False)  # both term postings
+    a = tok.where(F.col("t") == _PHRASE[0]).select("doc_id", "pos")
+    b = tok.where(F.col("t") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
