@@ -186,6 +186,7 @@ BASELINE_SEC = {
     "orders_dup_invoice_screen": 0.608,
     "text_bm25_topk": 0.915,
     "text_phrase_search": 0.464,
+    "orders_gini_concentration": 0.855,
 }
 GUARD_FACTOR = 2.0
 
@@ -355,6 +356,7 @@ HEADLINE = [
     "orders_dup_invoice_screen",
     "text_bm25_topk",
     "text_phrase_search",
+    "orders_gini_concentration",
 ]
 
 

@@ -1118,3 +1118,57 @@ def orders_dup_invoice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of customer revenue (round 4): the inequality /
+# concentration audit — G = 2·Σ rank·x / (n·Σx) − (n+1)/n over customers
+# ranked by revenue. The rank is operators/ranking.global_row_number
+# (range partition + offsets — never a single-reducer window); revenue
+# sums are DECIMAL so Σx is order-independent; the one double division
+# happens at the end on bit-identical operands. Beyond-reference [NS]
+# (warehouse/stats family — ABC/Pareto's continuous cousin).
+# --------------------------------------------------------------------------
+GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey AS custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders GROUP BY custkey
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, custkey) AS r FROM rev
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(r * x) AS DOUBLE) AS srx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(sx, 2) AS total_revenue,
+       round(2.0 * srx / (n * sx) - (n + 1.0) / n, 6) AS gini
+FROM s
+"""
+
+
+@register("orders_gini_concentration", oracle=GINI_ORACLE, tags=("warehouse", "stats"))
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    ranked = global_row_number(rev, [F.col("x"), F.col("custkey")], out_col="r")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("r") * F.col("x")).cast("double").alias("srx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round("sx", 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("srx") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
