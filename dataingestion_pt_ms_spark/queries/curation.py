@@ -689,6 +689,8 @@ def sample_neyman_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rem"),
     )
     base_sum = alloc0.agg(F.sum("base").alias("bsum"))
+    # unpartitioned window over STRATA rows only (|langs|, ≤ a handful) —
+    # the bounded-frame exemption, same as the top-k re-rank windows
     wr = W.orderBy(F.col("rem").desc(), "lang")
     alloc = (
         alloc0.crossJoin(F.broadcast(base_sum))
