@@ -187,6 +187,7 @@ BASELINE_SEC = {
     "text_bm25_topk": 0.915,
     "text_phrase_search": 0.464,
     "orders_gini_concentration": 0.855,
+    "events_cusum_change_detect": 0.537,
 }
 GUARD_FACTOR = 2.0
 
@@ -357,6 +358,7 @@ HEADLINE = [
     "text_bm25_topk",
     "text_phrase_search",
     "orders_gini_concentration",
+    "events_cusum_change_detect",
 ]
 
 

@@ -853,3 +853,79 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# One-sided CUSUM change detection (round 4): the classic sequential
+# detector S_t = max(0, S_{t−1} + (x_t − k)) looks recursive, but has the
+# closed window form S_t = P_t − min_{i≤t} P_i with P = prefix sum of
+# (x − k) — two ordered per-series windows, no iteration. Run upward on
+# each event_type's daily mean value with slack k = overall mean + 0.5σ;
+# alarm when S_t clears h = 2σ. The mean-shift query scans candidate
+# split points; CUSUM is its streaming-friendly sequential cousin.
+# Beyond-reference [NS] (drift family).
+# --------------------------------------------------------------------------
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, avg(value) AS x
+  FROM events GROUP BY event_type, d
+), params AS (
+  SELECT event_type, avg(x) + 0.5 * stddev_samp(x) AS k,
+         2.0 * stddev_samp(x) AS h
+  FROM daily GROUP BY event_type
+), pref_t AS (
+  SELECT daily.event_type, d, x, h,
+         sum(x - k) OVER (PARTITION BY daily.event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pref
+  FROM daily JOIN params ON params.event_type = daily.event_type
+), p AS (
+  SELECT event_type, d, x, h, pref,
+         min(pref) OVER (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS minpref
+  FROM pref_t
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       round(x, 6) AS daily_mean,
+       round(pref - least(minpref, 0.0), 6) AS cusum,
+       pref - least(minpref, 0.0) > h AS alarm
+FROM p ORDER BY event_type, day
+"""
+
+
+@register("events_cusum_change_detect", oracle=CUSUM_ORACLE, tags=("drift", "window"))
+def events_cusum_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.avg("value").alias("x"))
+    params = daily.groupBy("event_type").agg(
+        (F.avg("x") + 0.5 * F.stddev_samp("x")).alias("k"),
+        (2.0 * F.stddev_samp("x")).alias("h"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    j = daily.join(F.broadcast(params), "event_type")
+    pref = F.sum(F.col("x") - F.col("k")).over(w)
+    p = j.select(
+        "event_type", "d", "x", "h", pref.alias("pref")
+    ).select(
+        "event_type",
+        "d",
+        "x",
+        "h",
+        "pref",
+        F.min("pref").over(w).alias("minpref"),
+    )
+    cusum = F.col("pref") - F.least(F.col("minpref"), F.lit(0.0))
+    return p.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round("x", 6).alias("daily_mean"),
+        F.round(cusum, 6).alias("cusum"),
+        (cusum > F.col("h")).alias("alarm"),
+    ).orderBy("event_type", "day")
