@@ -188,6 +188,7 @@ BASELINE_SEC = {
     "text_phrase_search": 0.464,
     "orders_gini_concentration": 0.855,
     "events_cusum_change_detect": 0.537,
+    "events_cohort_ltv_curve": 0.638,
 }
 GUARD_FACTOR = 2.0
 
@@ -359,6 +360,7 @@ HEADLINE = [
     "text_phrase_search",
     "orders_gini_concentration",
     "events_cusum_change_detect",
+    "events_cohort_ltv_curve",
 ]
 
 

@@ -929,3 +929,75 @@ def events_cusum_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cusum, 6).alias("cusum"),
         (cusum > F.col("h")).alias("alarm"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve (round 4): cumulative purchase revenue per signup
+# cohort (week of first purchase) across weeks-since-signup — the revenue
+# companion of the retention matrix. Per-user first-purchase week via one
+# grouped min, week offsets by exact integer day arithmetic, one ordered
+# running sum per cohort; money is DECIMAL until the final cast.
+# --------------------------------------------------------------------------
+LTV_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+         date_trunc('week', ts) AS w
+  FROM events WHERE event_type = 'purchase'
+), first_w AS (
+  SELECT user_id, min(w) AS cohort FROM p GROUP BY user_id
+), sized AS (
+  SELECT cohort, count(*) AS cohort_users FROM first_w GROUP BY cohort
+), wk AS (
+  SELECT first_w.cohort, p.user_id,
+         CAST(date_diff('day', first_w.cohort, p.w) // 7 AS BIGINT)
+           AS weeks_since,
+         p.v
+  FROM p JOIN first_w ON first_w.user_id = p.user_id
+), agg AS (
+  SELECT cohort, weeks_since, sum(v) AS rev FROM wk GROUP BY cohort, weeks_since
+)
+SELECT strftime(agg.cohort, '%Y-%m-%d') AS cohort_week,
+       sized.cohort_users,
+       agg.weeks_since,
+       CAST(sum(agg.rev) OVER (PARTITION BY agg.cohort ORDER BY agg.weeks_since
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cum_revenue
+FROM agg JOIN sized ON sized.cohort = agg.cohort
+ORDER BY cohort_week, weeks_since
+"""
+
+
+@register("events_cohort_ltv_curve", oracle=LTV_ORACLE, tags=("drift", "cohort", "window"))
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.date_trunc("week", "ts").alias("w"),
+    )
+    p = p.localCheckpoint(eager=False)  # first-week + offsets branches
+    first_w = p.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    sized = first_w.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    wk = p.join(first_w, "user_id").select(
+        "cohort",
+        F.floor(F.datediff(F.col("w"), F.col("cohort")) / 7).cast("long").alias(
+            "weeks_since"
+        ),
+        "v",
+    )
+    agg = wk.groupBy("cohort", "weeks_since").agg(F.sum("v").alias("rev"))
+    wc = (
+        W.partitionBy("cohort")
+        .orderBy("weeks_since")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        agg.join(F.broadcast(sized), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "cohort_users",
+            "weeks_since",
+            F.sum("rev").over(wc).cast("double").alias("cum_revenue"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
