@@ -294,3 +294,41 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Collation surface (round 4, Spark 4): case-insensitive grouping via the
+# UTF8_LCASE collation — the engine-native answer to mixed-case business
+# keys (vs the lower()-normalize workaround, which the oracle uses to
+# prove the semantics equal). Case is mangled deterministically by parity
+# first so the collation actually has work to do.
+# --------------------------------------------------------------------------
+COLLATION_ORACLE = """
+WITH mangled AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) ELSE lower(p_brand) END
+           AS b
+  FROM part
+)
+SELECT lower(b) AS brand_lower, CAST(count(*) AS BIGINT) AS n
+FROM mangled GROUP BY lower(b) ORDER BY brand_lower
+"""
+
+
+@register(
+    "scalar_collation_group", oracle=COLLATION_ORACLE, tags=("scalar", "collation")
+)
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    mangled = part.select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper("p_brand")
+        ).otherwise(F.lower("p_brand")).alias("b")
+    )
+    return (
+        mangled.groupBy(F.expr("collate(b, 'UTF8_LCASE')").alias("bc"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lower(F.col("bc").cast("string")).alias("brand_lower"), "n"
+        )
+        .orderBy("brand_lower")
+    )
