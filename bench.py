@@ -189,6 +189,7 @@ BASELINE_SEC = {
     "orders_gini_concentration": 0.855,
     "events_cusum_change_detect": 0.537,
     "events_cohort_ltv_curve": 0.638,
+    "sketch_cm_heavy_hitters_per_source": 0.894,
 }
 GUARD_FACTOR = 2.0
 
@@ -361,6 +362,7 @@ HEADLINE = [
     "orders_gini_concentration",
     "events_cusum_change_detect",
     "events_cohort_ltv_curve",
+    "sketch_cm_heavy_hitters_per_source",
 ]
 
 

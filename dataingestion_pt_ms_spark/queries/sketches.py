@@ -896,3 +896,94 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "q")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-tenant count-min heavy hitters (round 4): the 4×1024 count-min
+# sketch keyed PER SOURCE — the multi-tenant form (one fixed-size sketch
+# per tenant, cells keyed (tenant, row, bucket), all still mergeable and
+# map-side combinable; 100 TB state = 4096 bigints × tenants). Heavy
+# hitters = tokens clearing 1/50 of their OWN source's stream; the exact
+# count rides along so the ≥-overestimate law stays auditable per row.
+# --------------------------------------------------------------------------
+CM_PER_SRC_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+), totals AS (
+  SELECT source, CAST(sum(c) AS DOUBLE) AS tot FROM counts GROUP BY source
+), hashed AS (
+  SELECT source, token, c, j, {_DUCK_CM_BUCKET} AS bucket
+  FROM counts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u
+), cells AS (
+  SELECT source, j, bucket, CAST(sum(c) AS BIGINT) AS cell
+  FROM hashed GROUP BY source, j, bucket
+), est AS (
+  SELECT h.source, h.token, max(h.c) AS exact_count, min(cells.cell) AS est_count
+  FROM hashed h
+  JOIN cells ON h.source = cells.source AND h.j = cells.j
+            AND h.bucket = cells.bucket
+  GROUP BY h.source, h.token
+)
+SELECT est.source, est.token,
+       CAST(est.est_count AS BIGINT) AS est_count,
+       CAST(est.exact_count AS BIGINT) AS exact_count
+FROM est JOIN totals ON totals.source = est.source
+WHERE CAST(est.est_count AS DOUBLE) >= totals.tot / 50.0
+ORDER BY est.source, est_count DESC, est.token
+"""
+
+
+@register(
+    "sketch_cm_heavy_hitters_per_source",
+    oracle=CM_PER_SRC_ORACLE,
+    tags=("sketch", "countmin", "text"),
+)
+def sketch_cm_heavy_hitters_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # cells + totals + estimate branches
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").cast("double").alias("tot"))
+    hashed = counts.select(
+        "source",
+        "token",
+        "c",
+        F.explode(F.array([F.lit(j) for j in range(_CM_D)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_W,
+    )
+    hashed = hashed.localCheckpoint(eager=False)
+    cells = hashed.groupBy("source", "j", "bucket").agg(
+        F.sum("c").cast("long").alias("cell")
+    )
+    est = (
+        hashed.join(cells, ["source", "j", "bucket"])
+        .groupBy("source", "token")
+        .agg(F.max("c").alias("exact_count"), F.min("cell").alias("est_count"))
+    )
+    return (
+        est.join(F.broadcast(totals), "source")
+        .where(F.col("est_count").cast("double") >= F.col("tot") / 50.0)
+        .select(
+            "source",
+            "token",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+        )
+        .orderBy("source", F.col("est_count").desc(), "token")
+    )
