@@ -713,3 +713,80 @@ def sample_neyman_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_take")
         .orderBy("lang", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Importance reweighting to a target mix (round 4): per-language weights
+# w = target_share / current_share that re-balance the corpus toward a
+# declared training mix WITHOUT dropping rows (the reweight alternative to
+# temperature downsampling), plus the effective-sample-size audit
+# ESS = (Σw)²/Σw² that says how much statistical power the reweight costs.
+# One grouped count + broadcast share arithmetic; integer counts make
+# every share exact until the final divisions.
+# --------------------------------------------------------------------------
+_TARGET_MIX = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _TARGET_MIX.items())
+
+REWEIGHT_ORACLE = f"""
+WITH cur AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+), tot AS (SELECT sum(n) AS t FROM cur),
+tgt(lang, share) AS (VALUES {_MIX_VALUES}),
+w AS (
+  SELECT cur.lang, cur.n,
+         coalesce(tgt.share, 0.0) / (cur.n / tot.t) AS wt
+  FROM cur LEFT JOIN tgt ON tgt.lang = cur.lang CROSS JOIN tot
+), ess AS (
+  SELECT sum(n * wt) AS sw, sum(n * wt * wt) AS sw2 FROM w
+)
+SELECT w.lang, CAST(w.n AS BIGINT) AS n_docs,
+       round(w.wt, 6) AS weight,
+       round((SELECT sw * sw / sw2 FROM ess), 6) AS effective_sample_size
+FROM w ORDER BY w.lang
+"""
+
+
+@register(
+    "sample_importance_reweight",
+    oracle=REWEIGHT_ORACLE,
+    tags=("llm", "sample", "curation"),
+)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cur = cur.localCheckpoint(eager=False)  # totals + weights branches
+    tot = cur.agg(F.sum("n").alias("t"))
+    tgt = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            list(_TARGET_MIX.items()), "lang string, share double"
+        )
+    )
+    w = (
+        cur.join(tgt, "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n",
+            (
+                F.coalesce("share", F.lit(0.0)) / (F.col("n") / F.col("t"))
+            ).alias("wt"),
+        )
+    )
+    w = w.localCheckpoint(eager=False)
+    ess = w.agg(
+        (
+            F.pow(F.sum(F.col("n") * F.col("wt")), 2)
+            / F.sum(F.col("n") * F.col("wt") * F.col("wt"))
+        ).alias("ess")
+    )
+    return (
+        w.crossJoin(F.broadcast(ess))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round("wt", 6).alias("weight"),
+            F.round("ess", 6).alias("effective_sample_size"),
+        )
+        .orderBy("lang")
+    )
