@@ -190,6 +190,7 @@ BASELINE_SEC = {
     "events_cusum_change_detect": 0.537,
     "events_cohort_ltv_curve": 0.638,
     "sketch_cm_heavy_hitters_per_source": 0.894,
+    "sim_pq_error_audit": 1.517,
 }
 GUARD_FACTOR = 2.0
 
@@ -363,6 +364,7 @@ HEADLINE = [
     "events_cusum_change_detect",
     "events_cohort_ltv_curve",
     "sketch_cm_heavy_hitters_per_source",
+    "sim_pq_error_audit",
 ]
 
 

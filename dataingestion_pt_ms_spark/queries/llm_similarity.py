@@ -1508,3 +1508,61 @@ def sim_pq_refine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "approx_l2sq", "exact_l2sq", "rnk")
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# PQ quantization-error audit (round 4): per subspace, the reconstruction
+# error ‖x_sub − centroid(code)‖² the codebook inflicts — the codebook-
+# quality number an ANN operator watches when choosing codes/sub_dim
+# (completes the PQ story: train → encode → serve → refine → audit).
+# Per-(vector, subspace) errors round to 6 dp in BOTH engines before the
+# rollup. Oracle reuses the PQ train/encode CTE chain verbatim.
+# --------------------------------------------------------------------------
+PQ_ERROR_ORACLE = (
+    PQ_ADC_ORACLE.rsplit("), qd AS (", 1)[0]
+    + f"""),
+recon AS (
+  SELECT dims.vec_id, dims.sub,
+         round(sum((dims.x - cb.c) * (dims.x - cb.c)), 6) AS err
+  FROM dims
+  JOIN enc ON enc.vec_id = dims.vec_id AND enc.sub = dims.sub
+  JOIN cb ON cb.sub = dims.sub AND cb.code = enc.code AND cb.sd = dims.sd
+  GROUP BY dims.vec_id, dims.sub
+)
+SELECT sub, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(err), 6) AS avg_sq_error,
+       round(max(err), 6) AS max_sq_error
+FROM recon GROUP BY sub ORDER BY sub
+"""
+)
+
+
+@register(
+    "sim_pq_error_audit", oracle=PQ_ERROR_ORACLE, tags=("llm", "similarity", "pq")
+)
+def sim_pq_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import _sub_dims, pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, train_mod=4).localCheckpoint(eager=False)
+    enc = pq_encode(emb, cb)
+    dims = _sub_dims(emb, "embedding", "vec_id", 16)
+    recon = (
+        dims.join(enc, ["vec_id", "sub"])
+        .join(F.broadcast(cb), ["sub", "code", "sd"])
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6
+            ).alias("err")
+        )
+    )
+    return (
+        recon.groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("err"), 6).alias("avg_sq_error"),
+            F.round(F.max("err"), 6).alias("max_sq_error"),
+        )
+        .orderBy("sub")
+    )
