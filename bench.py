@@ -191,6 +191,7 @@ BASELINE_SEC = {
     "events_cohort_ltv_curve": 0.638,
     "sketch_cm_heavy_hitters_per_source": 0.894,
     "sim_pq_error_audit": 1.517,
+    "agg_weighted_percentile": 1.191,
 }
 GUARD_FACTOR = 2.0
 
@@ -365,6 +366,7 @@ HEADLINE = [
     "events_cohort_ltv_curve",
     "sketch_cm_heavy_hitters_per_source",
     "sim_pq_error_audit",
+    "agg_weighted_percentile",
 ]
 
 

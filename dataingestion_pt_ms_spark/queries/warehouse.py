@@ -1172,3 +1172,63 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted percentiles (round 4): customer account balance weighted by
+# order count — "the balance of the median ORDER's customer", not the
+# median customer (the two differ whenever activity correlates with the
+# measure; plain `percentile` has no weight argument in either engine).
+# Lower-weighted-percentile convention: the smallest value whose running
+# weight reaches q·W, computed on the distributed prefix sum
+# (ranking.global_running_sum — range-partitioned, no global window), with
+# exact integer weights so the crossing row is engine-exact.
+# --------------------------------------------------------------------------
+WEIGHTED_PCTL_ORACLE = """
+WITH w AS (
+  SELECT c.c_custkey, c.c_acctbal AS v, CAST(count(*) AS BIGINT) AS wt
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+), cum AS (
+  SELECT v, wt,
+         sum(wt) OVER (ORDER BY v, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         (SELECT sum(wt) FROM w) AS tot
+  FROM w
+), qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q)
+SELECT qs.q,
+       round(min(cum.v), 4) AS weighted_pctl
+FROM qs JOIN cum ON cum.cw >= qs.q * cum.tot
+GROUP BY qs.q ORDER BY qs.q
+"""
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle=WEIGHTED_PCTL_ORACLE,
+    tags=("agg", "percentile", "stats"),
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_running_sum
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", F.col("c_acctbal").alias("v"))
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    cum = global_running_sum(w, "wt", [F.col("v"), F.col("c_custkey")], out_col="cw")
+    cum = cum.localCheckpoint(eager=False)  # totals + crossing branches
+    tot = cum.agg(F.sum("wt").alias("tot"))
+    qs = F.broadcast(
+        cust.sparkSession.createDataFrame([(0.25,), (0.5,), (0.75,)], "q double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(qs)
+        .where(F.col("cw") >= F.col("q") * F.col("tot"))
+        .groupBy("q")
+        .agg(F.round(F.min("v"), 4).alias("weighted_pctl"))
+        .orderBy("q")
+    )
