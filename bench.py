@@ -192,6 +192,7 @@ BASELINE_SEC = {
     "sketch_cm_heavy_hitters_per_source": 0.894,
     "sim_pq_error_audit": 1.517,
     "agg_weighted_percentile": 1.191,
+    "events_seasonal_decomposition": 0.688,
 }
 GUARD_FACTOR = 2.0
 
@@ -367,6 +368,7 @@ HEADLINE = [
     "sketch_cm_heavy_hitters_per_source",
     "sim_pq_error_audit",
     "agg_weighted_percentile",
+    "events_seasonal_decomposition",
 ]
 
 

@@ -1711,3 +1711,80 @@ def ohlc_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Additive seasonal decomposition (round 4, STL-lite): daily event counts
+# = trend (centered 7-day moving average, edge-shrunk frame) + seasonal
+# (mean detrended value per day-of-week, re-centered to sum 0) + residual.
+# Three window/agg passes, everything per-series; the classic explainable
+# decomposition behind anomaly triage (the dow-index query is the
+# multiplicative-ratio cousin). Exact integer counts feed every average.
+# --------------------------------------------------------------------------
+DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY d
+), tr AS (
+  SELECT d, y,
+         avg(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend
+  FROM daily
+), det AS (
+  SELECT d, y, trend, y - trend AS detr,
+         dayofweek(d) AS dow
+  FROM tr
+), s0 AS (
+  SELECT dow, avg(detr) AS s_raw FROM det GROUP BY dow
+), s AS (
+  SELECT dow, s_raw - (SELECT avg(s_raw) FROM s0) AS seasonal FROM s0
+)
+SELECT strftime(det.d, '%Y-%m-%d') AS day,
+       round(det.y, 6) AS y,
+       round(det.trend, 6) AS trend,
+       round(s.seasonal, 6) AS seasonal,
+       round(det.y - det.trend - s.seasonal, 6) AS residual
+FROM det JOIN s ON s.dow = det.dow
+ORDER BY day
+"""
+
+
+@register(
+    "events_seasonal_decomposition",
+    oracle=DECOMP_ORACLE,
+    tags=("timeseries", "window", "stats"),
+)
+def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    # single ordered window over DAYS (≤ a few hundred rows at any SF —
+    # the day-grain bounded-frame exemption; at true scale partition by
+    # series id as every other per-symbol window here does)
+    wt = W.orderBy("d").rowsBetween(-3, 3)
+    det = daily.select(
+        "d",
+        "y",
+        F.avg("y").over(wt).alias("trend"),
+        F.dayofweek("d").alias("dow"),
+    ).withColumn("detr", F.col("y") - F.col("trend"))
+    det = det.localCheckpoint(eager=False)  # seasonal fit + output join
+    s0 = det.groupBy("dow").agg(F.avg("detr").alias("s_raw"))
+    s_mean = s0.agg(F.avg("s_raw").alias("m"))
+    s = s0.crossJoin(F.broadcast(s_mean)).select(
+        "dow", (F.col("s_raw") - F.col("m")).alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(s), "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("y", 6).alias("y"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
