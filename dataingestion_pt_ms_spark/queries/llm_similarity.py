@@ -1566,3 +1566,38 @@ def sim_pq_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sub")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF cell-balance audit (round 4): per-index health report BEFORE you pay
+# for probes — cell count, min/avg/max cell size, and the imbalance factor
+# max/mean that predicts tail latency (a hot cell serves most queries
+# slowly; the LSH band-cost audit is this family's dedup-side sibling).
+# One count rollup; trivially cheap at any corpus size.
+# --------------------------------------------------------------------------
+IVF_BALANCE_ORACLE = """
+WITH c AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS sz FROM embeddings GROUP BY label
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(min(sz) AS BIGINT) AS min_cell,
+       round(avg(sz), 6) AS avg_cell,
+       CAST(max(sz) AS BIGINT) AS max_cell,
+       round(max(sz) / avg(sz), 6) AS imbalance_factor
+FROM c
+"""
+
+
+@register(
+    "sim_ivf_cell_balance", oracle=IVF_BALANCE_ORACLE, tags=("llm", "similarity", "ivf")
+)
+def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("sz").alias("min_cell"),
+        F.round(F.avg("sz"), 6).alias("avg_cell"),
+        F.max("sz").alias("max_cell"),
+        F.round(F.max("sz") / F.avg("sz"), 6).alias("imbalance_factor"),
+    )

@@ -332,3 +332,43 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_lower")
     )
+
+
+# --------------------------------------------------------------------------
+# try_* error-safe arithmetic (round 4): the ANSI-mode survival kit — this
+# engine runs spark.sql.ansi.enabled semantics where bad casts and zero
+# divisions THROW; try_cast / try_divide / try_add return NULL instead,
+# which is what a 100 TB batch job wants for the 0.001% of garbage rows
+# (fail the row, not the job). Exercised over deliberately hostile
+# expressions; the oracle mirrors with TRY_CAST and NULLIF guards.
+# --------------------------------------------------------------------------
+TRY_ORACLE = """
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+       CAST(o_totalprice / NULLIF(o_orderkey % 3, 0) AS DOUBLE) AS guarded_div,
+       CAST(substr(o_orderpriority, 1, 1) AS VARCHAR) AS prio_digit_str,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit
+FROM orders
+WHERE o_orderkey <= 100
+ORDER BY o_orderkey
+"""
+
+
+@register("scalar_try_family", oracle=TRY_ORACLE, tags=("scalar", "ansi"))
+def scalar_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.expr("try_cast(o_orderpriority AS BIGINT)").alias("bad_cast"),
+            F.expr("try_divide(o_totalprice, o_orderkey % 3)")
+            .cast("double")
+            .alias("guarded_div"),
+            F.substring("o_orderpriority", 1, 1).alias("prio_digit_str"),
+            F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").alias(
+                "prio_digit"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
