@@ -193,6 +193,7 @@ BASELINE_SEC = {
     "sim_pq_error_audit": 1.517,
     "agg_weighted_percentile": 1.191,
     "events_seasonal_decomposition": 0.688,
+    "dedup_bbit_minhash_estimate": 1.769,
 }
 GUARD_FACTOR = 2.0
 
@@ -369,6 +370,7 @@ HEADLINE = [
     "sim_pq_error_audit",
     "agg_weighted_percentile",
     "events_seasonal_decomposition",
+    "dedup_bbit_minhash_estimate",
 ]
 
 

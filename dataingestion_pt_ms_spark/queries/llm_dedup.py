@@ -1017,3 +1017,88 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.5)
         .orderBy("key_a", "key_b")
     )
+
+
+# --------------------------------------------------------------------------
+# b-bit MinHash (round 4, Li & König 2010): store only the LOWEST BIT of
+# each of the 64 minhash components — 64 bits per doc instead of 64
+# longs (the space-optimal signature for massive-corpus dedup) — and
+# estimate Jaccard from the bit-agreement fraction A via the b=1 unbiased
+# inversion J ≈ 2A − 1. Audited over the consecutive-id pair panel
+# against exact shingle Jaccard, like the full-width estimator audit
+# (dedup_estimator_error_profile); the md5 base hash keeps every bit
+# engine-reproducible.
+# --------------------------------------------------------------------------
+BBIT_ORACLE = f"""
+WITH {_MINHASH_PIPE_CTES},
+cand AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+), bits AS (
+  SELECT cand.key_a, cand.key_b,
+         {" + ".join(f"CASE WHEN sa.m{p} % 2 = sb.m{p} % 2 THEN 1 ELSE 0 END" for p in range(64))}
+           AS n_agree
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.key_a
+  JOIN sig sb ON sb.doc_id = cand.key_b
+), est AS (
+  SELECT key_a, key_b,
+         round(2.0 * (n_agree / 64.0) - 1.0, 6) AS est_jaccard
+  FROM bits
+), exact AS (
+  SELECT a.doc_id AS key_a,
+         round(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
+                    THEN 0.0
+                    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               END, 6) AS exact_jaccard
+  FROM shl a JOIN shl b ON b.doc_id = a.doc_id + 1
+)
+SELECT est.key_a, est.key_b, est.est_jaccard, exact.exact_jaccard,
+       round(abs(est.est_jaccard - exact.exact_jaccard), 6) AS abs_error
+FROM est JOIN exact ON exact.key_a = est.key_a
+ORDER BY est.key_a
+"""
+
+
+@register(
+    "dedup_bbit_minhash_estimate", oracle=BBIT_ORACLE, tags=("llm", "dedup", "sketch")
+)
+def dedup_bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, "text", "doc_id").localCheckpoint(eager=False)
+    a = sig.select(F.col("doc_id").alias("key_a"), F.col("signature").alias("sa"))
+    b = sig.select(
+        (F.col("doc_id") - 1).alias("key_a"),
+        F.col("doc_id").alias("key_b"),
+        F.col("signature").alias("sb"),
+    )
+    n_agree = F.aggregate(
+        F.zip_with(
+            "sa", "sb", lambda x, y: F.when(x % 2 == y % 2, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = a.join(b, "key_a").select(
+        "key_a",
+        "key_b",
+        F.round(2.0 * (n_agree / 64.0) - 1.0, 6).alias("est_jaccard"),
+    )
+    pairs = est.select("key_a", "key_b")
+    exact = D.jaccard_pairs(docs, pairs, "text", "doc_id").select(
+        "key_a", F.col("jaccard").alias("exact_jaccard")
+    )
+    return (
+        est.join(exact, "key_a")
+        .select(
+            "key_a",
+            "key_b",
+            "est_jaccard",
+            "exact_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias(
+                "abs_error"
+            ),
+        )
+        .orderBy("key_a")
+    )
