@@ -1788,3 +1788,56 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naïve backtest (round 4): forecast each day's per-type count
+# with "same weekday last week" (lag 7 on the daily series) and score the
+# backtest with MAPE and bias per event_type — the baseline every real
+# forecasting system must beat, plus the evaluation methodology (walk-
+# forward error over the history) in one query. One shuffle per series.
+# --------------------------------------------------------------------------
+SNAIVE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY event_type, d
+), f AS (
+  SELECT event_type, d, y,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS yhat
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(yhat) AS BIGINT) AS n_scored,
+       round(avg(abs(y - yhat) / y), 6) AS mape,
+       round(avg(yhat - y), 6) AS bias
+FROM f WHERE yhat IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    oracle=SNAIVE_ORACLE,
+    tags=("timeseries", "forecast", "stats"),
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    w = W.partitionBy("event_type").orderBy("d")
+    f = daily.withColumn("yhat", F.lag("y", 7).over(w)).where(
+        F.col("yhat").isNotNull()
+    )
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count("yhat").alias("n_scored"),
+            F.round(F.avg(F.abs(F.col("y") - F.col("yhat")) / F.col("y")), 6).alias(
+                "mape"
+            ),
+            F.round(F.avg(F.col("yhat") - F.col("y")), 6).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
