@@ -194,6 +194,8 @@ BASELINE_SEC = {
     "agg_weighted_percentile": 1.191,
     "events_seasonal_decomposition": 0.688,
     "dedup_bbit_minhash_estimate": 1.769,
+    "events_seasonal_naive_backtest": 0.329,
+    "sample_importance_reweight": 0.749,
 }
 GUARD_FACTOR = 2.0
 
@@ -371,6 +373,8 @@ HEADLINE = [
     "agg_weighted_percentile",
     "events_seasonal_decomposition",
     "dedup_bbit_minhash_estimate",
+    "events_seasonal_naive_backtest",
+    "sample_importance_reweight",
 ]
 
 
