@@ -196,6 +196,7 @@ BASELINE_SEC = {
     "dedup_bbit_minhash_estimate": 1.769,
     "events_seasonal_naive_backtest": 0.329,
     "sample_importance_reweight": 0.749,
+    "events_exponential_fit_test": 0.846,
 }
 GUARD_FACTOR = 2.0
 
@@ -375,6 +376,7 @@ HEADLINE = [
     "dedup_bbit_minhash_estimate",
     "events_seasonal_naive_backtest",
     "sample_importance_reweight",
+    "events_exponential_fit_test",
 ]
 
 

@@ -1001,3 +1001,86 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# --------------------------------------------------------------------------
+# Exponential inter-arrival test (round 4): is each event_type's arrival
+# process Poisson? Fit λ̂ = 1/mean(gap) per type, then the one-sample KS
+# statistic D = max |F_emp(x) − (1 − e^{−λ̂x})| over the empirical gap
+# CDF — the burstiness screen that complements the per-user regularity CV
+# (bot flags). CDF steps only at distinct gap values (bounded table), the
+# running count is a per-type ordered window over that bounded table, and
+# both engines evaluate the same exponential on identical integer-derived
+# gaps. Beyond-reference [NS] (drift/stats family).
+# --------------------------------------------------------------------------
+EXPFIT_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY event_type ORDER BY ts, event_id)
+              AS DOUBLE) / 1000000 AS gap
+  FROM events
+), gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+lam AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n, 1.0 / avg(gap) AS l
+  FROM gg GROUP BY event_type
+), pv AS (
+  SELECT event_type, gap, CAST(count(*) AS BIGINT) AS c
+  FROM gg GROUP BY event_type, gap
+), cum AS (
+  SELECT event_type, gap, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY gap
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM pv
+)
+SELECT cum.event_type,
+       CAST(lam.n AS BIGINT) AS n_gaps,
+       round(lam.l, 6) AS lambda_hat,
+       round(max(abs(cum.cc / lam.n - (1.0 - exp(-lam.l * cum.gap)))), 6)
+         AS ks_stat
+FROM cum JOIN lam ON lam.event_type = cum.event_type
+GROUP BY cum.event_type, lam.n, lam.l
+ORDER BY cum.event_type
+"""
+
+
+@register(
+    "events_exponential_fit_test", oracle=EXPFIT_ORACLE, tags=("drift", "stats")
+)
+def events_exponential_fit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).cast("double")
+            / 1e6
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    g = g.localCheckpoint(eager=False)  # lambda fit + CDF branches
+    lam = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (1.0 / F.avg("gap")).alias("l"),
+    )
+    pv = g.groupBy("event_type", "gap").agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("gap")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = pv.select("event_type", "gap", F.sum("c").over(wc).alias("cc"))
+    dev = F.abs(
+        F.col("cc") / F.col("n") - (1.0 - F.exp(-F.col("l") * F.col("gap")))
+    )
+    return (
+        cum.join(F.broadcast(lam), "event_type")
+        .groupBy("event_type", "n", "l")
+        .agg(F.round(F.max(dev), 6).alias("ks_stat"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.round("l", 6).alias("lambda_hat"),
+            "ks_stat",
+        )
+        .orderBy("event_type")
+    )
