@@ -197,6 +197,7 @@ BASELINE_SEC = {
     "events_seasonal_naive_backtest": 0.329,
     "sample_importance_reweight": 0.749,
     "events_exponential_fit_test": 0.846,
+    "graph_degree_assortativity": 2.93,
 }
 GUARD_FACTOR = 2.0
 
@@ -377,6 +378,7 @@ HEADLINE = [
     "events_seasonal_naive_backtest",
     "sample_importance_reweight",
     "events_exponential_fit_test",
+    "graph_degree_assortativity",
 ]
 
 

@@ -644,3 +644,55 @@ def sql_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFram
     edges = spark.sql(_SPARK_TRI_EDGES).localCheckpoint(eager=False)
     edges.createOrReplaceTempView("_rcte_edges")
     return spark.sql(_RCTE_TEMPLATE.format(edges="SELECT * FROM _rcte_edges"))
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (round 4): Pearson correlation of endpoint degrees
+# over the (undirected, symmetrized) co-purchase edge set — positive means
+# hubs prefer hubs (social-style), negative means hub-and-spoke
+# (infrastructure-style); THE one-number network-topology fingerprint.
+# One degree aggregate + two broadcast joins + built-in corr, rounded 6.
+# --------------------------------------------------------------------------
+ASSORT_ORACLE = f"""
+WITH e0 AS ({_TRI_EDGES_SQL}),
+e AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT a AS node, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY a)
+SELECT CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+       round(corr(da.d, db.d), 6) AS assortativity
+FROM e
+JOIN deg da ON da.node = e.a
+JOIN deg db ON db.node = e.b
+"""
+
+
+@register(
+    "graph_degree_assortativity", oracle=ASSORT_ORACLE, tags=("graph", "stats")
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)  # sym edges + edge count
+    )
+    e = e0.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        e0.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    n_edges = e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        e.join(F.broadcast(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da")), "a")
+        .join(F.broadcast(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db")), "b")
+        .agg(F.round(F.corr("da", "db"), 6).alias("assortativity"))
+        .crossJoin(F.broadcast(n_edges))
+        .select(F.col("n_edges").cast("long").alias("n_edges"), "assortativity")
+    )
