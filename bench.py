@@ -198,6 +198,7 @@ BASELINE_SEC = {
     "sample_importance_reweight": 0.749,
     "events_exponential_fit_test": 0.846,
     "graph_degree_assortativity": 2.93,
+    "orders_pareto_skyline": 1.742,
 }
 GUARD_FACTOR = 2.0
 
@@ -379,6 +380,7 @@ HEADLINE = [
     "sample_importance_reweight",
     "events_exponential_fit_test",
     "graph_degree_assortativity",
+    "orders_pareto_skyline",
 ]
 
 

@@ -162,3 +162,50 @@ def global_running_sum(
         .withColumn(out_col, F.col("_off") + F.col("_lcs"))
         .drop("_pid", "_lcs", "_off")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[Column | str],
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global prefix MAX of ``value_col`` in ``order_cols`` order —
+    the same range-partition → local scan → broadcast-earlier-partitions
+    shape as ``global_running_sum`` (max replaces sum in both stages).
+    The skyline/dominance primitive: after sorting by one criterion, a row
+    is Pareto-dominated iff the prefix max of the other criterion over
+    STRICTLY earlier rows beats it."""
+    sort_exprs = _cols(order_cols)
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = df.repartitionByRange(p, *sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parts = parts.withColumn(
+        "_lmx",
+        F.max(value_col).over(
+            W.partitionBy("_pid")
+            .orderBy(*sort_exprs)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    parts = parts.localCheckpoint(eager=False)
+    maxes = parts.groupBy("_pid").agg(F.max(value_col).alias("_wmax"))
+    earlier = maxes.select(F.col("_pid").alias("_pid2"), F.col("_wmax").alias("_m2"))
+    offsets = (
+        maxes.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.max("_m2").alias("_off"))
+    )
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            F.when(F.col("_off").isNull(), F.col("_lmx")).otherwise(
+                F.greatest(F.col("_lmx"), F.col("_off"))
+            ),
+        )
+        .drop("_pid", "_lmx", "_off")
+    )

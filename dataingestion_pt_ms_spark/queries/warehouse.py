@@ -1232,3 +1232,85 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.min("v"), 4).alias("weighted_pctl"))
         .orderBy("q")
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto front (round 4): customers not dominated on
+# (total spend, order count) — the classic dominance query (BNL/D&C in
+# the literature), here via the monotone trick: sort by spend DESC and a
+# customer is on the front iff their order count STRICTLY exceeds the
+# prefix max of counts over all better-spend rows (distributed prefix
+# max, ranking.global_running_max — no n² dominance join, no global
+# window). Ties on spend order deterministically by custkey; the EXCLUSIVE
+# prefix max comes from the inclusive one minus the row's own count via a
+# dominance re-check against the strictly-better set.
+# --------------------------------------------------------------------------
+SKYLINE_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY custkey
+)
+SELECT a.custkey, round(a.spend, 2) AS spend, a.n_orders
+FROM agg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE (b.spend > a.spend AND b.n_orders >= a.n_orders)
+     OR (b.spend >= a.spend AND b.n_orders > a.n_orders)
+)
+ORDER BY a.custkey
+"""
+
+
+@register("orders_pareto_skyline", oracle=SKYLINE_ORACLE, tags=("warehouse", "stats"))
+def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_running_max
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # prefix max of n_orders in (spend DESC, n_orders DESC, custkey) order:
+    # the inclusive prefix max over rows sorted best-first; a row survives
+    # iff nothing strictly better dominates it. With ties ordered
+    # n_orders DESC, an equal-spend row with more orders precedes, so the
+    # inclusive-prefix comparison implements the EXISTS dominance test
+    # exactly: dominated ⟺ prefix max (excluding equal-key rows that don't
+    # dominate) > own count, or an equal-count strictly-better-spend row
+    # exists. Handle the second case by comparing against the prefix max
+    # over STRICTLY better spend via a max-per-spend pre-collapse.
+    from ..operators.ranking import global_row_number
+
+    per_spend = agg.groupBy("spend").agg(F.max("n_orders").alias("best_n"))
+    ranked = global_running_max(
+        per_spend,
+        "best_n",
+        [F.col("spend").desc()],
+        out_col="prefix_best",
+    )
+    # exclusive prefix max over STRICTLY better spend = inclusive prefix of
+    # the previous distinct-spend row, fetched by rank EQUI-JOIN (rk = rk−1)
+    # on the distributed global row number — no unpartitioned lag window
+    ranked = global_row_number(
+        ranked, [F.col("spend").desc()], out_col="rk"
+    ).localCheckpoint(eager=False)
+    excl = ranked.select("spend", "best_n", (F.col("rk") - 1).alias("prk")).join(
+        ranked.select(F.col("rk").alias("prk"), F.col("prefix_best").alias("excl_best")),
+        "prk",
+        "left",
+    )
+    return (
+        agg.join(excl, "spend")
+        .where(
+            (F.col("excl_best").isNull() | (F.col("excl_best") < F.col("n_orders")))
+            # equal-spend domination: only the max-order customers of each
+            # spend value can be on the front
+            & (F.col("n_orders") == F.col("best_n"))
+        )
+        .select("custkey", F.round("spend", 2).alias("spend"), "n_orders")
+        .orderBy("custkey")
+    )

@@ -1190,3 +1190,57 @@ def test_bellman_ford_rounds_tiny_graph(spark):
     assert d == {1: 0, 2: 5, 3: 6}
     with _pytest.raises(ValueError, match="rounds"):
         bellman_ford_rounds(edges, seeds, rounds=0)
+
+
+def test_global_running_max_matches_window_twin(spark, sf_dir):
+    """Distributed prefix max must equal the single-window formulation."""
+    from pyspark.sql import Window as W
+
+    from dataingestion_pt_ms_spark.operators.ranking import global_running_max
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    got = {
+        r.o_orderkey: r.rm
+        for r in global_running_max(
+            orders, "o_totalprice", [F.col("o_orderkey")], out_col="rm"
+        ).collect()
+    }
+    w = W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r.o_orderkey: r.rm
+        for r in orders.select(
+            "o_orderkey", F.max("o_totalprice").over(w).alias("rm")
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_pareto_skyline_equal_spend_ties(spark, tmp_path):
+    """Equal-spend domination: a customer tied on spend but with fewer
+    orders is dominated; exact (spend, n) ties both stay on the front."""
+    import os
+
+    from dataingestion_pt_ms_spark.queries.warehouse import orders_pareto_skyline
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    rows = []
+    # custkey 1: spend 300 in 3 orders; custkey 2: spend 300 in 2 orders
+    # (dominated); custkey 3: spend 300 in 3 orders (exact tie with 1);
+    # custkey 4: spend 500 in 1 order (front: best spend)
+    oid = 0
+    for ck, amounts in [(1, [100.0] * 3), (2, [150.0, 150.0]), (3, [100.0] * 3), (4, [500.0])]:
+        for a in amounts:
+            rows.append((oid, ck, a, "1996-01-01", "1-URGENT"))
+            oid += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    got = {(r.custkey, r.n_orders) for r in orders_pareto_skyline(spark, sf).collect()}
+    assert got == {(1, 3), (3, 3), (4, 1)}
