@@ -1841,3 +1841,52 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation at lags 1 and 7 (round 4): corr(y_t, y_{t−k}) of the
+# per-type daily count series — the two numbers that justify the lag-7
+# seasonal-naïve baseline (high ACF(7)) and quantify day-to-day momentum
+# (ACF(1)). One lag window per series + built-in corr, rounded 6.
+# --------------------------------------------------------------------------
+ACF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY event_type, d
+), l AS (
+  SELECT event_type, y,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS y1,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS y7
+  FROM daily
+)
+SELECT event_type,
+       round(corr(y, y1), 6) AS acf_lag1,
+       round(corr(y, y7), 6) AS acf_lag7
+FROM l GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "events_autocorrelation", oracle=ACF_ORACLE, tags=("timeseries", "stats")
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    w = W.partitionBy("event_type").orderBy("d")
+    l = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 7).over(w).alias("y7"),
+    )
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.round(F.corr("y", "y1"), 6).alias("acf_lag1"),
+            F.round(F.corr("y", "y7"), 6).alias("acf_lag7"),
+        )
+        .orderBy("event_type")
+    )
