@@ -199,6 +199,7 @@ BASELINE_SEC = {
     "events_exponential_fit_test": 0.846,
     "graph_degree_assortativity": 2.93,
     "orders_pareto_skyline": 1.742,
+    "sim_centroid_classifier_audit": 1.048,
 }
 GUARD_FACTOR = 2.0
 
@@ -381,6 +382,7 @@ HEADLINE = [
     "events_exponential_fit_test",
     "graph_degree_assortativity",
     "orders_pareto_skyline",
+    "sim_centroid_classifier_audit",
 ]
 
 

@@ -1601,3 +1601,82 @@ def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").alias("max_cell"),
         F.round(F.max("sz") / F.avg("sz"), 6).alias("imbalance_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid classification audit (round 4): assign every vector to
+# its nearest label centroid and report the confusion summary — per true
+# label, how many route back to their own cell vs elsewhere, plus overall
+# accuracy. This is the IVF partitioner evaluated AS a classifier: low
+# self-routing predicts poor nprobe=1 recall before any query runs (the
+# recall audit's cheap standing precursor). Centroids broadcast; one
+# corpus scan; argmin ties toward the smaller cell id in both engines.
+# --------------------------------------------------------------------------
+CENTROID_CLS_ORACLE = """
+WITH exploded AS (
+  SELECT label, pos, CAST(val AS DOUBLE) AS val
+  FROM (SELECT label, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+centroids AS (
+  SELECT label AS cl, list(avg_val ORDER BY pos) AS cvec
+  FROM (SELECT label, pos, avg(val) AS avg_val FROM exploded GROUP BY label, pos)
+  GROUP BY label
+),
+assign AS (
+  SELECT vec_id, label, cl FROM (
+    SELECT e.vec_id, e.label, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
+                        DESC, c.cl) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rn = 1
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN cl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_self,
+       round(sum(CASE WHEN cl = label THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS self_routing_rate
+FROM assign GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "sim_centroid_classifier_audit",
+    oracle=CENTROID_CLS_ORACLE,
+    tags=("llm", "similarity", "ivf"),
+)
+def sim_centroid_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(emb).select(
+        F.col("blk").alias("cl"), F.col("centroid")
+    )
+    wq = W.partitionBy("vec_id").orderBy(
+        F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"), "centroid"), 6
+        ).desc(),
+        "cl",
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cl")
+    )
+    self_hit = F.when(F.col("cl") == F.col("label"), 1).otherwise(0)
+    return (
+        assign.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(self_hit).alias("n_self"),
+            F.round(
+                F.sum(self_hit) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("self_routing_rate"),
+        )
+        .orderBy("label")
+    )
