@@ -200,6 +200,7 @@ BASELINE_SEC = {
     "graph_degree_assortativity": 2.93,
     "orders_pareto_skyline": 1.742,
     "sim_centroid_classifier_audit": 1.048,
+    "text_trigram_langid": 3.92,
 }
 GUARD_FACTOR = 2.0
 
@@ -383,6 +384,7 @@ HEADLINE = [
     "graph_degree_assortativity",
     "orders_pareto_skyline",
     "sim_centroid_classifier_audit",
+    "text_trigram_langid",
 ]
 
 

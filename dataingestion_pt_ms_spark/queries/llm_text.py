@@ -1452,3 +1452,116 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Character-trigram language ID (round 4, TextCat-style): build per-lang
+# char-trigram frequency profiles from the even-id training half, classify
+# the odd-id half by cosine between each doc's trigram counts and the
+# profiles, report the per-lang confusion summary. The char-trigram stream
+# is codegen (explode of an index sequence + substring — no per-char HOF);
+# scoring is one trigram-keyed join + per-doc argmax over a handful of
+# langs (broadcast profiles). The marker-word heuristic
+# (text_language_id) is the cheap cousin; this is the real classical
+# method. (On this synthetic fixture all langs share one vocabulary, so
+# the measured self-rate ~ chance — the pipeline, not the fixture, is
+# what the row attests.) Beyond-reference [NS].
+# --------------------------------------------------------------------------
+TRIGRAM_LANGID_ORACLE = """
+WITH tri AS (
+  SELECT doc_id, lang, substr(lower(text), i, 3) AS g
+  FROM documents, unnest(range(1, length(text) - 1)) AS u(i)
+  WHERE length(text) >= 3
+), train AS (
+  SELECT lang, g, CAST(count(*) AS DOUBLE) AS c
+  FROM tri WHERE doc_id % 2 = 0 GROUP BY lang, g
+), tnorm AS (
+  SELECT lang, sqrt(sum(c * c)) AS nrm FROM train GROUP BY lang
+), doc AS (
+  SELECT doc_id, lang AS true_lang, g, CAST(count(*) AS DOUBLE) AS c
+  FROM tri WHERE doc_id % 2 = 1 GROUP BY doc_id, lang, g
+), dnorm AS (
+  SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM doc GROUP BY doc_id
+), scored AS (
+  SELECT doc.doc_id, doc.true_lang, train.lang AS pred_lang,
+         round(sum(doc.c * train.c) / (max(dnorm.nrm) * max(tnorm.nrm)), 6)
+           AS cos_sim
+  FROM doc
+  JOIN train ON train.g = doc.g
+  JOIN dnorm ON dnorm.doc_id = doc.doc_id
+  JOIN tnorm ON tnorm.lang = train.lang
+  GROUP BY doc.doc_id, doc.true_lang, train.lang
+), best AS (
+  SELECT doc_id, true_lang, pred_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cos_sim DESC, pred_lang) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT true_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS self_rate
+FROM best GROUP BY true_lang ORDER BY true_lang
+"""
+
+
+@register(
+    "text_trigram_langid", oracle=TRIGRAM_LANGID_ORACLE, tags=("llm", "text", "langid")
+)
+def text_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = (
+        docs.where(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.lower("text").alias("lt"),
+            F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+        )
+        .select("doc_id", "lang", F.expr("substr(lt, i, 3)").alias("g"))
+    )
+    tri = tri.localCheckpoint(eager=False)  # train + test branches
+    train = (
+        tri.where(F.col("doc_id") % 2 == 0)
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("double").alias("tc"))
+    )
+    train = train.localCheckpoint(eager=False)
+    tnorm = train.groupBy("lang").agg(F.sqrt(F.sum(F.col("tc") * F.col("tc"))).alias("tn"))
+    doc = (
+        tri.where(F.col("doc_id") % 2 == 1)
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "g")
+        .agg(F.count(F.lit(1)).cast("double").alias("dc"))
+    )
+    doc = doc.localCheckpoint(eager=False)
+    dnorm = doc.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("dc") * F.col("dc"))).alias("dn"))
+    scored = (
+        doc.join(train.withColumnRenamed("lang", "pred_lang"), "g")
+        .join(F.broadcast(dnorm), "doc_id")
+        .join(F.broadcast(tnorm.withColumnRenamed("lang", "pred_lang")), "pred_lang")
+        .groupBy("doc_id", "true_lang", "pred_lang")
+        .agg(
+            F.round(
+                F.sum(F.col("dc") * F.col("tc")) / (F.max("dn") * F.max("tn")), 6
+            ).alias("cos_sim")
+        )
+    )
+    wq = W.partitionBy("doc_id").orderBy(F.col("cos_sim").desc(), "pred_lang")
+    best = scored.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") == 1)
+    hit = F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)
+    return (
+        best.groupBy("true_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(hit).alias("n_correct"),
+            F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "self_rate"
+            ),
+        )
+        .orderBy("true_lang")
+    )
