@@ -201,6 +201,7 @@ BASELINE_SEC = {
     "orders_pareto_skyline": 1.742,
     "sim_centroid_classifier_audit": 1.048,
     "text_trigram_langid": 3.92,
+    "emb_random_projection_distortion": 1.103,
 }
 GUARD_FACTOR = 2.0
 
@@ -385,6 +386,7 @@ HEADLINE = [
     "orders_pareto_skyline",
     "sim_centroid_classifier_audit",
     "text_trigram_langid",
+    "emb_random_projection_distortion",
 ]
 
 

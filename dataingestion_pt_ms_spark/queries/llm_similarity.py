@@ -1680,3 +1680,73 @@ def sim_centroid_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Random-projection distortion audit (round 4): project 64-dim embeddings
+# to 16 dims through the deterministic hyperplane matrix (make_planes —
+# the same literal rationals the LSH oracle embeds) and measure how much
+# cosine similarity moves over the linear (v, v+1) pair panel — the
+# Johnson–Lindenstrauss quality check that says whether a 4× cheaper
+# index preserves neighborhoods. The proper-rotation cousin of the
+# Matryoshka prefix-truncation audit.
+# --------------------------------------------------------------------------
+_RP_PLANES = S.make_planes(16, 64)
+
+_RP_PROJ_SQL = ", ".join(
+    f"list_dot_product(e, {_plane_lit(p)})" for p in _RP_PLANES
+)
+
+RP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), proj AS (
+  SELECT vec_id, [{_RP_PROJ_SQL}] AS p, e FROM v
+), pairs AS (
+  SELECT a.vec_id AS va,
+         round(list_cosine_similarity(a.e, b.e), 6) AS cos_full,
+         round(list_cosine_similarity(a.p, b.p), 6) AS cos_proj
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(cos_full - cos_proj)), 6) AS avg_distortion,
+       round(max(abs(cos_full - cos_proj)), 6) AS max_distortion,
+       round(corr(cos_full, cos_proj), 6) AS rank_fidelity_corr
+FROM pairs
+"""
+
+
+@register(
+    "emb_random_projection_distortion",
+    oracle=RP_ORACLE,
+    tags=("llm", "embedding"),
+)
+def emb_random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    proj = F.array(
+        *[
+            dot(e, F.array(*[F.lit(float(x)) for x in p]))
+            for p in _RP_PLANES
+        ]
+    )
+    v = emb.select("vec_id", e.alias("e"), proj.alias("p"))
+    a = v.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("p").alias("pa"))
+    b = v.select(
+        (F.col("vec_id") - 1).alias("va"),
+        F.col("e").alias("eb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, "va").select(
+        F.round(cosine_similarity("ea", "eb"), 6).alias("cos_full"),
+        F.round(cosine_similarity("pa", "pb"), 6).alias("cos_proj"),
+    )
+    dist = F.abs(F.col("cos_full") - F.col("cos_proj"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(dist), 6).alias("avg_distortion"),
+        F.round(F.max(dist), 6).alias("max_distortion"),
+        F.round(F.corr("cos_full", "cos_proj"), 6).alias("rank_fidelity_corr"),
+    )
