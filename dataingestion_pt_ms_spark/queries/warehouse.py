@@ -1314,3 +1314,54 @@ def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey", F.round("spend", 2).alias("spend"), "n_orders")
         .orderBy("custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Freshness-lag report (round 4): how far each event stream trails the
+# most recent event overall — the per-source staleness panel an ingest
+# operator watches (reference parity: the run-status doc's
+# last_success_timestamp, app/alpaca_service.py:19-25, generalized per
+# stream). The reference point is the GLOBAL max event time (not wall
+# clock), so the report is deterministic; lag in integer seconds, SLA
+# flag at 30 minutes.
+# --------------------------------------------------------------------------
+FRESHNESS_ORACLE = """
+WITH g AS (SELECT max(ts) AS latest FROM events),
+per AS (
+  SELECT event_type, max(ts) AS last_seen, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT per.event_type,
+       strftime(per.last_seen, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+       CAST((epoch_us(g.latest) - epoch_us(per.last_seen)) // 1000000 AS BIGINT)
+         AS lag_seconds,
+       (epoch_us(g.latest) - epoch_us(per.last_seen)) // 1000000 > 1800
+         AS sla_breach,
+       per.n_events
+FROM per CROSS JOIN g
+ORDER BY per.event_type
+"""
+
+
+@register("events_freshness_lag", oracle=FRESHNESS_ORACLE, tags=("warehouse", "dq"))
+def events_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("latest"))
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen"), F.count(F.lit(1)).alias("n_events")
+    )
+    lag_s = F.floor(
+        (F.unix_micros("latest") - F.unix_micros("last_seen")) / 1_000_000
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.date_format("last_seen", _TS_FMT).alias("last_seen"),
+            lag_s.alias("lag_seconds"),
+            (lag_s > 1800).alias("sla_breach"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
