@@ -1365,3 +1365,71 @@ def events_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test (round 4): are part type and brand
+# independent? Contingency counts → expected = row·col/total → χ² =
+# Σ(o−e)²/e with degrees of freedom — the categorical-association test
+# (the KS/t-test rows' categorical sibling). All counts exact integers;
+# one grouped aggregate + two broadcast marginals.
+# --------------------------------------------------------------------------
+CHI2_ORACLE = """
+WITH o AS (
+  SELECT p_type AS a, p_brand AS b, CAST(count(*) AS DOUBLE) AS n
+  FROM part GROUP BY a, b
+), ra AS (SELECT a, sum(n) AS na FROM o GROUP BY a),
+rb AS (SELECT b, sum(n) AS nb FROM o GROUP BY b),
+tot AS (SELECT sum(n) AS t FROM o),
+cells AS (
+  SELECT o.a, o.b, o.n, ra.na * rb.nb / tot.t AS e
+  FROM o JOIN ra ON ra.a = o.a JOIN rb ON rb.b = o.b CROSS JOIN tot
+)
+SELECT CAST((SELECT count(*) FROM ra) AS BIGINT) AS n_types,
+       CAST((SELECT count(*) FROM rb) AS BIGINT) AS n_brands,
+       CAST(((SELECT count(*) FROM ra) - 1) * ((SELECT count(*) FROM rb) - 1)
+            AS BIGINT) AS dof,
+       round(sum((n - e) * (n - e) / e), 6) AS chi_sq
+FROM cells
+"""
+
+
+@register("part_chi_square_independence", oracle=CHI2_ORACLE, tags=("warehouse", "stats"))
+def part_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    o = part.groupBy(
+        F.col("p_type").alias("a"), F.col("p_brand").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    o = o.localCheckpoint(eager=False)  # marginals + cells branches
+    ra = o.groupBy("a").agg(F.sum("n").alias("na"))
+    rb = o.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = o.agg(F.sum("n").alias("t"))
+    n_a = ra.agg(F.count(F.lit(1)).alias("n_types"))
+    n_b = rb.agg(F.count(F.lit(1)).alias("n_brands"))
+    cells = (
+        o.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n", (F.col("na") * F.col("nb") / F.col("t")).alias("e")
+        )
+    )
+    chi = cells.agg(
+        F.round(
+            F.sum((F.col("n") - F.col("e")) * (F.col("n") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi_sq")
+    )
+    return (
+        F.broadcast(n_a)
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(chi)
+        .select(
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_brands").cast("long").alias("n_brands"),
+            ((F.col("n_types") - 1) * (F.col("n_brands") - 1))
+            .cast("long")
+            .alias("dof"),
+            "chi_sq",
+        )
+    )
