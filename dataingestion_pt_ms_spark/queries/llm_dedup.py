@@ -1102,3 +1102,73 @@ def dedup_bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup survivorship-bias audit (round 4): does keep-one-per-text dedup
+# SHIFT the corpus composition? Compare each language's share among the
+# kept docs vs the original corpus — boilerplate concentrated in one
+# language quietly re-weights the training mix when removed, and this is
+# the governance row that catches it. Two grouped counts + one broadcast
+# share join; pairs with the importance-reweight row (which fixes what
+# this detects).
+# --------------------------------------------------------------------------
+SURVIVORSHIP_ORACLE = """
+WITH keep AS (
+  SELECT lang FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+), cur AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+), kp AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS k FROM keep GROUP BY lang
+), tot AS (
+  SELECT (SELECT sum(n) FROM cur) AS tn, (SELECT sum(k) FROM kp) AS tk
+)
+SELECT cur.lang,
+       CAST(cur.n AS BIGINT) AS n_docs,
+       CAST(coalesce(kp.k, 0) AS BIGINT) AS n_kept,
+       round(cur.n / tot.tn, 6) AS share_before,
+       round(coalesce(kp.k, 0) / tot.tk, 6) AS share_after,
+       round(coalesce(kp.k, 0) / tot.tk - cur.n / tot.tn, 6) AS share_shift
+FROM cur LEFT JOIN kp ON kp.lang = cur.lang CROSS JOIN tot
+ORDER BY cur.lang
+"""
+
+
+@register(
+    "dedup_survivorship_bias_audit",
+    oracle=SURVIVORSHIP_ORACLE,
+    tags=("llm", "dedup", "curation", "dq"),
+)
+def dedup_survivorship_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep_keys = D.exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kp = (
+        docs.join(keep_keys, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("k"))
+    )
+    cur = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cur = cur.localCheckpoint(eager=False)
+    kp = kp.localCheckpoint(eager=False)
+    tot = cur.agg(F.sum("n").alias("tn")).crossJoin(kp.agg(F.sum("k").alias("tk")))
+    return (
+        cur.join(kp, "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.coalesce("k", F.lit(0.0)).cast("long").alias("n_kept"),
+            F.round(F.col("n") / F.col("tn"), 6).alias("share_before"),
+            F.round(F.coalesce("k", F.lit(0.0)) / F.col("tk"), 6).alias(
+                "share_after"
+            ),
+            F.round(
+                F.coalesce("k", F.lit(0.0)) / F.col("tk") - F.col("n") / F.col("tn"),
+                6,
+            ).alias("share_shift"),
+        )
+        .orderBy("lang")
+    )
