@@ -202,6 +202,7 @@ BASELINE_SEC = {
     "sim_centroid_classifier_audit": 1.048,
     "text_trigram_langid": 3.92,
     "emb_random_projection_distortion": 1.103,
+    "orders_abc_migration": 2.047,
 }
 GUARD_FACTOR = 2.0
 
@@ -387,6 +388,7 @@ HEADLINE = [
     "sim_centroid_classifier_audit",
     "text_trigram_langid",
     "emb_random_projection_distortion",
+    "orders_abc_migration",
 ]
 
 

@@ -1433,3 +1433,92 @@ def part_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi_sq",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ABC class migration matrix (round 4): each customer's Pareto class
+# (A ≤70% < B ≤90% < C of cumulative revenue) computed independently for
+# the pre-1998 and 1998+ periods, then the 4×4 transition matrix (N =
+# absent that period) — "which A-customers churned / who rose from C" is
+# the actionable form of the static ABC report. Each period's class uses
+# the decimal-exact distributed prefix sum; the matrix is one full-outer
+# join on custkey + a 16-cell rollup.
+# --------------------------------------------------------------------------
+_ABC_PERIOD_SQL = """
+  SELECT o_custkey,
+         CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) <= 0.70 THEN 'A'
+              WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) <= 0.90 THEN 'B'
+              ELSE 'C' END AS cls
+  FROM (
+    SELECT o_custkey, revenue,
+           CAST(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18, 2)) AS cum_rev,
+           CAST(sum(revenue) OVER () AS DECIMAL(18, 2)) AS tot_rev
+    FROM (
+      SELECT o_custkey, CAST(sum(o_totalprice) AS DECIMAL(18, 2)) AS revenue
+      FROM orders WHERE {pred} GROUP BY o_custkey
+    )
+  )
+"""
+
+ABC_MIGRATION_ORACLE = f"""
+WITH p1 AS ({_ABC_PERIOD_SQL.format(pred="o_orderdate <  TIMESTAMP '1998-01-01'")}),
+p2 AS ({_ABC_PERIOD_SQL.format(pred="o_orderdate >= TIMESTAMP '1998-01-01'")})
+SELECT coalesce(p1.cls, 'N') AS class_before,
+       coalesce(p2.cls, 'N') AS class_after,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM p1 FULL OUTER JOIN p2 ON p2.o_custkey = p1.o_custkey
+GROUP BY class_before, class_after
+ORDER BY class_before, class_after
+"""
+
+
+@register(
+    "orders_abc_migration", oracle=ABC_MIGRATION_ORACLE, tags=("warehouse", "agg")
+)
+def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+
+    def classes(df: DataFrame) -> DataFrame:
+        rev = df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+        )
+        cum = global_running_sum(
+            rev,
+            "revenue",
+            [F.col("revenue").desc(), F.col("o_custkey")],
+            out_col="cum_rev",
+        )
+        cum = cum.localCheckpoint(eager=False)
+        tot = cum.agg(F.sum("revenue").alias("tot_rev"))
+        share = F.col("cum_rev").cast("double") / F.col("tot_rev").cast("double")
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .select(
+                "o_custkey",
+                F.when(share <= 0.70, "A")
+                .when(share <= 0.90, "B")
+                .otherwise("C")
+                .alias("cls"),
+            )
+        )
+
+    p1 = classes(orders.where(F.col("o_orderdate") < cutoff)).withColumnsRenamed(
+        {"cls": "c1"}
+    )
+    p2 = classes(orders.where(F.col("o_orderdate") >= cutoff)).withColumnsRenamed(
+        {"cls": "c2"}
+    )
+    return (
+        p1.join(p2, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("c1", F.lit("N")).alias("class_before"),
+            F.coalesce("c2", F.lit("N")).alias("class_after"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("class_before", "class_after")
+    )
