@@ -203,6 +203,7 @@ BASELINE_SEC = {
     "text_trigram_langid": 3.92,
     "emb_random_projection_distortion": 1.103,
     "orders_abc_migration": 2.047,
+    "orders_cycle_time": 0.676,
 }
 GUARD_FACTOR = 2.0
 
@@ -389,6 +390,7 @@ HEADLINE = [
     "text_trigram_langid",
     "emb_random_projection_distortion",
     "orders_abc_migration",
+    "orders_cycle_time",
 ]
 
 

@@ -1522,3 +1522,51 @@ def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("class_before", "class_after")
     )
+
+
+# --------------------------------------------------------------------------
+# Order-to-ship cycle time (round 4): days from order date to the FIRST
+# line shipment, summarized per priority (P50/P90, exact percentiles with
+# the documented approx_percentile 100 TB swap) — the fulfilment SLA
+# metric. One orders⋈lineitem join pre-aggregated on the line side so the
+# join carries one row per order, not per line.
+# --------------------------------------------------------------------------
+CYCLE_ORACLE = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS ship0 FROM lineitem GROUP BY l_orderkey
+), lat AS (
+  SELECT o.o_orderpriority AS prio,
+         CAST(date_diff('day', o.o_orderdate, f.ship0) AS DOUBLE) AS days
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+)
+SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(days), 6) AS avg_days,
+       round(quantile_cont(days, 0.5), 4) AS p50_days,
+       round(quantile_cont(days, 0.9), 4) AS p90_days
+FROM lat GROUP BY prio ORDER BY prio
+"""
+
+
+@register(
+    "orders_cycle_time", oracle=CYCLE_ORACLE, tags=("warehouse", "percentile")
+)
+def orders_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship0"))
+    lat = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff("ship0", "o_orderdate").cast("double").alias("days"),
+    )
+    return (
+        lat.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("days"), 6).alias("avg_days"),
+            F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_days"),
+            F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
+        )
+        .orderBy("prio")
+    )
