@@ -1750,3 +1750,54 @@ def emb_random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.max(dist), 6).alias("max_distortion"),
         F.round(F.corr("cos_full", "cos_proj"), 6).alias("rank_fidelity_corr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-duplicate embeddings (round 4): vectors whose components are
+# bitwise identical, grouped by an md5 over the canonical string form —
+# the embedding-side twin of exact text dedup (identical embeddings mean
+# upstream duplicate content or a stuck encoder, both worth an alert
+# before they skew ANN statistics), summarized per cell so the report is
+# always non-empty. One hash groupBy, O(distinct) state.
+# --------------------------------------------------------------------------
+EMB_EXACT_DUP_ORACLE = """
+WITH h AS (
+  SELECT vec_id, label,
+         md5(array_to_string(list_transform(embedding::DOUBLE[],
+                                            x -> format('{:.9f}', x)), ',')) AS eh
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT eh) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT eh) AS BIGINT) AS n_exact_dupes
+FROM h GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "emb_exact_duplicates", oracle=EMB_EXACT_DUP_ORACLE, tags=("llm", "embedding", "dedup")
+)
+def emb_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    eh = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.format_string("%.9f", x),
+            ),
+            ",",
+        )
+    )
+    return (
+        emb.select("label", eh.alias("emb_hash"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("emb_hash").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("emb_hash")).alias(
+                "n_exact_dupes"
+            ),
+        )
+        .orderBy("label")
+    )
