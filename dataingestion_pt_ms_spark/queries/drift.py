@@ -1084,3 +1084,74 @@ def events_exponential_fit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Error-burst clustering (round 4): consecutive error events less than
+# 5 minutes apart form a burst (gaps-and-islands on the global error
+# stream — errors are RARE, so the ordered window runs over the filtered
+# error table, not the event stream); per burst: size, span, peak density.
+# The incident-detection shape ("one outage, not 400 alerts").
+# --------------------------------------------------------------------------
+BURST_ORACLE = """
+WITH e AS (
+  SELECT event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 300000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (ORDER BY ts, event_id)
+), g AS (
+  SELECT event_id, ts,
+         sum(brk) OVER (ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS burst_id
+  FROM e
+)
+SELECT CAST(burst_id AS BIGINT) AS burst_id,
+       CAST(count(*) AS BIGINT) AS n_errors,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS burst_start,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+         AS span_seconds
+FROM g GROUP BY burst_id
+HAVING count(*) >= 3
+ORDER BY burst_id
+"""
+
+
+@register("events_error_bursts", oracle=BURST_ORACLE, tags=("drift", "window", "ops"))
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error")
+    # unpartitioned window over ERRORS ONLY — the rare-event exemption (the
+    # error table is orders of magnitude smaller than the stream; at true
+    # scale partition by service/tenant like every per-series window here)
+    w = W.orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    lag_us = F.lag(F.unix_micros("ts")).over(w)
+    brk = F.when(
+        lag_us.isNull() | (F.unix_micros("ts") - lag_us > 300_000_000), 1
+    ).otherwise(0)
+    g = err.select(
+        "event_id", "ts", F.sum(brk).over(wrun).alias("burst_id")
+    )
+    return (
+        g.groupBy("burst_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.date_format(F.min("ts"), _TS_FMT).alias("burst_start"),
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000
+            )
+            .cast("long")
+            .alias("span_seconds"),
+        )
+        .where(F.col("n_errors") >= 3)
+        .select(
+            F.col("burst_id").cast("long").alias("burst_id"),
+            "n_errors",
+            "burst_start",
+            "span_seconds",
+        )
+        .orderBy("burst_id")
+    )
