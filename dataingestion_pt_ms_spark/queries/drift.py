@@ -1155,3 +1155,67 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("burst_id")
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA (round 4): does mean document length differ across
+# languages? F = (between-group SS / (k−1)) / (within-group SS / (N−k))
+# from one grouped-moments pass + one grand-mean combine — completing the
+# hypothesis-test suite (t-test: 2 groups; chi-square: categorical;
+# ANOVA: k groups). All moments from exact integer counts.
+# --------------------------------------------------------------------------
+ANOVA_ORACLE = """
+WITH g AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n, avg(n_chars) AS m,
+         var_samp(n_chars) AS v
+  FROM documents GROUP BY lang
+), grand AS (
+  SELECT sum(n) AS nn, sum(n * m) / sum(n) AS gm,
+         CAST(count(*) AS DOUBLE) AS k
+  FROM g
+), ss AS (
+  SELECT sum(g.n * (g.m - grand.gm) * (g.m - grand.gm)) AS ssb,
+         sum((g.n - 1) * g.v) AS ssw,
+         max(grand.nn) AS nn, max(grand.k) AS k
+  FROM g CROSS JOIN grand
+)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       CAST(nn AS BIGINT) AS n_docs,
+       round(ssb / (k - 1), 6) AS ms_between,
+       round(ssw / (nn - k), 6) AS ms_within,
+       round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat
+FROM ss
+"""
+
+
+@register("docs_length_anova", oracle=ANOVA_ORACLE, tags=("drift", "stats"))
+def docs_length_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("n_chars").alias("m"),
+        F.var_samp("n_chars").alias("v"),
+    )
+    g = g.localCheckpoint(eager=False)  # grand mean + SS branches
+    grand = g.agg(
+        F.sum("n").alias("nn"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    ss = g.crossJoin(F.broadcast(grand)).agg(
+        F.sum(
+            F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+        ).alias("ssb"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        F.max("nn").alias("nn"),
+        F.max("k").alias("k"),
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("nn") - F.col("k"))
+    return ss.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_docs"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )
