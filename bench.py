@@ -204,6 +204,7 @@ BASELINE_SEC = {
     "emb_random_projection_distortion": 1.103,
     "orders_abc_migration": 2.047,
     "orders_cycle_time": 0.676,
+    "text_heaps_law_fit": 1.609,
 }
 GUARD_FACTOR = 2.0
 
@@ -391,6 +392,7 @@ HEADLINE = [
     "emb_random_projection_distortion",
     "orders_abc_migration",
     "orders_cycle_time",
+    "text_heaps_law_fit",
 ]
 
 

@@ -1565,3 +1565,73 @@ def text_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps' law fit (round 4): cumulative vocabulary V(n) vs cumulative token
+# count n across the corpus in doc_id order, with the exponent β from
+# regr_slope(log V, log n) — natural corpora sit near β≈0.5; a flat or
+# unit exponent flags templated or open-vocabulary-pathological data (the
+# corpus-level cousin of the per-source Zipf slope). Running totals come
+# from the distributed prefix sum, never a corpus-wide window.
+# --------------------------------------------------------------------------
+HEAPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DTOKS}) AS t FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+), first_seen AS (
+  SELECT t, min(doc_id) AS d0 FROM tok GROUP BY t
+), new_vocab AS (
+  SELECT d0 AS doc_id, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY d0
+), cum AS (
+  SELECT p.doc_id,
+         sum(p.n_tok) OVER w AS cum_tokens,
+         sum(coalesce(v.n_new, 0)) OVER w AS cum_vocab
+  FROM per_doc p LEFT JOIN new_vocab v ON v.doc_id = p.doc_id
+  WINDOW w AS (ORDER BY p.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(cum_vocab) AS BIGINT) AS total_vocab,
+       round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                        ln(CAST(cum_tokens AS DOUBLE))), 6) AS heaps_beta
+FROM cum
+"""
+
+
+@register("text_heaps_law_fit", oracle=HEAPS_ORACLE, tags=("llm", "text", "stats"))
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import tokens
+    from ..operators.ranking import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tok = tok.localCheckpoint(eager=False)  # per-doc counts + first-seen
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    new_vocab = (
+        tok.groupBy("t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    j = per_doc.join(new_vocab, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    cum = global_running_sum(j, "n_tok", [F.col("doc_id")], out_col="cum_tokens")
+    cum = global_running_sum(cum, "n_new", [F.col("doc_id")], out_col="cum_vocab")
+    return cum.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum_tokens").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("total_vocab"),
+        F.round(
+            F.regr_slope(
+                F.log(F.col("cum_vocab").cast("double")),
+                F.log(F.col("cum_tokens").cast("double")),
+            ),
+            6,
+        ).alias("heaps_beta"),
+    )
