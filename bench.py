@@ -205,6 +205,7 @@ BASELINE_SEC = {
     "orders_abc_migration": 2.047,
     "orders_cycle_time": 0.676,
     "text_heaps_law_fit": 1.609,
+    "orders_bootstrap_ci": 0.725,
 }
 GUARD_FACTOR = 2.0
 
@@ -393,6 +394,7 @@ HEADLINE = [
     "orders_abc_migration",
     "orders_cycle_time",
     "text_heaps_law_fit",
+    "orders_bootstrap_ci",
 ]
 
 

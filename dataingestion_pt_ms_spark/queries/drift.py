@@ -1219,3 +1219,88 @@ def docs_length_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(msw, 6).alias("ms_within"),
         F.round(msb / msw, 6).alias("f_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic multiplier bootstrap (round 4): a distributed confidence
+# interval for mean order value WITHOUT RNG state — B=20 replicates where
+# each row's weight in replicate b is md5(b|key) mod 4 mapped to
+# {0,1,1,2} (mean 1, variance ½ — a valid multiplier-bootstrap scheme,
+# the deterministic cousin of the Poisson bootstrap that distributed
+# systems use because resampling n rows with replacement is impossible
+# map-side). Replicate means → spread of the replicate distribution
+# reported as the CI half-width proxy. Everything is one explode(B) +
+# grouped aggregate; fully reproducible in SQL.
+# --------------------------------------------------------------------------
+_BOOT_B = 20
+
+BOOT_ORACLE = f"""
+WITH w AS (
+  SELECT b.b,
+         o_totalprice AS x,
+         CASE CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || '|' ||
+                                        CAST(o_orderkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 4
+              WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS wt
+  FROM orders CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+), reps AS (
+  SELECT b, sum(wt * x) / sum(wt) AS rep_mean FROM w GROUP BY b
+), base AS (SELECT avg(o_totalprice) AS mean_x FROM orders)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+       round(base.mean_x, 6) AS mean_value,
+       round(min(reps.rep_mean), 6) AS rep_min,
+       round(max(reps.rep_mean), 6) AS rep_max,
+       round(stddev_samp(reps.rep_mean), 6) AS boot_se
+FROM reps CROSS JOIN base
+GROUP BY base.mean_x
+"""
+
+
+@register(
+    "orders_bootstrap_ci", oracle=BOOT_ORACLE, tags=("drift", "stats", "sample")
+)
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    wt = F.when(h == 0, 0).when(h == 3, 2).otherwise(1)
+    w = orders.select("o_orderkey", F.col("o_totalprice").alias("x"), b).select(
+        "b", "x", wt.alias("wt")
+    )
+    reps = w.groupBy("b").agg(
+        (F.sum(F.col("wt") * F.col("x")) / F.sum("wt")).alias("rep_mean")
+    )
+    base = orders.agg(F.avg("o_totalprice").alias("mean_x"))
+    return (
+        reps.crossJoin(F.broadcast(base))
+        .groupBy("mean_x")
+        .agg(
+            F.round(F.min("rep_mean"), 6).alias("rep_min"),
+            F.round(F.max("rep_mean"), 6).alias("rep_max"),
+            F.round(F.stddev_samp("rep_mean"), 6).alias("boot_se"),
+        )
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+            F.round("mean_x", 6).alias("mean_value"),
+            "rep_min",
+            "rep_max",
+            "boot_se",
+        )
+    )
