@@ -1304,3 +1304,61 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boot_se",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Transition entropy (round 4): Shannon entropy of each state's outgoing
+# transition distribution in the per-user event chain — low entropy means
+# the next action is predictable from the current one (scripted/bot
+# flows), high entropy means exploratory behavior; the information-theory
+# summary of the Markov transition matrix query. One lead window + two
+# grouped aggregates.
+# --------------------------------------------------------------------------
+TRANS_ENTROPY_ORACLE = """
+WITH steps AS (
+  SELECT event_type AS s_from,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS s_to
+  FROM events
+), c AS (
+  SELECT s_from, s_to, CAST(count(*) AS DOUBLE) AS n
+  FROM steps WHERE s_to IS NOT NULL GROUP BY s_from, s_to
+), t AS (
+  SELECT s_from, sum(n) AS tot FROM c GROUP BY s_from
+)
+SELECT c.s_from AS state,
+       CAST(t.tot AS BIGINT) AS n_transitions,
+       round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 6) AS transition_entropy
+FROM c JOIN t ON t.s_from = c.s_from
+GROUP BY c.s_from, t.tot
+ORDER BY state
+"""
+
+
+@register(
+    "events_transition_entropy", oracle=TRANS_ENTROPY_ORACLE, tags=("drift", "stats")
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("s_from"),
+        F.lead("event_type").over(w).alias("s_to"),
+    ).where(F.col("s_to").isNotNull())
+    c = steps.groupBy("s_from", "s_to").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    c = c.localCheckpoint(eager=False)  # totals + entropy branches
+    t = c.groupBy("s_from").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "s_from")
+        .groupBy(F.col("s_from").alias("state"), "tot")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("transition_entropy"))
+        .select(
+            "state",
+            F.col("tot").cast("long").alias("n_transitions"),
+            "transition_entropy",
+        )
+        .orderBy("state")
+    )
