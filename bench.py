@@ -206,6 +206,9 @@ BASELINE_SEC = {
     "orders_cycle_time": 0.676,
     "text_heaps_law_fit": 1.609,
     "orders_bootstrap_ci": 0.725,
+    "events_mann_whitney_u": 1.006,
+    "graph_clustering_coefficient": 2.534,
+    "ohlc_theil_sen_trend": 0.715,
 }
 GUARD_FACTOR = 2.0
 
@@ -395,6 +398,9 @@ HEADLINE = [
     "orders_cycle_time",
     "text_heaps_law_fit",
     "orders_bootstrap_ci",
+    "events_mann_whitney_u",
+    "graph_clustering_coefficient",
+    "ohlc_theil_sen_trend",
 ]
 
 

@@ -1362,3 +1362,91 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (round 4, session 2): the nonparametric
+# companion of events_ab_welch_ttest — same deterministic md5-parity arm
+# assignment, but compares click-value DISTRIBUTIONS via pooled ranks, so
+# heavy tails can't swamp it. No global window: per-distinct-value counts
+# first (O(distinct) rows), then the avg pooled rank comes from the
+# distributed prefix sum (operators/ranking.global_running_sum — range
+# partition, local scan, broadcast offsets). Rank arithmetic stays EXACT:
+# avg ranks are half-integers (dyadic, exactly representable as doubles),
+# so the rank-sum R_a and tie correction are bit-identical across engines
+# and round() is deterministic. Beyond-reference [NS] (stats family).
+# --------------------------------------------------------------------------
+MWU_ORACLE = """
+WITH assigned AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2 AS arm,
+         value
+  FROM events WHERE event_type = 'click'
+), vc AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+  FROM assigned GROUP BY value
+), ranked AS (
+  SELECT t, t_a,
+         sum(t) OVER (ORDER BY value) - t + (t + 1) / 2.0 AS avg_rank
+  FROM vc
+), s AS (
+  SELECT CAST(sum(t_a) AS DOUBLE) AS na,
+         CAST(sum(t - t_a) AS DOUBLE) AS nb,
+         sum(t_a * avg_rank) AS ra,
+         CAST(sum(t * t * t - t) AS DOUBLE) AS ties
+  FROM ranked
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ra - na * (na + 1) / 2.0, 1) AS u_stat,
+       round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0
+                    * ((na + nb + 1.0)
+                       - ties / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
+FROM s
+"""
+
+
+@register("events_mann_whitney_u", oracle=MWU_ORACLE, tags=("drift", "stats"))
+def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    vc = (
+        ev.where(F.col("event_type") == "click")
+        .select(arm.alias("arm"), "value")
+        .groupBy("value")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("t_a"),
+        )
+    )
+    ranked = global_running_sum(vc, "t", ["value"], out_col="cum_t").select(
+        "t",
+        "t_a",
+        (F.col("cum_t") - F.col("t") + (F.col("t") + 1) / F.lit(2.0)).alias(
+            "avg_rank"
+        ),
+    )
+    s = ranked.agg(
+        F.sum("t_a").cast("double").alias("na"),
+        F.sum(F.col("t") - F.col("t_a")).cast("double").alias("nb"),
+        F.sum(F.col("t_a") * F.col("avg_rank")).alias("ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("ties"),
+    )
+    na, nb, ra, ties = F.col("na"), F.col("nb"), F.col("ra"), F.col("ties")
+    u = ra - na * (na + 1) / 2
+    var = na * nb / 12 * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))
+    return s.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - na * nb / 2) / F.sqrt(var), 6).alias("z_stat"),
+    )

@@ -696,3 +696,91 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_edges))
         .select(F.col("n_edges").cast("long").alias("n_edges"), "assortativity")
     )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient (round 4, session 2): per-node
+# 2·tri(v) / (deg(v)·(deg(v)−1)) over the support-thresholded co-purchase
+# graph — the "how clique-like is this node's neighbourhood" score that
+# separates hub parts (low coeff, star-shaped baskets) from bundle parts
+# (high coeff, always bought as a set). Reuses the degree-oriented
+# O(m^1.5) triangle operator (operators/graph.py:triangle_counts) plus one
+# degree aggregate and a broadcast-size left join; the oracle recounts the
+# same triangles with the naive id-ordered 3-way join. Single final
+# division on integer inputs → deterministic round across engines.
+# Beyond-reference [NS] (graph family).
+# --------------------------------------------------------------------------
+CLUSTER_COEFF_ORACLE = f"""
+WITH e AS ({_TRI_EDGES_SQL}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tc AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.degree, coalesce(tc.n_triangles, 0) AS n_triangles,
+       round(2.0 * coalesce(tc.n_triangles, 0)
+             / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+FROM deg d LEFT JOIN tc USING (node)
+WHERE d.degree >= 2
+ORDER BY clustering_coeff DESC, node
+"""
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=CLUSTER_COEFF_ORACLE,
+    tags=("graph", "triangles"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .drop("sup")
+    )
+    # the thresholded edge set feeds both the degree agg and the triangle
+    # operator — materialize once so the basket self-join runs once
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    tc = triangle_counts(edges)
+    return (
+        deg.join(tc, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            "n_triangles",
+            F.round(
+                F.lit(2.0)
+                * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.col("clustering_coeff").desc(), "node")
+    )

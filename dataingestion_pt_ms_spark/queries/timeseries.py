@@ -1890,3 +1890,99 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (round 4, session 2): per-symbol median of all
+# pairwise slopes of daily closes, plus the matching median intercept —
+# the outlier-proof alternative to the OLS line ohlc_trend_forecast fits
+# (a single fat-fingered bar can't move the median slope). Pair space is
+# O(days²) PER SERIES — bounded by calendar span, not row count, so 100×
+# more events changes nothing (the bar build absorbs them; same argument
+# as the symbol-correlation matrix). Slopes are single double divisions
+# and Spark percentile ≡ DuckDB quantile_cont on identical inputs, so the
+# medians agree bit-for-bit. Beyond-reference [NS] (timeseries family).
+# --------------------------------------------------------------------------
+THEIL_SEN_ORACLE = f"""
+WITH {_DAILY_BARS_CTE},
+x AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(bar_date AS DATE)) AS x,
+         close
+  FROM bars
+), p AS (
+  SELECT a.event_type,
+         (b.close - a.close) / (b.x - a.x) AS slope
+  FROM x a
+  JOIN x b ON a.event_type = b.event_type AND a.x < b.x
+), s AS (
+  SELECT event_type, quantile_cont(slope, 0.5) AS slope_hat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM p GROUP BY event_type
+), i AS (
+  SELECT x.event_type,
+         quantile_cont(x.close - s.slope_hat * x.x, 0.5) AS icpt,
+         CAST(count(*) AS BIGINT) AS n_bars
+  FROM x JOIN s ON x.event_type = s.event_type
+  GROUP BY x.event_type
+)
+SELECT s.event_type, i.n_bars, s.n_pairs,
+       round(s.slope_hat, 6) AS ts_slope,
+       round(i.icpt, 6) AS ts_intercept
+FROM s JOIN i ON s.event_type = i.event_type
+ORDER BY s.event_type
+"""
+
+
+@register(
+    "ohlc_theil_sen_trend",
+    oracle=THEIL_SEN_ORACLE,
+    tags=("timeseries", "ohlc", "stats"),
+)
+def ohlc_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir).select(
+        "event_type",
+        F.datediff(F.to_date("bar_date"), F.lit("1970-01-01").cast("date")).alias(
+            "x"
+        ),
+        "close",
+    )
+    # bars feeds the pair self-join twice plus the intercept pass
+    bars = bars.localCheckpoint(eager=False)
+    a = bars.select("event_type", F.col("x").alias("xa"), F.col("close").alias("ca"))
+    b = bars.select("event_type", F.col("x").alias("xb"), F.col("close").alias("cb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            ((F.col("cb") - F.col("ca")) / (F.col("xb") - F.col("xa"))).alias(
+                "slope"
+            ),
+        )
+    )
+    s = slopes.groupBy("event_type").agg(
+        F.percentile("slope", 0.5).alias("slope_hat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    i = (
+        bars.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.col("close") - F.col("slope_hat") * F.col("x"), 0.5).alias(
+                "icpt"
+            ),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+    )
+    return (
+        s.join(i, "event_type")
+        .select(
+            "event_type",
+            "n_bars",
+            "n_pairs",
+            F.round("slope_hat", 6).alias("ts_slope"),
+            F.round("icpt", 6).alias("ts_intercept"),
+        )
+        .orderBy("event_type")
+    )
