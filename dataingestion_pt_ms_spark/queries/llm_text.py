@@ -1540,8 +1540,11 @@ def text_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doc = doc.localCheckpoint(eager=False)
     dnorm = doc.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("dc") * F.col("dc"))).alias("dn"))
+    # profiles are (langs × distinct trigrams) — bounded by alphabet³, not
+    # corpus size — so broadcast them: the doc-trigram frame (the big side)
+    # then never shuffles on g
     scored = (
-        doc.join(train.withColumnRenamed("lang", "pred_lang"), "g")
+        doc.join(F.broadcast(train.withColumnRenamed("lang", "pred_lang")), "g")
         .join(F.broadcast(dnorm), "doc_id")
         .join(F.broadcast(tnorm.withColumnRenamed("lang", "pred_lang")), "pred_lang")
         .groupBy("doc_id", "true_lang", "pred_lang")
