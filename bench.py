@@ -209,6 +209,7 @@ BASELINE_SEC = {
     "events_mann_whitney_u": 1.006,
     "graph_clustering_coefficient": 2.534,
     "ohlc_theil_sen_trend": 0.715,
+    "sim_lof_outliers": 1.16,
 }
 GUARD_FACTOR = 2.0
 
@@ -401,6 +402,7 @@ HEADLINE = [
     "events_mann_whitney_u",
     "graph_clustering_coefficient",
     "ohlc_theil_sen_trend",
+    "sim_lof_outliers",
 ]
 
 

@@ -1801,3 +1801,122 @@ def emb_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Local Outlier Factor (round 4, session 2): density-based outlier score
+# over the within-cell kNN structure sim_knn_graph_cells already attests —
+# LOF(v) = mean(lrd of v's neighbours) / lrd(v), lrd = k / Σ reach-dist,
+# reach-dist(v←o) = max(k-distance(o), d(v,o)) with d = 1 − cosine.
+# LOF ≈ 1 means v sits in its neighbours' density; LOF >> 1 flags sparse-
+# region vectors that centroid-distance pruning (sim_centroid_outliers)
+# misses when a cell has several density regimes. Scale shape: the only
+# quadratic-ish pass is the per-cell GEMM top-k (Σ|cell|², the blocked_knn
+# bound); everything after runs on the k·N edge list with vec-keyed joins.
+# Float discipline: distances derive from the ROUNDED cosine (exact to
+# 6 dp), reach sums have exactly k=3 addends, and the lrd/LOF expressions
+# are written identically in both engines; Σreach is clamped at 1e-12 in
+# both so duplicate-vector cells (see emb_exact_duplicates) divide by the
+# same finite value instead of 0. Vectors whose cell has < k+1 members
+# drop out (no k-th neighbour → no k-distance), identically in both
+# engines via inner joins. Beyond-reference [NS] (SURVEY.md §2.B).
+# --------------------------------------------------------------------------
+LOF_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nb, a.label AS label,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT * FROM (
+    SELECT vec_id, nb, label, cosine_sim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine_sim DESC, nb) AS rnk
+    FROM pairs
+  ) WHERE rnk <= {_KNN_K}
+), kd AS (
+  SELECT vec_id, 1.0 - cosine_sim AS k_dist FROM knn WHERE rnk = {_KNN_K}
+), reach AS (
+  SELECT k.vec_id, k.nb,
+         greatest(1.0 - k.cosine_sim, kdo.k_dist) AS r
+  FROM knn k JOIN kd kdo ON kdo.vec_id = k.nb
+), lrd AS (
+  SELECT vec_id, {_KNN_K}.0 / greatest(sum(r), 1e-12) AS lrd
+  FROM reach GROUP BY vec_id
+  HAVING count(*) = {_KNN_K}
+), lof AS (
+  SELECT k.vec_id, sum(lo.lrd) / ({_KNN_K}.0 * lv.lrd) AS lof
+  FROM knn k
+  JOIN lrd lo ON lo.vec_id = k.nb
+  JOIN lrd lv ON lv.vec_id = k.vec_id
+  GROUP BY k.vec_id, lv.lrd
+  HAVING count(*) = {_KNN_K}
+)
+SELECT l.vec_id, e.label, round(kd.k_dist, 6) AS k_dist,
+       round(l.lof, 6) AS lof
+FROM lof l
+JOIN kd ON kd.vec_id = l.vec_id
+JOIN embeddings e ON e.vec_id = l.vec_id
+ORDER BY l.vec_id
+"""
+
+
+@register(
+    "sim_lof_outliers", oracle=LOF_ORACLE, tags=("llm", "similarity", "outlier")
+)
+def sim_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import blocked_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = blocked_knn(emb, k=_KNN_K).localCheckpoint(eager=False)
+    kd = knn.filter(F.col("rnk") == _KNN_K).select(
+        "vec_id", (F.lit(1.0) - F.col("cosine_sim")).alias("k_dist")
+    )
+    kd = kd.localCheckpoint(eager=False)  # feeds reach + final join
+    reach = knn.join(
+        kd.select(F.col("vec_id").alias("nb"), F.col("k_dist").alias("kd_nb")),
+        "nb",
+    ).select(
+        "vec_id",
+        "nb",
+        F.greatest(F.lit(1.0) - F.col("cosine_sim"), F.col("kd_nb")).alias("r"),
+    )
+    lrd = (
+        reach.groupBy("vec_id")
+        .agg(F.sum("r").alias("sr"), F.count(F.lit(1)).alias("nr"))
+        .filter(F.col("nr") == _KNN_K)
+        .select(
+            "vec_id",
+            (F.lit(float(_KNN_K)) / F.greatest(F.col("sr"), F.lit(1e-12))).alias(
+                "lrd"
+            ),
+        )
+    )
+    lrd = lrd.localCheckpoint(eager=False)  # neighbour + self branches
+    lof = (
+        knn.join(
+            lrd.select(F.col("vec_id").alias("nb"), F.col("lrd").alias("lrd_nb")),
+            "nb",
+        )
+        .join(lrd.select("vec_id", F.col("lrd").alias("lrd_v")), "vec_id")
+        .groupBy("vec_id", "lrd_v")
+        .agg(F.sum("lrd_nb").alias("slo"), F.count(F.lit(1)).alias("nlo"))
+        .filter(F.col("nlo") == _KNN_K)
+        .select(
+            "vec_id",
+            (F.col("slo") / (F.lit(float(_KNN_K)) * F.col("lrd_v"))).alias("lof"),
+        )
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        lof.join(kd, "vec_id")
+        .join(lab, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.round("k_dist", 6).alias("k_dist"),
+            F.round("lof", 6).alias("lof"),
+        )
+        .orderBy("vec_id")
+    )
