@@ -1172,3 +1172,70 @@ def dedup_survivorship_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering exact set-similarity self-join (round 4, session 2):
+# the classic AllPairs/PPJoin candidate scheme — order each doc's DISTINCT
+# tokens by global frequency (rarest first), index only the first
+# m − ⌈t·m⌉ + 1 of them, and two docs can reach token-Jaccard ≥ t ONLY if
+# their prefixes share a token. Unlike the MinHash-LSH family this is
+# LOSSLESS: the output is exactly every rep pair with Jaccard ≥ t (an
+# engine test pins it to the naive all-pairs result), with candidate cost
+# concentrated on rare tokens — frequent tokens never enter a prefix, so
+# the posting-list join can't blow up on stopwords. Exact-collapse first
+# (house rule): identical texts share one representative. Scale shape:
+# token-frequency ranking is a per-doc window (never global), the
+# candidate join is prefix-posting-sized, verification touches candidate
+# docs only. Beyond-reference [NS] (SURVEY.md §2.B dedup family).
+# --------------------------------------------------------------------------
+_PF_T = 0.95
+
+PREFIX_FILTER_ORACLE = f"""
+WITH base AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+), tok AS (
+  SELECT DISTINCT doc_id, unnest({_DTOKS}) AS t FROM base
+), m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY doc_id
+), freq AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+), rk AS (
+  SELECT tok.doc_id, tok.t,
+         row_number() OVER (PARTITION BY tok.doc_id
+                            ORDER BY freq.c, tok.t) AS rn,
+         m.m AS m
+  FROM tok JOIN freq ON freq.t = tok.t JOIN m ON m.doc_id = tok.doc_id
+), pre AS (
+  SELECT doc_id, t FROM rk
+  WHERE rn <= m - CAST(ceil({_PF_T} * m) AS BIGINT) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM pre a JOIN pre b ON a.t = b.t AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list_distinct({_DTOKS}) AS s, text FROM base
+)
+SELECT key_a, key_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+                - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)), 6) AS jaccard
+FROM cand
+JOIN sets a ON a.doc_id = cand.key_a
+JOIN sets b ON b.doc_id = cand.key_b
+WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+               - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)), 6) >= {_PF_T}
+ORDER BY key_a, key_b
+"""
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=PREFIX_FILTER_ORACLE,
+    tags=("llm", "dedup", "setsim"),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold=_PF_T
+    ).orderBy("key_a", "key_b")

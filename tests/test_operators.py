@@ -1244,3 +1244,42 @@ def test_pareto_skyline_equal_spend_ties(spark, tmp_path):
     )
     got = {(r.custkey, r.n_orders) for r in orders_pareto_skyline(spark, sf).collect()}
     assert got == {(1, 3), (3, 3), (4, 1)}
+
+
+def test_prefix_filter_exact_vs_naive_all_pairs(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: the candidate scheme (index only the
+    first m - ceil(t*m) + 1 frequency-ordered distinct tokens) provably
+    cannot miss a pair with token-Jaccard >= t, so the operator's output
+    must EQUAL the naive all-pairs result — not approximate it."""
+    from dataingestion_pt_ms_spark.functions.textfns import distinct_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = 0.9
+    got = {
+        (r.key_a, r.key_b, r.jaccard)
+        for r in D.prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", threshold=t
+        ).collect()
+    }
+    reps = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", distinct_tokens(F.col("text")).alias("s"))
+    )
+    a = reps.select(F.col("doc_id").alias("key_a"), F.col("s").alias("sa"))
+    b = reps.select(F.col("doc_id").alias("key_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (
+        F.size(F.col("sa")).cast("double")
+        + F.size(F.col("sb")).cast("double")
+        - inter
+    )
+    truth = {
+        (r.key_a, r.key_b, r.jaccard)
+        for r in a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    assert got == truth
