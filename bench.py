@@ -210,6 +210,15 @@ BASELINE_SEC = {
     "graph_clustering_coefficient": 2.534,
     "ohlc_theil_sen_trend": 0.715,
     "sim_lof_outliers": 1.16,
+    # round-4 session-4 additions (min-of-2 hot, sf0.1)
+    "dedup_prefix_filter_pairs": 2.38,
+    "dedup_winnowing_overlap": 2.92,
+    "docs_js_divergence_matrix": 0.76,
+    "text_tfidf_centroid_cosine": 0.71,
+    "docs_language_diversity": 0.41,
+    "dedup_stitch_artifact_pairs": 0.63,
+    "orders_cramers_v_association": 0.63,
+    "docs_quality_quantile_normalize": 0.95,
 }
 GUARD_FACTOR = 2.0
 
@@ -403,6 +412,14 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "ohlc_theil_sen_trend",
     "sim_lof_outliers",
+    "dedup_prefix_filter_pairs",
+    "dedup_winnowing_overlap",
+    "docs_js_divergence_matrix",
+    "text_tfidf_centroid_cosine",
+    "docs_language_diversity",
+    "dedup_stitch_artifact_pairs",
+    "orders_cramers_v_association",
+    "docs_quality_quantile_normalize",
 ]
 
 

@@ -968,77 +968,254 @@ def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     key_col: str,
-    threshold: float = 0.95,
+    threshold: float = 0.9,
+    shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact token-set-Jaccard self-join via prefix filtering
+    """Exact shingle-set-Jaccard self-join via prefix filtering
     (AllPairs / PPJoin candidate scheme, Bayardo et al. WWW'07 /
     Xiao et al. WWW'08) — the LOSSLESS alternative to MinHash-LSH.
 
-    Each representative's DISTINCT tokens are ordered by global document
-    frequency (rarest first, token string as tiebreak); only the first
-    ``m − ⌈t·m⌉ + 1`` tokens are indexed. Two sets with Jaccard ≥ t must
-    overlap in ≥ ⌈t·m⌉ tokens, so skipping fewer than that many from
-    either side cannot miss a qualifying pair — candidate generation is
-    provably complete, and the returned pairs are EXACTLY every rep pair
-    with Jaccard ≥ t (engine-tested against naive all-pairs).
+    Set elements are k-token shingles (k=3 default), NOT raw tokens: the
+    prefix principle is element-agnostic, but its COST is not. Posting
+    lists are bounded by element document-frequency, and over a natural-
+    language vocabulary even a document's rarest raw tokens appear in
+    hundreds of documents (Σ df² blowup — measured 178 s at sf0.1 on the
+    token variant); shingle space is combinatorially larger, so df ≈ 1
+    except for genuinely shared passages and the candidate join touches
+    near-dup pairs only (2.9 s same data, same answer class as the
+    MinHash rows it cross-checks).
 
-    Scale shape: the frequency rank is a per-doc window (bounded by doc
-    token count, never global); the candidate join runs over prefix
-    postings only — frequent tokens are excluded from prefixes by
-    construction, so stopword posting lists never explode; verification
-    is semi-join-pruned to candidate docs. Exact-collapse first keeps all
-    of it O(distinct texts).
+    Each representative's DISTINCT shingles are ordered by global
+    document frequency (rarest first, shingle string as tiebreak); only
+    the first ``m − ⌈t·m⌉ + 1`` are indexed. Two sets with Jaccard ≥ t
+    must overlap in ≥ ⌈t·m⌉ elements, so skipping fewer than that many
+    from either side cannot miss a qualifying pair — candidate generation
+    is provably complete (engine-tested against naive all-pairs), and the
+    size filter ⌈t·m_a⌉ ≤ m_b adds the standard length-based prune for
+    free. Verification counts shared shingles with a candidate-pruned
+    gram join (no arrays, pure grouped aggregation), then
+    J = |∩| / (m_a + m_b − |∩|).
+
+    Scale shape: frequency rank is a per-doc window (bounded by doc gram
+    count, never global); the candidate join runs over prefix postings
+    only; the verify join is semi-join-pruned to candidate docs.
+    Exact-collapse first keeps all of it O(distinct texts).
     """
     from pyspark.sql import Window as W
 
-    from ..functions.textfns import distinct_tokens
+    from ..functions.textfns import tokens
 
     reps, _ = collapse_exact(df, text_col, key_col)
     reps = reps.select(F.col(key_col).alias("k"), F.col(text_col).alias("_txt"))
-    reps = reps.localCheckpoint(eager=False)  # token + verify branches
-    tok = reps.select("k", F.explode(distinct_tokens(F.col("_txt"))).alias("t"))
-    tok = tok.localCheckpoint(eager=False)  # freq + rank branches
-    m = tok.groupBy("k").agg(F.count(F.lit(1)).alias("m"))
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # codegen shingle stream (posexplode → leads → concat_ws), then distinct
+    # for set semantics
+    wd = W.partitionBy("k").orderBy("_pos")
+    tokd = reps.select(
+        "k", F.posexplode(tokens(F.col("_txt"))).alias("_pos", "_t")
+    )
+    leads = [F.lead("_t", j).over(wd) for j in range(1, shingle_k)]
+    gram = (
+        tokd.select(
+            "k",
+            F.concat_ws(" ", F.col("_t"), *leads).alias("g"),
+            leads[-1].alias("_guard"),
+        )
+        .where(F.col("_guard").isNotNull())
+        .select("k", "g")
+        .distinct()
+    )
+    gram = gram.localCheckpoint(eager=False)  # m / freq / prefix / verify
+    m = gram.groupBy("k").agg(F.count(F.lit(1)).alias("m"))
+    freq = gram.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     rk = (
-        tok.join(freq, "t")
+        gram.join(freq, "g")
         .join(m, "k")
         .withColumn(
-            "rn", F.row_number().over(W.partitionBy("k").orderBy("c", "t"))
+            "rn", F.row_number().over(W.partitionBy("k").orderBy("c", "g"))
         )
     )
     pre = rk.filter(
         F.col("rn")
         <= F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + F.lit(1)
-    ).select("k", "t")
+    ).select("k", "g", "m")
     cand = (
-        pre.select(F.col("k").alias("key_a"), "t")
-        .join(pre.select(F.col("k").alias("key_b"), "t"), "t")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+        pre.select(F.col("k").alias("key_a"), "g", F.col("m").alias("m_a"))
+        .join(
+            pre.select(F.col("k").alias("key_b"), "g", F.col("m").alias("m_b")),
+            "g",
+        )
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.ceil(F.lit(threshold) * F.col("m_a")) <= F.col("m_b"))
+            & (F.ceil(F.lit(threshold) * F.col("m_b")) <= F.col("m_a"))
+        )
+        .select("key_a", "key_b", "m_a", "m_b")
         .distinct()
     )
+    cand = cand.localCheckpoint(eager=False)  # keys + final join branches
     keys = (
         cand.select(F.col("key_a").alias("k"))
         .unionByName(cand.select(F.col("key_b").alias("k")))
         .distinct()
     )
-    sets = reps.join(F.broadcast(keys), "k", "left_semi").select(
-        "k", distinct_tokens(F.col("_txt")).alias("s")
+    cgram = gram.join(F.broadcast(keys), "k", "left_semi")
+    inter = (
+        cgram.select(F.col("k").alias("key_a"), "g")
+        .join(cgram.select(F.col("k").alias("key_b"), "g"), "g")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    a = sets.select(F.col("k").alias("key_a"), F.col("s").alias("sa"))
-    b = sets.select(F.col("k").alias("key_b"), F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
-    union = (
-        F.size(F.col("sa")).cast("double")
-        + F.size(F.col("sb")).cast("double")
-        - inter
+    j = F.col("inter").cast("double") / (
+        F.col("m_a").cast("double")
+        + F.col("m_b").cast("double")
+        - F.col("inter").cast("double")
     )
     return (
-        cand.join(a, "key_a")
-        .join(b, "key_b")
-        .select(
-            "key_a", "key_b", F.round(inter / union, 6).alias("jaccard")
-        )
+        cand.join(inter, ["key_a", "key_b"])
+        .select("key_a", "key_b", F.round(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+
+_WINNOW_POSCAP = 1 << 21  # per-doc position tiebreak space (2M-token docs)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    window of ``w`` consecutive gram hashes, and select the minimum of
+    each window (rightmost occurrence on ties). Guarantee: any shared
+    token run of length ≥ w + k − 1 between two documents yields at
+    least one shared fingerprint — a LOCAL sampling scheme, unlike
+    MinHash's global-min (document-level) sampling, so it detects
+    *partial* overlap (shared paragraphs), not just whole-doc
+    similarity.
+
+    Spark shape: the gram stream is the codegen posexplode → window
+    leads → concat_ws pipeline (BENCH §4 lesson); the per-window min is
+    one more frame over the SAME (key, pos) sort — rightmost-min is
+    encoded order-free as ``min(h·2^21 + (POSCAP−1−pos))`` so both
+    engines pick identical fingerprints without an argmin. One
+    exchange total (the per-doc window sort); output is the distinct
+    (doc, fingerprint) postings, O(n_grams / w · 2) expected rows.
+
+    Per-gram hash is the md5-prefix integer (mod 2^31−1), so the whole
+    scheme has an exact DuckDB oracle. Docs shorter than w + k − 1
+    tokens select nothing (no complete window) — the documented noise
+    threshold.
+    """
+    from pyspark.sql import Window as _W
+
+    from ..functions.textfns import tokens
+
+    reps, _ = collapse_exact(df, text_col, key_col)
+    wd = _W.partitionBy("k").orderBy("_pos")
+    tokd = reps.select(
+        F.col(key_col).alias("k"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+    )
+    leads = [F.lead("_t", j).over(wd) for j in range(1, k)]
+    grams = (
+        tokd.select(
+            "k",
+            "_pos",
+            F.concat_ws(" ", F.col("_t"), *leads).alias("_g"),
+            leads[-1].alias("_guard"),
+        )
+        .where(F.col("_guard").isNotNull())
+        .drop("_guard")
+    )
+    h = F.pmod(
+        F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long"),
+        F.lit(_MERSENNE31),
+    )
+    grams = grams.select("k", "_pos", h.alias("_h"))
+    # rightmost-min winnow: smallest hash wins, largest position breaks ties
+    enc = (
+        F.col("_h") * F.lit(_WINNOW_POSCAP)
+        + (F.lit(_WINNOW_POSCAP - 1) - F.col("_pos"))
+    )
+    wsel = _W.partitionBy("k").orderBy("_pos").rowsBetween(0, w - 1)
+    wd2 = _W.partitionBy("k").orderBy("_pos")
+    sel = (
+        grams.select(
+            "k",
+            F.min(enc).over(wsel).alias("_sel"),
+            F.lead("_pos", w - 1).over(wd2).alias("_full"),
+        )
+        .where(F.col("_full").isNotNull())
+        .select("k", F.shiftright(F.col("_sel"), 21).alias("fp"))
+        .distinct()
+    )
+    return sel
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 50,
+) -> DataFrame:
+    """Partial-overlap pairs via shared winnowing fingerprints — the MOSS
+    comparison step. Fingerprints appearing in more than ``max_postings``
+    representatives are dropped BEFORE the pair join (MOSS's boilerplate
+    guard: legal headers / license blocks shared by everything carry no
+    plagiarism signal and would otherwise explode the posting-list
+    self-join quadratically). Overlap score = shared fingerprints /
+    min(|fpA|, |fpB|) over the SAME filtered posting space, so the
+    score's numerator and denominator are consistent.
+
+    Scale: the pair space is Σ postings² per fingerprint, capped at
+    max_postings² per list — never corpus²; sizes join back broadcast.
+    """
+    fps = winnowing_fingerprints(df, text_col, key_col, k=k, w=w)
+    kept = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= max_postings)
+        .select("fp")
+    )
+    fps = fps.join(kept, "fp")
+    sizes = fps.groupBy("k").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col("k").alias("key_a"), "fp")
+    b = fps.select(F.col("k").alias("key_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("k").alias("key_a"), F.col("n_fp").alias("n_a"))),
+            "key_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("k").alias("key_b"), F.col("n_fp").alias("n_b"))),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "shared_fp",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_fp").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap"),
+        )
     )

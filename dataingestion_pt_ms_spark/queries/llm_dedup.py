@@ -1175,56 +1175,60 @@ def dedup_survivorship_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# Prefix-filtering exact set-similarity self-join (round 4, session 2):
-# the classic AllPairs/PPJoin candidate scheme — order each doc's DISTINCT
-# tokens by global frequency (rarest first), index only the first
-# m − ⌈t·m⌉ + 1 of them, and two docs can reach token-Jaccard ≥ t ONLY if
-# their prefixes share a token. Unlike the MinHash-LSH family this is
-# LOSSLESS: the output is exactly every rep pair with Jaccard ≥ t (an
-# engine test pins it to the naive all-pairs result), with candidate cost
-# concentrated on rare tokens — frequent tokens never enter a prefix, so
-# the posting-list join can't blow up on stopwords. Exact-collapse first
-# (house rule): identical texts share one representative. Scale shape:
-# token-frequency ranking is a per-doc window (never global), the
-# candidate join is prefix-posting-sized, verification touches candidate
-# docs only. Beyond-reference [NS] (SURVEY.md §2.B dedup family).
+# Prefix-filtering exact set-similarity self-join (round 4): the classic
+# AllPairs/PPJoin candidate scheme — order each doc's DISTINCT shingles by
+# global document frequency (rarest first), index only the first
+# m − ⌈t·m⌉ + 1 of them, and two docs can reach shingle-Jaccard ≥ t ONLY
+# if their prefixes share an element (plus the free length prune
+# ⌈t·m_a⌉ ≤ m_b). Unlike the MinHash-LSH family this is LOSSLESS: the
+# output is exactly every rep pair with Jaccard ≥ t (an engine test pins
+# it to the naive all-pairs result). Elements are 3-token shingles, not
+# raw tokens — the prefix principle is element-agnostic but its cost is
+# not: raw-token posting lists are df-bounded and even rare words appear
+# in hundreds of docs (measured 178 s at sf0.1), while shingle df ≈ 1
+# except for genuinely shared passages (2.9 s, same lossless guarantee).
+# Exact-collapse first (house rule): identical texts share one
+# representative. Beyond-reference [NS] (SURVEY.md §2.B dedup family).
 # --------------------------------------------------------------------------
-_PF_T = 0.95
+_PF_T = 0.9
 
 PREFIX_FILTER_ORACLE = f"""
 WITH base AS (
-  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
-), tok AS (
-  SELECT DISTINCT doc_id, unnest({_DTOKS}) AS t FROM base
+  SELECT min(doc_id) AS k, text FROM documents GROUP BY text
+), gram AS (
+  SELECT k, unnest({_DSHINGLES}) AS g FROM base
 ), m AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY doc_id
+  SELECT k, CAST(count(*) AS BIGINT) AS m FROM gram GROUP BY k
 ), freq AS (
-  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+  SELECT g, CAST(count(*) AS BIGINT) AS c FROM gram GROUP BY g
 ), rk AS (
-  SELECT tok.doc_id, tok.t,
-         row_number() OVER (PARTITION BY tok.doc_id
-                            ORDER BY freq.c, tok.t) AS rn,
-         m.m AS m
-  FROM tok JOIN freq ON freq.t = tok.t JOIN m ON m.doc_id = tok.doc_id
+  SELECT gram.k, gram.g, m.m,
+         row_number() OVER (PARTITION BY gram.k
+                            ORDER BY freq.c, gram.g) AS rn
+  FROM gram JOIN freq ON freq.g = gram.g JOIN m ON m.k = gram.k
 ), pre AS (
-  SELECT doc_id, t FROM rk
+  SELECT k, g, m FROM rk
   WHERE rn <= m - CAST(ceil({_PF_T} * m) AS BIGINT) + 1
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
-  FROM pre a JOIN pre b ON a.t = b.t AND a.doc_id < b.doc_id
-), sets AS (
-  SELECT doc_id, list_distinct({_DTOKS}) AS s, text FROM base
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b, a.m AS m_a, b.m AS m_b
+  FROM pre a JOIN pre b ON a.g = b.g AND a.k < b.k
+  WHERE CAST(ceil({_PF_T} * a.m) AS BIGINT) <= b.m
+    AND CAST(ceil({_PF_T} * b.m) AS BIGINT) <= a.m
+), inter AS (
+  SELECT c.key_a, c.key_b, c.m_a, c.m_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN gram a ON a.k = c.key_a
+  JOIN gram b ON b.k = c.key_b AND b.g = a.g
+  GROUP BY c.key_a, c.key_b, c.m_a, c.m_b
 )
 SELECT key_a, key_b,
-       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
-                - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)), 6) AS jaccard
-FROM cand
-JOIN sets a ON a.doc_id = cand.key_a
-JOIN sets b ON b.doc_id = cand.key_b
-WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
-               - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)), 6) >= {_PF_T}
+       round(CAST(i AS DOUBLE)
+             / (CAST(m_a AS DOUBLE) + CAST(m_b AS DOUBLE)
+                - CAST(i AS DOUBLE)), 6) AS jaccard
+FROM inter
+WHERE round(CAST(i AS DOUBLE)
+            / (CAST(m_a AS DOUBLE) + CAST(m_b AS DOUBLE)
+               - CAST(i AS DOUBLE)), 6) >= {_PF_T}
 ORDER BY key_a, key_b
 """
 
@@ -1239,3 +1243,158 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_jaccard_pairs(
         docs, "text", "doc_id", threshold=_PF_T
     ).orderBy("key_a", "key_b")
+
+
+# --------------------------------------------------------------------------
+# Winnowing partial-overlap detection (round 4): the MOSS fingerprinting
+# scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03). Unlike MinHash (document-
+# level global sampling) winnowing is a LOCAL scheme — any shared token run
+# of length >= w + k - 1 is guaranteed to produce a shared fingerprint — so
+# it surfaces *partial* overlap: a paragraph lifted between otherwise-
+# different documents, exactly the contamination mode document-level
+# near-dup misses. Per-gram hash is the md5-prefix integer, rightmost-min
+# tie-break is encoded as min(h*2^21 + (CAP-1-pos)), so the fingerprint
+# sets — and therefore the pair list — have an exact DuckDB oracle.
+# Boilerplate guard: fingerprints held by > 50 reps are dropped before the
+# posting-list self-join (MOSS's own rule), bounding the pair space.
+# Beyond-reference [NS] (SURVEY.md §2.B dedup family).
+# --------------------------------------------------------------------------
+_WN_K, _WN_W, _WN_MIN, _WN_CAP = 5, 4, 2, 50
+
+WINNOW_ORACLE = f"""
+WITH base AS (
+  SELECT min(doc_id) AS k, text FROM documents GROUP BY text
+), tok AS (
+  SELECT k, unnest({_DTOKS}) AS t, generate_subscripts({_DTOKS}, 1) AS pos
+  FROM base
+), gram AS (
+  SELECT k, pos,
+         concat_ws(' ', t, lead(t,1) OVER w, lead(t,2) OVER w,
+                        lead(t,3) OVER w, lead(t,4) OVER w) AS g,
+         lead(t, {_WN_K - 1}) OVER w AS guard
+  FROM tok WINDOW w AS (PARTITION BY k ORDER BY pos)
+), h AS (
+  SELECT k, pos,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 2147483647 AS h
+  FROM gram WHERE guard IS NOT NULL
+), winnow AS (
+  SELECT k,
+         min(h * 2097152 + (2097151 - pos))
+           OVER (PARTITION BY k ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS selkey,
+         lead(pos, {_WN_W - 1}) OVER (PARTITION BY k ORDER BY pos) AS full_w
+  FROM h
+), fp AS (
+  SELECT DISTINCT k, selkey // 2097152 AS fp FROM winnow WHERE full_w IS NOT NULL
+), kept AS (
+  SELECT fp FROM (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
+  WHERE n <= {_WN_CAP}
+), post AS (
+  SELECT fp.k, fp.fp FROM fp JOIN kept USING (fp)
+), sizes AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_fp FROM post GROUP BY k
+), shared AS (
+  SELECT a.k AS key_a, b.k AS key_b, CAST(count(*) AS BIGINT) AS shared_fp
+  FROM post a JOIN post b ON a.fp = b.fp AND a.k < b.k
+  GROUP BY a.k, b.k
+  HAVING count(*) >= {_WN_MIN}
+)
+SELECT key_a, key_b, shared_fp, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       round(CAST(shared_fp AS DOUBLE)
+             / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 6) AS overlap
+FROM shared
+JOIN sizes sa ON sa.k = shared.key_a
+JOIN sizes sb ON sb.k = shared.key_b
+ORDER BY key_a, key_b
+"""
+
+
+@register(
+    "dedup_winnowing_overlap",
+    oracle=WINNOW_ORACLE,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnowing_overlap_pairs(
+        docs, "text", "doc_id",
+        k=_WN_K, w=_WN_W, min_shared=_WN_MIN, max_postings=_WN_CAP,
+    ).orderBy("key_a", "key_b")
+
+
+# --------------------------------------------------------------------------
+# Document-stitching artifact pairs (round 4): doc A's TAIL 8-gram equals
+# doc B's HEAD 8-gram — the signature of concatenation/splitting bugs in a
+# crawl pipeline (one logical document sliced into shards, or two glued at
+# extraction). Document-level near-dup never sees these (the overlap is 8
+# tokens out of hundreds); the boundary join finds them in one pass:
+# per-doc head/tail chunks → frequency cap (boilerplate intros/outros
+# shared by > 50 docs carry no stitching signal and would explode the
+# join) → equi-join tail→head. O(docs) rows, one key-hash shuffle.
+# Beyond-reference [NS] (SURVEY.md §2.B dedup family).
+# --------------------------------------------------------------------------
+_ST_K, _ST_CAP = 8, 50
+
+STITCH_ORACLE = f"""
+WITH base AS (
+  SELECT min(doc_id) AS k, text FROM documents GROUP BY text
+), toks AS (
+  SELECT k, {_DTOKS} AS t FROM base
+), bounds AS (
+  SELECT k,
+         array_to_string(list_slice(t, 1, {_ST_K}), ' ') AS head,
+         array_to_string(list_slice(t, len(t) - {_ST_K - 1}, len(t)), ' ') AS tail
+  FROM toks WHERE len(t) >= {_ST_K}
+), heads AS (
+  SELECT k, head AS chunk FROM bounds
+  QUALIFY count(*) OVER (PARTITION BY head) <= {_ST_CAP}
+), tails AS (
+  SELECT k, tail AS chunk FROM bounds
+  QUALIFY count(*) OVER (PARTITION BY tail) <= {_ST_CAP}
+)
+SELECT tails.k AS key_a, heads.k AS key_b, tails.chunk AS boundary_chunk
+FROM tails JOIN heads ON tails.chunk = heads.chunk AND tails.k <> heads.k
+ORDER BY key_a, key_b
+"""
+
+
+@register(
+    "dedup_stitch_artifact_pairs",
+    oracle=STITCH_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_stitch_artifact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.textfns import tokens as _tokens
+    from ..operators.dedup import collapse_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps, _ = collapse_exact(docs, "text", "doc_id")
+    toks = reps.select(
+        F.col("doc_id").alias("k"), _tokens(F.col("text")).alias("t")
+    ).where(F.size("t") >= _ST_K)
+    bounds = toks.select(
+        "k",
+        F.concat_ws(" ", F.slice("t", 1, _ST_K)).alias("head"),
+        F.concat_ws(" ", F.slice("t", -_ST_K, _ST_K)).alias("tail"),
+    )
+    bounds = bounds.localCheckpoint(eager=False)  # head + tail branches
+    hw = W.partitionBy("head")
+    tw = W.partitionBy("tail")
+    heads = (
+        bounds.withColumn("_n", F.count(F.lit(1)).over(hw))
+        .where(F.col("_n") <= _ST_CAP)
+        .select(F.col("k").alias("key_b"), F.col("head").alias("chunk"))
+    )
+    tails = (
+        bounds.withColumn("_n", F.count(F.lit(1)).over(tw))
+        .where(F.col("_n") <= _ST_CAP)
+        .select(F.col("k").alias("key_a"), F.col("tail").alias("chunk"))
+    )
+    return (
+        tails.join(heads, "chunk")
+        .where(F.col("key_a") != F.col("key_b"))
+        .select("key_a", "key_b", F.col("chunk").alias("boundary_chunk"))
+        .orderBy("key_a", "key_b")
+    )

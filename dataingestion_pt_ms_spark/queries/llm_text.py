@@ -1638,3 +1638,88 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("heaps_beta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source TF-IDF centroid cosine matrix (round 4). Complements the
+# shingle-Jaccard corpus-overlap matrix (surface overlap) and the JS
+# divergence matrix (distributional distance) with the retrieval-style
+# view: each source becomes one TF-IDF vector (term frequency × corpus
+# idf), and source pairs are scored by cosine. At 100 TB the shape is the
+# cheap one — vectors are (source, token) partial aggregates (O(vocab)
+# rows, map-side combined), the dot product is a token-keyed join of those
+# aggregates, norms join back broadcast; nothing touches doc×doc space.
+# Beyond-reference [NS] (SURVEY.md §2.B text family).
+# --------------------------------------------------------------------------
+TFIDF_CENTROID_ORACLE = f"""
+WITH tok AS (
+  SELECT source, doc_id, unnest({_DTOKS}) AS tok FROM documents
+), df AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY tok
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), tf AS (
+  SELECT source, tok, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY source, tok
+), w AS (
+  SELECT source, tf.tok AS tok, tf * ln((1.0 + n_docs) / (1.0 + df)) AS w
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+), norms AS (
+  SELECT source, sqrt(sum(w * w)) AS nrm FROM w GROUP BY source
+), dots AS (
+  SELECT a.source AS source_a, b.source AS source_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.source = dots.source_a
+JOIN norms nb ON nb.source = dots.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "text_tfidf_centroid_cosine",
+    oracle=TFIDF_CENTROID_ORACLE,
+    tags=("llm", "text", "similarity"),
+)
+def text_tfidf_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    n_docs = float(docs.count())
+    df_ = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    tf = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    w = tf.join(df_, "tok").select(
+        "source",
+        "tok",
+        (F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df")))).alias("w"),
+    )
+    w = w.localCheckpoint(eager=False)  # norms + both join sides
+    norms = w.groupBy("source").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("source").alias("source_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("source").alias("source_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1570,3 +1570,99 @@ def orders_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V association strength + standardized residuals (round 4): the
+# effect-size companion to part_chi_square_independence — χ² grows with N,
+# so at 100 TB every test "rejects"; V = sqrt(χ² / (N·min(r−1,c−1))) is the
+# scale-free strength, and the per-cell standardized residual (o−e)/sqrt(e)
+# names WHICH cells drive it. Contingency is order priority × customer
+# market segment (a join-shaped contingency, unlike the single-table part
+# test): one custkey-keyed shuffle join, 25 cells, broadcast marginals.
+# --------------------------------------------------------------------------
+CRAMERS_V_ORACLE = """
+WITH j AS (
+  SELECT o_orderpriority AS a, c_mktsegment AS b
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), o AS (
+  SELECT a, b, CAST(count(*) AS DOUBLE) AS n FROM j GROUP BY a, b
+), ra AS (SELECT a, sum(n) AS na FROM o GROUP BY a),
+rb AS (SELECT b, sum(n) AS nb FROM o GROUP BY b),
+tot AS (SELECT sum(n) AS t FROM o),
+cells AS (
+  SELECT o.a, o.b, o.n, ra.na * rb.nb / tot.t AS e, tot.t AS t
+  FROM o JOIN ra ON ra.a = o.a JOIN rb ON rb.b = o.b CROSS JOIN tot
+), stat AS (
+  SELECT sum((n - e) * (n - e) / e) AS chi_sq, any_value(t) AS t,
+         CAST((SELECT count(*) FROM ra) AS DOUBLE) AS r,
+         CAST((SELECT count(*) FROM rb) AS DOUBLE) AS c
+  FROM cells
+)
+SELECT cells.a AS priority, cells.b AS segment,
+       CAST(cells.n AS BIGINT) AS observed,
+       round(cells.e, 6) AS expected,
+       round((cells.n - cells.e) / sqrt(cells.e), 6) AS std_residual,
+       round(stat.chi_sq, 6) AS chi_sq,
+       round(sqrt(stat.chi_sq / (stat.t * least(stat.r - 1, stat.c - 1))), 6)
+         AS cramers_v
+FROM cells CROSS JOIN stat
+ORDER BY priority, segment
+"""
+
+
+@register(
+    "orders_cramers_v_association",
+    oracle=CRAMERS_V_ORACLE,
+    tags=("warehouse", "stats"),
+)
+def orders_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("o_orderpriority").alias("a"), F.col("c_mktsegment").alias("b")
+    )
+    o = j.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    o = o.localCheckpoint(eager=False)  # marginals + cells branches
+    ra = o.groupBy("a").agg(F.sum("n").alias("na"))
+    rb = o.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = o.agg(F.sum("n").alias("t"))
+    r = ra.agg(F.count(F.lit(1)).cast("double").alias("r"))
+    c = rb.agg(F.count(F.lit(1)).cast("double").alias("c"))
+    cells = (
+        o.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a", "b", "n", "t",
+            (F.col("na") * F.col("nb") / F.col("t")).alias("e"),
+        )
+    )
+    cells = cells.localCheckpoint(eager=False)  # stat + output branches
+    stat = (
+        cells.agg(
+            F.sum((F.col("n") - F.col("e")) * (F.col("n") - F.col("e")) / F.col("e")).alias("chi_sq"),
+            F.first("t").alias("t"),
+        )
+        .crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(c))
+    )
+    return (
+        cells.drop("t").crossJoin(F.broadcast(stat))
+        .select(
+            F.col("a").alias("priority"),
+            F.col("b").alias("segment"),
+            F.col("n").cast("long").alias("observed"),
+            F.round("e", 6).alias("expected"),
+            F.round((F.col("n") - F.col("e")) / F.sqrt("e"), 6).alias("std_residual"),
+            F.round("chi_sq", 6).alias("chi_sq"),
+            F.round(
+                F.sqrt(
+                    F.col("chi_sq")
+                    / (F.col("t") * F.least(F.col("r") - 1, F.col("c") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .orderBy("priority", "segment")
+    )

@@ -1248,13 +1248,14 @@ def test_pareto_skyline_equal_spend_ties(spark, tmp_path):
 
 def test_prefix_filter_exact_vs_naive_all_pairs(spark, sf_dir):
     """Prefix filtering is LOSSLESS: the candidate scheme (index only the
-    first m - ceil(t*m) + 1 frequency-ordered distinct tokens) provably
-    cannot miss a pair with token-Jaccard >= t, so the operator's output
-    must EQUAL the naive all-pairs result — not approximate it."""
-    from dataingestion_pt_ms_spark.functions.textfns import distinct_tokens
+    first m - ceil(t*m) + 1 frequency-ordered distinct shingles, plus the
+    length prune ceil(t*m_a) <= m_b) provably cannot miss a pair with
+    shingle-Jaccard >= t, so the operator's output must EQUAL the naive
+    all-pairs result — not approximate it."""
+    from dataingestion_pt_ms_spark.functions.textfns import shingles, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    t = 0.9
+    t = 0.8
     got = {
         (r.key_a, r.key_b, r.jaccard)
         for r in D.prefix_filter_jaccard_pairs(
@@ -1264,7 +1265,7 @@ def test_prefix_filter_exact_vs_naive_all_pairs(spark, sf_dir):
     reps = (
         docs.groupBy("text")
         .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", distinct_tokens(F.col("text")).alias("s"))
+        .select("doc_id", shingles(tokens(F.col("text")), 3).alias("s"))
     )
     a = reps.select(F.col("doc_id").alias("key_a"), F.col("s").alias("sa"))
     b = reps.select(F.col("doc_id").alias("key_b"), F.col("s").alias("sb"))
@@ -1283,3 +1284,74 @@ def test_prefix_filter_exact_vs_naive_all_pairs(spark, sf_dir):
         .collect()
     }
     assert got == truth
+
+
+def test_winnowing_local_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. SIGMOD'03): any shared
+    token run of length >= w + k - 1 between two documents produces at
+    least one shared fingerprint — even when the documents are otherwise
+    completely different (the partial-overlap case MinHash document
+    sampling can miss)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    run = " ".join(rng.choice(vocab) for _ in range(8))  # w+k-1 = 4+5-1 = 8
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, mk(60) + " " + run + " " + mk(60)),
+            (2, mk(80) + " " + run),
+            (3, mk(70)),  # no planted run
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.key_a, r.key_b)
+        for r in D.winnowing_overlap_pairs(
+            docs, "text", "doc_id", k=5, w=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_winnowing_short_doc_below_noise_threshold(spark):
+    """Docs shorter than w + k - 1 tokens have no complete window and
+    select no fingerprints — the documented noise threshold."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g h")],  # 7 < 8 <= 8
+        ["doc_id", "text"],
+    )
+    fps = D.winnowing_fingerprints(docs, "text", "doc_id", k=5, w=4)
+    got = {r.k for r in fps.collect()}
+    assert got == {2}
+
+
+def test_stitch_artifact_pairs_planted(spark, tmp_path):
+    """Planted stitching artifact: doc 2's first 8 tokens == doc 1's last
+    8 tokens (one logical document sliced into shards). The boundary join
+    must find exactly the (1, 2) pair and nothing else; the fixture-data
+    oracle row is a no-false-positive check (0 rows at sf0.001)."""
+    import random
+
+    from dataingestion_pt_ms_spark.queries.llm_dedup import (
+        dedup_stitch_artifact_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(300)]
+    mk = lambda n: [rng.choice(vocab) for _ in range(n)]  # noqa: E731
+    a = mk(40)
+    b = a[-8:] + mk(40)  # head of b == tail of a
+    c = mk(40)
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, " ".join(a), "s", "en"), (2, " ".join(b), "s", "en"),
+         (3, " ".join(c), "s", "en")],
+        ["doc_id", "text", "source", "lang"],
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r.key_a, r.key_b)
+        for r in dedup_stitch_artifact_pairs(spark, sf).collect()
+    }
+    assert got == {(1, 2)}
