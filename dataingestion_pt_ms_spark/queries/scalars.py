@@ -372,3 +372,55 @@ def scalar_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# XML parse family (round 4): from_xml / xpath over per-row XML payloads —
+# the Spark-4 semi-structured sibling of the JSON and VARIANT rows. The
+# document is built from order columns, round-tripped through from_xml
+# (schema'd struct incl. a nested element and an attribute), and cross-
+# checked by xpath extraction. DuckDB has no XML type, so the oracle
+# computes the same fields straight from the source columns — an identity
+# round-trip check (double→string→double is exact: Spark emits shortest-
+# roundtrip representations). Per-row expression work, trivially scalable.
+# --------------------------------------------------------------------------
+XML_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey AS xml_key,
+       CAST(o_totalprice AS DOUBLE) AS xml_price,
+       o_orderpriority AS xml_priority,
+       CAST(o_custkey AS BIGINT) AS xml_cust,
+       CAST(len(o_orderstatus) AS BIGINT) AS status_len
+FROM orders
+WHERE o_orderkey % 10 = 0
+"""
+
+
+@register("scalar_xml_parse", oracle=XML_ORACLE, tags=("scalar", "xml"))
+def scalar_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><price>'),
+        F.col("o_totalprice").cast("double").cast("string"),
+        F.lit("</price><meta><priority>"),
+        F.col("o_orderpriority"),
+        F.lit("</priority><cust>"),
+        F.col("o_custkey").cast("string"),
+        F.lit("</cust></meta><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status></order>"),
+    )
+    schema = "_id BIGINT, price DOUBLE, meta STRUCT<priority: STRING, cust: BIGINT>, status STRING"
+    parsed = orders.select(
+        "o_orderkey", xml.alias("_xml")
+    ).select("o_orderkey", F.from_xml("_xml", schema).alias("x"), "_xml")
+    return parsed.select(
+        "o_orderkey",
+        F.col("x._id").alias("xml_key"),
+        F.col("x.price").alias("xml_price"),
+        F.col("x.meta.priority").alias("xml_priority"),
+        F.col("x.meta.cust").alias("xml_cust"),
+        F.length(F.xpath_string("_xml", F.lit("/order/status"))).cast("long").alias("status_len"),
+    )

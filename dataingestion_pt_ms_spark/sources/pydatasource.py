@@ -1,0 +1,119 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference ingests bars by polling a remote REST API inside the service
+process (``app/alpaca_service.py:101-132``) — the fetch loop IS the source.
+Spark's equivalent extension point is a user-defined data source: the
+planner asks for partitions, each executor reads only its own partition,
+and the result is an ordinary DataFrame that joins/filters/aggregates like
+any parquet scan. This module ships a deterministic synthetic-bars source
+(``synth_bars``) exercising the full surface: schema declaration,
+partition planning, per-partition iteration, and option passthrough.
+
+Scale shape: one partition per (symbol, day-chunk) — the planner emits
+``num_partitions`` independent splits, so a 1000-executor cluster fans the
+generation/fetch out with zero coordination; nothing flows through the
+driver. Determinism: bar values are md5-derived from (symbol, index) —
+same options, same rows, on any cluster (and the twin generator below
+reproduces them in plain Python for the tests' expected values).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # the datasource API needs pyspark >= 4.0
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    HAVE_PY_DATASOURCE = True
+except ImportError:  # pragma: no cover - container always has pyspark 4
+    HAVE_PY_DATASOURCE = False
+    DataSource = object  # type: ignore[assignment,misc]
+    DataSourceReader = object  # type: ignore[assignment,misc]
+    InputPartition = object  # type: ignore[assignment,misc]
+
+
+BARS_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType(), False),
+        StructField("bar_idx", LongType(), False),
+        StructField("open", DoubleType(), False),
+        StructField("close", DoubleType(), False),
+        StructField("volume", LongType(), False),
+        StructField("part_id", IntegerType(), False),
+    ]
+)
+
+
+def synth_bar(symbol: str, i: int) -> tuple[str, int, float, float, int]:
+    """Deterministic bar (symbol, idx, open, close, volume): md5-derived,
+    reproducible anywhere — the test twin computes expected values with
+    this exact function."""
+    h = hashlib.md5(f"{symbol}:{i}".encode()).hexdigest()
+    base = int(h[:8], 16) % 10_000
+    o = 100.0 + base / 100.0
+    c = 100.0 + (int(h[8:16], 16) % 10_000) / 100.0
+    v = 1_000 + int(h[16:24], 16) % 100_000
+    return symbol, i, o, c, v
+
+
+class _BarsPartition(InputPartition):
+    def __init__(self, pid: int, symbol: str, start: int, end: int):
+        self.pid = pid
+        self.symbol = symbol
+        self.start = start
+        self.end = end
+
+
+class _BarsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.symbols = [
+            s.strip() for s in options.get("symbols", "AAPL,MSFT").split(",")
+        ]
+        self.bars_per_symbol = int(options.get("bars_per_symbol", "100"))
+        self.chunk = int(options.get("chunk", "50"))
+
+    def partitions(self) -> list[_BarsPartition]:
+        parts: list[_BarsPartition] = []
+        pid = 0
+        for sym in self.symbols:
+            for start in range(0, self.bars_per_symbol, self.chunk):
+                end = min(start + self.chunk, self.bars_per_symbol)
+                parts.append(_BarsPartition(pid, sym, start, end))
+                pid += 1
+        return parts
+
+    def read(self, partition: _BarsPartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            sym, idx, o, c, v = synth_bar(partition.symbol, i)
+            yield (sym, idx, o, c, v, partition.pid)
+
+
+class SynthBarsDataSource(DataSource):
+    """``spark.read.format("synth_bars").options(...)`` batch source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_bars"
+
+    def schema(self) -> StructType:
+        return BARS_SCHEMA
+
+    def reader(self, schema: StructType) -> _BarsReader:
+        return _BarsReader(self.options)
+
+
+def register_synth_bars(spark) -> None:
+    """Idempotent registration (re-registering replaces, which is fine)."""
+    if not HAVE_PY_DATASOURCE:  # pragma: no cover
+        raise RuntimeError("pyspark.sql.datasource requires pyspark >= 4.0")
+    spark.dataSource.register(SynthBarsDataSource)

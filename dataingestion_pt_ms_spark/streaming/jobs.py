@@ -78,6 +78,35 @@ def sessionized_stream(
     )
 
 
+def dynamic_gap_sessionized_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows with a DYNAMIC, per-row gap (Spark 3.2+ surface):
+    ``session_window(ts, gap_expr)`` where the gap depends on the event —
+    errors keep a session alive longer (30 min) than routine events
+    (5 min), the standard ops-sessionization asymmetry. Same watermark
+    discipline as the fixed-gap job; state per open session only.
+    """
+    # gap must be CalendarIntervalType: string literals parse to it
+    # (DayTimeIntervalType INTERVAL literals are rejected by the analyzer)
+    gap = F.when(F.col("event_type") == "error", F.lit("30 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def running_counts_stateful_stream(events: DataFrame, key_col: str = "event_type") -> DataFrame:
     """Arbitrary stateful operator via Arrow-batched applyInPandasWithState:
     cumulative event count + value sum per key across micro-batches (the

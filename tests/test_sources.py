@@ -174,3 +174,66 @@ def test_compact_refuses_partitioned_layout(spark, tmp_path):
         compact_parquet_dir(spark, out)
     # partition data untouched by the refusal
     assert spark.read.parquet(out).count() == 100
+
+
+def test_python_datasource_synth_bars(spark):
+    """Custom Python DataSource (Spark 4 extension surface, the engine
+    equivalent of the reference's in-process REST fetch loop,
+    app/alpaca_service.py:101-132): schema declaration, partition
+    planning (one split per symbol-chunk → executor-parallel reads, no
+    driver fan-in), option passthrough, and determinism (md5-derived
+    values reproduced by the plain-Python twin)."""
+    from dataingestion_pt_ms_spark.sources.pydatasource import (
+        register_synth_bars,
+        synth_bar,
+    )
+
+    register_synth_bars(spark)
+    df = (
+        spark.read.format("synth_bars")
+        .option("symbols", "AAPL,MSFT,GOOG")
+        .option("bars_per_symbol", "40")
+        .option("chunk", "16")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 120
+    # partition planning: ceil(40/16)=3 chunks × 3 symbols = 9 splits
+    assert len({r.part_id for r in rows}) == 9
+    # determinism + twin equality on a sample
+    got = {(r.symbol, r.bar_idx): (r.open, r.close, r.volume) for r in rows}
+    for sym in ("AAPL", "GOOG"):
+        for i in (0, 17, 39):
+            s, idx, o, c, v = synth_bar(sym, i)
+            assert got[(sym, i)] == (o, c, v)
+    # it's a first-class DataFrame: aggregates compose
+    agg = df.groupBy("symbol").count().collect()
+    assert {(r.symbol, r["count"]) for r in agg} == {
+        ("AAPL", 40), ("MSFT", 40), ("GOOG", 40)
+    }
+
+
+def test_observe_ingest_metrics(spark):
+    """df.observe(): task-side metric accumulation during the action that
+    produced the result — the zero-extra-pass version of the reference's
+    run counters (records_processed/saved, app/alpaca_service.py:234-262).
+    A separate count()+filter pass would scan 100 TB twice; observe rides
+    the existing job."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest")
+    df = spark.range(0, 1000).withColumn(
+        "v", F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id"))
+    )
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_nulls"),
+        F.max("id").alias("max_id"),
+    )
+    # the action that triggers metric collection
+    assert observed.where(F.col("v").isNotNull()).count() == 857
+    m = obs.get
+    assert m["n_rows"] == 1000
+    assert m["n_nulls"] == 143
+    assert m["max_id"] == 999

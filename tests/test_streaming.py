@@ -1008,3 +1008,55 @@ def test_incremental_mv_stream_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_dynamic_gap_session_window(spark, tmp_path):
+    """session_window with a per-row gap expression: 'error' events hold a
+    session open 30 min, routine events only 5 min — so the SAME 10-min
+    spacing merges error events into one session but splits clicks into
+    separate ones. This asymmetry is only expressible with the dynamic-gap
+    form (Spark 3.2+); a fixed gap gets one of the two users wrong."""
+    import os
+
+    from dataingestion_pt_ms_spark.streaming.jobs import (
+        dynamic_gap_sessionized_stream,
+    )
+
+    import glob
+    import time
+
+    src = str(tmp_path / "dyn_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, tzinfo=UTC)
+    rows = [
+        # user 1: clicks 10 min apart -> two sessions (5-min gap closes)
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + dt.timedelta(minutes=10), 1, "click", 1.0),
+        # user 2: errors 10 min apart -> one session (30-min gap holds)
+        (3, t0, 2, "error", 1.0),
+        (4, t0 + dt.timedelta(minutes=10), 2, "error", 1.0),
+    ]
+    # append mode emits a session only after the watermark passes its end:
+    # stage an advancing batch (next day) behind the data batch
+    advance = [(99, t0 + dt.timedelta(days=1), 9, "click", 1.0)]
+    now = time.time()
+    for i, batch in enumerate([rows, advance]):
+        stage = str(tmp_path / f"dyn_stage{i}")
+        spark.createDataFrame(batch, EVENTS_SCHEMA).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{src}/{i}.parquet"
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 400 + i * 100, now - 400 + i * 100))
+    stream = stream_from_dir(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+    _run_to_memory(
+        dynamic_gap_sessionized_stream(stream), "dyn_sess_out", "append"
+    )
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM dyn_sess_out").collect()
+    }
+    assert got == {(1, 1), (2, 2)}
+    n_user1 = len(
+        spark.sql("SELECT * FROM dyn_sess_out WHERE user_id = 1").collect()
+    )
+    assert n_user1 == 2
