@@ -472,3 +472,86 @@ def join_null_safe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(a["k"].alias("bucket"), "n_orders", "n_customers")
         .orderBy(F.col("bucket").asc_nulls_first())
     )
+
+
+# --------------------------------------------------------------------------
+# Phonetic blocking join (round 4): the soundex-block record-linkage
+# scheme — block words by American Soundex code, verify with edit
+# distance inside blocks only (never corpus²; block sizes are bounded by
+# the phonetic-code vocabulary of the domain). Complements
+# join_fuzzy_name_match's (brand, length-band) blocking: phonetic codes
+# catch transpositions/vowel swaps a length band misses. The code is
+# built from an explicit translate → strip(h,w) → collapse-runs →
+# drop-first → strip(0) chain IDENTICAL in both engines (DuckDB has no
+# soundex; RE2 has no backreferences, so runs collapse via per-digit
+# {2,} replaces); a pytest pins the chain ≡ F.soundex on the full word
+# set, including the h/w-transparency cases (ashcraft→A261,
+# pfister→P236).
+# --------------------------------------------------------------------------
+_SX_MAP = "0123012-02245501262301-202"  # a..z -> digit, '-' = h/w transparent
+
+
+def _soundex_sql(col: str) -> str:
+    s = f"translate({col}, 'abcdefghijklmnopqrstuvwxyz', '{_SX_MAP}')"
+    s = f"replace({s}, '-', '')"
+    for d in "123456":
+        s = f"regexp_replace({s}, '{d}{{2,}}', '{d}')"
+    s = f"replace(substr({s}, 2), '0', '')"
+    return f"upper(substr({col}, 1, 1)) || substr({s} || '000', 1, 3)"
+
+
+PHONETIC_ORACLE = f"""
+WITH words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(lower(p_name), ' ')) AS w FROM part
+  ) WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 3
+), coded AS (
+  SELECT w, {_soundex_sql('w')} AS pcode FROM words
+)
+SELECT a.pcode AS pcode, a.w AS word_a, b.w AS word_b,
+       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+FROM coded a JOIN coded b ON a.pcode = b.pcode AND a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 2
+ORDER BY pcode, word_a, word_b
+"""
+
+
+def _soundex_expr(c):
+    s = F.translate(c, "abcdefghijklmnopqrstuvwxyz", _SX_MAP)
+    s = F.regexp_replace(s, "-", "")
+    for d in "123456":
+        s = F.regexp_replace(s, d + "{2,}", d)
+    s = F.regexp_replace(F.substring(s, 2, 1000), "0", "")
+    return F.concat(
+        F.upper(F.substring(c, 1, 1)),
+        F.substring(F.concat(s, F.lit("000")), 1, 3),
+    )
+
+
+@register(
+    "join_phonetic_blocking",
+    oracle=PHONETIC_ORACLE,
+    tags=("join", "fuzzy", "dedup"),
+)
+def join_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    words = (
+        part.select(F.explode(F.split(F.lower("p_name"), " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 3))
+        .distinct()
+    )
+    coded = words.select("w", _soundex_expr(F.col("w")).alias("pcode"))
+    a = coded.select(F.col("pcode"), F.col("w").alias("word_a"))
+    b = coded.select(F.col("pcode"), F.col("w").alias("word_b"))
+    return (
+        a.join(b, "pcode")
+        .where(F.col("word_a") < F.col("word_b"))
+        .select(
+            "pcode",
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 2)
+        .orderBy("pcode", "word_a", "word_b")
+    )

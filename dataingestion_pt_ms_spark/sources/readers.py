@@ -100,3 +100,34 @@ def read_binary_files(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def schema_drift(spark: SparkSession, old_path: str, new_path: str) -> DataFrame:
+    """Schema-drift audit between two parquet snapshots: one row per
+    changed column — ``added`` / ``removed`` / ``type_changed`` (with both
+    type strings) — the contract check a pipeline owner runs before
+    pointing 1000 executors at a refreshed upstream drop (the data-level
+    sibling is queries.warehouse.warehouse_snapshot_diff). Footer-only:
+    two schema reads, zero data scan, so it costs the same at 100 TB as
+    at 100 MB; the comparison itself is a driver-side dict walk over
+    column metadata (bounded by column count, never rows) emitted as a
+    DataFrame so downstream alerting composes."""
+    old_fields = {f.name: f.dataType.simpleString() for f in spark.read.parquet(old_path).schema.fields}
+    new_fields = {f.name: f.dataType.simpleString() for f in spark.read.parquet(new_path).schema.fields}
+    rows = []
+    for name in sorted(old_fields.keys() - new_fields.keys()):
+        rows.append((name, "removed", old_fields[name], None))
+    for name in sorted(new_fields.keys() - old_fields.keys()):
+        rows.append((name, "added", None, new_fields[name]))
+    for name in sorted(old_fields.keys() & new_fields.keys()):
+        if old_fields[name] != new_fields[name]:
+            rows.append((name, "type_changed", old_fields[name], new_fields[name]))
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType(), False),
+            T.StructField("change", T.StringType(), False),
+            T.StructField("old_type", T.StringType(), True),
+            T.StructField("new_type", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

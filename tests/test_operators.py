@@ -1378,3 +1378,24 @@ def test_builtin_skewness_kurtosis_match_explicit_moments(spark, sf_dir):
     ex = r.m4 / r.m2 ** 2 - 3
     assert abs(r.sk - g1) < 1e-9
     assert abs(r.ku - ex) < 1e-9
+
+
+def test_soundex_twin_matches_builtin(spark):
+    """The translate-chain soundex twin (the DuckDB-expressible form used
+    by join_phonetic_blocking's oracle) must equal F.soundex, including
+    the h/w-transparency cases every naive implementation gets wrong."""
+    from dataingestion_pt_ms_spark.queries.relational2 import _soundex_expr
+
+    words = [
+        "ashcraft", "pfister", "tymczak", "white", "wyatt", "adams",
+        "robert", "rupert", "honeyman", "gutierrez", "jackson",
+        "washington", "lee", "red", "rod", "gear", "anvil", "widget",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    rows = df.select(
+        "w",
+        _soundex_expr(F.col("w")).alias("twin"),
+        F.soundex("w").alias("builtin"),
+    ).collect()
+    mismatches = [(r.w, r.twin, r.builtin) for r in rows if r.twin != r.builtin]
+    assert not mismatches, mismatches

@@ -237,3 +237,31 @@ def test_observe_ingest_metrics(spark):
     assert m["n_rows"] == 1000
     assert m["n_nulls"] == 143
     assert m["max_id"] == 999
+
+
+def test_schema_drift_audit(spark, tmp_path):
+    """added / removed / type_changed columns between two parquet
+    snapshots, from footers only (no data scan)."""
+    from dataingestion_pt_ms_spark.sources.readers import schema_drift
+
+    old = str(tmp_path / "v1")
+    new = str(tmp_path / "v2")
+    spark.range(0, 10).select(
+        F.col("id"),
+        F.col("id").cast("int").alias("a"),
+        F.lit("x").alias("gone"),
+    ).write.parquet(old)
+    spark.range(0, 10).select(
+        F.col("id"),
+        F.col("id").cast("double").alias("a"),  # int -> double
+        F.lit(1).alias("fresh"),
+    ).write.parquet(new)
+    got = {
+        (r.column, r.change, r.old_type, r.new_type)
+        for r in schema_drift(spark, old, new).collect()
+    }
+    assert got == {
+        ("gone", "removed", "string", None),
+        ("fresh", "added", None, "int"),
+        ("a", "type_changed", "int", "double"),
+    }
