@@ -222,6 +222,11 @@ BASELINE_SEC = {
     "dedup_stitch_artifact_pairs": 0.63,
     "orders_cramers_v_association": 0.63,
     "docs_quality_quantile_normalize": 0.95,
+    "orders_moments_profile": 0.75,
+    "join_phonetic_blocking": 0.42,
+    "scalar_xml_parse": 1.50,
+    "sim_margin_alignment_mining": 1.51,
+    "text_bpe_train_merges": 1.42,
 }
 GUARD_FACTOR = 2.0
 
@@ -423,6 +428,11 @@ HEADLINE = [
     "dedup_stitch_artifact_pairs",
     "orders_cramers_v_association",
     "docs_quality_quantile_normalize",
+    "orders_moments_profile",
+    "join_phonetic_blocking",
+    "scalar_xml_parse",
+    "sim_margin_alignment_mining",
+    "text_bpe_train_merges",
 ]
 
 

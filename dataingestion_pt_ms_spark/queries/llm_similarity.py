@@ -1920,3 +1920,120 @@ def sim_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Margin-based alignment mining (round 4): the Artetxe & Schwenk (ACL'19)
+# ratio-margin criterion behind LASER/CCMatrix bitext mining — raw cosine
+# over-selects hubs (vectors close to everything), so each candidate pair
+# is scored by cos(x,y) normalized by the mean of both endpoints'
+# k-NN-neighborhood cosines, and only FORWARD-BACKWARD MUTUAL argmax
+# pairs are mined. Sides here are label-0 vs label-1 vectors (the
+# two-population stand-in for two languages). Fixture shape: one side
+# broadcast (pair space |A|·|B|); the documented 100 TB swap is the
+# blocked-GEMM + IVF-cell bucketing the ANN family already uses —
+# neighborhood averages are per-endpoint aggregates either way. All
+# ranking on round-6 cosines with id tiebreaks (house topk discipline).
+# --------------------------------------------------------------------------
+_MG_K = 4
+
+MARGIN_MINE_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS xa, embedding::DOUBLE[] AS va FROM embeddings WHERE label = 0
+), b AS (
+  SELECT vec_id AS xb, embedding::DOUBLE[] AS vb FROM embeddings WHERE label = 1
+), pairs AS (
+  SELECT xa, xb, round(list_cosine_similarity(va, vb), 6) AS c
+  FROM a CROSS JOIN b
+), ka AS (
+  SELECT xa, avg(c) AS ax FROM (
+    SELECT xa, c, row_number() OVER (PARTITION BY xa ORDER BY c DESC, xb) AS r
+    FROM pairs
+  ) WHERE r <= {_MG_K} GROUP BY xa
+), kb AS (
+  SELECT xb, avg(c) AS ay FROM (
+    SELECT xb, c, row_number() OVER (PARTITION BY xb ORDER BY c DESC, xa) AS r
+    FROM pairs
+  ) WHERE r <= {_MG_K} GROUP BY xb
+), m AS (
+  SELECT pairs.xa, pairs.xb, c, round(c / ((ax + ay) / 2), 6) AS margin
+  FROM pairs JOIN ka ON ka.xa = pairs.xa JOIN kb ON kb.xb = pairs.xb
+), fwd AS (
+  SELECT xa, xb FROM (
+    SELECT xa, xb, row_number() OVER (PARTITION BY xa ORDER BY margin DESC, xb) AS r
+    FROM m
+  ) WHERE r = 1
+), bwd AS (
+  SELECT xa, xb FROM (
+    SELECT xa, xb, row_number() OVER (PARTITION BY xb ORDER BY margin DESC, xa) AS r
+    FROM m
+  ) WHERE r = 1
+)
+SELECT m.xa AS vec_a, m.xb AS vec_b, c AS cosine, margin
+FROM m JOIN fwd ON fwd.xa = m.xa AND fwd.xb = m.xb
+       JOIN bwd ON bwd.xa = m.xa AND bwd.xb = m.xb
+ORDER BY vec_a
+"""
+
+
+@register(
+    "sim_margin_alignment_mining",
+    oracle=MARGIN_MINE_ORACLE,
+    tags=("llm", "similarity", "mining"),
+)
+def sim_margin_alignment_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("xa"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("xb"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "xa", "xb", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("c")
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # ka/kb/margin branches
+    wa = W.partitionBy("xa").orderBy(F.col("c").desc(), "xb")
+    wb = W.partitionBy("xb").orderBy(F.col("c").desc(), "xa")
+    ka = (
+        pairs.withColumn("r", F.row_number().over(wa))
+        .where(F.col("r") <= _MG_K)
+        .groupBy("xa")
+        .agg(F.avg("c").alias("ax"))
+    )
+    kb = (
+        pairs.withColumn("r", F.row_number().over(wb))
+        .where(F.col("r") <= _MG_K)
+        .groupBy("xb")
+        .agg(F.avg("c").alias("ay"))
+    )
+    m = (
+        pairs.join(F.broadcast(ka), "xa")
+        .join(F.broadcast(kb), "xb")
+        .select(
+            "xa", "xb", "c",
+            F.round(F.col("c") / ((F.col("ax") + F.col("ay")) / 2), 6).alias("margin"),
+        )
+    )
+    m = m.localCheckpoint(eager=False)  # fwd/bwd/output branches
+    wfa = W.partitionBy("xa").orderBy(F.col("margin").desc(), "xb")
+    wfb = W.partitionBy("xb").orderBy(F.col("margin").desc(), "xa")
+    fwd = m.withColumn("r", F.row_number().over(wfa)).where(F.col("r") == 1).select("xa", "xb")
+    bwd = m.withColumn("r", F.row_number().over(wfb)).where(F.col("r") == 1).select("xa", "xb")
+    return (
+        m.join(fwd, ["xa", "xb"])
+        .join(bwd, ["xa", "xb"])
+        .select(
+            F.col("xa").alias("vec_a"),
+            F.col("xb").alias("vec_b"),
+            F.col("c").alias("cosine"),
+            "margin",
+        )
+        .orderBy("vec_a")
+    )

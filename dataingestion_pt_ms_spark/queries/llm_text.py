@@ -1723,3 +1723,115 @@ def text_tfidf_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge TRAINING (round 4): the actual iterative Sennrich et al. '16
+# algorithm, not just pair statistics (text_bpe_pair_counts is the
+# one-round profile) — N rounds of: count adjacent symbol pairs over the
+# word vocabulary (weighted by word frequency) → take the argmax
+# (count desc, pair lexicographic on ties) → merge every leftmost-
+# non-overlapping occurrence. Words are space-delimited symbol strings;
+# the merge is a plain string replace, whose left-to-right non-overlap
+# semantics are IDENTICAL in Spark and DuckDB (probed: ' a a a ' →
+# ' aa a '), so the whole training loop has an exact oracle with the N
+# rounds unrolled as CTE stages. The per-round argmax is a 1-row collect
+# (bounded, the CC-convergence-probe exemption); everything else is
+# exploded pair streams + grouped sums — per-round linear in total
+# symbol count, the textbook distributed-BPE shape.
+# --------------------------------------------------------------------------
+_BPE_ROUNDS = 4
+
+def _bpe_oracle() -> str:
+    toks_stage = lambda n: f"""
+p{n} AS (
+  SELECT l, r, sum(cnt) AS pc FROM (
+    SELECT cnt, t AS l, lead(t) OVER (PARTITION BY word ORDER BY i) AS r
+    FROM (SELECT word, cnt, unnest(string_split(trim(s), ' ')) AS t,
+                 generate_subscripts(string_split(trim(s), ' '), 1) AS i
+          FROM seq{n - 1})
+  ) WHERE r IS NOT NULL GROUP BY l, r
+), m{n} AS (
+  SELECT l, r, pc FROM p{n} ORDER BY pc DESC, l, r LIMIT 1
+), seq{n} AS (
+  SELECT word, cnt,
+         replace(s, ' ' || m{n}.l || ' ' || m{n}.r || ' ',
+                 ' ' || m{n}.l || m{n}.r || ' ') AS s
+  FROM seq{n - 1} CROSS JOIN m{n}
+)"""
+    stages = ",".join(toks_stage(n) for n in range(1, _BPE_ROUNDS + 1))
+    unions = "\nUNION ALL ".join(
+        f"SELECT {n} AS round, l AS lhs, r AS rhs, CAST(pc AS BIGINT) AS pair_count FROM m{n}"
+        for n in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_DTOKS}) AS w FROM documents) GROUP BY w
+), seq0 AS (
+  SELECT word, cnt,
+         ' ' || array_to_string(
+           list_transform(generate_series(1, len(word)), i -> substr(word, i, 1)),
+           ' ') || ' ' AS s
+  FROM words
+),{stages}
+SELECT * FROM ({unions}) ORDER BY round
+"""
+
+
+BPE_TRAIN_ORACLE = _bpe_oracle()
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=BPE_TRAIN_ORACLE,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w").alias("word"), "cnt")
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    seqs = words.select(
+        "word", "cnt",
+        F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("s"),
+    )
+    wd = W.partitionBy("word").orderBy("i")
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        seqs = seqs.localCheckpoint(eager=False)  # pair count + merge reuse
+        toks = seqs.select(
+            "word", "cnt", F.posexplode(F.split(F.trim("s"), " ")).alias("i", "t")
+        )
+        pairs = toks.select(
+            "cnt", F.col("t").alias("l"), F.lead("t").over(wd).alias("r")
+        ).where(F.col("r").isNotNull())
+        # bounded 1-row collect per round (the CC convergence-probe
+        # exemption): the argmax merge decision is inherently scalar
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), "l", "r")
+            .first()
+        )
+        merges.append((rnd, best.l, best.r, int(best.pc)))
+        seqs = seqs.select(
+            "word", "cnt",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {best.l} {best.r} "),
+                F.lit(f" {best.l}{best.r} "),
+            ).alias("s"),
+        )
+    return spark.createDataFrame(
+        merges, "round INT, lhs STRING, rhs STRING, pair_count BIGINT"
+    ).orderBy("round")

@@ -1399,3 +1399,22 @@ def test_soundex_twin_matches_builtin(spark):
     ).collect()
     mismatches = [(r.w, r.twin, r.builtin) for r in rows if r.twin != r.builtin]
     assert not mismatches, mismatches
+
+
+def test_bpe_train_merges_toy_example(spark, tmp_path):
+    """Hand-computed 3-round BPE on counts {aaab:3, aab:2}: round 1 merges
+    (a,a) with count 8; round 2 is a COUNT TIE (aa,a)=3 vs (a,b)=3 and the
+    lexicographic tie-break must pick (a,b); round 3 merges (aa,ab)=3.
+    Pins both the weighted counting and the deterministic tie rule."""
+    from dataingestion_pt_ms_spark.queries.llm_text import text_bpe_train_merges
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "aaab aaab aaab aab aab", "s", "en")],
+        ["doc_id", "text", "source", "lang"],
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = [
+        (r.round, r.lhs, r.rhs, r.pair_count)
+        for r in text_bpe_train_merges(spark, sf).collect()
+    ]
+    assert got[:3] == [(1, "a", "a", 8), (2, "a", "b", 3), (3, "aa", "ab", 3)]

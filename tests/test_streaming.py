@@ -1060,3 +1060,36 @@ def test_dynamic_gap_session_window(spark, tmp_path):
         spark.sql("SELECT * FROM dyn_sess_out WHERE user_id = 1").collect()
     )
     assert n_user1 == 2
+
+
+def test_rocksdb_state_store_matches_default(spark, events_dir, tmp_path):
+    """RocksDB state store (the 100 TB provider: the HDFS-backed default
+    keeps all state on the JVM heap and dies at large key counts;
+    RocksDB spills to local disk with changelog checkpointing) must be a
+    pure swap: the same stateful dedup over the same input produces the
+    IDENTICAL result set under both providers. Runs on dropDuplicates
+    state, so it exercises the provider without the protobuf-gated
+    transformWithState path."""
+    from dataingestion_pt_ms_spark.streaming.jobs import stateful_dedup_stream
+
+    def run(provider, name):
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        if provider:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        try:
+            stream = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
+            _run_to_memory(stateful_dedup_stream(stream), name, "append")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    default_rows = run(None, "sdp_default_out")
+    rocks_rows = run(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "sdp_rocks_out",
+    )
+    assert rocks_rows == default_rows
+    assert rocks_rows, "dedup emitted nothing"
