@@ -227,6 +227,7 @@ BASELINE_SEC = {
     "scalar_xml_parse": 1.50,
     "sim_margin_alignment_mining": 1.51,
     "text_bpe_train_merges": 1.42,
+    "text_kneser_ney_bigram": 0.90,
 }
 GUARD_FACTOR = 2.0
 
@@ -433,6 +434,7 @@ HEADLINE = [
     "scalar_xml_parse",
     "sim_margin_alignment_mining",
     "text_bpe_train_merges",
+    "text_kneser_ney_bigram",
 ]
 
 

@@ -1835,3 +1835,92 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round INT, lhs STRING, rhs STRING, pair_count BIGINT"
     ).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram model (round 4): the smoothing that made
+# n-gram LMs work (Kneser & Ney '95; the KenLM default) and the serious
+# sibling of text_bigram_logprob's add-k —
+#   P_KN(w2|w1) = max(c12 − D, 0)/c1 + λ(w1)·P_cont(w2),
+#   λ(w1) = D·N1+(w1·)/c1,  P_cont(w2) = N1+(·w2)/N1+(··)
+# with discount D = 0.75. The continuation counts (DISTINCT left/right
+# neighbors, not raw frequencies) are exactly the "Francisco problem"
+# fix: frequent-but-predictable words get small continuation mass. All
+# quantities are exact integer counts over the bigram stream (posexplode
+# → lead per doc, the codegen shape) + two grouped DISTINCT aggregates;
+# every join is on bigram endpoints. Probability-mass unity per context
+# is pytest-pinned (Σ_w2 P_KN(w2|w1) = 1 over the observed vocabulary).
+# --------------------------------------------------------------------------
+_KN_D = 0.75
+
+KNESER_NEY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DTOKS}) AS t, generate_subscripts({_DTOKS}, 1) AS i
+  FROM documents
+), bg AS (
+  SELECT doc_id, t AS w1, lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM tok
+), bigrams AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n_cont
+  FROM bigrams GROUP BY w1
+), hist AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n_hist FROM bigrams GROUP BY w2
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types FROM bigrams
+)
+SELECT bigrams.w1 AS w1, bigrams.w2 AS w2, c12, c1.c1 AS c1,
+       n_cont, n_hist,
+       round(
+         greatest(CAST(c12 AS DOUBLE) - {_KN_D}, 0) / c1.c1
+         + ({_KN_D} * n_cont / c1.c1) * (CAST(n_hist AS DOUBLE) / n_types),
+         6) AS p_kn
+FROM bigrams
+JOIN c1 ON c1.w1 = bigrams.w1
+JOIN hist ON hist.w2 = bigrams.w2
+CROSS JOIN tot
+ORDER BY w1, w2
+"""
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=KNESER_NEY_ORACLE,
+    tags=("llm", "text", "lm"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("i", "t")
+    )
+    wd = W.partitionBy("doc_id").orderBy("i")
+    bg = tok.select(
+        F.col("t").alias("w1"), F.lead("t").over(wd).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bigrams = bigrams.localCheckpoint(eager=False)  # c1/hist/tot/output
+    c1 = bigrams.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_cont")
+    )
+    hist = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("n_hist"))
+    tot = bigrams.agg(F.count(F.lit(1)).alias("n_types"))
+    p = (
+        F.greatest(F.col("c12").cast("double") - _KN_D, F.lit(0.0)) / F.col("c1")
+        + (_KN_D * F.col("n_cont") / F.col("c1"))
+        * (F.col("n_hist").cast("double") / F.col("n_types"))
+    )
+    return (
+        bigrams.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(hist), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c12", "c1", "n_cont", "n_hist",
+            F.round(p, 6).alias("p_kn"),
+        )
+        .orderBy("w1", "w2")
+    )

@@ -1418,3 +1418,43 @@ def test_bpe_train_merges_toy_example(spark, tmp_path):
         for r in text_bpe_train_merges(spark, sf).collect()
     ]
     assert got[:3] == [(1, "a", "a", 8), (2, "a", "b", 3), (3, "aa", "ab", 3)]
+
+
+def test_kneser_ney_mass_sums_to_one_per_context(spark, sf_dir):
+    """Interpolated KN is a proper conditional distribution over the
+    OBSERVED bigram vocabulary: for every context w1,
+    sum_w2 [max(c12-D,0)/c1 + lambda(w1)*P_cont(w2)] = 1 when summed over
+    all w2 (continuation mass completes exactly what discounting
+    removed... over observed continuations of w1 it equals
+    1 - lambda(w1)*(1 - sum of their P_cont); check the full identity on
+    unrounded terms instead: sum(max(c12-D,0))/c1 + lambda*S_cont, where
+    summing over ALL w2 in the bigram vocab gives exactly 1)."""
+    from pyspark.sql import Window as W
+
+    from dataingestion_pt_ms_spark.functions.textfns import tokens
+
+    D = 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "t"))
+    wd = W.partitionBy("doc_id").orderBy("i")
+    bg = tok.select(F.col("t").alias("w1"), F.lead("t").over(wd).alias("w2")).where(
+        F.col("w2").isNotNull()
+    )
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_cont")
+    )
+    hist = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("n_hist"))
+    n_types = bigrams.count()
+    # full cross (w1 contexts x all observed w2): P_KN over the complete
+    # observed vocabulary must sum to 1 for every context
+    grid = c1.select("w1").crossJoin(hist.select("w2", "n_hist"))
+    full = grid.join(c1, "w1").join(bigrams, ["w1", "w2"], "left")
+    p = (
+        F.greatest(F.coalesce(F.col("c12").cast("double"), F.lit(0.0)) - D, F.lit(0.0)) / F.col("c1")
+        + (D * F.col("n_cont") / F.col("c1")) * (F.col("n_hist").cast("double") / F.lit(float(n_types)))
+    )
+    sums = full.groupBy("w1").agg(F.sum(p).alias("mass")).collect()
+    assert sums
+    for r in sums:
+        assert abs(r.mass - 1.0) < 1e-9, (r.w1, r.mass)
