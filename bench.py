@@ -228,6 +228,8 @@ BASELINE_SEC = {
     "sim_margin_alignment_mining": 1.51,
     "text_bpe_train_merges": 1.42,
     "text_kneser_ney_bigram": 0.90,
+    "sketch_kmv_distinct": 0.91,
+    "sketch_kmv_jaccard": 1.10,
 }
 GUARD_FACTOR = 2.0
 
@@ -435,6 +437,8 @@ HEADLINE = [
     "sim_margin_alignment_mining",
     "text_bpe_train_merges",
     "text_kneser_ney_bigram",
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
 ]
 
 

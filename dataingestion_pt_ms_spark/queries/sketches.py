@@ -987,3 +987,185 @@ def sketch_cm_heavy_hitters_per_source(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("source", F.col("est_count").desc(), "token")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV / bottom-k distinct sketch (round 4): the order-statistics member of
+# the sketch family (HLL = register maxima, count-min = cell minima,
+# bitmap = exact bits; KMV = the k MINIMUM hash values). Estimator
+# n̂ = (k−1)/v_(k) (Bar-Yossef et al. '02): if n uniform hashes land in
+# [0,1), the k-th smallest sits near k/n. Bottom-k sets are MERGEABLE
+# exactly like HLL registers — bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+# bottom-k(B)) — the sketch-once/merge-later 100 TB pattern, pinned by a
+# partial-merge pytest; unlike HLL the same sketch also yields set-
+# similarity (KMV-Jaccard) for free. Hash = md5 13-hex-digit prefix as a
+# [0,1) fraction (< 2^52, double-exact, engine-agnostic), so the k-th
+# order statistic — and therefore the estimate — has an exact oracle.
+# Groups with < k distinct keys report exactly (v_k undefined → exact n).
+# --------------------------------------------------------------------------
+_KMV_K = 32
+_HEX13 = float(1 << 52)  # 16^13
+
+KMV_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderpriority AS prio, o_custkey AS k FROM orders
+), hashed AS (
+  SELECT prio, k,
+         CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)
+           / {_HEX13} AS v
+  FROM keys
+), ranked AS (
+  SELECT prio, v, row_number() OVER (PARTITION BY prio ORDER BY v, k) AS rn
+  FROM hashed
+), exact AS (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n_exact FROM keys GROUP BY prio
+), kth AS (
+  SELECT prio, v AS vk FROM ranked WHERE rn = {_KMV_K}
+)
+SELECT exact.prio AS priority, n_exact,
+       round(coalesce(({_KMV_K} - 1) / vk, CAST(n_exact AS DOUBLE)), 4)
+         AS kmv_estimate,
+       round((coalesce(({_KMV_K} - 1) / vk, CAST(n_exact AS DOUBLE)) - n_exact)
+             / n_exact, 6) AS rel_error
+FROM exact LEFT JOIN kth ON kth.prio = exact.prio
+ORDER BY priority
+"""
+
+
+@register("sketch_kmv_distinct", oracle=KMV_ORACLE, tags=("sketch", "agg"))
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(
+        F.col("o_orderpriority").alias("prio"), F.col("o_custkey").alias("k")
+    ).distinct()
+    keys = keys.localCheckpoint(eager=False)  # exact + sketch branches
+    hashed = keys.select(
+        "prio", "k",
+        (
+            F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 13), 16, 10)
+            .cast("long") / F.lit(_HEX13)
+        ).alias("v"),
+    )
+    wr = W.partitionBy("prio").orderBy("v", "k")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == _KMV_K)
+        .select("prio", F.col("v").alias("vk"))
+    )
+    exact = keys.groupBy("prio").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.coalesce(
+        F.lit(_KMV_K - 1) / F.col("vk"), F.col("n_exact").cast("double")
+    )
+    return (
+        exact.join(F.broadcast(kth), "prio", "left")
+        .select(
+            F.col("prio").alias("priority"),
+            "n_exact",
+            F.round(est, 4).alias("kmv_estimate"),
+            F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV-Jaccard set similarity (round 4): the free bonus of the bottom-k
+# sketch that HLL cannot give — among the k minimum hashes of A ∪ B, the
+# fraction of keys present in BOTH sides is an unbiased Jaccard estimate
+# (the hash order is a uniform random permutation, so the union's bottom-k
+# is a uniform sample of A ∪ B). Estimated vs exact Jaccard side by side
+# for every priority pair: 10 rows, one distinct-key pass + one ranked
+# union per pair space, membership via joins on the sampled keys only.
+# --------------------------------------------------------------------------
+KMV_JACCARD_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderpriority AS prio, o_custkey AS k FROM orders
+), pairs AS (
+  SELECT a.prio AS pa, b.prio AS pb
+  FROM (SELECT DISTINCT prio FROM keys) a
+  JOIN (SELECT DISTINCT prio FROM keys) b ON a.prio < b.prio
+), un AS (
+  SELECT pa, pb, k,
+         max(CASE WHEN prio = pa THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN prio = pb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs JOIN keys ON prio IN (pa, pb)
+  GROUP BY pa, pb, k
+), hashed AS (
+  SELECT pa, pb, k, in_a, in_b,
+         CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT) AS v,
+         row_number() OVER (
+           PARTITION BY pa, pb
+           ORDER BY CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT), k
+         ) AS rn
+  FROM un
+), est AS (
+  SELECT pa, pb,
+         round(sum(CASE WHEN in_a + in_b = 2 THEN 1.0 ELSE 0.0 END)
+               / count(*), 6) AS jaccard_est
+  FROM hashed WHERE rn <= {_KMV_K} GROUP BY pa, pb
+), exact AS (
+  SELECT pa, pb,
+         round(sum(CASE WHEN in_a + in_b = 2 THEN 1.0 ELSE 0.0 END)
+               / count(*), 6) AS jaccard_exact
+  FROM un GROUP BY pa, pb
+)
+SELECT est.pa AS prio_a, est.pb AS prio_b, jaccard_est, jaccard_exact
+FROM est JOIN exact ON est.pa = exact.pa AND est.pb = exact.pb
+ORDER BY prio_a, prio_b
+"""
+
+
+@register("sketch_kmv_jaccard", oracle=KMV_JACCARD_ORACLE, tags=("sketch", "setsim"))
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(
+        F.col("o_orderpriority").alias("prio"), F.col("o_custkey").alias("k")
+    ).distinct()
+    keys = keys.localCheckpoint(eager=False)
+    prios = keys.select("prio").distinct()
+    pairs = (
+        prios.select(F.col("prio").alias("pa"))
+        .crossJoin(prios.select(F.col("prio").alias("pb")))
+        .where(F.col("pa") < F.col("pb"))
+    )
+    un = (
+        pairs.join(
+            keys, (F.col("prio") == F.col("pa")) | (F.col("prio") == F.col("pb"))
+        )
+        .groupBy("pa", "pb", "k")
+        .agg(
+            F.max(F.when(F.col("prio") == F.col("pa"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("prio") == F.col("pb"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    un = un.localCheckpoint(eager=False)  # est + exact branches
+    v = F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    wr = W.partitionBy("pa", "pb").orderBy(v, F.col("k"))
+    both = F.when(F.col("in_a") + F.col("in_b") == 2, 1.0).otherwise(0.0)
+    est = (
+        un.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("pa", "pb")
+        .agg(F.round(F.sum(both) / F.count(F.lit(1)), 6).alias("jaccard_est"))
+    )
+    exact = un.groupBy("pa", "pb").agg(
+        F.round(F.sum(both) / F.count(F.lit(1)), 6).alias("jaccard_exact")
+    )
+    return (
+        est.join(exact, ["pa", "pb"])
+        .select(
+            F.col("pa").alias("prio_a"),
+            F.col("pb").alias("prio_b"),
+            "jaccard_est",
+            "jaccard_exact",
+        )
+        .orderBy("prio_a", "prio_b")
+    )

@@ -70,3 +70,50 @@ def test_snapshot_diff_classes_consistent(spark, sf_dir):
             assert r.new_price is None and r.old_price is not None
         else:
             assert r.old_price != r.new_price
+
+
+def test_kmv_partial_merge_equals_single_pass(spark, sf_dir):
+    """Bottom-k sets are mergeable: taking bottom-k per half-corpus, then
+    bottom-k of the union of the two partials, yields EXACTLY the single-
+    pass bottom-k — so the (k-1)/v_k estimate is identical. This is the
+    sketch-once/merge-later contract that lets 1000 executors each ship
+    k values instead of their raw key sets."""
+    from pyspark.sql import Window as W
+
+    from dataingestion_pt_ms_spark.catalog import load_table
+
+    K = 32
+    HEX13 = float(1 << 52)
+    orders = load_table(spark, sf_dir, "orders")
+    hashed = (
+        orders.select(F.col("o_custkey").alias("k"),
+                      (F.col("o_orderkey") % 2).alias("half"))
+        .distinct()
+        .select(
+            "k", "half",
+            (F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 13), 16, 10)
+             .cast("long") / F.lit(HEX13)).alias("v"),
+        )
+    )
+    # single pass over distinct keys
+    single = {
+        (r.k, r.v)
+        for r in hashed.select("k", "v").distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("v", "k")))
+        .where(F.col("rn") <= K).select("k", "v").collect()
+    }
+    # per-half partial bottom-k, then merge and re-take bottom-k
+    wh = W.partitionBy("half").orderBy("v", "k")
+    partials = (
+        hashed.withColumn("rn", F.row_number().over(wh))
+        .where(F.col("rn") <= K)
+        .select("k", "v")
+        .distinct()  # a key can appear in both halves
+    )
+    merged = {
+        (r.k, r.v)
+        for r in partials
+        .withColumn("rn", F.row_number().over(W.orderBy("v", "k")))
+        .where(F.col("rn") <= K).select("k", "v").collect()
+    }
+    assert merged == single and len(single) == K
