@@ -230,6 +230,7 @@ BASELINE_SEC = {
     "text_kneser_ney_bigram": 0.90,
     "sketch_kmv_distinct": 0.91,
     "sketch_kmv_jaccard": 1.10,
+    "sketch_ams_f2_selfjoin": 1.87,
 }
 GUARD_FACTOR = 2.0
 
@@ -439,6 +440,7 @@ HEADLINE = [
     "text_kneser_ney_bigram",
     "sketch_kmv_distinct",
     "sketch_kmv_jaccard",
+    "sketch_ams_f2_selfjoin",
 ]
 
 

@@ -1169,3 +1169,90 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio_a", "prio_b")
     )
+
+
+# --------------------------------------------------------------------------
+# AMS F₂ sketch (round 4): the Alon-Matias-Szegedy '96 second-frequency-
+# moment estimator — F₂ = Σᵢ fᵢ² is exactly the SELF-JOIN SIZE, the number
+# a join planner wants before committing to a shuffle strategy on a skewed
+# key. Each of 64 estimators keeps one counter Σᵢ fᵢ·sⱼ(i) with random
+# signs sⱼ(i) = ±1; its square is an unbiased F₂ estimate, and the
+# median-of-means over 8 groups of 8 tames the variance. Signs come from
+# the 64 low bits of ONE md5 per key (engine-agnostic), the 64 counters
+# are conditional sums in a single map-side-combined aggregation (the
+# minhash 64-column shape), and the median of 8 means is the average of
+# order statistics 4 and 5 — every step has an exact oracle.
+# --------------------------------------------------------------------------
+def _ams_sign_sql(j: int) -> str:
+    nib = f"CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), {j // 4 + 1}, 1)) AS BIGINT)"
+    bit = f"(({nib} // {1 << (j % 4)}) % 2)"
+    return f"(2 * {bit} - 1)"
+
+
+AMS_F2_ORACLE = f"""
+WITH sums AS (
+  SELECT {", ".join(f"sum({_ams_sign_sql(j)}) AS s{j}" for j in range(64))}
+  FROM orders
+), est AS (
+  SELECT j, CAST(s AS DOUBLE) * CAST(s AS DOUBLE) AS x, j // 8 AS g
+  FROM ({" UNION ALL ".join(f"SELECT {j} AS j, s{j} AS s FROM sums" for j in range(64))})
+), means AS (
+  SELECT g, avg(x) AS m FROM est GROUP BY g
+), med AS (
+  SELECT avg(m) AS ams FROM (
+    SELECT m, row_number() OVER (ORDER BY m, g) AS rn FROM means
+  ) WHERE rn IN (4, 5)
+), exact AS (
+  SELECT sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS f2 FROM (
+    SELECT count(*) AS n FROM orders GROUP BY o_custkey
+  )
+)
+SELECT CAST(f2 AS BIGINT) AS exact_f2,
+       round(ams, 2) AS ams_estimate,
+       round((ams - f2) / f2, 6) AS rel_error
+FROM exact CROSS JOIN med
+"""
+
+
+@register("sketch_ams_f2_selfjoin", oracle=AMS_F2_ORACLE, tags=("sketch", "agg"))
+def sketch_ams_f2_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    # one md5 per row, materialized as a column (don't rely on CSE across
+    # the 64 sign expressions), then 64 nibble-bit extracts
+    hashed = orders.select(
+        "o_custkey", F.md5(F.col("o_custkey").cast("string")).alias("h")
+    )
+    hashed = hashed.localCheckpoint(eager=False)  # sums + exact branches
+
+    def sign(j: int):
+        nib = F.conv(F.substring(F.col("h"), j // 4 + 1, 1), 16, 10).cast("long")
+        bit = F.floor(nib / (1 << (j % 4))) % 2
+        return 2 * bit - 1
+
+    sums = hashed.agg(*[F.sum(sign(j)).alias(f"s{j}") for j in range(64)])
+    stack_expr = ", ".join(f"{j}, s{j}" for j in range(64))
+    est = sums.selectExpr(f"stack(64, {stack_expr}) AS (j, s)").select(
+        "j",
+        (F.col("s").cast("double") * F.col("s").cast("double")).alias("x"),
+        (F.col("j") / 8).cast("long").alias("g"),
+    )
+    means = est.groupBy("g").agg(F.avg("x").alias("m"))
+    # unpartitioned window over the 8 estimator-group means only — the
+    # bounded-frame exemption (8 rows at any scale)
+    med = (
+        means.withColumn("rn", F.row_number().over(W.orderBy("m", "g")))
+        .where(F.col("rn").isin(4, 5))
+        .agg(F.avg("m").alias("ams"))
+    )
+    exact = (
+        hashed.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n").cast("double") * F.col("n").cast("double")).alias("f2"))
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        F.col("f2").cast("long").alias("exact_f2"),
+        F.round("ams", 2).alias("ams_estimate"),
+        F.round((F.col("ams") - F.col("f2")) / F.col("f2"), 6).alias("rel_error"),
+    )
