@@ -231,6 +231,8 @@ BASELINE_SEC = {
     "sketch_kmv_distinct": 0.91,
     "sketch_kmv_jaccard": 1.10,
     "sketch_ams_f2_selfjoin": 1.87,
+    "orders_business_day_due": 0.66,
+    "events_decayed_leaderboard": 0.48,
 }
 GUARD_FACTOR = 2.0
 
@@ -441,6 +443,8 @@ HEADLINE = [
     "sketch_kmv_distinct",
     "sketch_kmv_jaccard",
     "sketch_ams_f2_selfjoin",
+    "orders_business_day_due",
+    "events_decayed_leaderboard",
 ]
 
 

@@ -1450,3 +1450,53 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 1).alias("u_stat"),
         F.round((u - na * nb / 2) / F.sqrt(var), 6).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exponentially time-decayed leaderboard (round 4): popularity with a
+# 7-day half-life — score(type) = Σ_events 2^(−age_days/7) as of the
+# stream's max timestamp. The standard "trending" ranking: yesterday's
+# burst outweighs last month's volume, no window boundary cliff like a
+# plain 7-day count. One scan + one grouped sum (map-side combined);
+# exact ages in microseconds on the µs axis both engines share. Rounded
+# 4 dp: the per-event 2^x terms are transcendental (libm last-ulp), and
+# thousands of them sum before rounding.
+# --------------------------------------------------------------------------
+_DECAY_HL_US = 7.0 * 86_400_000_000.0  # 7-day half-life in microseconds
+
+DECAYED_ORACLE = f"""
+WITH mx AS (
+  SELECT max(epoch_us(ts)) AS now_us FROM events
+), scored AS (
+  SELECT event_type,
+         pow(2.0, -CAST(now_us - epoch_us(ts) AS DOUBLE) / {_DECAY_HL_US}) AS w
+  FROM events CROSS JOIN mx
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(w), 4) AS decayed_score
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_decayed_leaderboard", oracle=DECAYED_ORACLE, tags=("drift", "window"))
+def events_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    scored = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.pow(
+            F.lit(2.0),
+            -(F.col("now_us") - F.unix_micros("ts")).cast("double") / _DECAY_HL_US,
+        ).alias("w"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("w"), 4).alias("decayed_score"),
+        )
+        .orderBy("event_type")
+    )

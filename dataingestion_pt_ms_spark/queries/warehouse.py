@@ -1732,3 +1732,70 @@ def orders_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kurtosis_excess"
         ),
     ).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# Business-day arithmetic (round 4): due date = order date + 5 BUSINESS
+# days (weekends skipped) — the date-dimension computation every
+# warehouse carries and no engine ships as a builtin. Expressed without
+# a calendar table: explode a 9-calendar-day spine per order (5 business
+# days always land within ceil(5/5·7)+2), filter weekdays, rank, pick
+# the 5th — pure per-row expressions + one bounded explode (9 rows per
+# order, map-side, no shuffle at all). Weekday convention pinned to
+# Monday=0 via Spark weekday() ≡ DuckDB isodow−1 (the scalars-family
+# discipline).
+# --------------------------------------------------------------------------
+BUSDAY_ORACLE = """
+WITH spine AS (
+  SELECT o_orderkey, o_orderdate, d
+  FROM orders, LATERAL (
+    SELECT o_orderdate + to_days(CAST(i AS INTEGER)) AS d
+    FROM generate_series(1, 9) t(i)
+  )
+  WHERE o_orderkey % 20 = 0 AND isodow(d) <= 5
+), ranked AS (
+  SELECT o_orderkey, o_orderdate, d,
+         row_number() OVER (PARTITION BY o_orderkey ORDER BY d) AS rn
+  FROM spine
+)
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(isodow(o_orderdate) - 1 AS BIGINT) AS order_weekday,
+       strftime(d, '%Y-%m-%d') AS due_date_5bd,
+       CAST(date_diff('day', o_orderdate, d) AS BIGINT) AS calendar_days
+FROM ranked WHERE rn = 5
+ORDER BY o_orderkey
+"""
+
+
+@register("orders_business_day_due", oracle=BUSDAY_ORACLE, tags=("warehouse", "datetime"))
+def orders_business_day_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 20 == 0
+    )
+    spine = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i"),
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.date_add(F.col("o_orderdate"), F.col("i")).alias("d"),
+    ).where(F.weekday("d") <= 4)
+    wr = W.partitionBy("o_orderkey").orderBy("d")
+    return (
+        spine.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 5)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.weekday("o_orderdate").cast("long").alias("order_weekday"),
+            F.date_format("d", "yyyy-MM-dd").alias("due_date_5bd"),
+            F.datediff(F.col("d"), F.col("o_orderdate")).cast("long").alias(
+                "calendar_days"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
