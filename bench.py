@@ -233,6 +233,7 @@ BASELINE_SEC = {
     "sketch_ams_f2_selfjoin": 1.87,
     "orders_business_day_due": 0.66,
     "events_decayed_leaderboard": 0.48,
+    "lineitem_ols_normal_equations": 0.74,
 }
 GUARD_FACTOR = 2.0
 
@@ -445,6 +446,7 @@ HEADLINE = [
     "sketch_ams_f2_selfjoin",
     "orders_business_day_due",
     "events_decayed_leaderboard",
+    "lineitem_ols_normal_equations",
 ]
 
 

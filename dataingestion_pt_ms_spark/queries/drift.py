@@ -1500,3 +1500,86 @@ def events_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-feature OLS via normal equations (round 4): extendedprice ~
+# quantity + discount, fit in closed form — the "ML as aggregation"
+# pattern that needs no iterative solver at any scale: one pass for the
+# means, one for the centered cross-moments, then a 2×2 Cramer solve on
+# the driver side of the expression (scalar arithmetic on a one-row
+# frame). Centering first is the numeric discipline: raw normal
+# equations at n ≈ 10⁶ difference ~1e17 products (catastrophic
+# cancellation, the moments-profile lesson); centered moments are
+# well-conditioned. R² from the same sums. regr_slope's single-feature
+# row (ohlc_trend_forecast) is the builtin sibling; this is the
+# multivariate generalization engines don't ship.
+# --------------------------------------------------------------------------
+OLS_ORACLE = """
+WITH mu AS (
+  SELECT avg(l_quantity) AS mq, avg(l_discount) AS md,
+         avg(l_extendedprice) AS my, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+), cm AS (
+  SELECT n, mq, md, my,
+         sum((l_quantity - mq) * (l_quantity - mq)) AS sqq,
+         sum((l_quantity - mq) * (l_discount - md)) AS sqd,
+         sum((l_discount - md) * (l_discount - md)) AS sdd,
+         sum((l_quantity - mq) * (l_extendedprice - my)) AS sqy,
+         sum((l_discount - md) * (l_extendedprice - my)) AS sdy,
+         sum((l_extendedprice - my) * (l_extendedprice - my)) AS syy
+  FROM lineitem CROSS JOIN mu
+  GROUP BY n, mq, md, my
+)
+SELECT n,
+       round((sqy * sdd - sdy * sqd) / (sqq * sdd - sqd * sqd), 6) AS beta_qty,
+       round((sdy * sqq - sqy * sqd) / (sqq * sdd - sqd * sqd), 6) AS beta_disc,
+       round(my - (sqy * sdd - sdy * sqd) / (sqq * sdd - sqd * sqd) * mq
+                - (sdy * sqq - sqy * sqd) / (sqq * sdd - sqd * sqd) * md,
+             4) AS intercept,
+       round(1 - (syy - (sqy * sdd - sdy * sqd) / (sqq * sdd - sqd * sqd) * sqy
+                      - (sdy * sqq - sqy * sqd) / (sqq * sdd - sqd * sqd) * sdy)
+                 / syy, 6) AS r2
+FROM cm
+"""
+
+
+@register("lineitem_ols_normal_equations", oracle=OLS_ORACLE, tags=("drift", "stats", "ml"))
+def lineitem_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_discount").cast("double").alias("d"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    mu = li.agg(
+        F.avg("q").alias("mq"), F.avg("d").alias("md"),
+        F.avg("y").alias("my"), F.count(F.lit(1)).alias("n"),
+    )
+    cq, cd, cy = (
+        F.col("q") - F.col("mq"),
+        F.col("d") - F.col("md"),
+        F.col("y") - F.col("my"),
+    )
+    cm = (
+        li.crossJoin(F.broadcast(mu))
+        .groupBy("n", "mq", "md", "my")
+        .agg(
+            F.sum(cq * cq).alias("sqq"),
+            F.sum(cq * cd).alias("sqd"),
+            F.sum(cd * cd).alias("sdd"),
+            F.sum(cq * cy).alias("sqy"),
+            F.sum(cd * cy).alias("sdy"),
+            F.sum(cy * cy).alias("syy"),
+        )
+    )
+    det = F.col("sqq") * F.col("sdd") - F.col("sqd") * F.col("sqd")
+    b1 = (F.col("sqy") * F.col("sdd") - F.col("sdy") * F.col("sqd")) / det
+    b2 = (F.col("sdy") * F.col("sqq") - F.col("sqy") * F.col("sqd")) / det
+    sse = F.col("syy") - b1 * F.col("sqy") - b2 * F.col("sdy")
+    return cm.select(
+        "n",
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round(F.col("my") - b1 * F.col("mq") - b2 * F.col("md"), 4).alias("intercept"),
+        F.round(1 - sse / F.col("syy"), 6).alias("r2"),
+    )
