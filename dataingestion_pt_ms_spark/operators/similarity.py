@@ -452,3 +452,81 @@ def blocked_knn(
         block_topk,
         f"{key_col} long, nb long, {block_col} long, cosine_sim double, rnk long",
     )
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> None:
+    """Persist an IVF index: per-cell centroids (tiny, one row per cell)
+    plus the corpus PARTITIONED BY cell id on disk. This is the
+    build-once / probe-many contract a 100 TB vector corpus needs — the
+    clustering pass runs once, and every later probe reads ``nprobe``
+    cells' partition directories instead of re-scanning (and
+    re-clustering) the corpus. The layout is plain parquet, so the
+    probe-side partition pruning is ordinary Hive-partition pruning
+    (asserted in the engine test) and the index is readable by any
+    engine, not just this one.
+
+    Mirror of the MinHash signature-store pattern
+    (operators/dedup.py:incremental_minhash_dedup): persist the expensive
+    derived structure, never re-derive it per query.
+    """
+    label_centroids(corpus, block_col, vec_col).write.mode("overwrite").parquet(
+        f"{index_dir}/centroids"
+    )
+    corpus.select(
+        key_col, vec_col, F.col(block_col).alias("blk")
+    ).write.mode("overwrite").partitionBy("blk").parquet(
+        f"{index_dir}/cells"
+    )
+
+
+def probe_ivf_index(
+    spark,
+    index_dir: str,
+    query: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: centroids load broadcast (one row per
+    cell), the ``nprobe`` best cells become a partition filter on the
+    cells dataset (``blk IN (...)`` prunes to those directories — a
+    bounded driver-side collect of nprobe cell ids, same exemption as
+    the ANN cell pick), exact top-k inside. Output schema matches
+    ``ann_ivf_topk`` row for row (engine-tested)."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    q = F.broadcast(query.select(_dvec(vec_col).alias("_qvec")))
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    best = [
+        r.blk
+        for r in cents.crossJoin(q)
+        .select(
+            "blk",
+            F.round(
+                cosine_similarity(F.col("centroid"), F.col("_qvec")), 6
+            ).alias("c_sim"),
+        )
+        .orderBy(F.col("c_sim").desc(), "blk")
+        .limit(nprobe)
+        .collect()
+    ]
+    cells = spark.read.parquet(f"{index_dir}/cells").where(F.col("blk").isin(best))
+    return (
+        cells.crossJoin(q)
+        .select(
+            key_col,
+            F.col("blk").cast("int").alias("label"),
+            F.round(
+                cosine_similarity(_dvec(vec_col), F.col("_qvec")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), key_col)
+        .limit(k)
+    )

@@ -1458,3 +1458,21 @@ def test_kneser_ney_mass_sums_to_one_per_context(spark, sf_dir):
     assert sums
     for r in sums:
         assert abs(r.mass - 1.0) < 1e-9, (r.w1, r.mass)
+
+
+def test_ivf_index_persist_probe_matches_fresh(spark, sf_dir, tmp_path):
+    """Build-once/probe-many: a probe against the SAVED index (centroid
+    parquet + cell-partitioned corpus) returns exactly what the fresh
+    in-memory ann_ivf_topk computes, and the probe's scan is pruned to
+    the probed cell partitions (PartitionFilters on blk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    idx = str(tmp_path / "ivf_index")
+    S.save_ivf_index(emb, idx)
+    probed = S.probe_ivf_index(spark, idx, query, k=5, nprobe=2)
+    fresh = S.ann_ivf_topk(emb, query, k=5, nprobe=2)
+    got = [(r.vec_id, r.label, r.cosine_sim) for r in probed.collect()]
+    want = [(r.vec_id, r.label, r.cosine_sim) for r in fresh.collect()]
+    assert got == want and len(got) == 5
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "blk" in plan.split("PartitionFilters")[1][:120], plan
