@@ -1583,3 +1583,86 @@ def lineitem_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("my") - b1 * F.col("mq") - b2 * F.col("md"), 4).alias("intercept"),
         F.round(1 - sse / F.col("syy"), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (round 4): the experimentation-analytics
+# estimator for rollouts without randomized holdout — treated users'
+# post-vs-pre change minus control users' post-vs-pre change cancels both
+# the level difference between groups and the secular time trend:
+#   DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre),
+#   SE  = sqrt(Σ s²_cell/n_cell)  (the 2×2 interaction contrast).
+# Treatment = deterministic md5 user bucket (the Welch-t-test arm hash),
+# cut = 2024-01-16. One grouped aggregation over four cells; the 2×2
+# pivot assembles driver-free via conditional aggregation.
+# --------------------------------------------------------------------------
+_DID_CUT = "2024-01-16"
+
+DID_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS treat,
+         CASE WHEN ts >= TIMESTAMP '{_DID_CUT}' THEN 1 ELSE 0 END AS post,
+         value
+  FROM events WHERE event_type = 'click'
+), cells AS (
+  SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+         avg(value) AS m, var_samp(value) AS s2
+  FROM base GROUP BY treat, post
+), wide AS (
+  SELECT
+    max(CASE WHEN treat = 1 AND post = 1 THEN m END) AS tp,
+    max(CASE WHEN treat = 1 AND post = 0 THEN m END) AS tq,
+    max(CASE WHEN treat = 0 AND post = 1 THEN m END) AS cp,
+    max(CASE WHEN treat = 0 AND post = 0 THEN m END) AS cq,
+    sum(s2 / n) AS var_sum,
+    CAST(sum(n) AS BIGINT) AS n_total
+  FROM cells
+)
+SELECT n_total,
+       round(tp - tq, 6) AS treated_delta,
+       round(cp - cq, 6) AS control_delta,
+       round((tp - tq) - (cp - cq), 6) AS did_estimate,
+       round(sqrt(var_sum), 6) AS did_se,
+       round(((tp - tq) - (cp - cq)) / sqrt(var_sum), 6) AS z_stat
+FROM wide
+"""
+
+
+@register("events_diff_in_diff", oracle=DID_ORACLE, tags=("drift", "stats", "ab"))
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    treat = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    post = F.when(F.col("ts") >= F.lit(_DID_CUT).cast("timestamp"), 1).otherwise(0)
+    cells = (
+        ev.select(treat.alias("treat"), post.alias("post"), "value")
+        .groupBy("treat", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("s2"),
+        )
+    )
+    pick = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treat") == t) & (F.col("post") == p), F.col("m"))
+    )
+    wide = cells.agg(
+        pick(1, 1).alias("tp"),
+        pick(1, 0).alias("tq"),
+        pick(0, 1).alias("cp"),
+        pick(0, 0).alias("cq"),
+        F.sum(F.col("s2") / F.col("n")).alias("var_sum"),
+        F.sum("n").alias("n_total"),
+    )
+    did = (F.col("tp") - F.col("tq")) - (F.col("cp") - F.col("cq"))
+    return wide.select(
+        "n_total",
+        F.round(F.col("tp") - F.col("tq"), 6).alias("treated_delta"),
+        F.round(F.col("cp") - F.col("cq"), 6).alias("control_delta"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(F.sqrt("var_sum"), 6).alias("did_se"),
+        F.round(did / F.sqrt("var_sum"), 6).alias("z_stat"),
+    )
