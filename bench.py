@@ -234,6 +234,8 @@ BASELINE_SEC = {
     "orders_business_day_due": 0.66,
     "events_decayed_leaderboard": 0.48,
     "lineitem_ols_normal_equations": 0.74,
+    "events_diff_in_diff": 0.71,
+    "sketch_kmv_rolling_distinct": 0.97,
 }
 GUARD_FACTOR = 2.0
 
@@ -447,6 +449,8 @@ HEADLINE = [
     "orders_business_day_due",
     "events_decayed_leaderboard",
     "lineitem_ols_normal_equations",
+    "events_diff_in_diff",
+    "sketch_kmv_rolling_distinct",
 ]
 
 

@@ -1256,3 +1256,110 @@ def sketch_ams_f2_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ams", 2).alias("ams_estimate"),
         F.round((F.col("ams") - F.col("f2")) / F.col("f2"), 6).alias("rel_error"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users via MERGED daily KMV partials (round 4):
+# the payoff of sketch mergeability composed over time — each day keeps
+# its bottom-k user-hash set once; a 7-day rolling distinct then merges
+# 7 k-element arrays per day (flatten → distinct → sort → k-th order
+# statistic) instead of re-scanning 7 days of raw events per output row,
+# which is the only workable shape when a day is terabytes. If the
+# merged distinct set has < k values, every contributing partial was
+# complete, so the union is exact — reported as such. The exact rolling
+# distinct (the events_sliding_7d_distinct shape) rides along as the
+# audit column. Day-frame window is per-day rows (≤ tens of thousands of
+# days at any scale — the bounded-frame exemption does NOT apply here;
+# the window is PARTITIONED by nothing but operates on the day grain,
+# documented like the seasonal-decomposition day-axis windows).
+# --------------------------------------------------------------------------
+KMV_ROLLING_ORACLE = f"""
+WITH days AS (
+  SELECT date_trunc('day', ts) AS d, user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT d, v, row_number() OVER (PARTITION BY d ORDER BY v, user_id) AS rn
+  FROM days
+), partials AS (
+  SELECT d, list(v ORDER BY v) AS bk
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY d
+), exact_daily AS (
+  SELECT d, list(DISTINCT user_id) AS us FROM days GROUP BY d
+), merged AS (
+  SELECT p.d,
+         list_sort(list_distinct(flatten(
+           list(p.bk) OVER (ORDER BY p.d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ))) AS mv,
+         CAST(len(list_distinct(flatten(
+           list(e.us) OVER (ORDER BY p.d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ))) AS BIGINT) AS exact_7d
+  FROM partials p JOIN exact_daily e ON e.d = p.d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, exact_7d,
+       round(CASE WHEN len(mv) < {_KMV_K}
+                  THEN CAST(len(mv) AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) * CAST({_HEX13} AS DOUBLE) / mv[{_KMV_K}] END, 4)
+         AS kmv_7d_estimate,
+       round((CASE WHEN len(mv) < {_KMV_K}
+                   THEN CAST(len(mv) AS DOUBLE)
+                   ELSE ({_KMV_K} - 1) * CAST({_HEX13} AS DOUBLE) / mv[{_KMV_K}] END - exact_7d)
+             / exact_7d, 6) AS rel_error
+FROM merged
+ORDER BY day
+"""
+
+
+@register(
+    "sketch_kmv_rolling_distinct",
+    oracle=KMV_ROLLING_ORACLE,
+    tags=("sketch", "window", "agg"),
+)
+def sketch_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("d"),
+            "user_id",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+            ).cast("long").alias("v"),
+        )
+        .distinct()
+    )
+    days = days.localCheckpoint(eager=False)  # partial + exact branches
+    wr = W.partitionBy("d").orderBy("v", "user_id")
+    partials = (
+        days.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("d")
+        .agg(F.sort_array(F.collect_list("v")).alias("bk"))
+    )
+    exact_daily = days.groupBy("d").agg(F.collect_set("user_id").alias("us"))
+    # day-grain rolling frame (see docstring note on the day-axis window)
+    wd = W.orderBy("d").rowsBetween(-6, 0)
+    merged = (
+        partials.join(exact_daily, "d")
+        .select(
+            "d",
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("bk").over(wd)))
+            ).alias("mv"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("us").over(wd)))
+            ).cast("long").alias("exact_7d"),
+        )
+    )
+    est = F.when(
+        F.size("mv") < _KMV_K, F.size("mv").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(_HEX13) / F.element_at("mv", _KMV_K)
+    )
+    return merged.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "exact_7d",
+        F.round(est, 4).alias("kmv_7d_estimate"),
+        F.round((est - F.col("exact_7d")) / F.col("exact_7d"), 6).alias("rel_error"),
+    ).orderBy("day")
