@@ -493,11 +493,17 @@ _SX_MAP = "0123012-02245501262301-202"  # a..z -> digit, '-' = h/w transparent
 
 def _soundex_sql(col: str) -> str:
     s = f"translate({col}, 'abcdefghijklmnopqrstuvwxyz', '{_SX_MAP}')"
-    s = f"replace({s}, '-', '')"
+    first = f"substr({s}, 1, 1)"
+    s2 = f"replace({s}, '-', '')"
     for d in "123456":
-        s = f"regexp_replace({s}, '{d}{{2,}}', '{d}')"
-    s = f"replace(substr({s}, 2), '0', '')"
-    return f"upper(substr({col}, 1, 1)) || substr({s} || '000', 1, 3)"
+        s2 = f"regexp_replace({s2}, '{d}{{2,}}', '{d}')"
+    # drop the first letter's own code ONLY when it has one: an h/w first
+    # letter contributes no code, so the collapsed string's head belongs
+    # to the SECOND letter and must survive (hypothesis counterexample
+    # 'wb' -> W100, not W000); a vowel head is '0' and strip-0 handles it
+    s2 = f"CASE WHEN {first} = '-' THEN {s2} ELSE substr({s2}, 2) END"
+    s2 = f"replace({s2}, '0', '')"
+    return f"upper(substr({col}, 1, 1)) || substr({s2} || '000', 1, 3)"
 
 
 PHONETIC_ORACLE = f"""
@@ -517,11 +523,14 @@ ORDER BY pcode, word_a, word_b
 
 
 def _soundex_expr(c):
-    s = F.translate(c, "abcdefghijklmnopqrstuvwxyz", _SX_MAP)
-    s = F.regexp_replace(s, "-", "")
+    mapped = F.translate(c, "abcdefghijklmnopqrstuvwxyz", _SX_MAP)
+    first = F.substring(mapped, 1, 1)
+    s = F.regexp_replace(mapped, "-", "")
     for d in "123456":
         s = F.regexp_replace(s, d + "{2,}", d)
-    s = F.regexp_replace(F.substring(s, 2, 1000), "0", "")
+    # see _soundex_sql: keep the head when the first letter is h/w
+    s = F.when(first == "-", s).otherwise(F.substring(s, 2, 1000))
+    s = F.regexp_replace(s, "0", "")
     return F.concat(
         F.upper(F.substring(c, 1, 1)),
         F.substring(F.concat(s, F.lit("000")), 1, 3),

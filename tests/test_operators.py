@@ -1390,6 +1390,9 @@ def test_soundex_twin_matches_builtin(spark):
         "ashcraft", "pfister", "tymczak", "white", "wyatt", "adams",
         "robert", "rupert", "honeyman", "gutierrez", "jackson",
         "washington", "lee", "red", "rod", "gear", "anvil", "widget",
+        # h/w-INITIAL class (hypothesis counterexample 'wb': the first
+        # letter has no code, so the next consonant's code must survive)
+        "wb", "hb", "wbc", "hsmith", "wright", "hristov",
     ]
     df = spark.createDataFrame([(w,) for w in words], ["w"])
     rows = df.select(
@@ -1476,3 +1479,48 @@ def test_ivf_index_persist_probe_matches_fresh(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 5
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "blk" in plan.split("PartitionFilters")[1][:120], plan
+
+
+def test_soundex_chain_property_vs_textbook():
+    """Property (hypothesis, pure-python mirror of the translate-chain —
+    same trick as the z-order bijection test): the replace/collapse chain
+    used by join_phonetic_blocking equals the textbook American Soundex
+    (explicit h/w-transparency state machine) on arbitrary alpha words."""
+    import re
+
+    from hypothesis import given, strategies as st
+
+    MAP = dict(zip("abcdefghijklmnopqrstuvwxyz", "0123012-02245501262301-202"))
+
+    def chain(word: str) -> str:
+        mapped = "".join(MAP[c] for c in word)
+        s = mapped.replace("-", "")
+        for d in "123456":
+            s = re.sub(d + "{2,}", d, s)
+        if mapped[0] != "-":  # h/w first letter contributes no code
+            s = s[1:]
+        s = s.replace("0", "")
+        return word[0].upper() + (s + "000")[:3]
+
+    def textbook(word: str) -> str:
+        # classic: walk letters, code consonants, skip h/w entirely
+        # (adjacent-code suppression looks THROUGH h/w), vowels reset
+        codes = []
+        prev = MAP[word[0]] if MAP[word[0]] != "-" else None
+        for c in word[1:]:
+            m = MAP[c]
+            if m == "-":          # h/w: transparent, prev code unchanged
+                continue
+            if m == "0":          # vowel: separator, resets suppression
+                prev = None
+                continue
+            if m != prev:
+                codes.append(m)
+            prev = m
+        return word[0].upper() + ("".join(codes) + "000")[:3]
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12))
+    def check(w):
+        assert chain(w) == textbook(w), w
+
+    check()
