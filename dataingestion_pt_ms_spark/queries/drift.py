@@ -1666,3 +1666,60 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("var_sum"), 6).alias("did_se"),
         F.round(did / F.sqrt("var_sum"), 6).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wilson score interval (round 4): the binomial proportion CI that stays
+# inside [0,1] and behaves at small n / extreme p where the Wald
+# interval collapses — the dashboard-grade error bar for per-type error
+# rates. Closed form, z = 1.96:
+#   (p̂ + z²/2n ± z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).
+# One grouped pass; everything after is per-row arithmetic.
+# --------------------------------------------------------------------------
+_WILSON_Z = 1.96
+
+WILSON_ORACLE = f"""
+WITH agg AS (
+  SELECT user_id % 10 AS cohort,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS errs
+  FROM events GROUP BY cohort
+)
+SELECT cohort, n, errs,
+       round(CAST(errs AS DOUBLE) / n, 6) AS p_hat,
+       round((CAST(errs AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+              - {_WILSON_Z} * sqrt((CAST(errs AS DOUBLE) / n)
+                                   * (1 - CAST(errs AS DOUBLE) / n) / n
+                                   + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+       round((CAST(errs AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+              + {_WILSON_Z} * sqrt((CAST(errs AS DOUBLE) / n)
+                                   * (1 - CAST(errs AS DOUBLE) / n) / n
+                                   + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+FROM agg
+ORDER BY cohort
+"""
+
+
+@register("events_wilson_error_rates", oracle=WILSON_ORACLE, tags=("drift", "stats"))
+def events_wilson_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errs"),
+    )
+    z = _WILSON_Z
+    p = F.col("errs").cast("double") / F.col("n")
+    half = z * F.sqrt(p * (1 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n")))
+    center = p + z * z / (2.0 * F.col("n"))
+    denom = 1 + z * z / F.col("n")
+    return agg.select(
+        "cohort", "n", "errs",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("cohort")
