@@ -236,6 +236,9 @@ BASELINE_SEC = {
     "lineitem_ols_normal_equations": 0.74,
     "events_diff_in_diff": 0.71,
     "sketch_kmv_rolling_distinct": 0.97,
+    "events_wilson_error_rates": 0.64,
+    "lineitem_mode_percentile_disc": 1.98,
+    "warehouse_rle_layout_audit": 1.50,
 }
 GUARD_FACTOR = 2.0
 
@@ -451,6 +454,9 @@ HEADLINE = [
     "lineitem_ols_normal_equations",
     "events_diff_in_diff",
     "sketch_kmv_rolling_distinct",
+    "events_wilson_error_rates",
+    "lineitem_mode_percentile_disc",
+    "warehouse_rle_layout_audit",
 ]
 
 

@@ -349,3 +349,79 @@ def agg_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# --------------------------------------------------------------------------
+# Mode + discrete percentile family (round 4): the DISCRETE order
+# statistics the percentile_cont rows deliberately avoid — mode (most
+# frequent quantity, smallest-value tie-break so both engines agree) and
+# percentile_disc(0.5) (an actual data value, not an interpolation):
+# pick the value at rank ⌈n/2⌉ in value order. Builtin mode()/
+# percentile_disc tie rules differ across engines, so both are computed
+# from explicit counts + row_number — the WoE/moments discipline.
+# --------------------------------------------------------------------------
+MODE_DISC_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS mode_val,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY flag, mode_val
+), md AS (
+  SELECT flag, mode_val, c,
+         row_number() OVER (PARTITION BY flag ORDER BY c DESC, mode_val) AS r
+  FROM counts
+), tot AS (
+  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY flag
+), ranked AS (
+  SELECT l_returnflag AS flag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rq
+  FROM lineitem
+)
+SELECT md.flag AS flag, tot.n AS n,
+       md.mode_val AS qty_mode, md.c AS mode_count,
+       ranked.l_extendedprice AS price_median_disc
+FROM md
+JOIN tot ON tot.flag = md.flag
+JOIN ranked ON ranked.flag = md.flag
+           AND ranked.rq = CAST(ceil(tot.n / 2.0) AS BIGINT)
+WHERE md.r = 1
+ORDER BY flag
+"""
+
+
+@register("lineitem_mode_percentile_disc", oracle=MODE_DISC_ORACLE, tags=("agg", "stats"))
+def lineitem_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("mode_val"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wm = W.partitionBy("flag").orderBy(F.col("c").desc(), "mode_val")
+    md = counts.withColumn("r", F.row_number().over(wm)).where(F.col("r") == 1)
+    tot = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wq = W.partitionBy("flag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"), "l_extendedprice", "l_orderkey",
+        "l_linenumber",
+    ).withColumn("rq", F.row_number().over(wq))
+    return (
+        md.join(F.broadcast(tot), "flag")
+        .join(
+            ranked,
+            (md.flag == ranked.flag)
+            & (ranked.rq == F.ceil(F.col("n") / 2.0).cast("long")),
+        )
+        .select(
+            md.flag.alias("flag"), "n",
+            F.col("mode_val").alias("qty_mode"),
+            F.col("c").alias("mode_count"),
+            F.col("l_extendedprice").alias("price_median_disc"),
+        )
+        .orderBy("flag")
+    )
