@@ -239,6 +239,7 @@ BASELINE_SEC = {
     "events_wilson_error_rates": 0.64,
     "lineitem_mode_percentile_disc": 1.98,
     "warehouse_rle_layout_audit": 1.50,
+    "text_readability_scores": 0.74,
 }
 GUARD_FACTOR = 2.0
 
@@ -457,6 +458,7 @@ HEADLINE = [
     "events_wilson_error_rates",
     "lineitem_mode_percentile_disc",
     "warehouse_rle_layout_audit",
+    "text_readability_scores",
 ]
 
 

@@ -1924,3 +1924,85 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "w2")
     )
+
+
+# --------------------------------------------------------------------------
+# Flesch readability metrics (round 4): Reading Ease and Flesch-Kincaid
+# grade from the classic word / sentence / syllable counts — the oldest
+# documents-quality gate there is, and a standard pretraining-corpus
+# stratification feature. Syllables = vowel groups [aeiouy]+ (whitespace
+# breaks a group, so the whole-text count equals the per-word sum), with
+# the "every word has >= 1 syllable" floor added as a count of
+# vowel-less words; sentences = [.!?]+ runs floored at 1. Pure per-row
+# regex expressions, no explode at all.
+# --------------------------------------------------------------------------
+READABILITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_DTOKS}) AS BIGINT) AS n_words,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           + CAST(len(list_filter({_DTOKS},
+               t -> NOT regexp_matches(t, '[aeiouy]'))) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+         AS flesch_reading_ease,
+       round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+         AS fk_grade
+FROM base
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_readability_scores",
+    oracle=READABILITY_ORACLE,
+    tags=("llm", "text", "quality"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syll = (
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+        ).cast("long")
+        + F.size(F.filter(toks, lambda t: ~t.rlike("[aeiouy]"))).cast("long")
+    )
+    wps = n_words.cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+        )
+        .select(
+            "doc_id", "n_words", "n_sentences", "n_syllables",
+            F.round(
+                206.835
+                - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+                4,
+            ).alias("flesch_reading_ease"),
+            F.round(
+                0.39 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                + 11.8 * (F.col("n_syllables").cast("double") / F.col("n_words"))
+                - 15.59,
+                4,
+            ).alias("fk_grade"),
+        )
+        .orderBy("doc_id")
+    )
