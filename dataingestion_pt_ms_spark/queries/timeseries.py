@@ -1986,3 +1986,84 @@ def ohlc_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# DFT periodogram (round 4): spectral periodicity detection over the
+# daily event-count series — power at candidate periods 2..14 days via
+# explicit Fourier sums P(T) = (Σ y·cos(2πt/T))² + (Σ y·sin(2πt/T))²
+# on the MEAN-CENTERED series (otherwise the DC offset leaks into every
+# bin). The frequency-domain complement of events_autocorrelation: ACF
+# finds self-similarity at a lag, the periodogram ranks periods by
+# explained oscillation energy directly, and its shape is one grouped
+# cross join of a 13-row period frame against the day series — a
+# broadcast fan-out, one pass, no window at all.
+# --------------------------------------------------------------------------
+DFT_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY d) - 1 AS DOUBLE) AS t FROM daily
+), mu AS (
+  SELECT avg(y) AS my, CAST(count(*) AS BIGINT) AS n FROM idx
+), periods AS (
+  SELECT CAST(p AS DOUBLE) AS period FROM generate_series(2, 14) g(p)
+), terms AS (
+  SELECT period,
+         sum((y - my) * cos(2 * pi() * t / period)) AS c,
+         sum((y - my) * sin(2 * pi() * t / period)) AS s,
+         any_value(n) AS n
+  FROM idx CROSS JOIN mu CROSS JOIN periods
+  GROUP BY period
+)
+SELECT CAST(period AS BIGINT) AS period_days,
+       round((c * c + s * s) / n, 4) AS power
+FROM terms
+ORDER BY period_days
+"""
+
+
+@register("events_dft_periodogram", oracle=DFT_ORACLE, tags=("timeseries", "stats"))
+def events_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    # day-axis ordering (bounded: one row per day, the seasonal-decomp
+    # day-grain exemption)
+    wd = W.orderBy("d")
+    idx = daily.select(
+        "y", (F.row_number().over(wd) - 1).cast("double").alias("t")
+    )
+    idx = idx.localCheckpoint(eager=False)
+    mu = idx.agg(F.avg("y").alias("my"), F.count(F.lit(1)).alias("n"))
+    periods = (
+        ev.sparkSession.range(2, 15)
+        .select(F.col("id").cast("double").alias("period"))
+    )
+    two_pi = 2.0 * math.pi
+    terms = (
+        idx.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(periods))
+        .groupBy("period")
+        .agg(
+            F.sum(
+                (F.col("y") - F.col("my"))
+                * F.cos(F.lit(two_pi) * F.col("t") / F.col("period"))
+            ).alias("c"),
+            F.sum(
+                (F.col("y") - F.col("my"))
+                * F.sin(F.lit(two_pi) * F.col("t") / F.col("period"))
+            ).alias("s"),
+            F.first("n").alias("n"),
+        )
+    )
+    return terms.select(
+        F.col("period").cast("long").alias("period_days"),
+        F.round(
+            (F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"), 4
+        ).alias("power"),
+    ).orderBy("period_days")
