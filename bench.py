@@ -240,7 +240,7 @@ BASELINE_SEC = {
     "lineitem_mode_percentile_disc": 1.98,
     "warehouse_rle_layout_audit": 1.50,
     "text_readability_scores": 0.74,
-    "events_dft_periodogram": 0.60,
+    "events_dft_periodogram": 0.86,
 }
 GUARD_FACTOR = 2.0
 
