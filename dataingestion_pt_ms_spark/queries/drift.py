@@ -1723,3 +1723,145 @@ def events_wilson_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("cohort")
+
+
+# --------------------------------------------------------------------------
+# Distributed 5-fold cross-validation of the OLS model (round 4): the
+# "CV without 5 training jobs" algebra — per-fold moment sums (about the
+# GLOBAL means, so products stay well-conditioned) are computed ONCE;
+# each fold's training moments are then totals − fold (leave-one-out
+# subtraction), the 2×2 normal equations solve per fold in closed form,
+# and the held-out MSE expands into the SAME fold sums:
+#   Σ(y−a−b₁q−b₂d)² = Σy² + na² + b₁²Σq² + b₂²Σd² − 2aΣy − 2b₁Σqy
+#                     − 2b₂Σdy + 2ab₁Σq + 2ab₂Σd + 2b₁b₂Σqd
+# so the whole 5-fold CV costs two linear passes (means, fold sums) —
+# no per-fold scan, no residual pass. Folds hash whole orders (grouped
+# CV: leakage-free when rows within an order correlate).
+# --------------------------------------------------------------------------
+KFOLD_ORACLE = """
+WITH mu AS (
+  SELECT avg(l_quantity) AS gq, avg(l_discount) AS gd,
+         avg(l_extendedprice) AS gy
+  FROM lineitem
+), c AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+           AS fold,
+         l_quantity - gq AS q, l_discount - gd AS d, l_extendedprice - gy AS y
+  FROM lineitem CROSS JOIN mu
+), fs AS (
+  SELECT fold, CAST(count(*) AS DOUBLE) AS n,
+         sum(q) AS sq, sum(d) AS sd, sum(y) AS sy,
+         sum(q*q) AS sqq, sum(q*d) AS sqd, sum(d*d) AS sdd,
+         sum(q*y) AS sqy, sum(d*y) AS sdy, sum(y*y) AS syy
+  FROM c GROUP BY fold
+), tot AS (
+  SELECT sum(n) AS n, sum(sq) AS sq, sum(sd) AS sd, sum(sy) AS sy,
+         sum(sqq) AS sqq, sum(sqd) AS sqd, sum(sdd) AS sdd,
+         sum(sqy) AS sqy, sum(sdy) AS sdy
+  FROM fs
+), loo AS (
+  SELECT fold, fs.n AS nh, fs.sq AS hsq, fs.sd AS hsd, fs.sy AS hsy,
+         fs.sqq AS hsqq, fs.sqd AS hsqd, fs.sdd AS hsdd,
+         fs.sqy AS hsqy, fs.sdy AS hsdy, fs.syy AS hsyy,
+         tot.n - fs.n AS nt,
+         tot.sq - fs.sq AS tsq, tot.sd - fs.sd AS tsd, tot.sy - fs.sy AS tsy,
+         tot.sqq - fs.sqq AS tsqq, tot.sqd - fs.sqd AS tsqd,
+         tot.sdd - fs.sdd AS tsdd, tot.sqy - fs.sqy AS tsqy,
+         tot.sdy - fs.sdy AS tsdy
+  FROM fs CROSS JOIN tot
+), fit AS (
+  SELECT fold, nh, hsq, hsd, hsy, hsqq, hsqd, hsdd, hsqy, hsdy, hsyy,
+         (tsqq - tsq*tsq/nt) AS cqq, (tsqd - tsq*tsd/nt) AS cqd,
+         (tsdd - tsd*tsd/nt) AS cdd, (tsqy - tsq*tsy/nt) AS cqy,
+         (tsdy - tsd*tsy/nt) AS cdy,
+         tsq/nt AS mqt, tsd/nt AS mdt, tsy/nt AS myt
+  FROM loo
+), coef AS (
+  SELECT fold, nh, hsq, hsd, hsy, hsqq, hsqd, hsdd, hsqy, hsdy, hsyy,
+         (cqy*cdd - cdy*cqd) / (cqq*cdd - cqd*cqd) AS b1,
+         (cdy*cqq - cqy*cqd) / (cqq*cdd - cqd*cqd) AS b2,
+         myt - (cqy*cdd - cdy*cqd) / (cqq*cdd - cqd*cqd) * mqt
+             - (cdy*cqq - cqy*cqd) / (cqq*cdd - cqd*cqd) * mdt AS a
+  FROM fit
+)
+SELECT fold, CAST(nh AS BIGINT) AS n_holdout,
+       round(b1, 6) AS beta_qty, round(b2, 6) AS beta_disc,
+       round(sqrt((hsyy + nh*a*a + b1*b1*hsqq + b2*b2*hsdd
+                   - 2*a*hsy - 2*b1*hsqy - 2*b2*hsdy
+                   + 2*a*b1*hsq + 2*a*b2*hsd + 2*b1*b2*hsqd) / nh), 4)
+         AS holdout_rmse
+FROM coef
+ORDER BY fold
+"""
+
+
+@register("lineitem_kfold_cv_ols", oracle=KFOLD_ORACLE, tags=("drift", "stats", "ml"))
+def lineitem_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("q0"),
+        F.col("l_discount").cast("double").alias("d0"),
+        F.col("l_extendedprice").cast("double").alias("y0"),
+    )
+    mu = li.agg(
+        F.avg("q0").alias("gq"), F.avg("d0").alias("gd"), F.avg("y0").alias("gy")
+    )
+    fold = (
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5
+    )
+    c = li.crossJoin(F.broadcast(mu)).select(
+        fold.alias("fold"),
+        (F.col("q0") - F.col("gq")).alias("q"),
+        (F.col("d0") - F.col("gd")).alias("d"),
+        (F.col("y0") - F.col("gy")).alias("y"),
+    )
+    fs = c.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").alias("sq"), F.sum("d").alias("sd"), F.sum("y").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("y")).alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    fs = fs.localCheckpoint(eager=False)  # totals + per-fold branches
+    tot = fs.agg(
+        *[F.sum(x).alias(x) for x in
+          ("n", "sq", "sd", "sy", "sqq", "sqd", "sdd", "sqy", "sdy")]
+    )
+    j = fs.select(
+        "fold",
+        F.col("n").alias("nh"),
+        F.col("sq").alias("hsq"), F.col("sd").alias("hsd"), F.col("sy").alias("hsy"),
+        F.col("sqq").alias("hsqq"), F.col("sqd").alias("hsqd"),
+        F.col("sdd").alias("hsdd"), F.col("sqy").alias("hsqy"),
+        F.col("sdy").alias("hsdy"), F.col("syy").alias("hsyy"),
+    ).crossJoin(F.broadcast(tot))
+    nt = F.col("n") - F.col("nh")
+    tsq, tsd, tsy = (F.col("sq") - F.col("hsq"), F.col("sd") - F.col("hsd"),
+                     F.col("sy") - F.col("hsy"))
+    cqq = (F.col("sqq") - F.col("hsqq")) - tsq * tsq / nt
+    cqd = (F.col("sqd") - F.col("hsqd")) - tsq * tsd / nt
+    cdd = (F.col("sdd") - F.col("hsdd")) - tsd * tsd / nt
+    cqy = (F.col("sqy") - F.col("hsqy")) - tsq * tsy / nt
+    cdy = (F.col("sdy") - F.col("hsdy")) - tsd * tsy / nt
+    det = cqq * cdd - cqd * cqd
+    b1 = (cqy * cdd - cdy * cqd) / det
+    b2 = (cdy * cqq - cqy * cqd) / det
+    a = tsy / nt - b1 * (tsq / nt) - b2 * (tsd / nt)
+    sse = (
+        F.col("hsyy") + F.col("nh") * a * a
+        + b1 * b1 * F.col("hsqq") + b2 * b2 * F.col("hsdd")
+        - 2 * a * F.col("hsy") - 2 * b1 * F.col("hsqy") - 2 * b2 * F.col("hsdy")
+        + 2 * a * b1 * F.col("hsq") + 2 * a * b2 * F.col("hsd")
+        + 2 * b1 * b2 * F.col("hsqd")
+    )
+    return j.select(
+        "fold",
+        F.col("nh").cast("long").alias("n_holdout"),
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round(F.sqrt(sse / F.col("nh")), 4).alias("holdout_rmse"),
+    ).orderBy("fold")

@@ -1524,3 +1524,39 @@ def test_soundex_chain_property_vs_textbook():
         assert chain(w) == textbook(w), w
 
     check()
+
+
+def test_kfold_cv_loo_algebra_matches_direct_fit(spark, sf_dir):
+    """The leave-one-out subtraction + closed-form holdout MSE must equal
+    a direct per-fold fit: train OLS on folds != 0 with numpy, evaluate
+    on fold 0, compare to the query's fold-0 row."""
+    import numpy as np
+
+    from dataingestion_pt_ms_spark.catalog import load_table
+    from dataingestion_pt_ms_spark.queries.drift import lineitem_kfold_cv_ols
+
+    row = {
+        r.fold: r for r in lineitem_kfold_cv_ols(spark, sf_dir).collect()
+    }[0]
+    pdf = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice"
+    ).toPandas()
+    import hashlib
+
+    folds = pdf["l_orderkey"].map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 5
+    )
+    tr, ho = pdf[folds != 0], pdf[folds == 0]
+    X = np.column_stack(
+        [np.ones(len(tr)), tr["l_quantity"], tr["l_discount"]]
+    ).astype(float)
+    beta, *_ = np.linalg.lstsq(X, tr["l_extendedprice"].astype(float), rcond=None)
+    Xh = np.column_stack(
+        [np.ones(len(ho)), ho["l_quantity"], ho["l_discount"]]
+    ).astype(float)
+    resid = ho["l_extendedprice"].astype(float).to_numpy() - Xh @ beta
+    rmse = float(np.sqrt((resid ** 2).mean()))
+    assert abs(row.beta_qty - beta[1]) < 1e-4
+    assert abs(row.beta_disc - beta[2]) < 1e-3
+    assert abs(row.holdout_rmse - rmse) < 0.01
+    assert row.n_holdout == len(ho)

@@ -1093,3 +1093,49 @@ def test_rocksdb_state_store_matches_default(spark, events_dir, tmp_path):
     )
     assert rocks_rows == default_rows
     assert rocks_rows, "dedup emitted nothing"
+
+
+def test_streaming_query_listener_captures_progress(spark, events_dir):
+    """StreamingQueryListener (the ops surface for streams, sibling of
+    df.observe for batch): progress events carry per-trigger row counts —
+    the hook a production pipeline exports to its metrics system instead
+    of polling query.lastProgress."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    seen = {"progress_rows": 0, "started": 0, "terminated": 0}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            seen["started"] += 1
+
+        def onQueryProgress(self, event):
+            seen["progress_rows"] += event.progress.numInputRows
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            seen["terminated"] += 1
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        stream = stream_from_dir(spark, events_dir, EVENTS_SCHEMA)
+        q = (
+            stream.groupBy("event_type").count()
+            .writeStream.format("memory").queryName("lst_out")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        # listener callbacks are delivered asynchronously after termination
+        import time
+        for _ in range(50):
+            if seen["terminated"] and seen["progress_rows"]:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    n_src = spark.read.parquet(events_dir).count()
+    assert seen["started"] >= 1
+    assert seen["terminated"] >= 1
+    assert seen["progress_rows"] == n_src
