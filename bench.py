@@ -241,7 +241,7 @@ BASELINE_SEC = {
     "warehouse_rle_layout_audit": 1.50,
     "text_readability_scores": 0.74,
     "events_dft_periodogram": 0.86,
-    "lineitem_kfold_cv_ols": 0.80,
+    "lineitem_kfold_cv_ols": 1.53,
 }
 GUARD_FACTOR = 2.0
 
