@@ -242,6 +242,8 @@ BASELINE_SEC = {
     "text_readability_scores": 0.74,
     "events_dft_periodogram": 0.86,
     "lineitem_kfold_cv_ols": 1.53,
+    "lineitem_conformal_intervals": 1.60,
+    "lineitem_r2_shapley_lmg": 0.70,
 }
 GUARD_FACTOR = 2.0
 
@@ -463,6 +465,8 @@ HEADLINE = [
     "text_readability_scores",
     "events_dft_periodogram",
     "lineitem_kfold_cv_ols",
+    "lineitem_conformal_intervals",
+    "lineitem_r2_shapley_lmg",
 ]
 
 

@@ -1865,3 +1865,217 @@ def lineitem_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b2, 6).alias("beta_disc"),
         F.round(F.sqrt(sse / F.col("nh")), 4).alias("holdout_rmse"),
     ).orderBy("fold")
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals (round 4): distribution-free
+# coverage for the OLS model — train on folds {2,3,4}, take the
+# ⌈(n+1)(1−α)⌉-th smallest ABSOLUTE residual on the calibration fold
+# (0), and ŷ ± q̂ then covers a fresh point with probability ≥ 1−α by
+# exchangeability alone, no Gaussian assumption. The empirical coverage
+# on the untouched test fold (1) rides along as the audit. Training
+# reuses the closed-form moment solve; the calibration quantile is one
+# windowed rank over the calibration fold only; coverage is one filtered
+# aggregate. α = 0.1.
+# --------------------------------------------------------------------------
+CONFORMAL_ORACLE = """
+WITH mu AS (
+  SELECT avg(l_quantity) AS gq, avg(l_discount) AS gd,
+         avg(l_extendedprice) AS gy
+  FROM lineitem
+), c AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+           AS fold,
+         l_orderkey, l_linenumber,
+         l_quantity - gq AS q, l_discount - gd AS d, l_extendedprice - gy AS y
+  FROM lineitem CROSS JOIN mu
+), tr AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(q) AS sq, sum(d) AS sd, sum(y) AS sy,
+         sum(q*q) AS sqq, sum(q*d) AS sqd, sum(d*d) AS sdd,
+         sum(q*y) AS sqy, sum(d*y) AS sdy
+  FROM c WHERE fold >= 2
+), coef AS (
+  SELECT ((sqy - sq*sy/n)*(sdd - sd*sd/n) - (sdy - sd*sy/n)*(sqd - sq*sd/n))
+           / ((sqq - sq*sq/n)*(sdd - sd*sd/n) - (sqd - sq*sd/n)*(sqd - sq*sd/n))
+           AS b1,
+         ((sdy - sd*sy/n)*(sqq - sq*sq/n) - (sqy - sq*sy/n)*(sqd - sq*sd/n))
+           / ((sqq - sq*sq/n)*(sdd - sd*sd/n) - (sqd - sq*sd/n)*(sqd - sq*sd/n))
+           AS b2,
+         sy/n AS my0, sq/n AS mq0, sd/n AS md0
+  FROM tr
+), ab AS (
+  SELECT b1, b2, my0 - b1*mq0 - b2*md0 AS a FROM coef
+), cal AS (
+  SELECT abs(y - (a + b1*q + b2*d)) AS r
+  FROM c CROSS JOIN ab WHERE fold = 0
+), qhat AS (
+  SELECT r AS q_alpha,
+         CAST((SELECT count(*) FROM cal) AS BIGINT) AS n_cal
+  FROM (
+    SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal
+  )
+  WHERE rn = CAST(ceil(((SELECT count(*) FROM cal) + 1) * 0.9) AS BIGINT)
+), test AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         sum(CASE WHEN abs(y - (a + b1*q + b2*d)) <= q_alpha
+                  THEN 1 ELSE 0 END) AS covered
+  FROM c CROSS JOIN ab CROSS JOIN qhat WHERE fold = 1
+)
+SELECT n_cal, round(q_alpha, 4) AS q_alpha, n_test,
+       CAST(covered AS BIGINT) AS covered,
+       round(CAST(covered AS DOUBLE) / n_test, 6) AS coverage
+FROM qhat CROSS JOIN test
+"""
+
+
+@register("lineitem_conformal_intervals", oracle=CONFORMAL_ORACLE, tags=("drift", "stats", "ml"))
+def lineitem_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("q0"),
+        F.col("l_discount").cast("double").alias("d0"),
+        F.col("l_extendedprice").cast("double").alias("y0"),
+    )
+    mu = li.agg(
+        F.avg("q0").alias("gq"), F.avg("d0").alias("gd"), F.avg("y0").alias("gy")
+    )
+    fold = (
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5
+    )
+    c = li.crossJoin(F.broadcast(mu)).select(
+        fold.alias("fold"),
+        (F.col("q0") - F.col("gq")).alias("q"),
+        (F.col("d0") - F.col("gd")).alias("d"),
+        (F.col("y0") - F.col("gy")).alias("y"),
+    )
+    c = c.localCheckpoint(eager=False)  # train/cal/test branches
+    tr = c.where(F.col("fold") >= 2).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").alias("sq"), F.sum("d").alias("sd"), F.sum("y").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("y")).alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+    )
+    n = F.col("n")
+    cqq = F.col("sqq") - F.col("sq") * F.col("sq") / n
+    cqd = F.col("sqd") - F.col("sq") * F.col("sd") / n
+    cdd = F.col("sdd") - F.col("sd") * F.col("sd") / n
+    cqy = F.col("sqy") - F.col("sq") * F.col("sy") / n
+    cdy = F.col("sdy") - F.col("sd") * F.col("sy") / n
+    det = cqq * cdd - cqd * cqd
+    b1 = (cqy * cdd - cdy * cqd) / det
+    b2 = (cdy * cqq - cqy * cqd) / det
+    a = F.col("sy") / n - b1 * (F.col("sq") / n) - b2 * (F.col("sd") / n)
+    ab = F.broadcast(tr.select(b1.alias("b1"), b2.alias("b2"), a.alias("a")))
+    resid = F.abs(
+        F.col("y") - (F.col("a") + F.col("b1") * F.col("q") + F.col("b2") * F.col("d"))
+    )
+    cal = c.where(F.col("fold") == 0).crossJoin(ab).select(resid.alias("r"))
+    cal = cal.localCheckpoint(eager=False)  # count + rank branches
+    ncal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    # calibration-fold-only rank (bounded to one fold of |data|/5 rows;
+    # at 100 TB swap for approx_percentile per the house percentile note)
+    ranked = cal.withColumn("rn", F.row_number().over(W.orderBy("r")))
+    qhat = (
+        ranked.crossJoin(F.broadcast(ncal))
+        .where(F.col("rn") == F.ceil((F.col("n_cal") + 1) * 0.9).cast("long"))
+        .select(F.col("r").alias("q_alpha"), "n_cal")
+    )
+    test = (
+        c.where(F.col("fold") == 1)
+        .crossJoin(ab)
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(resid <= F.col("q_alpha"), 1).otherwise(0)).alias("covered"),
+            F.first("q_alpha").alias("q_alpha"),
+            F.first("n_cal").alias("n_cal"),
+        )
+    )
+    return test.select(
+        "n_cal",
+        F.round("q_alpha", 4).alias("q_alpha"),
+        "n_test",
+        F.col("covered").cast("long").alias("covered"),
+        F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias("coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shapley (LMG) R² decomposition (round 4): "which feature matters" done
+# order-fairly — a feature's contribution is its marginal R² averaged
+# over both entry orders (the exact Shapley value of the R² game; LMG /
+# Lindeman-Merenda-Gold). With two features it is closed-form:
+#   φ_q = ½[R²(q) + (R²(q,d) − R²(d))],  φ_d symmetric,  φ_q + φ_d = R²(q,d)
+# — the attribution sums exactly to the model's R², which correlated
+# regressors' naive per-feature R²s never do. All terms come from the
+# same centered-moment aggregation the OLS row uses: one pass.
+# --------------------------------------------------------------------------
+LMG_ORACLE = """
+WITH mu AS (
+  SELECT avg(l_quantity) AS gq, avg(l_discount) AS gd,
+         avg(l_extendedprice) AS gy
+  FROM lineitem
+), cm AS (
+  SELECT sum((l_quantity-gq)*(l_quantity-gq)) AS cqq,
+         sum((l_quantity-gq)*(l_discount-gd)) AS cqd,
+         sum((l_discount-gd)*(l_discount-gd)) AS cdd,
+         sum((l_quantity-gq)*(l_extendedprice-gy)) AS cqy,
+         sum((l_discount-gd)*(l_extendedprice-gy)) AS cdy,
+         sum((l_extendedprice-gy)*(l_extendedprice-gy)) AS cyy
+  FROM lineitem CROSS JOIN mu
+), r2 AS (
+  SELECT cqy*cqy/(cqq*cyy) AS r2_q,
+         cdy*cdy/(cdd*cyy) AS r2_d,
+         ((cqy*cdd - cdy*cqd)/(cqq*cdd - cqd*cqd)*cqy
+          + (cdy*cqq - cqy*cqd)/(cqq*cdd - cqd*cqd)*cdy) / cyy AS r2_both
+  FROM cm
+)
+SELECT round(r2_q, 6) AS r2_qty_alone,
+       round(r2_d, 6) AS r2_disc_alone,
+       round(r2_both, 6) AS r2_full,
+       round(0.5 * (r2_q + (r2_both - r2_d)), 6) AS shapley_qty,
+       round(0.5 * (r2_d + (r2_both - r2_q)), 6) AS shapley_disc
+FROM r2
+"""
+
+
+@register("lineitem_r2_shapley_lmg", oracle=LMG_ORACLE, tags=("drift", "stats", "ml"))
+def lineitem_r2_shapley_lmg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("q0"),
+        F.col("l_discount").cast("double").alias("d0"),
+        F.col("l_extendedprice").cast("double").alias("y0"),
+    )
+    mu = li.agg(
+        F.avg("q0").alias("gq"), F.avg("d0").alias("gd"), F.avg("y0").alias("gy")
+    )
+    cq, cd, cy = (
+        F.col("q0") - F.col("gq"),
+        F.col("d0") - F.col("gd"),
+        F.col("y0") - F.col("gy"),
+    )
+    cm = li.crossJoin(F.broadcast(mu)).agg(
+        F.sum(cq * cq).alias("cqq"), F.sum(cq * cd).alias("cqd"),
+        F.sum(cd * cd).alias("cdd"), F.sum(cq * cy).alias("cqy"),
+        F.sum(cd * cy).alias("cdy"), F.sum(cy * cy).alias("cyy"),
+    )
+    det = F.col("cqq") * F.col("cdd") - F.col("cqd") * F.col("cqd")
+    b1 = (F.col("cqy") * F.col("cdd") - F.col("cdy") * F.col("cqd")) / det
+    b2 = (F.col("cdy") * F.col("cqq") - F.col("cqy") * F.col("cqd")) / det
+    r2_q = F.col("cqy") * F.col("cqy") / (F.col("cqq") * F.col("cyy"))
+    r2_d = F.col("cdy") * F.col("cdy") / (F.col("cdd") * F.col("cyy"))
+    r2_both = (b1 * F.col("cqy") + b2 * F.col("cdy")) / F.col("cyy")
+    return cm.select(
+        F.round(r2_q, 6).alias("r2_qty_alone"),
+        F.round(r2_d, 6).alias("r2_disc_alone"),
+        F.round(r2_both, 6).alias("r2_full"),
+        F.round(0.5 * (r2_q + (r2_both - r2_d)), 6).alias("shapley_qty"),
+        F.round(0.5 * (r2_d + (r2_both - r2_q)), 6).alias("shapley_disc"),
+    )
