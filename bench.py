@@ -244,6 +244,7 @@ BASELINE_SEC = {
     "lineitem_kfold_cv_ols": 1.53,
     "lineitem_conformal_intervals": 1.60,
     "lineitem_r2_shapley_lmg": 0.70,
+    "pipeline_curation_v3": 6.06,
 }
 GUARD_FACTOR = 2.0
 
@@ -467,6 +468,7 @@ HEADLINE = [
     "lineitem_kfold_cv_ols",
     "lineitem_conformal_intervals",
     "lineitem_r2_shapley_lmg",
+    "pipeline_curation_v3",
 ]
 
 

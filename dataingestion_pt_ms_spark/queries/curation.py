@@ -790,3 +790,233 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Curation pipeline v3 (round 4 finale): the session's new operators
+# composed into one auditable funnel, reported per source —
+#   raw → exact-collapse reps → partial-overlap dedup (winnowing pairs
+#   ≥ 0.5 overlap + stitch-artifact tails drop the larger doc_id) →
+#   readability band gate (FK grade within the corpus [P10, P90] — the
+#   gibberish/boilerplate two-sided cut) → per-source quality floor
+#   (drop each source's bottom quality quartile: the calibrated
+#   threshold that a single global cut gets wrong across heterogeneous
+#   sources).
+# Each stage's survivor count rides in the output, so the funnel is the
+# observable — a retention cliff at one stage points at the broken gate
+# (the v2 lesson, extended). Every stage reuses an already-oracled
+# operator; the composed oracle chains their SQL fragments.
+# --------------------------------------------------------------------------
+from ..queries.llm_dedup import _WN_CAP, _WN_K, _WN_MIN, _WN_W  # noqa: E402
+
+PIPELINE_V3_ORACLE = f"""
+WITH reps AS (
+  SELECT min(doc_id) AS k, text FROM documents GROUP BY text
+), tok AS (
+  SELECT k, unnest({{DTOKS_K}}) AS t, generate_subscripts({{DTOKS_K}}, 1) AS pos
+  FROM reps
+), gram AS (
+  SELECT k, pos,
+         concat_ws(' ', t, lead(t,1) OVER w, lead(t,2) OVER w,
+                        lead(t,3) OVER w, lead(t,4) OVER w) AS g,
+         lead(t, {_WN_K - 1}) OVER w AS guard
+  FROM tok WINDOW w AS (PARTITION BY k ORDER BY pos)
+), h AS (
+  SELECT k, pos,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 2147483647 AS h
+  FROM gram WHERE guard IS NOT NULL
+), winnow AS (
+  SELECT k,
+         min(h * 2097152 + (2097151 - pos))
+           OVER (PARTITION BY k ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS selkey,
+         lead(pos, {_WN_W - 1}) OVER (PARTITION BY k ORDER BY pos) AS full_w
+  FROM h
+), fp AS (
+  SELECT DISTINCT k, selkey // 2097152 AS fp FROM winnow WHERE full_w IS NOT NULL
+), kept_fp AS (
+  SELECT fp FROM (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
+  WHERE n <= {_WN_CAP}
+), post AS (
+  SELECT fp.k, fp.fp FROM fp JOIN kept_fp USING (fp)
+), sizes AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_fp FROM post GROUP BY k
+), wpairs AS (
+  SELECT a.k AS key_a, b.k AS key_b, CAST(count(*) AS BIGINT) AS shared_fp
+  FROM post a JOIN post b ON a.fp = b.fp AND a.k < b.k
+  GROUP BY a.k, b.k HAVING count(*) >= {_WN_MIN}
+), wdrop AS (
+  SELECT DISTINCT key_b AS k FROM wpairs
+  JOIN sizes sa ON sa.k = wpairs.key_a
+  JOIN sizes sb ON sb.k = wpairs.key_b
+  WHERE CAST(shared_fp AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.5
+), bounds AS (
+  SELECT k,
+         array_to_string(list_slice({{DTOKS_K}}, 1, 8), ' ') AS head,
+         array_to_string(list_slice({{DTOKS_K}},
+                                    len({{DTOKS_K}}) - 7, len({{DTOKS_K}})), ' ') AS tail
+  FROM reps WHERE len({{DTOKS_K}}) >= 8
+), heads AS (
+  SELECT k, head AS chunk FROM bounds
+  QUALIFY count(*) OVER (PARTITION BY head) <= 50
+), tails AS (
+  SELECT k, tail AS chunk FROM bounds
+  QUALIFY count(*) OVER (PARTITION BY tail) <= 50
+), sdrop AS (
+  SELECT DISTINCT heads.k FROM tails
+  JOIN heads ON tails.chunk = heads.chunk AND tails.k <> heads.k
+), meta AS (
+  SELECT d.doc_id, d.source,
+         CAST(len({{DTOKS_D}}) AS BIGINT) AS n_words,
+         greatest(CAST(len(regexp_extract_all(d.text, '[.!?]+')) AS BIGINT), 1)
+           AS n_sent,
+         CAST(len(regexp_extract_all(lower(d.text), '[aeiouy]+')) AS BIGINT)
+           + CAST(len(list_filter({{DTOKS_D}},
+               t -> NOT regexp_matches(t, '[aeiouy]'))) AS BIGINT) AS n_syll,
+         round(0.4 * (CAST(len(list_distinct({{DTOKS_D}})) AS DOUBLE)
+                      / CAST(len({{DTOKS_D}}) AS DOUBLE))
+             + 0.3 * least(CAST(len({{DTOKS_D}}) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1 - CAST(len(list_filter({{DTOKS_D}},
+                         t -> t IN ({{MARKERS}}))) AS DOUBLE)
+                          / CAST(len({{DTOKS_D}}) AS DOUBLE)), 6) AS score,
+         reps.k IS NOT NULL AS is_rep
+  FROM documents d
+  LEFT JOIN reps ON reps.k = d.doc_id
+), staged AS (
+  SELECT doc_id, source, score,
+         round(0.39 * (CAST(n_words AS DOUBLE) / n_sent)
+               + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59, 4) AS fk,
+         is_rep,
+         is_rep AND doc_id NOT IN (SELECT k FROM wdrop)
+                AND doc_id NOT IN (SELECT k FROM sdrop) AS past_dedup
+  FROM meta
+), band AS (
+  SELECT quantile_cont(fk, 0.1) AS p10, quantile_cont(fk, 0.9) AS p90
+  FROM staged WHERE past_dedup
+), flags AS (
+  SELECT source, doc_id, is_rep, past_dedup,
+         past_dedup AND fk >= p10 AND fk <= p90 AS past_read,
+         score
+  FROM staged CROSS JOIN band
+), qrank AS (
+  SELECT source, doc_id, is_rep, past_dedup, past_read,
+         CASE WHEN past_read THEN
+           percent_rank() OVER (PARTITION BY source, past_read
+                                ORDER BY score, doc_id)
+         END AS pr
+  FROM flags
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reps,
+       CAST(sum(CASE WHEN past_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(sum(CASE WHEN past_read THEN 1 ELSE 0 END) AS BIGINT) AS n_readable,
+       CAST(sum(CASE WHEN past_read AND pr >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_final
+FROM qrank
+GROUP BY source
+ORDER BY source
+"""
+
+
+def _v3_oracle() -> str:
+    from ..operators.text import EN_MARKERS
+    from ._ducktwins import DTOKS
+
+    markers = ", ".join(f"'{m}'" for m in EN_MARKERS)
+    dtoks_k = DTOKS.replace("text", "text")  # reps CTE exposes text
+    return (
+        PIPELINE_V3_ORACLE
+        .replace("{DTOKS_K}", dtoks_k)
+        .replace("{DTOKS_D}", DTOKS.replace("(text)", "(d.text)").replace("(trim(text))", "(trim(d.text))"))
+        .replace("{MARKERS}", markers)
+    )
+
+
+@register("pipeline_curation_v3", oracle=_v3_oracle(), tags=("llm", "pipeline"))
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.textfns import tokens as _tokens
+    from ..operators.dedup import collapse_exact, winnowing_overlap_pairs
+    from ..operators.text import quality_score
+    from ..queries.llm_dedup import dedup_stitch_artifact_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps, _ = collapse_exact(docs, "text", "doc_id")
+    rep_keys = reps.select(F.col("doc_id").alias("k"))
+    wdrop = (
+        winnowing_overlap_pairs(
+            docs, "text", "doc_id",
+            k=_WN_K, w=_WN_W, min_shared=_WN_MIN, max_postings=_WN_CAP,
+        )
+        .where(F.col("overlap") >= 0.5)
+        .select(F.col("key_b").alias("k"))
+        .distinct()
+    )
+    sdrop = (
+        dedup_stitch_artifact_pairs(spark, sf_dir)
+        .select(F.col("key_b").alias("k"))
+        .distinct()
+    )
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syll = (
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+        ).cast("long")
+        + F.size(F.filter(toks, lambda t: ~t.rlike("[aeiouy]"))).cast("long")
+    )
+    fk = F.round(
+        0.39 * (n_words.cast("double") / n_sent)
+        + 11.8 * (n_syll.cast("double") / n_words) - 15.59,
+        4,
+    )
+    staged = (
+        quality_score(docs)
+        .select("doc_id", "source", F.col("quality_score").alias("score"), fk.alias("fk"))
+        .join(rep_keys.withColumn("is_rep", F.lit(True)),
+              F.col("doc_id") == F.col("k"), "left")
+        .drop("k")
+        .withColumn("is_rep", F.coalesce("is_rep", F.lit(False)))
+        .join(wdrop.withColumn("in_wdrop", F.lit(True)),
+              F.col("doc_id") == F.col("k"), "left")
+        .drop("k")
+        .join(sdrop.withColumn("in_sdrop", F.lit(True)),
+              F.col("doc_id") == F.col("k"), "left")
+        .drop("k")
+        .withColumn(
+            "past_dedup",
+            F.col("is_rep") & F.col("in_wdrop").isNull() & F.col("in_sdrop").isNull(),
+        )
+    )
+    staged = staged.localCheckpoint(eager=False)  # band + flags branches
+    band = staged.where("past_dedup").agg(
+        F.percentile("fk", F.lit(0.1)).alias("p10"),
+        F.percentile("fk", F.lit(0.9)).alias("p90"),
+    )
+    flags = staged.crossJoin(F.broadcast(band)).withColumn(
+        "past_read",
+        F.col("past_dedup") & (F.col("fk") >= F.col("p10")) & (F.col("fk") <= F.col("p90")),
+    )
+    wq = W.partitionBy("source", "past_read").orderBy("score", "doc_id")
+    qrank = flags.withColumn(
+        "pr", F.when(F.col("past_read"), F.percent_rank().over(wq))
+    )
+    return (
+        qrank.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("is_rep"), 1).otherwise(0)).alias("n_reps"),
+            F.sum(F.when(F.col("past_dedup"), 1).otherwise(0)).alias("n_dedup"),
+            F.sum(F.when(F.col("past_read"), 1).otherwise(0)).alias("n_readable"),
+            F.sum(
+                F.when(F.col("past_read") & (F.col("pr") >= 0.25), 1).otherwise(0)
+            ).alias("n_final"),
+        )
+        .orderBy("source")
+    )
