@@ -245,6 +245,7 @@ BASELINE_SEC = {
     "lineitem_conformal_intervals": 1.60,
     "lineitem_r2_shapley_lmg": 0.70,
     "pipeline_curation_v3": 6.06,
+    "graph_lp_training_set": 4.00,
 }
 GUARD_FACTOR = 2.0
 
@@ -469,6 +470,7 @@ HEADLINE = [
     "lineitem_conformal_intervals",
     "lineitem_r2_shapley_lmg",
     "pipeline_curation_v3",
+    "graph_lp_training_set",
 ]
 
 

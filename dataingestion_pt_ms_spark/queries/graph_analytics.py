@@ -784,3 +784,107 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("clustering_coeff").desc(), "node")
     )
+
+
+# --------------------------------------------------------------------------
+# Link-prediction training set (round 4): the ML-data-prep step the
+# scoring row (graph_copurchase_link_prediction) presumes — positives =
+# observed co-purchase edges; negatives = DETERMINISTIC hash-sampled
+# non-edges. The scale trap is enumerating n² candidate non-edges and
+# filtering; the sane shape samples each SIDE first (md5 bucket on the
+# node id → two bounded node subsets), crosses only those, and
+# anti-joins the edge set — the candidate space is |S_a|·|S_b|, set by
+# the bucket moduli, never n². Output: per-class counts + mean endpoint
+# degrees, the class-balance / degree-bias audit you run before training
+# (hash-sampled negatives over-represent high-degree nodes if the
+# sampling keys correlate with degree — here they cannot: md5 of the id).
+# --------------------------------------------------------------------------
+LP_TRAINSET_ORACLE = f"""
+WITH e AS ({_TRI_EDGES_SQL}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+), sa AS (
+  SELECT node FROM deg
+  WHERE CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0
+), sb AS (
+  SELECT node FROM deg
+  WHERE CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 1
+), negs AS (
+  SELECT least(sa.node, sb.node) AS u, greatest(sa.node, sb.node) AS v
+  FROM sa CROSS JOIN sb
+  WHERE sa.node <> sb.node
+  EXCEPT
+  SELECT u, v FROM e
+), labeled AS (
+  SELECT u, v, 1 AS label FROM e
+  UNION ALL
+  SELECT u, v, 0 AS label FROM negs
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(CAST(du.d AS DOUBLE)), 4) AS mean_deg_u,
+       round(avg(CAST(dv.d AS DOUBLE)), 4) AS mean_deg_v
+FROM labeled
+JOIN deg du ON du.node = labeled.u
+JOIN deg dv ON dv.node = labeled.v
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "graph_lp_training_set", oracle=LP_TRAINSET_ORACLE, tags=("graph", "ml", "curation")
+)
+def graph_lp_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .drop("sup")
+    )
+    edges = edges.localCheckpoint(eager=False)  # deg/neg/label branches
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg = deg.localCheckpoint(eager=False)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 4
+    )
+    sa = deg.where(bucket == 0).select(F.col("node").alias("na"))
+    sb = deg.where(bucket == 1).select(F.col("node").alias("nb"))
+    negs = (
+        sa.crossJoin(F.broadcast(sb))
+        .where(F.col("na") != F.col("nb"))
+        .select(
+            F.least("na", "nb").alias("u"), F.greatest("na", "nb").alias("v")
+        )
+        .exceptAll(edges.select("u", "v"))
+        .distinct()
+    )
+    labeled = edges.select("u", "v", F.lit(1).alias("label")).unionByName(
+        negs.select("u", "v", F.lit(0).alias("label"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
+    return (
+        labeled.join(du, "u")
+        .join(dv, "v")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(F.col("du").cast("double")), 4).alias("mean_deg_u"),
+            F.round(F.avg(F.col("dv").cast("double")), 4).alias("mean_deg_v"),
+        )
+        .orderBy("label")
+    )
