@@ -246,6 +246,7 @@ BASELINE_SEC = {
     "lineitem_r2_shapley_lmg": 0.70,
     "pipeline_curation_v3": 6.06,
     "graph_lp_training_set": 4.00,
+    "events_evalue_sequential": 0.82,
 }
 GUARD_FACTOR = 2.0
 
@@ -471,6 +472,7 @@ HEADLINE = [
     "lineitem_r2_shapley_lmg",
     "pipeline_curation_v3",
     "graph_lp_training_set",
+    "events_evalue_sequential",
 ]
 
 

@@ -2079,3 +2079,94 @@ def lineitem_r2_shapley_lmg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.5 * (r2_q + (r2_both - r2_d)), 6).alias("shapley_qty"),
         F.round(0.5 * (r2_d + (r2_both - r2_q)), 6).alias("shapley_disc"),
     )
+
+
+# --------------------------------------------------------------------------
+# E-value sequential test (round 4): anytime-valid A/B monitoring — the
+# fix for the "peeked at the dashboard daily and shipped on day 9"
+# false-positive machine. The e-process E_n = exp(λS_n − nλ²σ²/2) over
+# daily treatment-control mean differences is a test martingale under
+# H₀ (no effect), so by Ville's inequality P(sup E_n ≥ 1/α) ≤ α: the
+# running max can be checked EVERY day with no multiplicity correction.
+# λ = 0.05, σ² plugged in from the pooled daily-diff variance (the
+# standard practical variant; exact validity needs known σ — stated
+# honestly). Day-grain cumulative windows only.
+# --------------------------------------------------------------------------
+_EV_LAMBDA = 0.05
+
+EVALUE_ORACLE = f"""
+WITH base AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS arm,
+         value
+  FROM events WHERE event_type = 'click'
+), daily AS (
+  SELECT d,
+         avg(CASE WHEN arm = 1 THEN value END)
+           - avg(CASE WHEN arm = 0 THEN value END) AS diff
+  FROM base GROUP BY d
+), sigma AS (
+  SELECT var_samp(diff) AS s2 FROM daily
+), cum AS (
+  SELECT d, diff,
+         sum(diff) OVER (ORDER BY d) AS s_n,
+         row_number() OVER (ORDER BY d) AS n,
+         s2
+  FROM daily CROSS JOIN sigma
+), ev AS (
+  SELECT d, n, diff, s_n,
+         exp({_EV_LAMBDA} * s_n - n * {_EV_LAMBDA} * {_EV_LAMBDA} * s2 / 2) AS e
+  FROM cum
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n_days,
+       round(diff, 6) AS daily_diff,
+       round(e, 6) AS e_value,
+       round(max(e) OVER (ORDER BY d), 6) AS e_max,
+       max(e) OVER (ORDER BY d) >= 20 AS rejected_at_005
+FROM ev
+ORDER BY day
+"""
+
+
+@register("events_evalue_sequential", oracle=EVALUE_ORACLE, tags=("drift", "stats", "ab"))
+def events_evalue_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    daily = (
+        ev.select(F.date_trunc("day", "ts").alias("d"), arm.alias("arm"), "value")
+        .groupBy("d")
+        .agg(
+            (
+                F.avg(F.when(F.col("arm") == 1, F.col("value")))
+                - F.avg(F.when(F.col("arm") == 0, F.col("value")))
+            ).alias("diff")
+        )
+    )
+    daily = daily.localCheckpoint(eager=False)  # sigma + cum branches
+    sigma = daily.agg(F.var_samp("diff").alias("s2"))
+    # day-axis cumulative windows (bounded day-grain exemption)
+    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.orderBy("d")
+    lam = _EV_LAMBDA
+    cum = daily.crossJoin(F.broadcast(sigma)).select(
+        "d", "diff", "s2",
+        F.sum("diff").over(wd).alias("s_n"),
+        F.row_number().over(wn).alias("n"),
+    )
+    e = F.exp(lam * F.col("s_n") - F.col("n") * lam * lam * F.col("s2") / 2)
+    withe = cum.withColumn("e", e)
+    emax = F.max("e").over(wd)
+    return withe.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round("diff", 6).alias("daily_diff"),
+        F.round("e", 6).alias("e_value"),
+        F.round(emax, 6).alias("e_max"),
+        (emax >= 20).alias("rejected_at_005"),
+    ).orderBy("day")
