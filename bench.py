@@ -247,6 +247,7 @@ BASELINE_SEC = {
     "pipeline_curation_v3": 6.06,
     "graph_lp_training_set": 4.00,
     "events_evalue_sequential": 0.82,
+    "dedup_winnowing_match_spans": 3.20,
 }
 GUARD_FACTOR = 2.0
 
@@ -473,6 +474,7 @@ HEADLINE = [
     "pipeline_curation_v3",
     "graph_lp_training_set",
     "events_evalue_sequential",
+    "dedup_winnowing_match_spans",
 ]
 
 

@@ -1398,3 +1398,72 @@ def dedup_stitch_artifact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", F.col("chunk").alias("boundary_chunk"))
         .orderBy("key_a", "key_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing match spans (round 4): MOSS's reporting half — per
+# overlapping pair, WHERE the shared region sits in each document
+# (token-position extents of the shared fingerprints). Same selection,
+# caps and pair join as dedup_winnowing_overlap; the position rides the
+# rightmost-min encoding and is decoded, not recomputed. Position decode
+# differs by the engines' 0/1-based token indexing, so the oracle
+# subtracts 1 from its 1-based positions to match Spark's 0-based axis.
+# --------------------------------------------------------------------------
+WINNOW_SPANS_ORACLE = f"""
+WITH base AS (
+  SELECT min(doc_id) AS k, text FROM documents GROUP BY text
+), tok AS (
+  SELECT k, unnest({_DTOKS}) AS t, generate_subscripts({_DTOKS}, 1) - 1 AS pos
+  FROM base
+), gram AS (
+  SELECT k, pos,
+         concat_ws(' ', t, lead(t,1) OVER w, lead(t,2) OVER w,
+                        lead(t,3) OVER w, lead(t,4) OVER w) AS g,
+         lead(t, {_WN_K - 1}) OVER w AS guard
+  FROM tok WINDOW w AS (PARTITION BY k ORDER BY pos)
+), h AS (
+  SELECT k, pos,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 2147483647 AS h
+  FROM gram WHERE guard IS NOT NULL
+), winnow AS (
+  SELECT k,
+         min(h * 2097152 + (2097151 - pos))
+           OVER (PARTITION BY k ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS selkey,
+         lead(pos, {_WN_W - 1}) OVER (PARTITION BY k ORDER BY pos) AS full_w
+  FROM h
+), sel AS (
+  SELECT DISTINCT k, selkey // 2097152 AS fp,
+         2097151 - (selkey % 2097152) AS pos
+  FROM winnow WHERE full_w IS NOT NULL
+), kept AS (
+  SELECT fp FROM (
+    SELECT fp, count(*) AS n FROM (SELECT DISTINCT k, fp FROM sel) GROUP BY fp
+  ) WHERE n <= {_WN_CAP}
+), post AS (
+  SELECT sel.k, sel.fp, sel.pos FROM sel JOIN kept USING (fp)
+)
+SELECT a.k AS key_a, b.k AS key_b,
+       CAST(count(DISTINCT a.fp) AS BIGINT) AS shared_fp,
+       CAST(min(a.pos) AS BIGINT) AS a_span_lo,
+       CAST(max(a.pos) AS BIGINT) AS a_span_hi,
+       CAST(min(b.pos) AS BIGINT) AS b_span_lo,
+       CAST(max(b.pos) AS BIGINT) AS b_span_hi
+FROM post a JOIN post b ON a.fp = b.fp AND a.k < b.k
+GROUP BY a.k, b.k
+HAVING count(DISTINCT a.fp) >= {_WN_MIN}
+ORDER BY key_a, key_b
+"""
+
+
+@register(
+    "dedup_winnowing_match_spans",
+    oracle=WINNOW_SPANS_ORACLE,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def dedup_winnowing_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnowing_match_spans(
+        docs, "text", "doc_id",
+        k=_WN_K, w=_WN_W, min_shared=_WN_MIN, max_postings=_WN_CAP,
+    ).orderBy("key_a", "key_b")

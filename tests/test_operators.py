@@ -1560,3 +1560,30 @@ def test_kfold_cv_loo_algebra_matches_direct_fit(spark, sf_dir):
     assert abs(row.beta_disc - beta[2]) < 1e-3
     assert abs(row.holdout_rmse - rmse) < 0.01
     assert row.n_holdout == len(ho)
+
+
+def test_winnowing_spans_locate_planted_region(spark):
+    """The span report must LOCATE the shared region: a run planted at
+    tokens ~60-67 of doc 1 and ~80-87 of doc 2 yields a pair whose span
+    extents cover those offsets (within the winnow window w-1 slack on
+    the left edge, and k+w grams on the right)."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"v{i}" for i in range(400)]
+    run = [rng.choice(vocab) for _ in range(12)]
+    mk = lambda n: [rng.choice(vocab) for _ in range(n)]  # noqa: E731
+    d1 = mk(60) + run + mk(50)   # run at positions 60..71
+    d2 = mk(80) + run + mk(30)   # run at positions 80..91
+    docs = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2))], ["doc_id", "text"]
+    )
+    rows = D.winnowing_match_spans(
+        docs, "text", "doc_id", k=5, w=4, min_shared=1, max_postings=50
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.key_a, r.key_b) == (1, 2)
+    # shared fingerprints must fall inside the planted runs
+    assert 55 <= r.a_span_lo and r.a_span_hi <= 72
+    assert 75 <= r.b_span_lo and r.b_span_hi <= 92
