@@ -247,7 +247,7 @@ BASELINE_SEC = {
     "pipeline_curation_v3": 6.06,
     "graph_lp_training_set": 4.00,
     "events_evalue_sequential": 0.82,
-    "dedup_winnowing_match_spans": 3.20,
+    "dedup_winnowing_match_spans": 1.86,
 }
 GUARD_FACTOR = 2.0
 
