@@ -248,6 +248,7 @@ BASELINE_SEC = {
     "graph_lp_training_set": 4.00,
     "events_evalue_sequential": 0.82,
     "dedup_winnowing_match_spans": 1.86,
+    "pipeline_entity_resolution": 4.50,
 }
 GUARD_FACTOR = 2.0
 
@@ -475,6 +476,7 @@ HEADLINE = [
     "graph_lp_training_set",
     "events_evalue_sequential",
     "dedup_winnowing_match_spans",
+    "pipeline_entity_resolution",
 ]
 
 

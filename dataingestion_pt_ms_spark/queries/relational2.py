@@ -564,3 +564,102 @@ def join_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 2)
         .orderBy("pcode", "word_a", "word_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution end-to-end (round 4): the classic ER pipeline in one
+# auditable query — blocking (brand × length band, the fuzzy-join
+# scheme) → pairwise scoring (levenshtein ≤ 3) → TRANSITIVE CLOSURE into
+# entities (the step pairwise matching alone gets wrong: A~B and B~C
+# must land A,B,C in ONE entity even when A~C fails the threshold) →
+# canonical record survivorship (min-key's name). Spark runs the
+# pointer-jumping connected-components operator (O(log d) rounds); the
+# oracle computes the same closure with a recursive min-label CTE under
+# UNION (finite state space ⇒ termination). Output: one row per
+# multi-member entity + the singleton count folded in as entity_size 1
+# rows? No — per-entity summary keeps the result bounded: entity id,
+# size, canonical name, member list.
+# --------------------------------------------------------------------------
+ER_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS u, b.p_partkey AS v
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand
+   AND (length(a.p_name) // 4) = (length(b.p_name) // 4)
+   AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+), e AS (
+  SELECT u AS a, b FROM (SELECT u, v AS b FROM pairs)
+  UNION ALL SELECT v, u FROM pairs
+), cc(node, lbl) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.node
+), ent AS (
+  SELECT node, min(lbl) AS entity_id FROM cc GROUP BY node
+), sized AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS entity_size FROM ent GROUP BY entity_id
+)
+SELECT sized.entity_id AS entity_id, entity_size,
+       (SELECT p_name FROM part WHERE p_partkey = sized.entity_id) AS canonical_name,
+       (SELECT string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
+        FROM ent WHERE ent.entity_id = sized.entity_id) AS members
+FROM sized
+WHERE entity_size >= 2
+ORDER BY entity_id
+"""
+
+
+@register(
+    "pipeline_entity_resolution", oracle=ER_ORACLE, tags=("join", "fuzzy", "graph", "pipeline")
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("u"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+        F.floor(F.length("p_name") / 4).alias("len_band"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("v"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+        F.floor(F.length("p_name") / 4).alias("len_band"),
+    )
+    pairs = (
+        a.join(b, ["brand", "len_band"])
+        .where(F.col("u") < F.col("v"))
+        .where(F.levenshtein("name_a", "name_b") <= 3)
+        .select("u", "v")
+    )
+    nodes = part.select(F.col("p_partkey").alias("node"))
+    ent = connected_components(pairs, src="u", dst="v", nodes=nodes).select(
+        "node", F.col("component").alias("entity_id")
+    )
+    # members numerically ordered like the oracle's ORDER BY node:
+    # collect as longs, sort, then stringify
+    sized = (
+        ent.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("entity_size"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .where(F.col("entity_size") >= 2)
+    )
+    canon = part.select(
+        F.col("p_partkey").alias("entity_id"), F.col("p_name").alias("canonical_name")
+    )
+    return (
+        sized.join(F.broadcast(canon), "entity_id")
+        .select("entity_id", "entity_size", "canonical_name", "members")
+        .orderBy("entity_id")
+    )
