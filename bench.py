@@ -248,7 +248,7 @@ BASELINE_SEC = {
     "graph_lp_training_set": 4.00,
     "events_evalue_sequential": 0.82,
     "dedup_winnowing_match_spans": 1.86,
-    "pipeline_entity_resolution": 4.50,
+    "pipeline_entity_resolution": 3.86,
 }
 GUARD_FACTOR = 2.0
 

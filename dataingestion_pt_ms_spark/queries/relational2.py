@@ -568,44 +568,47 @@ def join_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Entity resolution end-to-end (round 4): the classic ER pipeline in one
-# auditable query — blocking (brand × length band, the fuzzy-join
-# scheme) → pairwise scoring (levenshtein ≤ 3) → TRANSITIVE CLOSURE into
-# entities (the step pairwise matching alone gets wrong: A~B and B~C
-# must land A,B,C in ONE entity even when A~C fails the threshold) →
-# canonical record survivorship (min-key's name). Spark runs the
-# pointer-jumping connected-components operator (O(log d) rounds); the
-# oracle computes the same closure with a recursive min-label CTE under
-# UNION (finite state space ⇒ termination). Output: one row per
-# multi-member entity + the singleton count folded in as entity_size 1
-# rows? No — per-entity summary keeps the result bounded: entity id,
-# size, canonical name, member list.
+# auditable query — EXACT-COLLAPSE first (the house rule, and the make-
+# or-break here: the fixture has 64 distinct names over 20k parts, so
+# pairwise on raw keys is 6.6M mostly-exact pairs and an 8 s CC, while
+# rep-level is a few hundred pairs — measured 11.7 s → 3.9 s) → blocking
+# (brand × length band) → levenshtein ≤ 3 scoring over the distinct
+# (brand, name) representatives → TRANSITIVE CLOSURE into entities (the
+# step pairwise matching alone gets wrong: A~B, B~C must land A,B,C in
+# one entity even when A~C fails the threshold) → min-key canonical
+# survivorship, membership expanded back through the collapse map.
+# Spark: pointer-jumping connected components; oracle: recursive
+# min-label CTE under UNION (finite state space ⇒ termination).
 # --------------------------------------------------------------------------
 ER_ORACLE = """
-WITH RECURSIVE pairs AS (
-  SELECT a.p_partkey AS u, b.p_partkey AS v
-  FROM part a JOIN part b
-    ON a.p_brand = b.p_brand
-   AND (length(a.p_name) // 4) = (length(b.p_name) // 4)
-   AND a.p_partkey < b.p_partkey
-  WHERE levenshtein(a.p_name, b.p_name) <= 3
+WITH RECURSIVE recs AS (
+  SELECT p_brand AS brand, p_name AS name, min(p_partkey) AS rep,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY brand, name
+), pairs AS (
+  SELECT a.rep AS u, b.rep AS v
+  FROM recs a JOIN recs b
+    ON a.brand = b.brand
+   AND (length(a.name) // 4) = (length(b.name) // 4)
+   AND a.rep < b.rep
+  WHERE levenshtein(a.name, b.name) <= 3
 ), e AS (
-  SELECT u AS a, b FROM (SELECT u, v AS b FROM pairs)
-  UNION ALL SELECT v, u FROM pairs
+  SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs
 ), cc(node, lbl) AS (
-  SELECT p_partkey, p_partkey FROM part
+  SELECT rep, rep FROM recs
   UNION
   SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.node
 ), ent AS (
   SELECT node, min(lbl) AS entity_id FROM cc GROUP BY node
-), sized AS (
-  SELECT entity_id, CAST(count(*) AS BIGINT) AS entity_size FROM ent GROUP BY entity_id
 )
-SELECT sized.entity_id AS entity_id, entity_size,
-       (SELECT p_name FROM part WHERE p_partkey = sized.entity_id) AS canonical_name,
-       (SELECT string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
-        FROM ent WHERE ent.entity_id = sized.entity_id) AS members
-FROM sized
-WHERE entity_size >= 2
+SELECT entity_id,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(n_parts) AS BIGINT) AS n_parts,
+       (SELECT p_name FROM part WHERE p_partkey = entity_id) AS canonical_name,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS member_reps
+FROM ent JOIN recs ON recs.rep = ent.node
+GROUP BY entity_id
+HAVING count(*) >= 2
 ORDER BY entity_id
 """
 
@@ -617,17 +620,19 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     part = load_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("u"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand"),
-        F.floor(F.length("p_name") / 4).alias("len_band"),
+    recs = part.groupBy(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("name")
+    ).agg(
+        F.min("p_partkey").alias("rep"), F.count(F.lit(1)).alias("n_parts")
     )
-    b = part.select(
-        F.col("p_partkey").alias("v"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand"),
-        F.floor(F.length("p_name") / 4).alias("len_band"),
+    recs = recs.localCheckpoint(eager=False)  # pair + expand branches
+    a = recs.select(
+        F.col("rep").alias("u"), F.col("name").alias("name_a"), "brand",
+        F.floor(F.length("name") / 4).alias("len_band"),
+    )
+    b = recs.select(
+        F.col("rep").alias("v"), F.col("name").alias("name_b"), "brand",
+        F.floor(F.length("name") / 4).alias("len_band"),
     )
     pairs = (
         a.join(b, ["brand", "len_band"])
@@ -635,31 +640,37 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.levenshtein("name_a", "name_b") <= 3)
         .select("u", "v")
     )
-    nodes = part.select(F.col("p_partkey").alias("node"))
-    ent = connected_components(pairs, src="u", dst="v", nodes=nodes).select(
+    ent = connected_components(pairs, src="u", dst="v").select(
         "node", F.col("component").alias("entity_id")
     )
-    # members numerically ordered like the oracle's ORDER BY node:
-    # collect as longs, sort, then stringify
-    sized = (
-        ent.groupBy("entity_id")
+    # reps with no fuzzy edge stay singleton records
+    ent = recs.select(F.col("rep").alias("node")).join(ent, "node", "left").select(
+        "node", F.coalesce("entity_id", "node").alias("entity_id")
+    )
+    grouped = (
+        ent.join(recs.select(F.col("rep").alias("node"), "n_parts"), "node")
+        .groupBy("entity_id")
         .agg(
-            F.count(F.lit(1)).alias("entity_size"),
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("n_parts").alias("n_parts"),
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list("node")),
                     lambda x: x.cast("string"),
                 ),
                 ",",
-            ).alias("members"),
+            ).alias("member_reps"),
         )
-        .where(F.col("entity_size") >= 2)
+        .where(F.col("n_records") >= 2)
     )
     canon = part.select(
         F.col("p_partkey").alias("entity_id"), F.col("p_name").alias("canonical_name")
     )
     return (
-        sized.join(F.broadcast(canon), "entity_id")
-        .select("entity_id", "entity_size", "canonical_name", "members")
+        grouped.join(F.broadcast(canon), "entity_id")
+        .select(
+            "entity_id", "n_records", F.col("n_parts").cast("long").alias("n_parts"),
+            "canonical_name", "member_reps",
+        )
         .orderBy("entity_id")
     )
