@@ -249,6 +249,7 @@ BASELINE_SEC = {
     "events_evalue_sequential": 0.82,
     "dedup_winnowing_match_spans": 1.86,
     "pipeline_entity_resolution": 3.86,
+    "multimodal_bmp_decode": 0.59,
 }
 GUARD_FACTOR = 2.0
 
@@ -477,6 +478,7 @@ HEADLINE = [
     "events_evalue_sequential",
     "dedup_winnowing_match_spans",
     "pipeline_entity_resolution",
+    "multimodal_bmp_decode",
 ]
 
 

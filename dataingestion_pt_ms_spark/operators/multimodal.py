@@ -209,3 +209,90 @@ def fake_resize(
             )
 
     return df.select(key_col, "media_bytes").mapInPandas(resize, schema)
+
+
+# --------------------------------------------------------------------------
+# Codec-free REAL decode (round 4): 24-bit uncompressed BMP needs no
+# image library — the format is a 54-byte header plus bottom-up,
+# 4-byte-aligned BGR pixel rows, fully parseable with struct/numpy that
+# ARE in the container. This turns the decode stage from "stubbed, would
+# work on a cluster with codecs" into "runs here, end to end": generate →
+# write as binary column → mapInPandas decode → pixel statistics, all
+# engine-tested against the known generated pixels.
+# --------------------------------------------------------------------------
+def encode_bmp(pixels) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array to a 24-bit BMP (BI_RGB)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype="uint8")
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    return header + b"".join(rows)
+
+
+def decode_bmp(data: bytes):
+    """Parse a 24-bit BI_RGB BMP into an (h, w, 3) uint8 RGB array —
+    pure struct/numpy, no codec library."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported, got bpp={bpp} comp={comp}")
+    row_size = (w * 3 + 3) // 4 * 4
+    out = np.empty((abs(h), w, 3), dtype="uint8")
+    top_down = h < 0
+    h = abs(h)
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        row = np.frombuffer(data, dtype="uint8", count=w * 3, offset=offset + i * row_size)
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def bmp_feature_extract(df: DataFrame, key_col: str = "doc_id", bytes_col: str = "media_bytes") -> DataFrame:
+    """REAL in-container decode path: mapInPandas over Arrow batches,
+    each payload parsed by ``decode_bmp``, emitting (width, height,
+    mean r/g/b) — the no-stub proof that the multimodal plumbing carries
+    actual pixel semantics, not just byte lengths."""
+    schema = (
+        f"{key_col} long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_bmp(bytes(r[bytes_col]))
+                means = arr.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        r[key_col], int(arr.shape[1]), int(arr.shape[0]),
+                        float(means[0]), float(means[1]), float(means[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[key_col, "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(key_col, bytes_col).mapInPandas(extract, schema)

@@ -2037,3 +2037,74 @@ def sim_margin_alignment_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+# --------------------------------------------------------------------------
+# REAL multimodal decode with a FULL oracle (round 4): pixels are
+# generated arithmetically from doc_id — pixel(y,x,c) = (id·31 + y·7 +
+# x·3 + c) mod 256 — serialized to actual 24-bit BMP bytes, decoded back
+# by the pure-struct/numpy parser (operators/multimodal.encode_bmp /
+# decode_bmp: no codec library involved), and reduced to per-channel
+# means. The oracle computes the same means straight from the arithmetic
+# (a 32-term generate_series sum), so a decode bug — wrong channel
+# order, bottom-up flip, row padding — breaks the value hash. This
+# retires the last "decode is stubbed" caveat: the container decodes
+# real image bytes end to end.
+# --------------------------------------------------------------------------
+_BMP_H, _BMP_W = 4, 8
+
+BMP_DECODE_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 100
+), px AS (
+  SELECT doc_id, c,
+         avg(CAST((doc_id * 31 + y * 7 + x * 3 + c) % 256 AS DOUBLE)) AS m
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, {_BMP_H - 1})) AS y)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_BMP_W - 1})) AS x)
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c)
+  GROUP BY doc_id, c
+)
+SELECT doc_id, {_BMP_W} AS width, {_BMP_H} AS height,
+       round(max(CASE WHEN c = 0 THEN m END), 6) AS mean_r,
+       round(max(CASE WHEN c = 1 THEN m END), 6) AS mean_g,
+       round(max(CASE WHEN c = 2 THEN m END), 6) AS mean_b
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle=BMP_DECODE_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                y, x, ch = np.meshgrid(
+                    np.arange(_BMP_H), np.arange(_BMP_W), np.arange(3),
+                    indexing="ij",
+                )
+                arr = ((int(doc_id) * 31 + y * 7 + x * 3 + ch) % 256).astype("uint8")
+                rows.append((int(doc_id), bytearray(M.encode_bmp(arr))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    bmps = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
+    feats = M.bmp_feature_extract(bmps)
+    return feats.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("doc_id")

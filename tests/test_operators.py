@@ -1587,3 +1587,31 @@ def test_winnowing_spans_locate_planted_region(spark):
     # shared fingerprints must fall inside the planted runs
     assert 55 <= r.a_span_lo and r.a_span_hi <= 72
     assert 75 <= r.b_span_lo and r.b_span_hi <= 92
+
+
+def test_bmp_roundtrip_and_feature_extract(spark):
+    """REAL codec-free decode: generated 24-bit BMPs (known pixel
+    values, including a non-4-aligned width that exercises row padding)
+    round-trip through encode_bmp/decode_bmp exactly, and the
+    mapInPandas feature stage recovers the exact per-channel means."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    payloads = []
+    for doc_id, (h, w) in enumerate([(4, 4), (3, 5), (2, 7)]):  # 5,7: padding
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype="uint8")
+        data = M.encode_bmp(arr)
+        back = M.decode_bmp(data)
+        assert (back == arr).all(), (h, w)
+        means = arr.reshape(-1, 3).mean(axis=0)
+        payloads.append((doc_id, bytearray(data), w, h, [float(x) for x in means]))
+    df = spark.createDataFrame(
+        [(p[0], p[1]) for p in payloads], ["doc_id", "media_bytes"]
+    )
+    got = {r.doc_id: r for r in M.bmp_feature_extract(df).collect()}
+    for doc_id, _, w, h, means in payloads:
+        r = got[doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert abs(r.mean_r - means[0]) < 1e-9
+        assert abs(r.mean_g - means[1]) < 1e-9
+        assert abs(r.mean_b - means[2]) < 1e-9
