@@ -296,3 +296,76 @@ def bmp_feature_extract(df: DataFrame, key_col: str = "doc_id", bytes_col: str =
             )
 
     return df.select(key_col, bytes_col).mapInPandas(extract, schema)
+
+
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Serialize an int16 mono sample array to a PCM16 WAV — pure struct,
+    the audio sibling of ``encode_bmp``."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    data = arr.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(data: bytes):
+    """Parse a PCM16 mono WAV into (samples: int16 ndarray, rate) — no
+    audio library; walks RIFF chunks so extra metadata chunks don't
+    break it."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size % 2)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+def wav_feature_extract(df: DataFrame, key_col: str = "doc_id", bytes_col: str = "media_bytes") -> DataFrame:
+    """mapInPandas audio features over decoded PCM16: sample count,
+    duration, RMS amplitude, zero-crossing rate — the standard cheap
+    audio triage stats, computed from REAL decoded samples."""
+    import numpy as np
+
+    schema = (
+        f"{key_col} long, n_samples long, duration_s double, "
+        "rms double, zcr double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                s, rate = decode_wav(bytes(r[bytes_col]))
+                x = s.astype("float64")
+                n = len(x)
+                rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                zc = (
+                    float(((x[:-1] * x[1:]) < 0).sum()) / (n - 1) if n > 1 else 0.0
+                )
+                rows.append((r[key_col], n, n / rate, rms, zc))
+            yield pd.DataFrame(
+                rows, columns=[key_col, "n_samples", "duration_s", "rms", "zcr"]
+            )
+
+    return df.select(key_col, bytes_col).mapInPandas(extract, schema)

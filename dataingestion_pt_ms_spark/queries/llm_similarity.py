@@ -2108,3 +2108,69 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# REAL audio decode with a FULL oracle (round 4): the WAV sibling of
+# multimodal_bmp_decode — PCM16 samples s_i = ((id·13 + i·7) mod 2001) −
+# 1000 serialized to actual RIFF/WAVE bytes, chunk-walked back by the
+# pure-struct parser, reduced to RMS + zero-crossing rate; the oracle
+# recomputes both from the sample formula. Image + audio decode now both
+# RUN in this container.
+# --------------------------------------------------------------------------
+_WAV_N, _WAV_RATE = 800, 8000
+
+WAV_DECODE_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 100
+), s AS (
+  SELECT doc_id, i,
+         CAST((doc_id * 13 + i * 7) % 2001 - 1000 AS DOUBLE) AS x
+  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, {_WAV_N - 1})) AS i)
+), z AS (
+  SELECT doc_id, x,
+         lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+  FROM s
+)
+SELECT doc_id,
+       {_WAV_N} AS n_samples,
+       round({_WAV_N} / {_WAV_RATE}.0, 6) AS duration_s,
+       round(sqrt(avg(x * x)), 6) AS rms,
+       round(sum(CASE WHEN px IS NOT NULL AND px * x < 0 THEN 1.0 ELSE 0.0 END)
+             / ({_WAV_N} - 1), 6) AS zcr
+FROM z
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle=WAV_DECODE_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(_WAV_N)
+                s = ((int(doc_id) * 13 + i * 7) % 2001 - 1000).astype("<i2")
+                rows.append((int(doc_id), bytearray(M.encode_wav(s, _WAV_RATE))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    wavs = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
+    feats = M.wav_feature_extract(wavs)
+    return feats.select(
+        "doc_id", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+    ).orderBy("doc_id")

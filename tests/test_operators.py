@@ -1615,3 +1615,29 @@ def test_bmp_roundtrip_and_feature_extract(spark):
         assert abs(r.mean_r - means[0]) < 1e-9
         assert abs(r.mean_g - means[1]) < 1e-9
         assert abs(r.mean_b - means[2]) < 1e-9
+
+
+def test_wav_roundtrip_chunk_walk(spark):
+    """PCM16 WAV round-trip: known samples survive encode/decode exactly,
+    and the chunk walker tolerates an extra metadata chunk between fmt
+    and data (real-world WAVs carry LIST/INFO chunks)."""
+    import struct
+
+    import numpy as np
+
+    s = np.array([0, 1000, -1000, 32767, -32768, 5], dtype="<i2")
+    data = M.encode_wav(s, 8000)
+    back, rate = M.decode_wav(data)
+    assert rate == 8000 and (back == s).all()
+    # splice a LIST chunk before data
+    hdr, body = data[:36], data[36:]
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    spliced = (
+        data[:4]
+        + struct.pack("<I", len(data) - 8 + len(extra))
+        + data[8:36]
+        + extra
+        + body
+    )
+    back2, _ = M.decode_wav(spliced)
+    assert (back2 == s).all()
