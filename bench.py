@@ -250,7 +250,7 @@ BASELINE_SEC = {
     "dedup_winnowing_match_spans": 1.86,
     "pipeline_entity_resolution": 3.86,
     "multimodal_bmp_decode": 0.59,
-    "multimodal_wav_decode": 0.60,
+    "multimodal_wav_decode": 2.06,
 }
 GUARD_FACTOR = 2.0
 
