@@ -251,6 +251,18 @@ BASELINE_SEC = {
     "pipeline_entity_resolution": 3.86,
     "multimodal_bmp_decode": 0.59,
     "multimodal_wav_decode": 2.06,
+    # round-4 session-5 additions (min-of-2 hot, sf0.1)
+    "lineitem_histogram_split_finder": 0.71,
+    "orders_target_encoding_oof": 1.00,
+    "sketch_ddsketch_quantiles": 1.33,
+    "sim_mutual_knn_pairs": 0.84,
+    "warehouse_compaction_plan": 0.98,
+    "text_qlm_dirichlet_topk": 1.20,
+    "text_stupid_backoff_logprob": 0.88,
+    "events_hbos_outliers": 0.87,
+    "events_cuped_adjustment": 0.64,
+    "warehouse_k_anonymity_audit": 0.42,
+    "dedup_blocking_quality_audit": 5.03,
 }
 GUARD_FACTOR = 2.0
 
@@ -481,6 +493,17 @@ HEADLINE = [
     "pipeline_entity_resolution",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
+    "lineitem_histogram_split_finder",
+    "orders_target_encoding_oof",
+    "sketch_ddsketch_quantiles",
+    "sim_mutual_knn_pairs",
+    "warehouse_compaction_plan",
+    "text_qlm_dirichlet_topk",
+    "text_stupid_backoff_logprob",
+    "events_hbos_outliers",
+    "events_cuped_adjustment",
+    "warehouse_k_anonymity_audit",
+    "dedup_blocking_quality_audit",
 ]
 
 

@@ -68,6 +68,7 @@ def _load_all() -> None:
         llm_quality,
         llm_similarity,
         llm_text,
+        mlprep,
         recommend,
         relational,
         relational2,

@@ -2170,3 +2170,149 @@ def events_evalue_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(emax, 6).alias("e_max"),
         (emax >= 20).alias("rejected_at_005"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# HBOS outlier scoring (Goldstein & Dengel 2012): histogram-based outlier
+# score = Σ_features −ln(p(feature bin)) under an independence assumption.
+# The anomaly-detection workhorse when isolation forests are too slow /
+# too random for an audit trail: each feature's histogram is ONE map-side
+# partial agg over a bounded key space (value bins + hours + event types),
+# the score pass is three broadcast join-backs — no model state, fully
+# mergeable across shards, deterministic. Complements MAD (per-type
+# univariate) with a multi-feature joint rarity score. Top-20 rarest
+# events, ties on event_id.
+# --------------------------------------------------------------------------
+_HBOS_BINW = 50.0
+_HBOS_TOPK = 20
+
+HBOS_ORACLE = f"""
+WITH feat AS (
+  SELECT event_id,
+         CAST(floor(value / {_HBOS_BINW}) AS BIGINT) AS vbin,
+         CAST(hour(ts) AS BIGINT) AS hbin,
+         event_type
+  FROM events
+), n AS ( SELECT CAST(count(*) AS DOUBLE) AS n FROM feat ),
+vh AS ( SELECT vbin, count(*) AS c FROM feat GROUP BY vbin ),
+hh AS ( SELECT hbin, count(*) AS c FROM feat GROUP BY hbin ),
+th AS ( SELECT event_type, count(*) AS c FROM feat GROUP BY event_type ),
+scored AS (
+  SELECT f.event_id, f.vbin, f.hbin, f.event_type,
+         -ln(vh.c / n.n) - ln(hh.c / n.n) - ln(th.c / n.n) AS s
+  FROM feat f
+  JOIN vh ON vh.vbin = f.vbin
+  JOIN hh ON hh.hbin = f.hbin
+  JOIN th ON th.event_type = f.event_type
+  CROSS JOIN n
+)
+SELECT event_id, vbin, hbin, event_type, round(s, 6) AS hbos_score
+FROM scored
+ORDER BY round(s, 6) DESC, event_id
+LIMIT {_HBOS_TOPK}
+"""
+
+
+@register("events_hbos_outliers", oracle=HBOS_ORACLE, tags=("timeseries", "stats"))
+def events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        "event_id",
+        F.floor(F.col("value") / _HBOS_BINW).cast("bigint").alias("vbin"),
+        F.hour("ts").cast("bigint").alias("hbin"),
+        "event_type",
+    )
+    feat = feat.localCheckpoint(eager=False)  # histogram + score branches
+    n = feat.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    vh = feat.groupBy("vbin").agg(F.count(F.lit(1)).alias("cv"))
+    hh = feat.groupBy("hbin").agg(F.count(F.lit(1)).alias("ch"))
+    th = feat.groupBy("event_type").agg(F.count(F.lit(1)).alias("ct"))
+    s = (
+        -F.log(F.col("cv") / F.col("n"))
+        - F.log(F.col("ch") / F.col("n"))
+        - F.log(F.col("ct") / F.col("n"))
+    )
+    return (
+        feat.join(F.broadcast(vh), "vbin")
+        .join(F.broadcast(hh), "hbin")
+        .join(F.broadcast(th), "event_type")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_id",
+            "vbin",
+            "hbin",
+            "event_type",
+            F.round(s, 6).alias("hbos_score"),
+        )
+        .orderBy(F.col("hbos_score").desc(), "event_id")
+        .limit(_HBOS_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al., WSDM'13): the standard experiment
+# -analysis adjustment — y_cuped = y − θ·(x − mean(x)) with x a PRE-period
+# covariate and θ = cov(x, y)/var(x) pooled across arms, provably unbiased
+# for the treatment effect while shrinking variance by corr². Pipeline:
+# one groupBy(user) builds (pre, post) sums, one tiny agg computes θ and
+# mean(x) (broadcast back), per-arm moments close it out. Deterministic
+# arms via user_id parity (the md5-split discipline would also do).
+# Completes the experimentation family: Welch t, diff-in-diff, e-values,
+# Wilson — this is the variance-reduction preprocessor they'd run on.
+# --------------------------------------------------------------------------
+_CUPED_CUT = "2024-01-16"
+
+CUPED_ORACLE = f"""
+WITH peruser AS (
+  SELECT user_id, user_id % 2 AS arm,
+         SUM(CASE WHEN ts <  TIMESTAMP '{_CUPED_CUT}' THEN value ELSE 0 END) AS x,
+         SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}' THEN value ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), theta AS (
+  SELECT covar_samp(x, y) / var_samp(x) AS th, avg(x) AS mx FROM peruser
+), adj AS (
+  SELECT arm, y, y - th * (x - mx) AS yc FROM peruser CROSS JOIN theta
+)
+SELECT arm, CAST(count(*) AS BIGINT) AS n,
+       round(avg(y), 4) AS mean_y,
+       round(var_samp(y), 2) AS var_y,
+       round(avg(yc), 4) AS mean_y_cuped,
+       round(var_samp(yc), 2) AS var_y_cuped,
+       round(1.0 - var_samp(yc) / var_samp(y), 4) AS var_reduction
+FROM adj GROUP BY arm
+ORDER BY arm
+"""
+
+
+@register("events_cuped_adjustment", oracle=CUPED_ORACLE, tags=("timeseries", "stats"))
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    peruser = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    peruser = peruser.localCheckpoint(eager=False)  # theta + adjust branches
+    theta = peruser.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("th"),
+        F.avg("x").alias("mx"),
+    )
+    adj = peruser.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))).alias("yc"),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("y"), 4).alias("mean_y"),
+            F.round(F.var_samp("y"), 2).alias("var_y"),
+            F.round(F.avg("yc"), 4).alias("mean_y_cuped"),
+            F.round(F.var_samp("yc"), 2).alias("var_y_cuped"),
+            F.round(1.0 - F.var_samp("yc") / F.var_samp("y"), 4).alias(
+                "var_reduction"
+            ),
+        )
+        .orderBy("arm")
+    )

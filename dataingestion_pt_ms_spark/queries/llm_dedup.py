@@ -1467,3 +1467,99 @@ def dedup_winnowing_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id",
         k=_WN_K, w=_WN_W, min_shared=_WN_MIN, max_postings=_WN_CAP,
     ).orderBy("key_a", "key_b")
+
+
+# --------------------------------------------------------------------------
+# Blocking-quality audit: reduction ratio + pair completeness — the two
+# numbers record-linkage methodology (Christen 2012) demands before any
+# blocking scheme ships. Truth set = a HIGHER-RECALL reference blocking
+# over the same 64 minhash components (16 bands × 4 rows: collision prob
+# at J=0.8 is 1−(1−0.8⁴)¹⁶ ≈ 0.9998 vs production 8×8's ≈ 0.77), exact-
+# Jaccard-verified at ≥ 0.8 — "recall relative to a more expensive
+# method", the standard trick when labeled pairs don't exist. Everything
+# stays O(candidates): reduction ratio needs only counts (the C(n,2)
+# denominator is arithmetic, never materialized), so the audit scales the
+# same way the blocking it audits does. Companion of the band-cost
+# pre-flight (dedup_lsh_band_cost_audit): that query bills the candidate
+# volume, this one prices what the bill buys in recall.
+# --------------------------------------------------------------------------
+_BANDS16 = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, concat_ws(',', {cols}) AS band_key FROM sig".format(
+        b=b, cols=", ".join(f"m{b * 4 + r}" for r in range(4))
+    )
+    for b in range(16)
+)
+
+BLOCKING_QUALITY_ORACLE = f"""
+WITH {_MINHASH_PIPE_CTES}, banded16 AS (
+  {_BANDS16}
+), cand16 AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM banded16 a
+  JOIN banded16 b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+), truth AS (
+  SELECT key_a, key_b
+  FROM cand16
+  JOIN shl a ON cand16.key_a = a.doc_id
+  JOIN shl b ON cand16.key_b = b.doc_id
+  WHERE {_DJACC} >= 0.8
+), m AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_cand,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM pairs JOIN truth ON pairs.key_a = truth.key_a
+                               AND pairs.key_b = truth.key_b) AS n_cand_true
+)
+SELECT n_docs, n_cand, n_truth, n_cand_true,
+       round(1.0 - n_cand / (n_docs * (n_docs - 1) / 2.0), 6)
+         AS reduction_ratio,
+       round(CAST(n_cand_true AS DOUBLE) / n_truth, 6) AS pair_completeness
+FROM m
+"""
+
+
+@register(
+    "dedup_blocking_quality_audit",
+    oracle=BLOCKING_QUALITY_ORACLE,
+    tags=("llm", "dedup", "lsh", "audit"),
+)
+def dedup_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, "text", "doc_id")
+    sig = sig.localCheckpoint(eager=False)  # two banding passes share it
+    cand8 = D.lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=8)
+    cand8 = cand8.localCheckpoint(eager=False)  # counted + joined
+    cand16 = D.lsh_candidate_pairs(sig, "doc_id", bands=16, rows_per_band=4)
+    truth = (
+        D.jaccard_pairs(docs, cand16, "text", "doc_id")
+        .filter(F.col("jaccard") >= 0.8)
+        .select("key_a", "key_b")
+    )
+    truth = truth.localCheckpoint(eager=False)  # counted + joined
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nc = cand8.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    npt = (
+        cand8.join(truth, ["key_a", "key_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cand_true"))
+    )
+    return (
+        nd.crossJoin(nc)
+        .crossJoin(nt)
+        .crossJoin(npt)
+        .select(
+            "n_docs",
+            "n_cand",
+            "n_truth",
+            "n_cand_true",
+            F.round(
+                1.0 - F.col("n_cand") / (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.col("n_cand_true").cast("double") / F.col("n_truth"), 6
+            ).alias("pair_completeness"),
+        )
+    )

@@ -2174,3 +2174,71 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         F.round("zcr", 6).alias("zcr"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Mutual-kNN pair mining (reciprocal nearest neighbours): keep (a, b) only
+# when b is in a's top-k AND a is in b's top-k. The standard consistency
+# filter for bitext / paraphrase mining (Artetxe & Schwenk's margin
+# criterion uses the same reciprocal structure): unilateral neighbours are
+# usually hubs, mutual ones are usually translations/duplicates. Scale
+# shape: the kNN lists come from the per-cell GEMM top-k (pair space
+# Σ|cell|², k-bounded output), and the reciprocity check is an equi-join of
+# the k·n edge list with itself on the reversed key — never a re-scan of
+# the embedding matrix. Orientation collapsed to vec_a < vec_b.
+# --------------------------------------------------------------------------
+
+MUTUAL_KNN_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nb, a.label AS label,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, nb, label, cosine_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine_sim DESC, nb) AS rnk
+  FROM pairs
+), knn AS (
+  SELECT vec_id, nb, label, cosine_sim, rnk FROM ranked WHERE rnk <= 3
+)
+SELECT f.vec_id AS vec_a, f.nb AS vec_b, f.label,
+       f.cosine_sim, f.rnk AS rnk_ab, r.rnk AS rnk_ba
+FROM knn f
+JOIN knn r ON r.vec_id = f.nb AND r.nb = f.vec_id
+WHERE f.vec_id < f.nb
+ORDER BY f.vec_id, f.nb
+"""
+
+
+@register(
+    "sim_mutual_knn_pairs",
+    oracle=MUTUAL_KNN_ORACLE,
+    tags=("llm", "similarity", "knn"),
+)
+def sim_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import blocked_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = blocked_knn(emb, k=_KNN_K).select(
+        "vec_id", "nb", "label", "cosine_sim", F.col("rnk").cast("int").alias("rnk")
+    )
+    fwd = knn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("nb").alias("vec_b"),
+        "label",
+        "cosine_sim",
+        F.col("rnk").alias("rnk_ab"),
+    )
+    rev = knn.select(
+        F.col("nb").alias("vec_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("rnk").alias("rnk_ba"),
+    )
+    return (
+        fwd.join(rev, ["vec_a", "vec_b"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", "cosine_sim", "rnk_ab", "rnk_ba")
+        .orderBy("vec_a", "vec_b")
+    )

@@ -2006,3 +2006,209 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood retrieval (round 4): the language-
+# modeling side of the sparse-retrieval family (BM25 = probabilistic-IR
+# side, RRF fuses). score(d) = Σ_t ln((tf(t,d) + µ·P(t|C)) / (|d| + µ)),
+# µ = 50; P(t|C) = corpus term frequency / corpus token count. Unlike
+# BM25, every document scores (absent terms still draw collection mass),
+# so the per-(doc, term) grid is docs × |query| — linear, built by a
+# broadcast cross join with the 3-term panel and a left join of exact tf
+# counts. Same deterministic (rounded score, doc_id) ranking discipline.
+# --------------------------------------------------------------------------
+_QLM_MU = 50.0
+
+QLM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DTOKS}) AS t FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM tok GROUP BY doc_id
+), ctot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS ctoks FROM tok
+), qterms AS (
+  SELECT unnest([{_BM25_TERMS_SQL}]) AS t
+), cf AS (
+  SELECT q.t, CAST(count(tok.t) AS DOUBLE) AS cf
+  FROM qterms q LEFT JOIN tok ON tok.t = q.t GROUP BY q.t
+), tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, t
+), grid AS (
+  SELECT dl.doc_id, q.t, dl.dlen, COALESCE(tf.tf, 0.0) AS tf, cf.cf
+  FROM dl CROSS JOIN qterms q
+  JOIN cf ON cf.t = q.t
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.t = q.t
+), scored AS (
+  SELECT doc_id,
+         sum(ln((tf + {_QLM_MU} * (cf / ctot.ctoks)) / (dlen + {_QLM_MU})))
+           AS s
+  FROM grid CROSS JOIN ctot
+  GROUP BY doc_id
+)
+SELECT doc_id, round(s, 6) AS qlm_score
+FROM scored
+ORDER BY round(s, 6) DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register("text_qlm_dirichlet_topk", oracle=QLM_ORACLE, tags=("llm", "text", "retrieval"))
+def text_qlm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tok = tok.localCheckpoint(eager=False)  # dl + cf + tf branches
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dlen"))
+    ctot = tok.agg(F.count(F.lit(1)).cast("double").alias("ctoks"))
+    qterms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "t string")
+    cf = (
+        qterms.join(tok, "t", "left")
+        .groupBy("t")
+        .agg(F.count(F.col("doc_id")).cast("double").alias("cf"))
+    )
+    tf = (
+        tok.where(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    grid = (
+        dl.crossJoin(F.broadcast(qterms))
+        .join(F.broadcast(cf), "t")
+        .join(tf, ["doc_id", "t"], "left")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "doc_id",
+            "dlen",
+            F.coalesce(F.col("tf"), F.lit(0.0)).alias("tf"),
+            "cf",
+            "ctoks",
+        )
+    )
+    scored = grid.groupBy("doc_id").agg(
+        F.round(
+            F.sum(
+                F.log(
+                    (F.col("tf") + _QLM_MU * (F.col("cf") / F.col("ctoks")))
+                    / (F.col("dlen") + _QLM_MU)
+                )
+            ),
+            6,
+        ).alias("qlm_score")
+    )
+    return scored.orderBy(F.col("qlm_score").desc(), "doc_id").limit(_BM25_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Stupid-backoff bigram scoring (Brants et al., EMNLP'07 — the LM
+# smoothing DESIGNED for distributed corpora: no normalization pass, no
+# held-out tuning, just counts and one backoff constant, which is why the
+# original "Large Language Models in Machine Translation" system could
+# train on 2T tokens in MapReduce).
+#   S(w2|w1) = c(w1 w2)/c(w1)            if the train bigram exists,
+#            = 0.4 · (c(w2)+1)/(N+V)     otherwise (Laplace floor inside
+#                                         the unigram backoff covers OOV).
+# Train/eval split is the md5 house split (doc_id % 10 = 0 evaluates);
+# everything is exact integer counts + two left joins of the eval bigram
+# stream against broadcast-sized train count tables. Sibling of the add-k
+# (text_bigram_logprob) and Kneser-Ney rows — three smoothing regimes,
+# one count infrastructure.
+# --------------------------------------------------------------------------
+
+STUPID_BACKOFF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DTOKS}) AS t, generate_subscripts({_DTOKS}, 1) AS i
+  FROM documents
+), bg AS (
+  SELECT doc_id, t AS w1, lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM tok
+), train_bg AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg WHERE w2 IS NOT NULL AND doc_id % 10 <> 0 GROUP BY w1, w2
+), train_c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM train_bg GROUP BY w1
+), train_uni AS (
+  SELECT t AS w, CAST(count(*) AS BIGINT) AS cu
+  FROM tok WHERE doc_id % 10 <> 0 GROUP BY t
+), stats AS (
+  SELECT CAST(sum(cu) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM train_uni
+), eval_bg AS (
+  SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL AND doc_id % 10 = 0
+), scored AS (
+  SELECT e.doc_id,
+         CASE WHEN tb.c12 IS NOT NULL
+              THEN ln(CAST(tb.c12 AS DOUBLE) / tc.c1)
+              ELSE ln(0.4 * (COALESCE(tu.cu, 0) + 1.0) / (stats.n + stats.v))
+         END AS lp
+  FROM eval_bg e
+  LEFT JOIN train_bg tb ON tb.w1 = e.w1 AND tb.w2 = e.w2
+  LEFT JOIN train_c1 tc ON tc.w1 = e.w1
+  LEFT JOIN train_uni tu ON tu.w = e.w2
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logscore
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_stupid_backoff_logprob",
+    oracle=STUPID_BACKOFF_ORACLE,
+    tags=("llm", "text", "lm"),
+)
+def text_stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("i", "t"),
+    )
+    bg = tok.select(
+        "doc_id",
+        F.col("t").alias("w1"),
+        F.lead("t").over(W.partitionBy("doc_id").orderBy("i")).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    bg = bg.localCheckpoint(eager=False)  # train + eval branches
+    train_bg = (
+        bg.where(F.col("doc_id") % 10 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    train_c1 = train_bg.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    train_uni = (
+        tok.where(F.col("doc_id") % 10 != 0)
+        .groupBy(F.col("t").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    stats = train_uni.agg(
+        F.sum("cu").cast("double").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    ev = bg.where(F.col("doc_id") % 10 == 0)
+    lp = F.when(
+        F.col("c12").isNotNull(), F.log(F.col("c12").cast("double") / F.col("c1"))
+    ).otherwise(
+        F.log(
+            0.4 * (F.coalesce(F.col("cu"), F.lit(0)) + 1.0) / (F.col("n") + F.col("v"))
+        )
+    )
+    return (
+        ev.join(train_bg, ["w1", "w2"], "left")
+        .join(train_c1, "w1", "left")
+        .join(train_uni, ev["w2"] == F.col("w"), "left")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logscore"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1906,3 +1906,158 @@ def warehouse_rle_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         F.round(F.col("n").cast("double") / F.col("n_runs"), 2).alias("avg_run_len"),
     ).orderBy("layout", "column_name")
+
+
+# --------------------------------------------------------------------------
+# Compaction bin-packing plan (the OPTIMIZE / small-file-compaction
+# planner). File inventory simulated from orders metadata: one "file" per
+# (order month, writer bucket = o_orderkey % 8) with size = row count —
+# the shape a real lakehouse table's manifest would give. Plan: within
+# each partition, files are packed in writer-bucket order by cumulative
+# offset into groups of target size T = 4× the global mean file size
+# (scale-free), i.e. group = floor(cum_bytes_before / T) — the same
+# linear-scan packing Spark's own file-scan coalescing and Delta OPTIMIZE
+# use. Everything runs on the MANIFEST grain (rows = files, never data
+# rows): at 100 TB the plan is a metadata query over ~1e5 manifest
+# entries, and the window is partitioned by the table partition key.
+# --------------------------------------------------------------------------
+
+COMPACTION_PLAN_ORACLE = """
+WITH files AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+         o_orderkey % 8 AS bucket,
+         COUNT(*) AS sz
+  FROM orders GROUP BY 1, 2
+), t AS (
+  SELECT CAST(ceil(avg(sz) * 4) AS BIGINT) AS target FROM files
+), planned AS (
+  SELECT part, bucket, sz, target,
+         COALESCE(SUM(sz) OVER (PARTITION BY part ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_before
+  FROM files, t
+)
+SELECT part,
+       CAST(floor(CAST(cum_before AS DOUBLE) / target) AS BIGINT) AS grp,
+       COUNT(*) AS n_files,
+       CAST(SUM(sz) AS BIGINT) AS total_rows,
+       CAST(max(target) AS BIGINT) AS target_rows,
+       CASE WHEN SUM(sz) >= max(target) * 0.5 THEN 1 ELSE 0 END AS well_sized
+FROM planned
+GROUP BY part, CAST(floor(CAST(cum_before AS DOUBLE) / target) AS BIGINT)
+ORDER BY part, grp
+"""
+
+
+@register(
+    "warehouse_compaction_plan", oracle=COMPACTION_PLAN_ORACLE, tags=("warehouse",)
+)
+def warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+        (F.col("o_orderkey") % 8).alias("bucket"),
+    ).agg(F.count("*").alias("sz"))
+    target = files.agg(F.ceil(F.avg("sz") * 4).cast("long").alias("target"))
+    w = (
+        W.partitionBy("part")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    planned = files.crossJoin(F.broadcast(target)).withColumn(
+        "cum_before", F.coalesce(F.sum("sz").over(w), F.lit(0))
+    )
+    return (
+        planned.withColumn(
+            "grp",
+            F.floor(F.col("cum_before").cast("double") / F.col("target")).cast("long"),
+        )
+        .groupBy("part", "grp")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("sz").cast("long").alias("total_rows"),
+            F.max("target").cast("long").alias("target_rows"),
+            F.when(
+                F.sum("sz") >= F.max("target") * 0.5, F.lit(1)
+            ).otherwise(F.lit(0)).alias("well_sized"),
+        )
+        .orderBy("part", "grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala 2007):
+# the privacy-governance pass a data platform runs before releasing a
+# table — the RTBF delete sink's preventive sibling. Quasi-identifier =
+# (nation, market segment, account-balance band); an equivalence class
+# with < k members re-identifies its customers, and a class whose
+# sensitive attribute (order priority mix, via the orders join) is
+# near-constant leaks it even at k. Everything aggregates on the QI-class
+# grain (bounded by the QI domain product, not row count); the per-nation
+# rollup is a second tiny agg. Flags: classes below k=5, rows at risk,
+# and the minimum l-diversity per nation.
+# --------------------------------------------------------------------------
+_KANON_K = 5
+
+K_ANONYMITY_ORACLE = f"""
+WITH qi AS (
+  SELECT c.c_custkey,
+         c.c_nationkey AS nation,
+         c.c_mktsegment AS seg,
+         CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         o.o_orderpriority AS sens
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+), classes AS (
+  SELECT nation, seg, bal_band,
+         CAST(count(DISTINCT c_custkey) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT sens) AS BIGINT) AS l_div
+  FROM qi GROUP BY nation, seg, bal_band
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS k_violating_classes,
+       CAST(sum(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS customers_at_risk,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(min(l_div) AS BIGINT) AS min_l_diversity
+FROM classes
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register(
+    "warehouse_k_anonymity_audit", oracle=K_ANONYMITY_ORACLE, tags=("warehouse",)
+)
+def warehouse_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    qi = c.join(o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        F.col("o_orderpriority").alias("sens"),
+    )
+    classes = qi.groupBy("nation", "seg", "bal_band").agg(
+        F.countDistinct("c_custkey").cast("long").alias("class_size"),
+        F.countDistinct("sens").cast("long").alias("l_div"),
+    )
+    return (
+        classes.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_customers"),
+            F.sum(
+                F.when(F.col("class_size") < _KANON_K, 1).otherwise(0)
+            ).cast("long").alias("k_violating_classes"),
+            F.sum(
+                F.when(F.col("class_size") < _KANON_K, F.col("class_size")).otherwise(0)
+            ).cast("long").alias("customers_at_risk"),
+            F.min("class_size").cast("long").alias("min_class_size"),
+            F.min("l_div").cast("long").alias("min_l_diversity"),
+        )
+        .orderBy("nation")
+    )

@@ -117,3 +117,26 @@ def test_kmv_partial_merge_equals_single_pass(spark, sf_dir):
         .where(F.col("rn") <= K).select("k", "v").collect()
     }
     assert merged == single and len(single) == K
+
+
+def test_ddsketch_quantiles_within_relative_error_bound(spark, sf_dir):
+    """DDSketch's defining guarantee (Masson et al. VLDB'19): every
+    reported quantile is within relative error alpha of the true
+    rank-matched value. The query emits its own audit columns; the law
+    check is that they honor the bound (alpha = 1%, tiny slack for the
+    two rounds applied before the ratio)."""
+    rows = registry()["sketch_ddsketch_quantiles"].fn(spark, sf_dir).collect()
+    assert {r["q"] for r in rows} == {0.5, 0.9, 0.99}
+    for r in rows:
+        assert abs(r["rel_err"]) <= 0.0101, r
+
+
+def test_split_finder_gain_nonnegative_and_bins_partition(spark, sf_dir):
+    """Gini split gain is >= 0 by construction, and the best split must
+    leave both children non-empty (n_left + n_right = N per feature)."""
+    rows = registry()["lineitem_histogram_split_finder"].fn(spark, sf_dir).collect()
+    assert {r["feature"] for r in rows} == {"qty", "disc", "price"}
+    n_tot = {r["feature"]: r["n_left"] + r["n_right"] for r in rows}
+    assert len(set(n_tot.values())) == 1  # same N for every feature
+    for r in rows:
+        assert r["gain"] >= 0 and r["n_left"] > 0 and r["n_right"] > 0, r
