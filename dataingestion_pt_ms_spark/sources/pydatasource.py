@@ -32,13 +32,19 @@ from pyspark.sql.types import (
 )
 
 try:  # the datasource API needs pyspark >= 4.0
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
     HAVE_PY_DATASOURCE = True
 except ImportError:  # pragma: no cover - container always has pyspark 4
     HAVE_PY_DATASOURCE = False
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
+    DataSourceStreamReader = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
 
 
@@ -111,9 +117,63 @@ class SynthBarsDataSource(DataSource):
     def reader(self, schema: StructType) -> _BarsReader:
         return _BarsReader(self.options)
 
+    def streamReader(self, schema: StructType) -> "_BarsStreamReader":
+        return _BarsStreamReader(self.options)
+
 
 def register_synth_bars(spark) -> None:
     """Idempotent registration (re-registering replaces, which is fine)."""
     if not HAVE_PY_DATASOURCE:  # pragma: no cover
         raise RuntimeError("pyspark.sql.datasource requires pyspark >= 4.0")
     spark.dataSource.register(SynthBarsDataSource)
+
+
+class _BarsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the same deterministic bar space.
+
+    The reference's scheduler re-polls the REST feed on an interval and
+    hands each poll's bars to the pipeline (``app/main.py:48-78`` driving
+    ``app/alpaca_service.py:101-132``); Structured Streaming's contract for
+    exactly that shape is offset management: the engine asks
+    ``latestOffset()`` once per micro-batch (driver-side, cheap), plans one
+    partition per symbol for the [start, end) index range, and executors
+    generate/fetch only their slice. ``max_bars`` caps the offset walk so
+    the stream drains and an availableNow/steady-state test is
+    deterministic; replaying a committed range re-yields identical rows
+    (md5-derived values), which is what makes the source exactly-once
+    under checkpoint recovery.
+    """
+
+    def __init__(self, options: dict):
+        self.symbols = [
+            s.strip() for s in options.get("symbols", "AAPL,MSFT").split(",")
+        ]
+        self.bars_per_batch = int(options.get("bars_per_batch", "10"))
+        self.max_bars = int(options.get("max_bars", "50"))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        # driver-side monotone walk: advance one batch quantum per call,
+        # clamped at the cap (a real feed would report its head offset)
+        self._head = min(
+            getattr(self, "_head", 0) + self.bars_per_batch, self.max_bars
+        )
+        return {"idx": self._head}
+
+    def partitions(self, start: dict, end: dict) -> list[_BarsPartition]:
+        return [
+            _BarsPartition(pid, sym, int(start["idx"]), int(end["idx"]))
+            for pid, sym in enumerate(self.symbols)
+        ]
+
+    def read(self, partition: _BarsPartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            sym, idx, o, c, v = synth_bar(partition.symbol, i)
+            yield (sym, idx, o, c, v, partition.pid)
+
+    def commit(self, end: dict) -> None:
+        # nothing to clean up: the synthetic space is immutable; a real
+        # feed adapter would ack/trim its buffer here
+        pass

@@ -265,3 +265,54 @@ def test_schema_drift_audit(spark, tmp_path):
         ("fresh", "added", None, "int"),
         ("a", "type_changed", "int", "double"),
     }
+
+
+def test_custom_python_stream_source_drains_and_matches_twin(spark, tmp_path):
+    """Streaming half of the custom DataSource (DataSourceStreamReader):
+    the reference's interval re-poll (app/main.py:48-78) expressed as
+    offset management — latestOffset walks bars_per_batch per micro-batch
+    up to max_bars, partitions fan out per symbol, and the drained stream
+    equals the deterministic twin exactly (same md5-derived bar space as
+    the batch reader)."""
+    from dataingestion_pt_ms_spark.sources.pydatasource import (
+        register_synth_bars,
+        synth_bar,
+    )
+
+    register_synth_bars(spark)
+    stream = (
+        spark.readStream.format("synth_bars")
+        .option("symbols", "AAPL,MSFT")
+        .option("bars_per_batch", "7")
+        .option("max_bars", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_bars_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # the offset head advances one bars_per_batch quantum per micro-batch
+    # (the re-poll cadence); wait until the capped space is fully drained
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM synth_bars_stream").first().c >= 50:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    # multiple micro-batches actually ran (quantum 7 over 25 bars → >= 4)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 3
+    rows = spark.sql("SELECT * FROM synth_bars_stream").collect()
+    # drained exactly to the cap for each symbol, no dup, no gap
+    assert len(rows) == 2 * 25, len(rows)
+    got = {(r.symbol, r.bar_idx): (r.open, r.close, r.volume) for r in rows}
+    assert len(got) == 50
+    for sym in ("AAPL", "MSFT"):
+        for i in (0, 13, 24):
+            s, idx, o, c, v = synth_bar(sym, i)
+            assert got[(sym, i)] == (o, c, v)
