@@ -253,7 +253,7 @@ BASELINE_SEC = {
     "multimodal_wav_decode": 2.06,
     # round-4 session-5 additions (min-of-2 hot, sf0.1)
     "lineitem_histogram_split_finder": 0.71,
-    "orders_target_encoding_oof": 1.00,
+    "orders_target_encoding_oof": 0.57,
     "sketch_ddsketch_quantiles": 1.33,
     "sim_mutual_knn_pairs": 0.84,
     "warehouse_compaction_plan": 0.98,
@@ -263,6 +263,8 @@ BASELINE_SEC = {
     "events_cuped_adjustment": 0.64,
     "warehouse_k_anonymity_audit": 0.42,
     "dedup_blocking_quality_audit": 5.03,
+    "text_retrieval_eval_ndcg": 2.97,
+    "events_sequence_support": 0.64,
 }
 GUARD_FACTOR = 2.0
 
@@ -504,6 +506,8 @@ HEADLINE = [
     "events_cuped_adjustment",
     "warehouse_k_anonymity_audit",
     "dedup_blocking_quality_audit",
+    "text_retrieval_eval_ndcg",
+    "events_sequence_support",
 ]
 
 

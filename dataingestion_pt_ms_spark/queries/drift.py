@@ -2316,3 +2316,73 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequential-pattern support (GSP length-2, Srikant & Agrawal '96): for
+# every ordered event-type pair ⟨A → B⟩, how many users exhibit A-then-B
+# at least once, i.e. min(ts_A) < max(ts_B) — the seed statistic of
+# sequence mining and funnel discovery (events_funnel_stages assumes an
+# ordering; this query is how you FIND it). One groupBy builds the
+# (user, type, min_ts, max_ts) profile; the pattern join is per-user on
+# the type-cardinality² grid (25 rows/user here — bounded by the type
+# alphabet, never by events²). Support = antecedent-consequent users /
+# all users.
+# --------------------------------------------------------------------------
+
+SEQ_SUPPORT_ORACLE = """
+WITH prof AS (
+  SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+  FROM events GROUP BY user_id, event_type
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM events
+), pat AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         CAST(count(*) AS BIGINT) AS n_users_seq
+  FROM prof a
+  JOIN prof b ON b.user_id = a.user_id AND b.event_type <> a.event_type
+  WHERE a.mn < b.mx
+  GROUP BY a.event_type, b.event_type
+)
+SELECT antecedent, consequent, n_users_seq,
+       round(n_users_seq / nu.n_users, 6) AS support
+FROM pat CROSS JOIN nu
+ORDER BY antecedent, consequent
+"""
+
+
+@register(
+    "events_sequence_support", oracle=SEQ_SUPPORT_ORACLE, tags=("timeseries", "mining")
+)
+def events_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    prof = prof.localCheckpoint(eager=False)  # both sides of the grid join
+    nu = ev.agg(F.countDistinct("user_id").cast("double").alias("n_users"))
+    a = prof.select(
+        "user_id", F.col("event_type").alias("antecedent"), F.col("mn").alias("amn")
+    )
+    b = prof.select(
+        "user_id", F.col("event_type").alias("consequent"), F.col("mx").alias("bmx")
+    )
+    pat = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("amn") < F.col("bmx"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users_seq"))
+    )
+    return (
+        pat.crossJoin(F.broadcast(nu))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_users_seq",
+            F.round(F.col("n_users_seq") / F.col("n_users"), 6).alias("support"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

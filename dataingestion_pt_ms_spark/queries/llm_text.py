@@ -2212,3 +2212,122 @@ def text_stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: nDCG@10 / MRR / P@10 for the two rankers this
+# engine ships (BM25, Dirichlet QL), scored against graded relevance =
+# number of distinct query terms the document contains (0-3; binary
+# rel >= 1 for MRR/P@10). The eval harness every retrieval change needs
+# before shipping: both rankers' top-10 lists join the relevance labels
+# (a broadcast of 10 rows each), and the ideal-DCG normalizer is a top-10
+# over the label table — all bounded by k and the doc count, never by
+# pairs. Rankings and ideal ordering use the house deterministic
+# tie-break (rounded score / grade DESC, doc_id).
+# --------------------------------------------------------------------------
+
+_REL_GRADE_SQL = f"""
+  SELECT doc_id,
+         CAST(len(list_intersect(list_distinct({_DTOKS}),
+                                 [{_BM25_TERMS_SQL}])) AS BIGINT) AS rel
+  FROM documents
+"""
+
+RETRIEVAL_EVAL_ORACLE = f"""
+WITH rel AS ({_REL_GRADE_SQL}),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM ({BM25_ORACLE.strip().rstrip()}) b
+),
+ql AS (
+  SELECT doc_id, row_number() OVER (ORDER BY qlm_score DESC, doc_id) AS rnk
+  FROM ({QLM_ORACLE.strip().rstrip()}) q
+),
+runs AS (
+  SELECT 'bm25' AS ranker, doc_id, rnk FROM bm
+  UNION ALL
+  SELECT 'qlm' AS ranker, doc_id, rnk FROM ql
+),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+  FROM rel QUALIFY rnk <= 10
+),
+idcg AS (
+  SELECT sum((power(2.0, rel) - 1.0) / (ln(rnk + 1.0) / ln(2.0))) AS idcg
+  FROM ideal
+),
+scored AS (
+  SELECT runs.ranker, runs.rnk, rel.rel
+  FROM runs JOIN rel ON rel.doc_id = runs.doc_id
+)
+SELECT ranker,
+       round(sum((power(2.0, rel) - 1.0) / (ln(rnk + 1.0) / ln(2.0)))
+             / (SELECT idcg FROM idcg), 6) AS ndcg_at_10,
+       round(max(CASE WHEN rel >= 1 THEN 1.0 / rnk ELSE 0.0 END), 6) AS mrr,
+       round(sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) / 10.0, 6) AS p_at_10
+FROM scored
+GROUP BY ranker
+ORDER BY ranker
+"""
+
+
+@register(
+    "text_retrieval_eval_ndcg",
+    oracle=RETRIEVAL_EVAL_ORACLE,
+    tags=("llm", "text", "retrieval", "eval"),
+)
+def text_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    rel = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tokens(F.col("text"))),
+                F.array(*[F.lit(t) for t in _BM25_TERMS]),
+            )
+        ).cast("long").alias("rel"),
+    )
+    rel = rel.localCheckpoint(eager=False)  # ideal + two run joins
+    wb = W.partitionBy(F.lit(1)).orderBy(F.col("bm25").desc(), "doc_id")
+    bm = (
+        text_bm25_topk(spark, sf_dir)
+        .select("doc_id", F.row_number().over(wb).alias("rnk"))
+        .withColumn("ranker", F.lit("bm25"))
+    )
+    wq = W.partitionBy(F.lit(1)).orderBy(F.col("qlm_score").desc(), "doc_id")
+    ql = (
+        text_qlm_dirichlet_topk(spark, sf_dir)
+        .select("doc_id", F.row_number().over(wq).alias("rnk"))
+        .withColumn("ranker", F.lit("qlm"))
+    )
+    runs = bm.unionByName(ql)
+    wi = W.partitionBy(F.lit(1)).orderBy(F.col("rel").desc(), "doc_id")
+    ideal = (
+        rel.withColumn("rnk", F.row_number().over(wi)).filter(F.col("rnk") <= 10)
+    )
+    dcg_term = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / (
+        F.log(F.col("rnk") + 1.0) / F.lit(float(__import__("math").log(2.0)))
+    )
+    idcg = ideal.agg(F.sum(dcg_term).alias("idcg"))
+    scored = runs.join(rel, "doc_id")
+    return (
+        scored.crossJoin(F.broadcast(idcg))
+        .groupBy("ranker")
+        .agg(
+            F.round(F.sum(dcg_term) / F.first("idcg"), 6).alias("ndcg_at_10"),
+            F.round(
+                F.max(
+                    F.when(F.col("rel") >= 1, 1.0 / F.col("rnk")).otherwise(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.sum(F.when(F.col("rel") >= 1, 1).otherwise(0)) / 10.0, 6
+            ).alias("p_at_10"),
+        )
+        .orderBy("ranker")
+    )
