@@ -265,6 +265,10 @@ BASELINE_SEC = {
     "dedup_blocking_quality_audit": 5.03,
     "text_retrieval_eval_ndcg": 2.97,
     "events_sequence_support": 0.64,
+    "multimodal_image_phash_dedup": 1.08,
+    "orders_wasserstein_drift": 2.02,
+    "orders_hill_tail_index": 1.16,
+    "events_imr_control_chart": 0.53,
 }
 GUARD_FACTOR = 2.0
 
@@ -508,6 +512,10 @@ HEADLINE = [
     "dedup_blocking_quality_audit",
     "text_retrieval_eval_ndcg",
     "events_sequence_support",
+    "multimodal_image_phash_dedup",
+    "orders_wasserstein_drift",
+    "orders_hill_tail_index",
+    "events_imr_control_chart",
 ]
 
 

@@ -369,3 +369,34 @@ def wav_feature_extract(df: DataFrame, key_col: str = "doc_id", bytes_col: str =
             )
 
     return df.select(key_col, bytes_col).mapInPandas(extract, schema)
+
+
+def bmp_ahash64(
+    df: DataFrame, key_col: str = "doc_id", bytes_col: str = "media_bytes"
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over REAL decoded
+    pixels: decode the BMP payload, gray = integer channel sum per pixel
+    (0..765), bit(y, x) = [64·gray > Σ gray] — an all-integer comparison,
+    so the hash is bit-identical in any engine that sees the same pixels —
+    packed into the low 63 bits in row-major order (pixel (7,7) dropped:
+    63 bits keeps every shift inside a signed BIGINT, the simhash63 house
+    rule). Near-duplicate images then reduce to hamming distance on a
+    long — the image-side analogue of the text SimHash pipeline, sharing
+    its banding and verification machinery."""
+    schema = f"{key_col} long, ahash long"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_bmp(bytes(r[bytes_col]))
+                gray = arr.astype("int64").sum(axis=2).ravel()  # row-major
+                total = int(gray.sum())
+                bits = (64 * gray > total).astype("int64")[:63]
+                h = int((bits << np.arange(63, dtype="int64")).sum())
+                rows.append((r[key_col], h))
+            yield pd.DataFrame(rows, columns=[key_col, "ahash"])
+
+    return df.select(key_col, bytes_col).mapInPandas(hash_batch, schema)

@@ -209,3 +209,69 @@ def global_running_max(
         )
         .drop("_pid", "_lmx", "_off")
     )
+
+
+def global_prefix_scan(
+    df: DataFrame,
+    sum_cols: list[str],
+    order_cols: list[Column | str],
+    rn_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused global prefix scan: inclusive running sums for EVERY column in
+    ``sum_cols`` (output: ``<col>_cum``) and optionally a global row number
+    (``rn_col``) — in ONE range-partition pass. Chaining
+    ``global_running_sum`` + ``global_row_number`` pays the range-partition
+    exchange once per call; a CDF-style consumer (e.g. the Wasserstein
+    query: two cumulative counts + a neighbor rank) fuses them here for a
+    single shuffle. Same contract as the singletons: ``order_cols`` must be
+    a total order for determinism; the offsets frame is partition-count-
+    sized and broadcast."""
+    sort_exprs = _cols(order_cols)
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = df.repartitionByRange(p, *sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*sort_exprs)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in sum_cols:
+        parts = parts.withColumn(f"_lcs_{c}", F.sum(c).over(w))
+    if rn_col is not None:
+        parts = parts.withColumn(
+            "_lrn", F.row_number().over(W.partitionBy("_pid").orderBy(*sort_exprs))
+        )
+    parts = parts.localCheckpoint(eager=False)  # totals + offsets branches
+    aggs = [F.sum(c).alias(f"_t_{c}") for c in sum_cols] + [
+        F.count(F.lit(1)).alias("_t_n")
+    ]
+    counts = parts.groupBy("_pid").agg(*aggs)
+    earlier = counts.select(
+        F.col("_pid").alias("_pid2"),
+        *[F.col(f"_t_{c}").alias(f"_t2_{c}") for c in sum_cols],
+        F.col("_t_n").alias("_t2_n"),
+    )
+    off_aggs = [
+        F.coalesce(F.sum(f"_t2_{c}"), F.lit(0)).alias(f"_off_{c}") for c in sum_cols
+    ] + [F.coalesce(F.sum("_t2_n"), F.lit(0)).alias("_off_n")]
+    offsets = (
+        counts.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(*off_aggs)
+    )
+    out = parts.join(F.broadcast(offsets), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(f"{c}_cum", F.col(f"_off_{c}") + F.col(f"_lcs_{c}"))
+    if rn_col is not None:
+        out = out.withColumn(rn_col, (F.col("_off_n") + F.col("_lrn")).cast("long"))
+    drop = (
+        ["_pid"]
+        + [f"_lcs_{c}" for c in sum_cols]
+        + [f"_off_{c}" for c in sum_cols]
+        + ["_off_n"]
+        + (["_lrn"] if rn_col is not None else [])
+    )
+    return out.drop(*drop)

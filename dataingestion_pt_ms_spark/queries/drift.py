@@ -2386,3 +2386,208 @@ def events_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+# --------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) distance between the base and current
+# order-total distributions — the transport metric completing the drift
+# family (PSI = binned likelihood ratio, KS = max CDF gap, JS = symmetric
+# divergence; W1 = ∫|F_base − F_cur| dx weighs HOW FAR mass moved, the
+# number the others can't give). Engine-exact by construction: prices
+# become integer cents, |F_b − F_c| becomes the integer |cb·tc − cc·tb|,
+# and W1 = Σ |cb·tc − cc·tb|·gap_cents / (tb·tc·100) is ONE integer sum
+# + one final division — no float summation order anywhere. The prefix
+# sums and the v_next neighbor come from the distributed ranking helpers
+# (range partition → local scan → offset add), never a global window.
+# --------------------------------------------------------------------------
+
+WASSERSTEIN_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderdate < TIMESTAMP '{_CUT}' THEN 1 ELSE 0 END AS b
+  FROM orders
+), d AS (
+  SELECT v, CAST(SUM(b) AS BIGINT) AS nb, CAST(SUM(1 - b) AS BIGINT) AS nc
+  FROM pts GROUP BY v
+), t AS (
+  SELECT CAST(SUM(nb) AS BIGINT) AS tb, CAST(SUM(nc) AS BIGINT) AS tc FROM d
+), cum AS (
+  SELECT v,
+         SUM(nb) OVER (ORDER BY v) AS cb,
+         SUM(nc) OVER (ORDER BY v) AS cc,
+         lead(v) OVER (ORDER BY v) AS v_next
+  FROM d
+)
+SELECT round(CAST(SUM(abs(cb * t.tc - cc * t.tb) * (v_next - v)) AS DOUBLE)
+             / (t.tb * t.tc) / 100.0, 6) AS w1_distance,
+       CAST(count(*) + 1 AS BIGINT) AS n_distinct_values,
+       t.tb AS n_base, t.tc AS n_current
+FROM cum CROSS JOIN t
+WHERE v_next IS NOT NULL
+GROUP BY t.tb, t.tc
+"""
+
+
+@register(
+    "orders_wasserstein_drift", oracle=WASSERSTEIN_ORACLE, tags=("stats", "drift")
+)
+def orders_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_prefix_scan
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.when(F.col("o_orderdate") < F.lit(_CUT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    d = pts.groupBy("v").agg(
+        F.sum("b").cast("bigint").alias("nb"),
+        F.sum(F.lit(1) - F.col("b")).cast("bigint").alias("nc"),
+    )
+    d = d.localCheckpoint(eager=False)  # totals + scan branches
+    t = d.agg(
+        F.sum("nb").cast("bigint").alias("tb"), F.sum("nc").cast("bigint").alias("tc")
+    )
+    # fused scan: both CDF prefix counts + the neighbor rank, ONE exchange
+    rn = global_prefix_scan(d, ["nb", "nc"], ["v"], rn_col="rn").select(
+        "v", F.col("nb_cum").alias("cb"), F.col("nc_cum").alias("cc"), "rn"
+    )
+    rn = rn.localCheckpoint(eager=False)  # both sides of the neighbor join
+    nxt = rn.select((F.col("rn") - 1).alias("rn"), F.col("v").alias("v_next"))
+    return (
+        rn.join(nxt, "rn")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("cb") * F.col("tc") - F.col("cc") * F.col("tb"))
+                    * (F.col("v_next") - F.col("v"))
+                ).cast("double")
+                / (F.first("tb") * F.first("tc"))
+                / 100.0,
+                6,
+            ).alias("w1_distance"),
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_distinct_values"),
+            F.first("tb").alias("n_base"),
+            F.first("tc").alias("n_current"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator: α̂ = k / Σ ln(x_i / x_min) over the top-k
+# order totals — THE standard heavy-tail exponent estimate (the rigorous
+# cousin of the Zipf-slope regression and the ABC/Pareto 80-20 split).
+# x_min is the rank-based P90 (value at global rank ⌈0.9 n⌉, exact and
+# engine-identical via the distributed ranking helper — no quantile_cont
+# interpolation to disagree over). One ranking pass + one aggregation.
+# --------------------------------------------------------------------------
+
+HILL_ORACLE = """
+WITH ranked AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), xmin AS (
+  SELECT x AS x_min FROM ranked WHERE rn = CAST(ceil(0.9 * n) AS BIGINT) LIMIT 1
+), tail AS (
+  SELECT r.x, m.x_min FROM ranked r CROSS JOIN xmin m WHERE r.x > m.x_min
+)
+SELECT round(max(x_min), 2) AS x_min,
+       CAST(count(*) AS BIGINT) AS k_tail,
+       round(count(*) / sum(ln(x / x_min)), 6) AS alpha_hat
+FROM tail
+"""
+
+
+@register("orders_hill_tail_index", oracle=HILL_ORACLE, tags=("stats", "drift"))
+def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = global_row_number(
+        orders.select(F.col("o_totalprice").alias("x"), "o_orderkey"),
+        ["x", "o_orderkey"],
+        out_col="rn",
+    )
+    ranked = ranked.localCheckpoint(eager=False)  # n + xmin + tail branches
+    n = ranked.agg(F.max("rn").alias("n"))
+    xmin = (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("rn") == F.ceil(0.9 * F.col("n")).cast("bigint"))
+        .select(F.col("x").alias("x_min"))
+        .limit(1)
+    )
+    tail = ranked.crossJoin(F.broadcast(xmin)).filter(F.col("x") > F.col("x_min"))
+    return tail.agg(
+        F.round(F.max("x_min"), 2).alias("x_min"),
+        F.count(F.lit(1)).cast("bigint").alias("k_tail"),
+        F.round(
+            F.count(F.lit(1)) / F.sum(F.log(F.col("x") / F.col("x_min"))), 6
+        ).alias("alpha_hat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Individuals / moving-range (I-MR) control chart over daily event value
+# (Shewhart SPC): center line = mean of daily totals, UCL/LCL = x̄ ±
+# 2.66·MR̄ (the d2-based individuals-chart constant), MR = |x_t − x_{t−1}|.
+# The monitoring chart a pipeline-health dashboard actually renders —
+# CUSUM/mean-shift (already here) detect, this one VISUALIZES with
+# control limits. Day-grain windows only (30 rows — sketch-sized, the
+# kmv_rolling day-axis precedent); daily totals are DECIMAL sums so the
+# chart values are engine-exact before the limit arithmetic.
+# --------------------------------------------------------------------------
+
+IMR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS x
+  FROM events GROUP BY CAST(ts AS DATE)
+), mr AS (
+  SELECT d, x, abs(x - lag(x) OVER (ORDER BY d)) AS mr FROM daily
+), lim AS (
+  SELECT avg(x) AS xbar, avg(mr) AS mrbar FROM mr
+)
+SELECT strftime(mr.d, '%Y-%m-%d') AS day,
+       round(mr.x, 2) AS x,
+       round(mr.mr, 2) AS moving_range,
+       round(lim.xbar + 2.66 * lim.mrbar, 2) AS ucl,
+       round(lim.xbar - 2.66 * lim.mrbar, 2) AS lcl,
+       CASE WHEN mr.x > lim.xbar + 2.66 * lim.mrbar
+              OR mr.x < lim.xbar - 2.66 * lim.mrbar THEN 1 ELSE 0 END
+         AS out_of_control
+FROM mr CROSS JOIN lim
+ORDER BY mr.d
+"""
+
+
+@register("events_imr_control_chart", oracle=IMR_ORACLE, tags=("timeseries", "stats"))
+def events_imr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    )
+    mr = daily.withColumn(
+        "mr", F.abs(F.col("x") - F.lag("x").over(W.orderBy("d")))
+    )
+    mr = mr.localCheckpoint(eager=False)  # limits + output branches
+    lim = mr.agg(F.avg("x").alias("xbar"), F.avg("mr").alias("mrbar"))
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl = F.col("xbar") - 2.66 * F.col("mrbar")
+    return (
+        mr.crossJoin(F.broadcast(lim))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("x", 2).alias("x"),
+            F.round("mr", 2).alias("moving_range"),
+            F.round(ucl, 2).alias("ucl"),
+            F.round(lcl, 2).alias("lcl"),
+            F.when((F.col("x") > ucl) | (F.col("x") < lcl), 1)
+            .otherwise(0)
+            .alias("out_of_control"),
+        )
+        .orderBy("day")
+    )

@@ -2242,3 +2242,146 @@ def sim_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label", "cosine_sim", "rnk_ab", "rnk_ba")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Image near-dup via perceptual hash over REAL decoded pixels (round 4):
+# the image-side analogue of the SimHash text pipeline, end to end in
+# container. 8×8 arithmetic images — pixel(y,x,c) = (31·m + 7y + 3x + c
+# + (m+1)·(8y+x+1)·2654435761) mod 256 with m = id mod 256; the Knuth-
+# constant mixing term decorrelates distinct ids (a plain linear grid
+# gave stripe patterns where HALF of all pairs landed within hamming 6 —
+# the posting-geometry lesson again, in pixels) — serialized to actual
+# BMP bytes, decoded back by the pure-struct parser, and fingerprinted
+# with an ALL-INTEGER aHash (bit = 64·gray > Σgray — engine-exact, no
+# float threshold). The grid depends on id only through m, so ids 256
+# apart are planted identical images — the query must find exactly those (plus any
+# near-miss) via 16-bit band candidates + hamming ≤ 6 verify, never an
+# all-pairs scan. Oracle recomputes pixels, hash, bands, and hamming from
+# the arithmetic alone: a decode bug anywhere breaks the value hash.
+# --------------------------------------------------------------------------
+_AHASH_H, _AHASH_W = 8, 8
+_AHASH_PANEL = 520
+_AHASH_MAXHAM = 6
+
+_AHASH_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, (ahash >> {b * 16}) & 65535 AS chunk FROM ah"
+    for b in range(4)
+)
+
+IMAGE_PHASH_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_AHASH_PANEL}
+), px AS (
+  SELECT doc_id, y, x,
+         CAST(((doc_id % 256) * 31 + y * 7 + x * 3 + 0
+               + ((doc_id % 256 + 1) * (y * 8 + x + 1) * 2654435761)) % 256
+            + ((doc_id % 256) * 31 + y * 7 + x * 3 + 1
+               + ((doc_id % 256 + 1) * (y * 8 + x + 1) * 2654435761)) % 256
+            + ((doc_id % 256) * 31 + y * 7 + x * 3 + 2
+               + ((doc_id % 256 + 1) * (y * 8 + x + 1) * 2654435761)) % 256
+            AS BIGINT) AS gray
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, {_AHASH_H - 1})) AS y)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_AHASH_W - 1})) AS x)
+), tot AS (
+  SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id
+), ah AS (
+  SELECT px.doc_id,
+         SUM(CASE WHEN y * {_AHASH_W} + x < 63 AND 64 * gray > tot.total
+                  THEN (1::BIGINT << (y * {_AHASH_W} + x)) ELSE 0 END) AS ahash
+  FROM px JOIN tot ON tot.doc_id = px.doc_id
+  GROUP BY px.doc_id
+), banded AS (
+  {_AHASH_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.chunk = b.chunk
+              AND a.doc_id < b.doc_id
+)
+SELECT key_a, key_b,
+       bit_count(xor(ha.ahash, hb.ahash)) AS hamming
+FROM cand
+JOIN ah ha ON ha.doc_id = cand.key_a
+JOIN ah hb ON hb.doc_id = cand.key_b
+WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {_AHASH_MAXHAM}
+ORDER BY key_a, key_b
+"""
+
+
+@register(
+    "multimodal_image_phash_dedup",
+    oracle=IMAGE_PHASH_ORACLE,
+    tags=("llm", "multimodal", "dedup", "udf"),
+)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _AHASH_PANEL
+    )
+
+    def gen(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                y, x, ch = np.meshgrid(
+                    np.arange(_AHASH_H, dtype="int64"),
+                    np.arange(_AHASH_W, dtype="int64"),
+                    np.arange(3, dtype="int64"),
+                    indexing="ij",
+                )
+                m = int(doc_id) % 256
+                arr = (
+                    (m * 31 + y * 7 + x * 3 + ch
+                     + (m + 1) * (y * 8 + x + 1) * 2654435761) % 256
+                ).astype("uint8")
+                rows.append((int(doc_id), bytearray(M.encode_bmp(arr))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    bmps = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
+    ah = M.bmp_ahash64(bmps)
+    ah = ah.localCheckpoint(eager=False)  # banding + two verify joins
+    banded = ah.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("ahash"), b * 16)
+                            .bitwiseAND(F.lit(65535))
+                        ).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.chunk")
+    a = banded.select(
+        F.col("doc_id").alias("key_a"), "band_idx", "chunk"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("key_b"), "band_idx", "chunk"
+    )
+    cand = (
+        a.join(b, ["band_idx", "chunk"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    ha = ah.select(F.col("doc_id").alias("key_a"), F.col("ahash").alias("h_a"))
+    hb = ah.select(F.col("doc_id").alias("key_b"), F.col("ahash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.join(ha, "key_a")
+        .join(hb, "key_b")
+        .select("key_a", "key_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= _AHASH_MAXHAM)
+        .orderBy("key_a", "key_b")
+    )

@@ -1641,3 +1641,29 @@ def test_wav_roundtrip_chunk_walk(spark):
     )
     back2, _ = M.decode_wav(spliced)
     assert (back2 == s).all()
+
+
+def test_global_prefix_scan_matches_chained_singletons(spark):
+    """The fused scan (one exchange) must agree column-for-column with
+    chaining global_running_sum twice + global_row_number (three
+    exchanges) — same contract, cheaper plan."""
+    from dataingestion_pt_ms_spark.operators.ranking import (
+        global_prefix_scan,
+        global_row_number,
+        global_running_sum,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 37 % 991).alias("v"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 3).alias("b"),
+    )
+    fused = global_prefix_scan(df, ["a", "b"], ["v", "a", "b"], rn_col="rn")
+    chained = global_running_sum(df, "a", ["v", "a", "b"], out_col="a_cum")
+    chained = global_running_sum(chained, "b", ["v", "a", "b"], out_col="b_cum")
+    chained = global_row_number(chained, ["v", "a", "b"], out_col="rn")
+    cols = ["v", "a", "b", "a_cum", "b_cum", "rn"]
+    got = sorted(tuple(r) for r in fused.select(*cols).collect())
+    want = sorted(tuple(r) for r in chained.select(*cols).collect())
+    assert got == want
