@@ -269,6 +269,9 @@ BASELINE_SEC = {
     "orders_wasserstein_drift": 2.02,
     "orders_hill_tail_index": 1.16,
     "events_imr_control_chart": 0.53,
+    "dedup_semdedup_clusters": 2.72,
+    "text_rake_keyphrases": 1.58,
+    "events_poisson_glm_hourly": 0.80,
 }
 GUARD_FACTOR = 2.0
 
@@ -516,6 +519,9 @@ HEADLINE = [
     "orders_wasserstein_drift",
     "orders_hill_tail_index",
     "events_imr_control_chart",
+    "dedup_semdedup_clusters",
+    "text_rake_keyphrases",
+    "events_poisson_glm_hourly",
 ]
 
 

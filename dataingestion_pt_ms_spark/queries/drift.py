@@ -2591,3 +2591,96 @@ def events_imr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson GLM by unrolled Newton/IRLS (3 rounds): event counts per
+# (day, hour) cell modeled as y ~ Poisson(exp(a + b·hour)) — the
+# distributed-GLM communication pattern (MLlib's IRLS does exactly this):
+# each round is ONE aggregation producing the 2×2 Hessian + gradient
+# moments (Σμ, Σhμ, Σh²μ, Σ(y−μ), Σh(y−μ)), the closed-form 2×2 solve is
+# broadcast scalar arithmetic, and parameters round to 6 dp per round (the
+# HITS per-round discipline) so cross-engine float summation can't drift
+# between iterations. The model grain (720 cells) is bounded by the
+# calendar, never by row count; the raw-events pass is one groupBy.
+# --------------------------------------------------------------------------
+
+def _poisson_newton_sql() -> str:
+    init = """
+cells AS (
+  SELECT CAST(hour(ts) AS DOUBLE) AS h, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY CAST(ts AS DATE), hour(ts)
+), p0 AS (
+  SELECT round(ln(avg(y)), 6) AS a, 0.0 AS b FROM cells
+)"""
+    rounds = []
+    for r in range(3):
+        rounds.append(f"""m{r} AS (
+  SELECT SUM(exp(a + b * h)) AS sm, SUM(h * exp(a + b * h)) AS shm,
+         SUM(h * h * exp(a + b * h)) AS shhm,
+         SUM(y - exp(a + b * h)) AS g0, SUM(h * (y - exp(a + b * h))) AS g1,
+         max(a) AS a, max(b) AS b
+  FROM cells CROSS JOIN p{r}
+), p{r + 1} AS (
+  SELECT round(a + ( shhm * g0 - shm * g1) / (sm * shhm - shm * shm), 6) AS a,
+         round(b + (-shm  * g0 + sm  * g1) / (sm * shhm - shm * shm), 6) AS b
+  FROM m{r}
+)""")
+    return (
+        "WITH " + init.strip() + ",\n" + ",\n".join(rounds) + """
+SELECT a, b, round(exp(a + b * 23.0) / exp(a), 6) AS rate_ratio_h23,
+       (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells
+FROM p3
+"""
+    )
+
+
+POISSON_GLM_ORACLE = _poisson_newton_sql()
+
+
+@register("events_poisson_glm_hourly", oracle=POISSON_GLM_ORACLE, tags=("stats", "ml"))
+def events_poisson_glm_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), F.hour("ts").alias("hh")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y")).select(
+        F.col("hh").cast("double").alias("h"), "y"
+    )
+    cells = cells.localCheckpoint(eager=False)  # 3 rounds + count reuse it
+    params = cells.agg(
+        F.round(F.log(F.avg("y")), 6).alias("a"), F.lit(0.0).alias("b")
+    )
+    for _ in range(3):
+        mu = F.exp(F.col("a") + F.col("b") * F.col("h"))
+        m = (
+            cells.crossJoin(F.broadcast(params))
+            .agg(
+                F.sum(mu).alias("sm"),
+                F.sum(F.col("h") * mu).alias("shm"),
+                F.sum(F.col("h") * F.col("h") * mu).alias("shhm"),
+                F.sum(F.col("y") - mu).alias("g0"),
+                F.sum(F.col("h") * (F.col("y") - mu)).alias("g1"),
+                F.max("a").alias("a"),
+                F.max("b").alias("b"),
+            )
+        )
+        det = F.col("sm") * F.col("shhm") - F.col("shm") * F.col("shm")
+        params = m.select(
+            F.round(
+                F.col("a") + (F.col("shhm") * F.col("g0") - F.col("shm") * F.col("g1")) / det,
+                6,
+            ).alias("a"),
+            F.round(
+                F.col("b") + (-F.col("shm") * F.col("g0") + F.col("sm") * F.col("g1")) / det,
+                6,
+            ).alias("b"),
+        )
+    n = cells.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    return params.crossJoin(F.broadcast(n)).select(
+        "a",
+        "b",
+        F.round(
+            F.exp(F.col("a") + F.col("b") * 23.0) / F.exp(F.col("a")), 6
+        ).alias("rate_ratio_h23"),
+        "n_cells",
+    )

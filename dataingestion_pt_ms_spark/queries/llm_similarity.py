@@ -2385,3 +2385,76 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _AHASH_MAXHAM)
         .orderBy("key_a", "key_b")
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic deduplication = cluster the
+# embedding space, then drop near-identical neighbours WITHIN each
+# cluster — the published recipe for pruning web-scale pretraining
+# corpora beyond lexical dedup (MinHash catches copies; this catches
+# re-phrasings that embed together). Blocking = the engine's own
+# deterministic 2-round Lloyd clustering (so the oracle replays it
+# exactly); within-cluster pairs come from the sanctioned per-block numpy
+# GEMM (Σ|cluster|², never n²); the survivor rule is SemDeDup's keep-one:
+# a vector is dropped iff a LOWER-id τ-neighbour shares its cluster, and
+# reports its smallest kept neighbour. τ = 0.35 on the synthetic space
+# (the fixture's embedding near-dup threshold; 0.99+ on real text
+# embeddings).
+# --------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.35
+
+SEMDEDUP_ORACLE = f"""
+WITH assign AS ({KMEANS_ORACLE}
+), pairs AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b, ca.cluster,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings a
+  JOIN assign ca ON ca.vec_id = a.vec_id
+  JOIN assign cb ON cb.cluster = ca.cluster
+  JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6)
+        >= {_SEMDEDUP_TAU}
+)
+SELECT key_b AS vec_id, cluster, key_a AS kept_neighbor, cos
+FROM (
+  SELECT key_a, key_b, cluster, cos,
+         row_number() OVER (PARTITION BY key_b ORDER BY key_a) AS rn
+  FROM pairs
+) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+@register(
+    "dedup_semdedup_clusters",
+    oracle=SEMDEDUP_ORACLE,
+    tags=("llm", "dedup", "similarity", "iterative"),
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_lloyd
+    from ..operators.similarity import blocked_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_lloyd(emb, "embedding", "vec_id", k=4, iters=2).select(
+        "vec_id", "cluster"
+    )
+    from pyspark.sql import Window as _W
+
+    corpus = emb.join(assign, "vec_id")
+    pairs = blocked_cosine_pairs(
+        corpus, threshold=_SEMDEDUP_TAU, block_col="cluster"
+    )
+    w = _W.partitionBy("key_b").orderBy("key_a")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("key_b").alias("vec_id"),
+            F.col("label").alias("cluster"),
+            F.col("key_a").alias("kept_neighbor"),
+            F.col("cosine_sim").alias("cos"),
+        )
+        .orderBy("vec_id")
+    )

@@ -2331,3 +2331,126 @@ def text_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ranker")
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are the
+# maximal stopword-free token runs (gaps-and-islands over the token
+# stream — the same islands primitive as sessionization, applied to
+# text); word score = degree/frequency where degree(w) sums the lengths
+# of every phrase containing an occurrence of w; phrase score = Σ word
+# scores, ranked corpus-wide. Determinism: scores are SCALED-INTEGER
+# divisions (⌊deg·10⁶/freq⌋ — float summation never appears, so engines
+# can't disagree at a rounding boundary). Every stage is a bounded
+# groupBy over (doc, island) or (word); top-15 by (score, phrase).
+# --------------------------------------------------------------------------
+_RAKE_TOPK = 15
+_RAKE_STOPS_SQL = ", ".join(f"'{m}'" for m in T.EN_MARKERS)
+
+RAKE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts({_DTOKS}, 1) AS pos, unnest({_DTOKS}) AS t
+  FROM documents
+), isl AS (
+  SELECT doc_id, pos, t,
+         CASE WHEN t IN ({_RAKE_STOPS_SQL}) THEN 1 ELSE 0 END AS is_stop,
+         SUM(CASE WHEN t IN ({_RAKE_STOPS_SQL}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM tok
+), members AS (
+  SELECT doc_id, island, pos, t FROM isl WHERE is_stop = 0
+), phrases AS (
+  SELECT doc_id, island,
+         string_agg(t, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM members GROUP BY doc_id, island
+), wordstats AS (
+  SELECT m.t,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS deg
+  FROM members m
+  JOIN phrases p ON p.doc_id = m.doc_id AND p.island = m.island
+  GROUP BY m.t
+), scored AS (
+  SELECT p.phrase, p.plen,
+         SUM((w.deg * 1000000) // w.freq) AS score_scaled
+  FROM phrases p
+  JOIN members m ON m.doc_id = p.doc_id AND m.island = p.island
+  JOIN wordstats w ON w.t = m.t
+  GROUP BY p.doc_id, p.island, p.phrase, p.plen
+), ranked AS (
+  SELECT phrase, CAST(max(plen) AS BIGINT) AS phrase_len,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(max(score_scaled) AS BIGINT) AS score_scaled
+  FROM scored GROUP BY phrase
+)
+SELECT phrase, phrase_len, n_occurrences,
+       round(score_scaled / 1000000.0, 6) AS rake_score
+FROM ranked
+ORDER BY score_scaled DESC, phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@register("text_rake_keyphrases", oracle=RAKE_ORACLE, tags=("llm", "text", "mining"))
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    is_stop = F.when(F.col("t").isin(*T.EN_MARKERS), 1).otherwise(0)
+    wisl = _W.partitionBy("doc_id").orderBy("pos")
+    members = (
+        tok.withColumn("is_stop", is_stop)
+        .withColumn("island", F.sum("is_stop").over(wisl))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "island", "pos", "t")
+    )
+    members = members.localCheckpoint(eager=False)  # phrases + wordstats + score
+    phrases = members.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s.t,
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    phrases = phrases.localCheckpoint(eager=False)  # wordstats join + scoring
+    wordstats = (
+        members.join(phrases.select("doc_id", "island", "plen"), ["doc_id", "island"])
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    scored = (
+        phrases.join(members, ["doc_id", "island"])
+        .join(F.broadcast(wordstats), "t")
+        .groupBy("doc_id", "island", "phrase", "plen")
+        .agg(
+            F.sum(F.expr("(deg * 1000000) div freq")).alias("score_scaled")
+        )
+    )
+    ranked = scored.groupBy("phrase").agg(
+        F.max("plen").cast("long").alias("phrase_len"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("score_scaled").cast("long").alias("score_scaled"),
+    )
+    return (
+        ranked.select(
+            "phrase",
+            "phrase_len",
+            "n_occurrences",
+            F.round(F.col("score_scaled") / 1000000.0, 6).alias("rake_score"),
+        )
+        .orderBy(F.col("score_scaled").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+        .drop("score_scaled")
+    )

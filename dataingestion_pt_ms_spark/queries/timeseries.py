@@ -2067,3 +2067,64 @@ def events_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"), 4
         ).alias("power"),
     ).orderBy("period_days")
+
+
+# --------------------------------------------------------------------------
+# As-of join WITH TOLERANCE (pandas merge_asof(tolerance=...) / kdb wj
+# semantics): the plain as-of join (above) answers "most recent purchase
+# ever"; real feature pipelines almost always want "most recent purchase
+# *no older than T*" — a stale covariate is worse than none. Same single
+# shuffle + RANGE window shape, but the frame is bounded at T = 2 h on an
+# EXACT integer µs axis (unix_micros both sides — the BENCH.md
+# "time-axis" rule: second-truncating axes flip frame membership at the
+# boundary). Matches outside tolerance become empty, with the staleness
+# that disqualified them reported alongside.
+# --------------------------------------------------------------------------
+_ASOF_TOL_US = 7_200_000_000  # 2 h in µs
+
+ASOF_TOLERANCE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us FROM events
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       strftime(e.ts, '{_TS_FMT_DUCK}') AS ts,
+       coalesce(strftime(
+         (SELECT max(p.ts) FROM e p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND p.us <= e.us AND p.us >= e.us - {_ASOF_TOL_US}),
+         '{_TS_FMT_DUCK}'), '') AS last_purchase_ts,
+       coalesce(e.us - (SELECT max(p.us) FROM e p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND p.us <= e.us AND p.us >= e.us - {_ASOF_TOL_US}), -1)
+         AS staleness_us
+FROM e
+"""
+
+
+@register(
+    "asof_join_with_tolerance",
+    oracle=ASOF_TOLERANCE_ORACLE,
+    tags=("timeseries", "asof", "window"),
+)
+def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ASOF_TOL_US, 0)
+    )
+    last_p_us = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("us"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        F.coalesce(
+            F.date_format(F.timestamp_micros(last_p_us), _TS_FMT), F.lit("")
+        ).alias("last_purchase_ts"),
+        F.coalesce(F.col("us") - last_p_us, F.lit(-1)).alias("staleness_us"),
+    )
