@@ -272,6 +272,9 @@ BASELINE_SEC = {
     "dedup_semdedup_clusters": 2.72,
     "text_rake_keyphrases": 1.58,
     "events_poisson_glm_hourly": 0.80,
+    "multimodal_wav_spectral": 0.58,
+    "events_mann_kendall_trend": 1.20,
+    "text_burrows_delta_stylometry": 1.27,
 }
 GUARD_FACTOR = 2.0
 
@@ -522,6 +525,9 @@ HEADLINE = [
     "dedup_semdedup_clusters",
     "text_rake_keyphrases",
     "events_poisson_glm_hourly",
+    "multimodal_wav_spectral",
+    "events_mann_kendall_trend",
+    "text_burrows_delta_stylometry",
 ]
 
 

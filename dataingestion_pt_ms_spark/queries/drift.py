@@ -2684,3 +2684,91 @@ def events_poisson_glm_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rate_ratio_h23"),
         "n_cells",
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test over the daily event series — the significance
+# test that belongs beside the Theil-Sen slope (ohlc_theil_sen_trend):
+# S = Σ_{i<j} sign(x_j − x_i), Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+# / 18 with the tie correction, z = (S ∓ 1)/√Var. Everything except the
+# final √ is INTEGER arithmetic (counts and signs), so both engines agree
+# exactly; the pair space is calendar² (30 days → 435 pairs), never
+# event². Daily totals are DECIMAL-exact before comparison.
+# --------------------------------------------------------------------------
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS x
+  FROM events GROUP BY CAST(ts AS DATE)
+), n AS ( SELECT CAST(count(*) AS BIGINT) AS n FROM daily ),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                       ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+), ties AS (
+  SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tie_adj
+  FROM (SELECT count(*) AS t FROM daily GROUP BY x HAVING count(*) > 1)
+), var AS (
+  SELECT (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_adj) / 18.0 AS v
+  FROM n CROSS JOIN ties
+)
+SELECT n.n AS n_days, s.s AS s_statistic,
+       round(var.v, 4) AS var_s,
+       round(CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(var.v)
+                  WHEN s.s < 0 THEN (s.s + 1) / sqrt(var.v)
+                  ELSE 0.0 END, 6) AS z_mk
+FROM n CROSS JOIN s CROSS JOIN var
+"""
+
+
+@register("events_mann_kendall_trend", oracle=MANN_KENDALL_ORACLE, tags=("stats", "drift"))
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    )
+    daily = daily.localCheckpoint(eager=False)  # n + pairs + ties branches
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).cast("long").alias("tie_adj")
+        )
+    )
+    out = (
+        n.crossJoin(s)
+        .crossJoin(ties)
+        .withColumn(
+            "v",
+            (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_adj"))
+            / 18.0,
+        )
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("v")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("v")))
+        .otherwise(0.0)
+    )
+    return out.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_statistic"),
+        F.round("v", 4).alias("var_s"),
+        F.round(z, 6).alias("z_mk"),
+    )

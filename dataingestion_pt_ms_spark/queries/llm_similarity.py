@@ -2458,3 +2458,80 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio spectral features over REAL decoded samples (round 4): extends
+# the WAV triage stats (RMS/ZCR) with an actual spectrum — 16 DFT bins
+# computed as explicit Σ s·cos / Σ s·sin sums over the decoded PCM16
+# stream (NOT an FFT: the oracle replays the identical product sums from
+# the arithmetic sample formula, and butterfly rounding would diverge),
+# reduced to spectral centroid + dominant bin. Output roundings are
+# scale-aware: the centroid lives in [1, 16] (6 dp safe), magnitudes are
+# ~1e5 (2 dp — far above the ~1e-9 cross-engine summation noise).
+# --------------------------------------------------------------------------
+
+WAV_SPECTRAL_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 100
+), s AS (
+  SELECT doc_id, i,
+         CAST((doc_id * 13 + i * 7) % 2001 - 1000 AS DOUBLE) AS x
+  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, {_WAV_N - 1})) AS i)
+), bins AS (
+  SELECT doc_id, k,
+         SUM(x * cos(2.0 * pi() * k * i / {_WAV_N})) AS re,
+         SUM(x * sin(2.0 * pi() * k * i / {_WAV_N})) AS im
+  FROM s CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS k)
+  GROUP BY doc_id, k
+), mags AS (
+  SELECT doc_id, k, sqrt(re * re + im * im) AS mag FROM bins
+), agg AS (
+  SELECT doc_id,
+         SUM(k * mag) / SUM(mag) AS centroid
+  FROM mags GROUP BY doc_id
+), dom AS (
+  SELECT doc_id, k AS dominant_bin, mag,
+         row_number() OVER (PARTITION BY doc_id ORDER BY mag DESC, k) AS rn
+  FROM mags
+)
+SELECT agg.doc_id, {_WAV_N} AS n_samples,
+       round(agg.centroid, 6) AS spectral_centroid,
+       CAST(dom.dominant_bin AS INTEGER) AS dominant_bin,
+       round(dom.mag, 2) AS dominant_mag
+FROM agg JOIN dom ON dom.doc_id = agg.doc_id AND dom.rn = 1
+ORDER BY agg.doc_id
+"""
+
+
+@register(
+    "multimodal_wav_spectral",
+    oracle=WAV_SPECTRAL_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    def gen(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(_WAV_N)
+                s = ((int(doc_id) * 13 + i * 7) % 2001 - 1000).astype("<i2")
+                rows.append((int(doc_id), bytearray(M.encode_wav(s, _WAV_RATE))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    wavs = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
+    feats = M.wav_spectral_features(wavs)
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        F.round("spectral_centroid", 6).alias("spectral_centroid"),
+        "dominant_bin",
+        F.round("dominant_mag", 2).alias("dominant_mag"),
+    ).orderBy("doc_id")

@@ -2454,3 +2454,99 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RAKE_TOPK)
         .drop("score_scaled")
     )
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta stylometry (Burrows 2002): the standard authorship /
+# style distance — z-score each of the top-50 corpus words' relative
+# frequencies across sources, then Δ(s₁, s₂) = mean |z₁ − z₂|. The
+# provenance-forensics companion of the shingle overlap matrix
+# (dedup_source_overlap_matrix finds shared CONTENT; Delta finds shared
+# STYLE — same wordcount shuffles, different signal). Aggregation grain:
+# (source × top-word) = 20·50 rows; the pair matrix is sources² = 190
+# rows. Rank selection, frequencies, means and stds follow the house
+# deterministic tie-breaks; the final Δ rounds at 5 dp, far above the
+# ~1e-12 cross-engine summation noise of 50-term sums.
+# --------------------------------------------------------------------------
+_DELTA_TOPW = 50
+
+BURROWS_DELTA_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_DTOKS}) AS t FROM documents
+), stot AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM tok GROUP BY source
+), wc AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, t
+), topw AS (
+  SELECT t FROM (
+    SELECT t, SUM(c) AS tot,
+           row_number() OVER (ORDER BY SUM(c) DESC, t) AS rn
+    FROM wc GROUP BY t
+  ) WHERE rn <= {_DELTA_TOPW}
+), f AS (
+  SELECT s.source, w.t, COALESCE(wc.c, 0) / s.n AS f
+  FROM stot s CROSS JOIN topw w
+  LEFT JOIN wc ON wc.source = s.source AND wc.t = w.t
+), z AS (
+  SELECT source, t,
+         (f - avg(f) OVER (PARTITION BY t))
+           / stddev_samp(f) OVER (PARTITION BY t) AS z
+  FROM f
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       round(avg(abs(a.z - b.z)), 5) AS delta
+FROM z a
+JOIN z b ON b.t = a.t AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "text_burrows_delta_stylometry",
+    oracle=BURROWS_DELTA_ORACLE,
+    tags=("llm", "text", "mining"),
+)
+def text_burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    tok = tok.localCheckpoint(eager=False)  # totals + counts branches
+    stot = tok.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wc = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = wc.localCheckpoint(eager=False)  # top-word rank + freq join
+    topw = (
+        wc.groupBy("t")
+        .agg(F.sum("c").alias("tot"))
+        .withColumn("rn", F.row_number().over(_W.partitionBy(F.lit(1)).orderBy(F.col("tot").desc(), "t")))
+        .filter(F.col("rn") <= _DELTA_TOPW)
+        .select("t")
+    )
+    f = (
+        stot.crossJoin(F.broadcast(topw))
+        .join(wc, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("n")).alias("f"),
+        )
+    )
+    wt = _W.partitionBy("t")
+    z = f.select(
+        "source",
+        "t",
+        ((F.col("f") - F.avg("f").over(wt)) / F.stddev_samp("f").over(wt)).alias("z"),
+    )
+    z = z.localCheckpoint(eager=False)  # both sides of the pair join
+    a = z.select(F.col("source").alias("source_a"), "t", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "t", F.col("z").alias("zb"))
+    return (
+        a.join(b, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 5).alias("delta"))
+        .orderBy("source_a", "source_b")
+    )
