@@ -50,6 +50,14 @@ SNAPSHOT_QUERIES = [
     "pipeline_curation_v3",
     "sketch_kmv_distinct",
     "lineitem_kfold_cv_ols",
+    # round-4 session-5 additions: the GBDT histogram pass (partial agg
+    # on bins), the OOF encoding (broadcast global totals, no global
+    # window), the blocking audit (band joins stay shuffle-on-band-key),
+    # and the fused Wasserstein prefix scan (exactly one range exchange)
+    "lineitem_histogram_split_finder",
+    "orders_target_encoding_oof",
+    "dedup_blocking_quality_audit",
+    "orders_wasserstein_drift",
 ]
 
 _FEATURES = [
