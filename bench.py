@@ -275,6 +275,8 @@ BASELINE_SEC = {
     "multimodal_wav_spectral": 0.58,
     "events_mann_kendall_trend": 1.20,
     "text_burrows_delta_stylometry": 1.27,
+    "emb_isotropy_audit": 0.91,
+    "scalar_url_family": 0.75,
 }
 GUARD_FACTOR = 2.0
 
@@ -528,6 +530,8 @@ HEADLINE = [
     "multimodal_wav_spectral",
     "events_mann_kendall_trend",
     "text_burrows_delta_stylometry",
+    "emb_isotropy_audit",
+    "scalar_url_family",
 ]
 
 

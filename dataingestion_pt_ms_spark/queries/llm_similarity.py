@@ -2535,3 +2535,93 @@ def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dominant_bin",
         F.round("dominant_mag", 2).alias("dominant_mag"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Embedding isotropy audit (Mu & Viswanath 2018 / IsoScore lineage):
+# anisotropic embedding spaces — a dominant mean direction, a few
+# high-variance axes — silently break cosine-based retrieval and dedup
+# thresholds. Three one-pass diagnostics: (1) ‖mean vector‖ / mean ‖v‖
+# (≈0 when centered), (2) dimension-variance concentration = max var_d /
+# Σ var_d (= 1/d when isotropic), (3) mean pairwise cosine on the linear
+# (v, v+1) panel (≈0 when isotropic). All from ONE dims aggregation +
+# the existing panel join — no covariance eigendecomposition needed for
+# a go/no-go audit (emb_covariance_matrix / PCA carry the full account).
+# --------------------------------------------------------------------------
+
+ISOTROPY_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+), dstats AS (
+  SELECT d, avg(x) AS mu, var_samp(x) AS v FROM dims GROUP BY d
+), mean_norm AS (
+  SELECT sqrt(sum(mu * mu)) AS mnorm, max(v) / sum(v) AS var_conc,
+         count(*) AS n_dims
+  FROM dstats
+), vnorms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY vec_id
+), avg_norm AS (
+  SELECT avg(nrm) AS anorm FROM vnorms
+), pairs AS (
+  SELECT round(avg(round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)), 6)
+           AS mean_pair_cos
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+)
+SELECT CAST(n_dims AS BIGINT) AS n_dims,
+       round(mnorm / anorm, 6) AS mean_to_norm_ratio,
+       round(var_conc, 6) AS var_concentration,
+       mean_pair_cos
+FROM mean_norm CROSS JOIN avg_norm CROSS JOIN pairs
+"""
+
+
+@register(
+    "emb_isotropy_audit", oracle=ISOTROPY_ORACLE, tags=("llm", "similarity", "audit")
+)
+def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+    )
+    dims = dims.localCheckpoint(eager=False)  # dstats + vnorms branches
+    dstats = dims.groupBy("d").agg(
+        F.avg("x").alias("mu"), F.var_samp("x").alias("v")
+    )
+    mean_norm = dstats.agg(
+        F.sqrt(F.sum(F.col("mu") * F.col("mu"))).alias("mnorm"),
+        (F.max("v") / F.sum("v")).alias("var_conc"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+    )
+    avg_norm = (
+        dims.groupBy("vec_id")
+        .agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+        .agg(F.avg("nrm").alias("anorm"))
+    )
+    a = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "vec_id")
+        .agg(
+            F.round(
+                F.avg(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)), 6
+            ).alias("mean_pair_cos")
+        )
+    )
+    return (
+        mean_norm.crossJoin(F.broadcast(avg_norm))
+        .crossJoin(F.broadcast(pairs))
+        .select(
+            "n_dims",
+            F.round(F.col("mnorm") / F.col("anorm"), 6).alias("mean_to_norm_ratio"),
+            F.round("var_conc", 6).alias("var_concentration"),
+            "mean_pair_cos",
+        )
+    )

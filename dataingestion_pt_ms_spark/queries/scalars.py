@@ -424,3 +424,78 @@ def scalar_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.meta.cust").alias("xml_cust"),
         F.length(F.xpath_string("_xml", F.lit("/order/status"))).cast("long").alias("status_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# URL scalar family: Spark's parse_url (HOST / PATH / QUERY / REF +
+# keyed query parameter) — the click-log / referrer-parsing function set
+# every web-scale pipeline touches. URLs are synthesized deterministically
+# from order fields so every branch (subdomain, path segments, multi-param
+# query, fragment) is exercised; the oracle replicates each extraction
+# with anchored regexes, which doubles as a spec of exactly what the
+# engine's parser is expected to return for well-formed URLs. Pure
+# projection — one scan, no shuffle except the final rollup.
+# --------------------------------------------------------------------------
+URL_ORACLE = """
+WITH u AS (
+  SELECT o_orderkey,
+         'https://shop' || CAST(o_custkey % 5 AS VARCHAR)
+         || '.example.com/cat/' || regexp_replace(lower(o_orderpriority), '[^a-z0-9]', '-', 'g')
+         || '/item?id=' || CAST(o_orderkey AS VARCHAR)
+         || '&seg=' || CAST(o_custkey % 3 AS VARCHAR)
+         || '#frag' || CAST(o_orderkey % 7 AS VARCHAR) AS url
+  FROM orders
+), parsed AS (
+  SELECT o_orderkey,
+         regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+         regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query,
+         regexp_extract(url, '#(.*)$', 1) AS ref,
+         regexp_extract(url, '[?&]seg=([^&#]*)', 1) AS seg
+  FROM u
+)
+SELECT host, seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT query) AS BIGINT) AS n_queries,
+       CAST(count(DISTINCT ref) AS BIGINT) AS n_frags
+FROM parsed
+GROUP BY host, seg
+ORDER BY host, seg
+"""
+
+
+@register("scalar_url_family", oracle=URL_ORACLE, tags=("scalar", "url"))
+def scalar_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop"),
+        (F.col("o_custkey") % 5).cast("string"),
+        F.lit(".example.com/cat/"),
+        F.regexp_replace(F.lower("o_orderpriority"), "[^a-z0-9]", "-"),
+        F.lit("/item?id="),
+        F.col("o_orderkey").cast("string"),
+        F.lit("&seg="),
+        (F.col("o_custkey") % 3).cast("string"),
+        F.lit("#frag"),
+        (F.col("o_orderkey") % 7).cast("string"),
+    )
+    u = orders.select("o_orderkey", url.alias("url"))
+    parsed = u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("REF")).alias("ref"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg"),
+    )
+    return (
+        parsed.groupBy("host", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("path").cast("long").alias("n_paths"),
+            F.countDistinct("query").cast("long").alias("n_queries"),
+            F.countDistinct("ref").cast("long").alias("n_frags"),
+        )
+        .orderBy("host", "seg")
+    )

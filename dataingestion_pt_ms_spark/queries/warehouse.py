@@ -2061,3 +2061,90 @@ def warehouse_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time-correct feature matrix (the feature-store assembly pass):
+# one row per label event (purchases) with features computed AS OF the
+# label timestamp and never after it — the leakage rule every feature
+# store (Feast/Tecton) exists to enforce. Three canonical feature shapes
+# in one windowed pass over the per-user timeline: LOCF of the most
+# recent click value (ROWS frame, (µs, event_id) total order), a bounded
+# 7-day activity count (RANGE frame on the exact µs axis, label instant
+# excluded), and an expanding lifetime count (ROWS, strictly before).
+# ONE shuffle on user_id serves all three — the asof/SCD2/tolerance rows
+# each prove a mechanism; this row proves the composition a training-set
+# builder runs.
+# --------------------------------------------------------------------------
+_PIT_7D_US = 604_800_000_000
+
+PIT_MATRIX_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, ts, epoch_us(ts) AS us
+  FROM events
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '{{tsfmt}}') AS ts,
+       round(l.value, 2) AS label_value,
+       round(coalesce(
+         (SELECT p.value FROM e p
+          WHERE p.user_id = l.user_id AND p.event_type = 'click'
+            AND (p.us < l.us OR (p.us = l.us AND p.event_id < l.event_id))
+          ORDER BY p.us DESC, p.event_id DESC LIMIT 1), -1.0), 2)
+         AS f_last_click_value,
+       (SELECT CAST(count(*) AS BIGINT) FROM e p
+        WHERE p.user_id = l.user_id
+          AND p.us >= l.us - {_PIT_7D_US} AND p.us <= l.us - 1)
+         AS f_activity_7d,
+       (SELECT CAST(count(*) AS BIGINT) FROM e p
+        WHERE p.user_id = l.user_id
+          AND (p.us < l.us OR (p.us = l.us AND p.event_id < l.event_id)))
+         AS f_lifetime_events
+FROM e l
+WHERE l.event_type = 'purchase'
+ORDER BY l.event_id
+""".format(tsfmt="%Y-%m-%d %H:%M:%S.%f")
+
+
+@register(
+    "warehouse_feature_store_pit_matrix",
+    oracle=PIT_MATRIX_ORACLE,
+    tags=("warehouse", "ml", "asof"),
+)
+def warehouse_feature_store_pit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w_rows = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_range = W.partitionBy("user_id").orderBy("us").rangeBetween(-_PIT_7D_US, -1)
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+        ).over(w_rows).alias("f1"),
+        F.count(F.lit(1)).over(w_range).alias("f2_incl_self_tie"),
+        F.count(F.lit(1)).over(w_rows).alias("f3"),
+    )
+    # the RANGE frame ends at us - 1, so the label row itself (and any
+    # same-instant rows) are excluded by the frame bound directly
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            F.round("value", 2).alias("label_value"),
+            F.round(F.coalesce(F.col("f1"), F.lit(-1.0)), 2).alias(
+                "f_last_click_value"
+            ),
+            F.col("f2_incl_self_tie").cast("long").alias("f_activity_7d"),
+            F.col("f3").cast("long").alias("f_lifetime_events"),
+        )
+        .orderBy("event_id")
+    )
