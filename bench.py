@@ -277,6 +277,9 @@ BASELINE_SEC = {
     "text_burrows_delta_stylometry": 1.27,
     "emb_isotropy_audit": 0.91,
     "scalar_url_family": 0.75,
+    "docs_tokenizer_fertility": 0.69,
+    "events_seasonal_strength": 0.96,
+    "warehouse_deletion_vectors_mor": 0.67,
 }
 GUARD_FACTOR = 2.0
 
@@ -532,6 +535,9 @@ HEADLINE = [
     "text_burrows_delta_stylometry",
     "emb_isotropy_audit",
     "scalar_url_family",
+    "docs_tokenizer_fertility",
+    "events_seasonal_strength",
+    "warehouse_deletion_vectors_mor",
 ]
 
 

@@ -2550,3 +2550,65 @@ def text_burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 5).alias("delta"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language (the tokenizer-evaluation metric LLM
+# teams track per locale): fertility = subword tokens per word — high
+# fertility means the tokenizer fragments that language and its docs pay
+# more sequence length per unit of content. Rolls the per-doc counters
+# (token_count_estimates: whitespace, punctuation-regex, chars/4 BPE
+# proxy) up to (lang, source-count) grain with DECIMAL-exact ratios:
+# fertility_bpe = Σ bpe_est / Σ ws_tokens, chars_per_token, plus the
+# regex/ws agreement rate. One aggregation over the existing projection.
+# --------------------------------------------------------------------------
+
+FERTILITY_ORACLE = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len({_DTOKS}) AS BIGINT) AS ws,
+         CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                              t -> len(t) > 0)) AS BIGINT) AS rx,
+         CAST(ceil(len(text) / 4.0) AS BIGINT) AS bpe,
+         CAST(len(text) AS BIGINT) AS chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       round(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility_bpe,
+       round(CAST(SUM(chars) AS DOUBLE) / SUM(ws), 6) AS chars_per_word,
+       round(CAST(SUM(rx) AS DOUBLE) / SUM(ws), 6) AS regex_ws_ratio
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("docs_tokenizer_fertility", oracle=FERTILITY_ORACLE, tags=("llm", "text"))
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    per_doc = T.token_count_estimates(docs).withColumn(
+        "chars", F.length("text").cast("long")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws_token_count").cast("long").alias("ws_tokens"),
+            F.sum("bpe_token_estimate").cast("long").alias("bpe_tokens"),
+            F.round(
+                F.sum("bpe_token_estimate").cast("double") / F.sum("ws_token_count"),
+                6,
+            ).alias("fertility_bpe"),
+            F.round(
+                F.sum("chars").cast("double") / F.sum("ws_token_count"), 6
+            ).alias("chars_per_word"),
+            F.round(
+                F.sum("regex_token_count").cast("double") / F.sum("ws_token_count"),
+                6,
+            ).alias("regex_ws_ratio"),
+        )
+        .orderBy("lang")
+    )

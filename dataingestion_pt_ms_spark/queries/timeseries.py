@@ -2128,3 +2128,55 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_purchase_ts"),
         F.coalesce(F.col("us") - last_p_us, F.lit(-1)).alias("staleness_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal / trend STRENGTH (Hyndman & Athanasopoulos, FPP): F_s =
+# max(0, 1 − var(resid)/var(seasonal+resid)), F_t likewise with trend —
+# the one-number summary of the decomposition above, the screening
+# statistic a forecasting platform computes per series to route between
+# seasonal and non-seasonal models. Composes the decomposition query
+# (rounded components, so both engines aggregate identical inputs) into
+# a single-row variance rollup.
+# --------------------------------------------------------------------------
+STRENGTH_ORACLE = f"""
+WITH comp AS ({DECOMP_ORACLE})
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(greatest(0.0, 1.0 - var_samp(residual)
+                             / var_samp(seasonal + residual)), 5)
+         AS seasonal_strength,
+       round(greatest(0.0, 1.0 - var_samp(residual)
+                             / var_samp(trend + residual)), 5)
+         AS trend_strength
+FROM comp
+"""
+
+
+@register(
+    "events_seasonal_strength",
+    oracle=STRENGTH_ORACLE,
+    tags=("timeseries", "stats"),
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = events_seasonal_decomposition(spark, sf_dir)
+    return comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0
+                - F.var_samp("residual")
+                / F.var_samp(F.col("seasonal") + F.col("residual")),
+            ),
+            5,
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0
+                - F.var_samp("residual")
+                / F.var_samp(F.col("trend") + F.col("residual")),
+            ),
+            5,
+        ).alias("trend_strength"),
+    )

@@ -2148,3 +2148,72 @@ def warehouse_feature_store_pit_matrix(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Deletion-vector merge-on-read audit (Delta/Iceberg DV semantics): soft
+# deletes land as position/key vectors beside immutable base files; the
+# read path anti-joins them, and a maintenance job rewrites any file
+# whose DV ratio crosses a threshold. Simulated on the orders table:
+# base "files" = order months, DV = the RTBF'd key set (o_orderkey %
+# 17 = 3). The audit reports, per file: base/deleted/live rows, the DV
+# ratio, and the rewrite flag at 10% — the planning input the compaction
+# query (warehouse_compaction_plan) consumes. The anti-join key includes
+# the partition, so reconciliation is co-located — no cross-partition
+# shuffle at scale.
+# --------------------------------------------------------------------------
+
+DV_MOR_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS part, o_orderkey FROM orders
+), dv AS (
+  SELECT part, o_orderkey FROM base WHERE o_orderkey % 17 = 3
+), stats AS (
+  SELECT b.part,
+         CAST(count(*) AS BIGINT) AS base_rows,
+         CAST(sum(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS deleted_rows
+  FROM base b
+  LEFT JOIN dv d ON d.part = b.part AND d.o_orderkey = b.o_orderkey
+  GROUP BY b.part
+)
+SELECT part, base_rows, deleted_rows,
+       base_rows - deleted_rows AS live_rows,
+       round(CAST(deleted_rows AS DOUBLE) / base_rows, 6) AS dv_ratio,
+       CASE WHEN deleted_rows > 0.10 * base_rows THEN 1 ELSE 0 END
+         AS rewrite_candidate
+FROM stats
+ORDER BY part
+"""
+
+
+@register("warehouse_deletion_vectors_mor", oracle=DV_MOR_ORACLE, tags=("warehouse",))
+def warehouse_deletion_vectors_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"), "o_orderkey"
+    )
+    base = base.localCheckpoint(eager=False)  # base + dv branches
+    dv = base.filter(F.col("o_orderkey") % 17 == 3).withColumn("_del", F.lit(1))
+    stats = (
+        base.join(dv, ["part", "o_orderkey"], "left")
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("base_rows"),
+            F.sum(F.coalesce(F.col("_del"), F.lit(0))).cast("long").alias(
+                "deleted_rows"
+            ),
+        )
+    )
+    return stats.select(
+        "part",
+        "base_rows",
+        "deleted_rows",
+        (F.col("base_rows") - F.col("deleted_rows")).alias("live_rows"),
+        F.round(
+            F.col("deleted_rows").cast("double") / F.col("base_rows"), 6
+        ).alias("dv_ratio"),
+        F.when(F.col("deleted_rows") > 0.10 * F.col("base_rows"), 1)
+        .otherwise(0)
+        .alias("rewrite_candidate"),
+    ).orderBy("part")
