@@ -2772,3 +2772,59 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 4).alias("var_s"),
         F.round(z, 6).alias("z_mk"),
     )
+
+
+# --------------------------------------------------------------------------
+# Burstiness coefficient (Goh & Barabási 2008): B = (σ−μ)/(σ+μ) of the
+# inter-arrival gaps per event type — B→−1 periodic, B≈0 Poisson, B→+1
+# bursty. The one-number refinement of the exponential-fit KS test (which
+# answers "is it Poisson"; B says in WHICH DIRECTION it deviates — the
+# bot-detector's regularity score is its per-user cousin). Gaps via one
+# lag window per type, µs-exact; moments per type.
+# --------------------------------------------------------------------------
+
+BURSTINESS_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS DOUBLE) / 1e6 AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       round(avg(gap), 4) AS mean_gap_s,
+       round(stddev_samp(gap), 4) AS sd_gap_s,
+       round((stddev_samp(gap) - avg(gap)) / (stddev_samp(gap) + avg(gap)), 6)
+         AS burstiness
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_burstiness_coefficient", oracle=BURSTINESS_ORACLE, tags=("stats",))
+def events_burstiness_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).cast("double")
+            / 1e6
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.round(F.avg("gap"), 4).alias("mean_gap_s"),
+            F.round(F.stddev_samp("gap"), 4).alias("sd_gap_s"),
+            F.round(
+                (F.stddev_samp("gap") - F.avg("gap"))
+                / (F.stddev_samp("gap") + F.avg("gap")),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )

@@ -888,3 +888,75 @@ def graph_lp_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Directed reciprocity of the nation trade graph: r = Σ min(w_ij, w_ji) /
+# Σ w_ij (weighted reciprocity, Squartini et al. 2013) plus the unweighted
+# dyad version — does trade flow both ways or one way? One self-join of
+# the ≤ 25×25 aggregated edge table on the reversed key; the star-join
+# edge build (shared shape with pagerank/HITS) does all the heavy lifting
+# at O(lineitems) with broadcast dims.
+# --------------------------------------------------------------------------
+RECIPROCITY_ORACLE = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey
+), nonloop AS (
+  SELECT * FROM edges WHERE src <> dst
+), paired AS (
+  SELECT a.src, a.dst, a.w, COALESCE(b.w, 0.0) AS w_rev
+  FROM nonloop a
+  LEFT JOIN nonloop b ON b.src = a.dst AND b.dst = a.src
+)
+SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+       CAST(SUM(CASE WHEN w_rev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reciprocated,
+       round(SUM(CASE WHEN w_rev > 0 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+         AS reciprocity_unweighted,
+       round(SUM(least(w, w_rev)) / SUM(w), 6) AS reciprocity_weighted
+FROM paired
+"""
+
+
+@register(
+    "graph_trade_reciprocity", oracle=RECIPROCITY_ORACLE, tags=("graph", "stats")
+)
+def graph_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # both sides of the dyad join
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w").alias("w_rev")
+    )
+    paired = edges.join(rev, ["src", "dst"], "left").withColumn(
+        "w_rev", F.coalesce(F.col("w_rev"), F.lit(0.0))
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_directed_edges"),
+        F.sum(F.when(F.col("w_rev") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_reciprocated"
+        ),
+        F.round(
+            F.sum(F.when(F.col("w_rev") > 0, 1.0).otherwise(0.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("reciprocity_unweighted"),
+        F.round(F.sum(F.least("w", "w_rev")) / F.sum("w"), 6).alias(
+            "reciprocity_weighted"
+        ),
+    )

@@ -2625,3 +2625,119 @@ def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_pair_cos",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Video shot-boundary detection over REAL decoded frames (round 4): the
+# video-curation primitive beyond frame SAMPLING (multimodal_frame_sample
+# slices bytes; this decodes pixels and finds scene cuts). Each doc gets
+# a 12-frame synthetic clip — 3 "shots" of 4 frames; within a shot,
+# consecutive frames differ by a +1 luminance jitter, across shots the
+# pattern jumps by 89·(pixel-mix) — every frame serialized to an actual
+# BMP and decoded back by the struct parser. Boundary metric: mean
+# absolute gray difference between consecutive decoded frames — INTEGER
+# pixel sums, so both engines agree exactly; a cut is mad > 30. The
+# pytest asserts the planted cuts (frames 4 and 8) are found for every
+# doc and nothing else fires.
+# --------------------------------------------------------------------------
+_VID_FRAMES, _VID_SHOT_LEN, _VID_PANEL = 12, 4, 50
+
+VIDEO_SHOTS_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_VID_PANEL}
+), grid AS (
+  SELECT doc_id, f, y, x,
+         CAST(((doc_id % 256) * 31 + y * 7 + x * 3 + 0
+               + ((doc_id % 256 + 1) * (y * 8 + x + 1) * 2654435761)
+               + (f // {_VID_SHOT_LEN}) * 89 * (y * 8 + x + 1) + f) % 256
+            + ((doc_id % 256) * 31 + y * 7 + x * 3 + 1
+               + ((doc_id % 256 + 1) * (y * 8 + x + 1) * 2654435761)
+               + (f // {_VID_SHOT_LEN}) * 89 * (y * 8 + x + 1) + f) % 256
+            + ((doc_id % 256) * 31 + y * 7 + x * 3 + 2
+               + ((doc_id % 256 + 1) * (y * 8 + x + 1) * 2654435761)
+               + (f // {_VID_SHOT_LEN}) * 89 * (y * 8 + x + 1) + f) % 256
+            AS BIGINT) AS gray
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, {_VID_FRAMES - 1})) AS f)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
+), diffs AS (
+  SELECT a.doc_id, b.f AS frame_idx,
+         SUM(abs(b.gray - a.gray)) AS sad
+  FROM grid a
+  JOIN grid b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+             AND b.y = a.y AND b.x = a.x
+  GROUP BY a.doc_id, b.f
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       round(sad / 64.0, 6) AS mean_abs_diff,
+       CASE WHEN sad / 64.0 > 30.0 THEN 1 ELSE 0 END AS is_shot_boundary
+FROM diffs
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register(
+    "multimodal_video_shot_boundaries",
+    oracle=VIDEO_SHOTS_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def multimodal_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _VID_PANEL)
+
+    def gen(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                m = int(doc_id) % 256
+                y, x, ch = np.meshgrid(
+                    np.arange(8, dtype="int64"),
+                    np.arange(8, dtype="int64"),
+                    np.arange(3, dtype="int64"),
+                    indexing="ij",
+                )
+                for f in range(_VID_FRAMES):
+                    arr = (
+                        (m * 31 + y * 7 + x * 3 + ch
+                         + (m + 1) * (y * 8 + x + 1) * 2654435761
+                         + (f // _VID_SHOT_LEN) * 89 * (y * 8 + x + 1) + f) % 256
+                    ).astype("uint8")
+                    rows.append((int(doc_id), f, bytearray(M.encode_bmp(arr))))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "media_bytes"])
+
+    frames = docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, frame_idx int, media_bytes binary"
+    )
+
+    def grayify(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = M.decode_bmp(bytes(r["media_bytes"]))
+                gray = arr.astype("int64").sum(axis=2).ravel()
+                rows.append((r["doc_id"], r["frame_idx"], gray.tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "gray"])
+
+    grays = frames.mapInPandas(grayify, "doc_id long, frame_idx int, gray array<long>")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("frame_idx")
+    with_prev = grays.withColumn("prev", F.lag("gray").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    sad = F.aggregate(
+        F.zip_with("gray", "prev", lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return with_prev.select(
+        "doc_id",
+        "frame_idx",
+        F.round(sad / 64.0, 6).alias("mean_abs_diff"),
+        F.when(sad / 64.0 > 30.0, 1).otherwise(0).alias("is_shot_boundary"),
+    ).orderBy("doc_id", "frame_idx")

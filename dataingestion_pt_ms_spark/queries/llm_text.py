@@ -2612,3 +2612,72 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve: what fraction of corpus token MASS does a
+# top-k vocabulary cover, for k ∈ {100, 1000, 10000} — the tokenizer-
+# design planning curve (pick vocab size by coverage target; the fertility
+# query asks how a FIXED tokenizer behaves, this asks how big one must
+# be). Ranks and cumulative mass come from the fused distributed prefix
+# scan (global_prefix_scan: running token-mass + rank in ONE range
+# exchange over the wordcount table); each k then probes a single rank.
+# --------------------------------------------------------------------------
+_COVERAGE_KS = (100, 1000, 10000)
+
+COVERAGE_ORACLE = f"""
+WITH wc AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_DTOKS}) AS t FROM documents) GROUP BY t
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rn,
+         SUM(c) OVER (ORDER BY c DESC, t) AS cum
+  FROM wc
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_vocab
+  FROM wc
+), ks AS ( SELECT unnest([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k )
+SELECT ks.k AS vocab_k,
+       tot.n_vocab,
+       CAST(r.cum AS BIGINT) AS covered_tokens,
+       round(CAST(r.cum AS DOUBLE) / tot.total, 6) AS coverage
+FROM ks CROSS JOIN tot
+JOIN ranked r ON r.rn = least(ks.k, tot.n_vocab)
+ORDER BY vocab_k
+"""
+
+
+@register("text_vocab_coverage_curve", oracle=COVERAGE_ORACLE, tags=("llm", "text"))
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import tokens
+    from ..operators.ranking import global_prefix_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wc = wc.localCheckpoint(eager=False)  # totals + scan branches
+    tot = wc.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    ranked = global_prefix_scan(
+        wc.withColumn("_negc", -F.col("c")), ["c"], ["_negc", "t"], rn_col="rn"
+    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k long")
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .withColumn("kk", F.least(F.col("k"), F.col("n_vocab")))
+        .join(ranked.select("rn", "c_cum"), F.col("kk") == F.col("rn"))
+        .select(
+            F.col("k").alias("vocab_k"),
+            "n_vocab",
+            F.col("c_cum").cast("long").alias("covered_tokens"),
+            F.round(F.col("c_cum").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("vocab_k")
+    )

@@ -1667,3 +1667,22 @@ def test_global_prefix_scan_matches_chained_singletons(spark):
     got = sorted(tuple(r) for r in fused.select(*cols).collect())
     want = sorted(tuple(r) for r in chained.select(*cols).collect())
     assert got == want
+
+
+def test_video_shot_boundaries_find_planted_cuts(spark, sf_dir):
+    """Every doc's 12-frame clip has shots of 4 frames: the decoded-pixel
+    SAD detector must flag exactly frames 4 and 8 as boundaries and stay
+    quiet within shots (jitter mad ~ a few gray levels)."""
+    from dataingestion_pt_ms_spark.queries import registry
+
+    rows = (
+        registry()["multimodal_video_shot_boundaries"].fn(spark, sf_dir).collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set())
+        if r["is_shot_boundary"] == 1:
+            by_doc[r["doc_id"]].add(r["frame_idx"])
+    assert by_doc, "no rows"
+    for doc, cuts in by_doc.items():
+        assert cuts == {4, 8}, (doc, cuts)
