@@ -2828,3 +2828,93 @@ def events_burstiness_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation, EXACT: does a customer's account balance
+# predict their total spend? Average-rank tie handling via the integer
+# "doubled rank" 2r̄ = 2·rank + tie_cnt − 1, so every moment (Σx, Σxy, Σx²)
+# is integer arithmetic — DECIMAL(38,0) on Spark, HUGEINT in the oracle —
+# and ρ only touches doubles in the final division/sqrt (exact ints →
+# nearest-double conversions agree bit-for-bit; no corr() summation-order
+# hazard). Ranks come from global_prefix_scan over the DISTINCT-value
+# tables (no unpartitioned window): rank = cum − cnt + 1. Bound: Σx·y ≤
+# 4n³ and n·Σxy ≤ 4n⁴ fit 38 digits through n ≈ 10⁹ customers; past that
+# the documented swap is corr() on rank columns (6 dp).
+# --------------------------------------------------------------------------
+SPEARMAN_ORACLE = """
+WITH spend AS (
+  SELECT c_custkey, c_acctbal AS x,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS y
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_acctbal
+), r AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY x)
+              + count(*) OVER (PARTITION BY x) - 1 AS HUGEINT) AS rx,
+         CAST(2 * rank() OVER (ORDER BY y)
+              + count(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS ry
+  FROM spend
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+FROM s
+"""
+
+
+@register("orders_spearman_rank_corr", oracle=SPEARMAN_ORACLE, tags=("stats",))
+def orders_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_prefix_scan
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", F.col("c_acctbal").alias("x"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("y"))
+    )
+    spend = spend.localCheckpoint(eager=False)  # rank joins reuse both sides
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        dv = spend.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        scanned = global_prefix_scan(dv, ["cnt"], [col])
+        # avg-rank·2 = 2·(cum − cnt + 1) + cnt − 1 = 2·cum − cnt + 1
+        return scanned.select(
+            col,
+            (2 * F.col("cnt_cum") - F.col("cnt") + 1)
+            .cast("decimal(18,0)")
+            .alias(out),
+        )
+
+    r = (
+        spend.join(doubled_ranks("x", "rx"), "x")
+        .join(doubled_ranks("y", "ry"), "y")
+        .select("rx", "ry")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -2180,3 +2180,81 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("trend_strength"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend (double exponential) smoothing + 7-day forecast per
+# event_type: l' = α·y + (1−α)(l+t), t' = β(l'−l) + (1−β)t over the daily
+# count series, init l=y₁, t=y₂−y₁ — the trend-corrected upgrade of the
+# truncated-EWMA level (events_ewma_daily smooths LEVEL only; Holt carries
+# slope, so the h-step forecast is l+h·t instead of flat). α=0.5, β=0.25
+# are exact binary fractions and both engines left-fold the identical
+# expression tree in ascending-day order (Spark F.aggregate ≡ DuckDB
+# list_reduce), so the recurrences agree bit-for-bit. Scale: the daily agg
+# is the distributed pass; per-series fold state is bounded by CALENDAR
+# (≤ span days), not row count — 100× events changes only the first agg.
+# --------------------------------------------------------------------------
+HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY event_type, d
+), series AS (
+  SELECT event_type, list(y ORDER BY d) AS ys,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+), fit AS (
+  SELECT event_type, ys, n_days, CAST(2 AS BIGINT) AS i,
+         ys[1] AS l, ys[2] - ys[1] AS t
+  FROM series
+  UNION ALL
+  SELECT event_type, ys, n_days, i + 1,
+         0.5::DOUBLE * ys[i + 1] + 0.5::DOUBLE * (l + t),
+         0.25::DOUBLE
+           * ((0.5::DOUBLE * ys[i + 1] + 0.5::DOUBLE * (l + t)) - l)
+         + 0.75::DOUBLE * t
+  FROM fit WHERE i < n_days
+)
+SELECT event_type, n_days,
+       round(l, 6) AS level,
+       round(t, 6) AS trend,
+       round(l + 7.0 * t, 6) AS forecast_7d
+FROM fit WHERE i = n_days ORDER BY event_type
+"""
+
+
+@register(
+    "events_holt_linear_forecast",
+    oracle=HOLT_ORACLE,
+    tags=("timeseries", "forecast", "stats"),
+)
+def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    ys = F.transform(F.col("arr"), lambda s: s["y"])
+
+    def _fold(acc, y):
+        new_l = F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["t"])
+        return F.struct(
+            new_l.alias("l"),
+            (F.lit(0.25) * (new_l - acc["l"]) + F.lit(0.75) * acc["t"]).alias("t"),
+        )
+
+    init = F.struct(
+        F.element_at(ys, 1).alias("l"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("t"),
+    )
+    st = F.aggregate(F.slice(ys, 3, F.size(ys)), init, _fold)
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["t"], 6).alias("trend"),
+        F.round(st["l"] + F.lit(7.0) * st["t"], 6).alias("forecast_7d"),
+    ).orderBy("event_type")

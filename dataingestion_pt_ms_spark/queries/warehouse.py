@@ -2217,3 +2217,107 @@ def warehouse_deletion_vectors_mor(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(0)
         .alias("rewrite_candidate"),
     ).orderBy("part")
+
+
+# --------------------------------------------------------------------------
+# Market concentration per region: Herfindahl-Hirschman index + CR4 of
+# supplier-nation revenue shares — the antitrust-style "is this market a
+# monopoly" rollup the Gini/ABC queries approach from the inequality side.
+# EXACT cross-engine: revenue is summed as DECIMAL(18,6), scaled to
+# integer micro-units, and HHI = Σrevₙ²/total² + CR4 = top4/total are
+# ratios of exact integers (DECIMAL(38,0) / HUGEINT) converted to double
+# only for the final division. Top-4 tie-break is (revenue, nationkey).
+# Scale: one lineitem⋈supplier broadcast join + 25-row per-region window;
+# integer bound holds through total² < 10³⁸ (≈ sf10); past that the swap
+# is double shares rounded via floor(x·1e6+0.5).
+# --------------------------------------------------------------------------
+HHI_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation, n.n_nationkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+              * 1000000 AS HUGEINT) AS micro
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name, n.n_nationkey
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY region
+                               ORDER BY micro DESC, n_nationkey) AS rk
+  FROM rev
+), agg AS (
+  SELECT region,
+         CAST(count(*) AS BIGINT) AS n_nations,
+         sum(micro) AS total,
+         sum(micro * micro) AS sumsq,
+         sum(CASE WHEN rk <= 4 THEN micro ELSE CAST(0 AS HUGEINT) END) AS top4,
+         min(CASE WHEN rk = 1 THEN nation END) AS top_nation
+  FROM ranked GROUP BY region
+)
+SELECT region, n_nations, top_nation,
+       round(CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS hhi,
+       round(CAST(top4 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cr4
+FROM agg ORDER BY region
+"""
+
+
+@register(
+    "warehouse_market_concentration",
+    oracle=HHI_ORACLE,
+    tags=("warehouse", "stats"),
+)
+def warehouse_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(
+            reg.r_name.alias("region"),
+            nat.n_name.alias("nation"),
+            nat.n_nationkey.alias("n_nationkey"),
+        )
+        .agg(
+            (
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                )
+                * 1000000
+            )
+            .cast("decimal(38,0)")
+            .alias("micro")
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("region").orderBy(F.col("micro").desc(), "n_nationkey")
+    )
+    ranked = rev.withColumn("rk", rk)
+    agg = ranked.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.sum("micro").alias("total"),
+        F.sum(F.col("micro") * F.col("micro")).alias("sumsq"),
+        F.sum(
+            F.when(F.col("rk") <= 4, F.col("micro")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("top4"),
+        F.min(F.when(F.col("rk") == 1, F.col("nation"))).alias("top_nation"),
+    )
+    return agg.select(
+        "region",
+        "n_nations",
+        "top_nation",
+        F.round(
+            F.col("sumsq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("hhi"),
+        F.round(F.col("top4").cast("double") / F.col("total").cast("double"), 6).alias(
+            "cr4"
+        ),
+    ).orderBy("region")
