@@ -787,15 +787,17 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Link-prediction training set (round 4): the ML-data-prep step the
-# scoring row (graph_copurchase_link_prediction) presumes — positives =
-# observed co-purchase edges; negatives = DETERMINISTIC hash-sampled
-# non-edges. The scale trap is enumerating n² candidate non-edges and
-# filtering; the sane shape samples each SIDE first (md5 bucket on the
-# node id → two bounded node subsets), crosses only those, and
-# anti-joins the edge set — the candidate space is |S_a|·|S_b|, set by
-# the bucket moduli, never n². Output: per-class counts + mean endpoint
-# degrees, the class-balance / degree-bias audit you run before training
+# Link-prediction training set (round 4, re-bounded round 5): the
+# ML-data-prep step the scoring row (graph_copurchase_link_prediction)
+# presumes — positives = observed co-purchase edges; negatives =
+# DETERMINISTIC hash-sampled non-edges. The scale trap is enumerating n²
+# candidate non-edges and filtering; a FIXED-fraction bucket (r4 used
+# md5 % 4 = ¼ of each side) is still n²/16 growth. Round 5 sizes the
+# modulus from the graph itself: B = max(2, ceil(n / (5·√|E|))) gives
+# |S_a|·|S_b| ≈ (n/B)² ≈ 25·|E| candidate pairs — the negative budget
+# is a bounded multiple of the EDGE count, so it scales with the input,
+# never with n². Output: per-class counts + mean endpoint degrees, the
+# class-balance / degree-bias audit you run before training
 # (hash-sampled negatives over-represent high-degree nodes if the
 # sampling keys correlate with degree — here they cannot: md5 of the id).
 # --------------------------------------------------------------------------
@@ -805,12 +807,20 @@ deg AS (
   SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
     SELECT u AS node FROM e UNION ALL SELECT v FROM e
   ) GROUP BY node
+), params AS (
+  SELECT greatest(
+    2, CAST(ceil(nn / (5.0 * greatest(1.0, sqrt(ne)))) AS BIGINT)
+  ) AS bmod
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS ne FROM e) t1,
+       (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg) t2
 ), sa AS (
-  SELECT node FROM deg
-  WHERE CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0
+  SELECT node FROM deg, params
+  WHERE CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8)) AS BIGINT)
+        % bmod = 0
 ), sb AS (
-  SELECT node FROM deg
-  WHERE CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 1
+  SELECT node FROM deg, params
+  WHERE CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8)) AS BIGINT)
+        % bmod = 1
 ), negs AS (
   SELECT least(sa.node, sb.node) AS u, greatest(sa.node, sb.node) AS v
   FROM sa CROSS JOIN sb
@@ -857,12 +867,31 @@ def graph_lp_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     deg = deg.localCheckpoint(eager=False)
+    # bounded negative budget (VERDICT r4 #1): B = max(2, ceil(n/(5·√E)))
+    # makes |sa|·|sb| ≈ (n/B)² ≈ 25·|edges| — the candidate bill grows
+    # with the edge count, not n². Computed as a 1-row broadcast so the
+    # whole thing stays one lazy plan (no driver-side count actions);
+    # |sb| ≈ 5·√E rows, small enough to broadcast at any realistic E.
+    stats = (
+        edges.agg(F.count(F.lit(1)).cast("double").alias("n_e"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).cast("double").alias("n_n")))
+        .select(
+            F.greatest(
+                F.lit(2).cast("long"),
+                F.ceil(
+                    F.col("n_n")
+                    / (F.lit(5.0) * F.greatest(F.lit(1.0), F.sqrt(F.col("n_e"))))
+                ).cast("long"),
+            ).alias("b_mod")
+        )
+    )
+    degb = deg.crossJoin(F.broadcast(stats))
     bucket = (
         F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 4
+        .cast("long") % F.col("b_mod")
     )
-    sa = deg.where(bucket == 0).select(F.col("node").alias("na"))
-    sb = deg.where(bucket == 1).select(F.col("node").alias("nb"))
+    sa = degb.where(bucket == 0).select(F.col("node").alias("na"))
+    sb = degb.where(bucket == 1).select(F.col("node").alias("nb"))
     negs = (
         sa.crossJoin(F.broadcast(sb))
         .where(F.col("na") != F.col("nb"))

@@ -1929,11 +1929,14 @@ def sim_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is scored by cos(x,y) normalized by the mean of both endpoints'
 # k-NN-neighborhood cosines, and only FORWARD-BACKWARD MUTUAL argmax
 # pairs are mined. Sides here are label-0 vs label-1 vectors (the
-# two-population stand-in for two languages). Fixture shape: one side
-# broadcast (pair space |A|·|B|); the documented 100 TB swap is the
-# blocked-GEMM + IVF-cell bucketing the ANN family already uses —
-# neighborhood averages are per-endpoint aggregates either way. All
-# ranking on round-6 cosines with id tiebreaks (house topk discipline).
+# two-population stand-in for two languages). Production path (round 5,
+# VERDICT r4 #2): operators/similarity.bipartite_margin_pairs — two
+# streaming blocked-GEMM passes (A hash-chunked, B replicated per chunk)
+# that shuffle only Θ(|A|·k + |B|·k·n_blocks) rows and NEVER materialize
+# the |A|·|B| pair space; the old crossJoin formulation survives only as
+# the DuckDB oracle and the _margin_mining_crossjoin_twin engine-test
+# pin. All ranking on round-6 cosines/margins with id tiebreaks (house
+# topk discipline).
 # --------------------------------------------------------------------------
 _MG_K = 4
 
@@ -1982,6 +1985,31 @@ ORDER BY vec_a
     tags=("llm", "similarity", "mining"),
 )
 def sim_margin_alignment_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import bipartite_margin_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("xa"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("xb"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    mined = bipartite_margin_pairs(a, b, k=_MG_K, n_blocks=8)
+    return mined.select(
+        F.col("xa").alias("vec_a"),
+        F.col("xb").alias("vec_b"),
+        F.col("c").alias("cosine"),
+        "margin",
+    ).orderBy("vec_a")
+
+
+def _margin_mining_crossjoin_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 broadcast-crossJoin formulation, kept ONLY as the engine-test
+    pin for the blocked production path (and as human-readable spec — it is
+    line-for-line the DuckDB oracle). Θ(|A|·|B|) rows materialized: never
+    call this outside fixture-scale tests."""
     from pyspark.sql import Window as W
 
     from ..functions.vectors import cosine_similarity

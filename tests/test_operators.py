@@ -1686,3 +1686,27 @@ def test_video_shot_boundaries_find_planted_cuts(spark, sf_dir):
     assert by_doc, "no rows"
     for doc, cuts in by_doc.items():
         assert cuts == {4, 8}, (doc, cuts)
+
+
+def test_margin_mining_blocked_path_matches_crossjoin_twin(spark, sf_dir):
+    """VERDICT r4 #2: the production blocked-GEMM margin miner
+    (operators/similarity.bipartite_margin_pairs) must reproduce the
+    broadcast-crossJoin formulation (= the DuckDB oracle) pair for pair,
+    value for value — and its plan must contain no cross/cartesian join
+    on the pair space."""
+    from dataingestion_pt_ms_spark.queries.llm_similarity import (
+        _margin_mining_crossjoin_twin,
+        sim_margin_alignment_mining,
+    )
+
+    got = sorted(
+        tuple(r) for r in sim_margin_alignment_mining(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in _margin_mining_crossjoin_twin(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+    from dataingestion_pt_ms_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(sim_margin_alignment_mining(spark, sf_dir))
+    assert "CartesianProduct" not in plan

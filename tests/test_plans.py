@@ -277,3 +277,55 @@ def test_ks_test_no_global_window(spark, sf_dir):
     for i, l in enumerate(lines):
         if "Window" in l and "Exchange SinglePartition" in "".join(lines[max(0, i - 3):i]):
             raise AssertionError(f"global window at plan line {i}: {l}")
+
+
+def test_lp_negative_budget_scales_with_edges(spark, sf_dir):
+    """VERDICT r4 #1: the link-prediction negative candidate space
+    |sa|·|sb| must be a bounded multiple of the EDGE count (budget
+    c ≈ 25·|E|), never a fixed fraction of n² — replay the query's own
+    bucket arithmetic and assert the bill, at both fixture scales."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dataingestion_pt_ms_spark.catalog import load_table
+
+    for d in (sf_dir, "/root/testdata/sf0.01"):
+        li = load_table(spark, d, "lineitem")
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+        b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+        edges = (
+            a.join(b, "k")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("sup"))
+            .filter(F.col("sup") >= 2)
+            .drop("sup")
+        )
+        nodes = edges.select(F.col("u").alias("node")).unionByName(
+            edges.select(F.col("v").alias("node"))
+        ).distinct()
+        n_e = edges.count()
+        n_n = nodes.count()
+        bmod = max(2, math.ceil(n_n / (5.0 * max(1.0, math.sqrt(n_e)))))
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10)
+            .cast("long") % bmod
+        )
+        sa = nodes.where(bucket == 0).count()
+        sb = nodes.where(bucket == 1).count()
+        candidates = sa * sb
+        # bounded budget: ~25·E nominal; 100·E slack covers binomial
+        # bucket-size variance at tiny fixture n. (The fixture co-purchase
+        # graph is DENSE — E ≈ n²/4 — so a budget ∝ E is NOT sub-quadratic
+        # in n here; the point is that on the sparse graphs where n² blows
+        # up, the bill stays pinned to the edge count.)
+        assert candidates <= max(100 * n_e, 400), (
+            f"{d}: candidate bill {candidates} vs edges {n_e}"
+        )
+        # and the modulus really derives from the graph: (n/B)² ≈ 25·E,
+        # so B must exceed the fixed 4 of the old scheme whenever the
+        # graph is sparse enough that n > 20·√E
+        if n_n > 20.0 * math.sqrt(n_e):
+            assert bmod > 4, f"{d}: bmod {bmod} not scaled (n={n_n}, E={n_e})"
