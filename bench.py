@@ -282,8 +282,78 @@ BASELINE_SEC = {
     "docs_tokenizer_fertility": 0.69,
     "events_seasonal_strength": 0.96,
     "warehouse_deletion_vectors_mor": 0.67,
+    # round-5: late-r4 strays backfilled (VERDICT r4 #3) — min-of-3 hot
+    "events_holt_linear_forecast": 0.45,
+    "warehouse_market_concentration": 0.80,
+    "orders_spearman_rank_corr": 2.05,
 }
 GUARD_FACTOR = 2.0
+
+# Driver-artifact subsets (VERDICT r4 #3): the driver captures only the
+# last ~2000 chars of stdout, so the full per-query map (240+ entries)
+# must go to a FILE and the final stdout line must stay compact while
+# still letting round-over-round ratios be computed from driver
+# artifacts alone. These are the exact query sets the r1/r2/r3 driver
+# artifacts recorded (BENCH_r0{1,2,3}.json "parsed.queries") — printing
+# their subtotals makes every historical comparison one subtraction.
+R1_SUBSET = [
+    "asof_join_last_purchase", "dedup_exact_groups", "dedup_minhash_lsh_pairs",
+    "events_sessionize_gap30m", "flagship_region_monthly_revenue",
+    "join_left_outer_order_counts", "ohlc_daily_resample",
+    "pipeline_pretrain_corpus", "q13_customer_distribution",
+    "q18_large_volume_customers", "q1_pricing_summary", "q21_last_to_ship",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q9_product_type_profit", "sim_ann_ivf_topk", "sim_blocked_nearest_neighbor",
+    "sim_cosine_topk_bruteforce", "text_quality_score", "text_term_frequency",
+    "window_cumulative_range",
+]
+R2_EXTRA = [
+    "dedup_cross_corpus_minhash", "dedup_simhash_banded_pairs",
+    "docs_source_stats", "events_scd2_history", "histogram_order_totals",
+    "ingest_status_serving", "join_bloom_runtime_filter", "pivot_status_matrix",
+    "set_except_all", "sim_pq_adc_topk", "text_bigram_logprob",
+    "text_cross_doc_spans", "text_unigram_logprob",
+    "timeseries_gapfill_interpolate", "udf_grouped_map_zscore",
+    "window_extended_family",
+]
+R3_EXTRA = [
+    "agg_hll_distinct_customers", "agg_hll_intersection_estimate",
+    "cdc_merge_apply", "dedup_containment_pairs", "docs_shard_manifest",
+    "emb_pca_power_iteration", "events_ewma_daily",
+    "graph_copurchase_link_prediction", "graph_copurchase_triangles",
+    "orders_abc_pareto_classes", "pipeline_curation_v2", "sim_rrf_hybrid_fusion",
+    "sketch_cm_heavy_hitters", "text_bpe_pair_counts", "text_ccnet_ppl_buckets",
+    "text_pmi_cooccurrence", "warehouse_key_skew_audit", "warehouse_zorder_layout",
+]
+R2_SUBSET = sorted(R1_SUBSET + R2_EXTRA)
+R3_SUBSET = sorted(R2_SUBSET + R3_EXTRA)
+
+
+def compact_summary(times: dict[str, float], sf: float) -> dict:
+    """The ONE stdout JSON line (driver contract): headline total + the
+    r1/r2/r3 common-subset subtotals + the r1 per-query map (22 entries —
+    bounded forever). json.dumps of the result must stay well under the
+    driver's ~2000-char tail capture; the full per-query map lives in
+    BENCH_full.json. Pure function so tests can pin the size bound."""
+
+    def subtotal(names: list[str]) -> float | None:
+        hit = [times[n] for n in names if n in times]
+        return round(sum(hit), 3) if len(hit) == len(names) else None
+
+    return {
+        "metric": "headline_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "subset_totals": {
+            "r1": subtotal(R1_SUBSET),
+            "r2": subtotal(R2_SUBSET),
+            "r3": subtotal(R3_SUBSET),
+        },
+        "full_map": "BENCH_full.json",
+        "queries": {n: times[n] for n in R1_SUBSET if n in times},
+    }
 
 
 def check_regressions(times: dict[str, float]) -> list[str]:
@@ -540,6 +610,9 @@ HEADLINE = [
     "docs_tokenizer_fertility",
     "events_seasonal_strength",
     "warehouse_deletion_vectors_mor",
+    "events_holt_linear_forecast",
+    "warehouse_market_concentration",
+    "orders_spearman_rank_corr",
 ]
 
 
@@ -598,18 +671,14 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    summary = compact_summary(times, sf)
+    full = dict(summary)
+    full["queries"] = times
+    full["slow"] = slow
+    Path(__file__).resolve().parent.joinpath("BENCH_full.json").write_text(
+        json.dumps(full, indent=1) + "\n"
     )
+    print(json.dumps(summary))
     if strict and slow:
         sys.exit(3)
 

@@ -1710,3 +1710,48 @@ def test_margin_mining_blocked_path_matches_crossjoin_twin(spark, sf_dir):
 
     plan = formatted_plan(sim_margin_alignment_mining(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_bench_compact_summary_fits_driver_tail():
+    """VERDICT r4 #4 (bench artifact): the single stdout line bench.py
+    prints must parse AND stay well inside the driver's ~2000-char tail
+    capture even with every registered query timed; subtotals must be
+    computable for each historical driver subset."""
+    import json as _json
+
+    import bench
+
+    times = {n: 1.234 for n in bench.HEADLINE}
+    s = bench.compact_summary(times, 0.1)
+    line = _json.dumps(s)
+    assert len(line) <= 1500, f"compact line {len(line)} chars"
+    assert _json.loads(line)["n_queries"] == len(bench.HEADLINE)
+    st = s["subset_totals"]
+    assert st["r1"] == round(1.234 * len(bench.R1_SUBSET), 3)
+    assert st["r2"] == round(1.234 * len(bench.R2_SUBSET), 3)
+    assert st["r3"] == round(1.234 * len(bench.R3_SUBSET), 3)
+    assert set(s["queries"]) == set(bench.R1_SUBSET)
+    # every subset member must still be a registered headline query —
+    # otherwise a rename would silently null the subtotal
+    assert set(bench.R3_SUBSET) <= set(bench.HEADLINE)
+
+
+def test_every_registry_query_is_documented():
+    """VERDICT r4 #3/#4: documentation discipline is mechanical, not
+    memorial — every registered query name must appear verbatim in
+    PARITY.md (the §2.B coverage map), and every bench guard / headline
+    entry must name a real registered query. A new @register() without
+    its PARITY row fails CI from now on."""
+    from pathlib import Path
+
+    import bench
+    from dataingestion_pt_ms_spark.queries import registry
+
+    names = set(registry())
+    parity = Path(__file__).resolve().parent.parent.joinpath("PARITY.md").read_text()
+    undocumented = sorted(n for n in names if n not in parity)
+    assert not undocumented, f"registry entries missing a PARITY.md row: {undocumented}"
+    stale_guards = sorted(set(bench.BASELINE_SEC) - names)
+    assert not stale_guards, f"bench guards naming unknown queries: {stale_guards}"
+    stale_headline = sorted(set(bench.HEADLINE) - names)
+    assert not stale_headline, f"headline naming unknown queries: {stale_headline}"
