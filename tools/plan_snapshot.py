@@ -58,6 +58,11 @@ SNAPSHOT_QUERIES = [
     "orders_target_encoding_oof",
     "dedup_blocking_quality_audit",
     "orders_wasserstein_drift",
+    # round-5 reworks (VERDICT r4 #1/#2): the bounded LP negative budget
+    # and the blocked-GEMM margin miner — a silent return to the
+    # crossJoin pair-space shapes must fail CI
+    "graph_lp_training_set",
+    "sim_margin_alignment_mining",
 ]
 
 _FEATURES = [

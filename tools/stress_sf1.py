@@ -1,0 +1,182 @@
+"""sf1 stress sweep for the heavy dedup / graph / similarity family
+(VERDICT r4 #6): synthesize a ~10× dataset from sf0.1 (the driver ships
+no sf1 and /root/testdata is read-only), run the top guard-table queries
+on it, and compare each wall time against 10× its sf0.1 guard — any
+query whose cost grows faster than input is a candidate-bill bug, the
+exact class the round-4 posting-geometry lessons (178 s prefix filter,
+11.7 s ER) were caught by.
+
+Synthesis preserves the structures the heavy family actually measures:
+
+- every table is 10 disjoint key-shifted replicas of sf0.1, so graph
+  components, per-order baskets, and FK integrity replicate exactly;
+- ``documents.text`` gets a per-replica BIJECTIVE character map
+  (translate) — within-replica shingle/duplicate geometry is untouched
+  (equal shingles stay equal, distinct stay distinct, lengths keep),
+  while cross-replica shingles collide only by chance, so the duplicate
+  structure grows LINEARLY like a real corpus, not quadratically like
+  naive row duplication would force;
+- ``embeddings.embedding`` is rotated by ``replica`` positions — norms
+  and within-replica cosines are preserved exactly; cross-replica
+  cosines decorrelate;
+- name columns used by the ER / fuzzy-join family get the same
+  translate treatment so blocking keys don't collapse 10 replicas into
+  one 10×-deep block.
+
+Usage:
+    python tools/stress_sf1.py [--regen] [--repeats 2] [name ...]
+
+Writes parquet under .benchdata/sf1x/ (gitignored) and prints a
+markdown table ready for BENCH.md §13.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from dataingestion_pt_ms_spark.queries import registry
+from dataingestion_pt_ms_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = str(Path(__file__).resolve().parent.parent / ".benchdata" / "sf1x")
+REPLICAS = 10
+
+# per-replica bijective character maps: rotate vowels by r mod 5 and a
+# consonant band by r // 5 — composition is a bijection on the alphabet,
+# so equality of any two strings (hence any two shingles) is preserved
+# within a replica and broken across replicas for most tokens
+_V, _C = "aeiou", "bcdfg"
+
+
+def _cmap(r: int) -> tuple[str, str]:
+    src = _V + _C + _V.upper() + _C.upper()
+    rot_v = _V[r % 5:] + _V[: r % 5]
+    rot_c = _C[r // 5 % 5:] + _C[: r // 5 % 5]
+    dst = rot_v + rot_c + rot_v.upper() + rot_c.upper()
+    return src, dst
+
+
+def _translate(col, r: int):
+    src, dst = _cmap(r)
+    return F.translate(col, src, dst)
+
+
+# (table, [(col, kind)]) — kind: shift-N = add r*N; translate; rotate
+SPEC: dict[str, dict[str, tuple]] = {
+    "region": {},
+    "nation": {},
+    "customer": {"c_custkey": ("shift", 10**7), "c_name": ("translate",)},
+    "supplier": {"s_suppkey": ("shift", 10**5), "s_name": ("translate",)},
+    "part": {"p_partkey": ("shift", 10**6), "p_name": ("translate",)},
+    "orders": {"o_orderkey": ("shift", 10**7), "o_custkey": ("shift", 10**7)},
+    "lineitem": {
+        "l_orderkey": ("shift", 10**7),
+        "l_partkey": ("shift", 10**6),
+        "l_suppkey": ("shift", 10**5),
+    },
+    "events": {"event_id": ("shift", 10**9), "user_id": ("shift", 10**9)},
+    "documents": {"doc_id": ("shift", 10**7), "text": ("translate",)},
+    "embeddings": {"vec_id": ("shift", 10**7), "embedding": ("rotate",)},
+}
+
+# the heavy family: top guard-table entries (sec at sf0.1, min-of-3 hot)
+HEAVY = [
+    "dedup_cluster_near_dups",
+    "pipeline_curation_v3",
+    "dedup_blocking_quality_audit",
+    "text_trigram_langid",
+    "pipeline_entity_resolution",
+    "sim_dbscan_cells",
+    "dedup_cross_corpus_minhash_md5",
+    "join_fuzzy_name_match",
+    "graph_lp_training_set",
+    "sketch_histogram_quantiles",
+    "dedup_minhash_lsh_pairs",
+    "dedup_incremental_minhash",
+]
+
+
+def synthesize(spark) -> None:
+    Path(DST).mkdir(parents=True, exist_ok=True)
+    for table, cols in SPEC.items():
+        out = f"{DST}/{table}.parquet"
+        if Path(out).exists():
+            continue
+        base = spark.read.parquet(f"{SRC}/{table}.parquet")
+        if not cols:
+            base.write.mode("overwrite").parquet(out)
+            print(f"# {table}: copied", file=sys.stderr)
+            continue
+        parts = []
+        for r in range(REPLICAS):
+            df = base
+            for col, spec in cols.items():
+                if spec[0] == "shift":
+                    df = df.withColumn(col, F.col(col) + F.lit(r * spec[1]))
+                elif spec[0] == "translate":
+                    df = df.withColumn(col, _translate(F.col(col), r))
+                elif spec[0] == "rotate":
+                    # rotate array left by r: concat(slice(r+1..), slice(1..r))
+                    if r:
+                        df = df.withColumn(
+                            col,
+                            F.concat(
+                                F.slice(F.col(col), r + 1, 64 - r),
+                                F.slice(F.col(col), 1, r),
+                            ),
+                        )
+            parts.append(df)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        full.repartition(32).write.mode("overwrite").parquet(out)
+        print(f"# {table}: {REPLICAS} replicas written", file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--regen", action="store_true")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("stress-sf1")
+    if args.regen:
+        import shutil
+
+        shutil.rmtree(DST, ignore_errors=True)
+    synthesize(spark)
+
+    import bench
+
+    specs = registry()
+    names = args.names or HEAVY
+    print("| query | sf0.1 guard (s) | sf1x wall (s) | ratio | verdict |")
+    print("|---|---|---|---|---|")
+    for name in names:
+        fn = specs[name].fn
+        fn(spark, "/root/testdata/sf0.001").count()  # plan/codegen warmup
+        best = None
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            n = fn(spark, DST).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        ref = bench.BASELINE_SEC.get(name)
+        ratio = best / ref if ref else float("nan")
+        verdict = "ok" if ref and ratio <= 10.0 else "SUPERLINEAR"
+        print(
+            f"| {name} | {ref} | {best:.2f} | {ratio:.1f}x | {verdict} ({n} rows) |"
+        )
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
