@@ -243,7 +243,10 @@ BASELINE_SEC = {
     "text_readability_scores": 0.74,
     "events_dft_periodogram": 0.86,
     "lineitem_kfold_cv_ols": 1.53,
-    "lineitem_conformal_intervals": 1.60,
+    # round-5: global row_number -> global_prefix_scan (no single-task
+    # window over the calibration fold); costs ~0.7s at sf0.1, removes
+    # the one-partition sort that caps the query at scale
+    "lineitem_conformal_intervals": 2.36,
     "lineitem_r2_shapley_lmg": 0.70,
     "pipeline_curation_v3": 6.06,
     # re-bounded negative budget (VERDICT r4 #1), round 5: 4.00 -> 3.31

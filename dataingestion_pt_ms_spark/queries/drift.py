@@ -1979,9 +1979,15 @@ def lineitem_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = c.where(F.col("fold") == 0).crossJoin(ab).select(resid.alias("r"))
     cal = cal.localCheckpoint(eager=False)  # count + rank branches
     ncal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
-    # calibration-fold-only rank (bounded to one fold of |data|/5 rows;
-    # at 100 TB swap for approx_percentile per the house percentile note)
-    ranked = cal.withColumn("rn", F.row_number().over(W.orderBy("r")))
+    # exact order statistic WITHOUT a single-partition window (round-5
+    # plan-audit fix): global_prefix_scan range-partitions by r and
+    # assembles the global rank from per-partition row numbers + a
+    # broadcast offsets frame — one range exchange, no task ever holds
+    # the whole calibration fold. (Exact rank is the conformal
+    # guarantee; the lossy swap at extreme scale is approx_percentile.)
+    from ..operators.ranking import global_prefix_scan
+
+    ranked = global_prefix_scan(cal, [], ["r"], rn_col="rn")
     qhat = (
         ranked.crossJoin(F.broadcast(ncal))
         .where(F.col("rn") == F.ceil((F.col("n_cal") + 1) * 0.9).cast("long"))

@@ -154,22 +154,64 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
 
 
+# Queries allowed an UNPARTITIONED window: each windows a relation whose
+# size is bounded by something other than the input row count (calendar
+# days, sketch grid, shortlist k, strata count) or is a documented
+# rare-event exemption with the at-scale partitioning named in its
+# docstring. Anything else with a global window fails the registry-wide
+# test below — the round-5 plan audit caught lineitem_conformal_intervals
+# ranking a full 20%-of-input fold through one window task this way
+# (fixed: global_prefix_scan).
+GLOBAL_WINDOW_ALLOWLIST = {
+    "events_error_bursts",  # errors only; partition by tenant at scale
+    "events_evalue_sequential",  # daily series (calendar-bounded)
+    "sample_neyman_stratified",  # per-stratum rows (≤ #langs)
+    "sim_pq_refine_rerank",  # k-bounded shortlist
+    "sketch_ams_f2_selfjoin",  # sketch grid (m×g, fixed)
+    "sketch_kmv_rolling_distinct",  # daily series
+    "sql_cte_mom_growth",  # monthly series
+    "warehouse_benford_audit",  # 9 digit rows
+    "rank_global_row_number",  # the global-ranking semantic itself
+}
+
+
 def test_registry_wide_no_cartesian_product(spark, sf_dir):
-    """Blanket scale guard over EVERY registered query: a CartesianProduct
-    node means a non-broadcast cross pair space — instant death at 100 TB.
-    All legitimate cross shapes here (scalar ships, small-dim crosses,
-    explicit cross join) must come out as BroadcastNestedLoopJoin. Plans
-    are built (not executed) for expression-only queries; iterative
-    operators execute their convergence probes at sf0.001 cost."""
+    """Blanket scale guard over EVERY registered query, one plan pass:
+    (a) a CartesianProduct node means a non-broadcast cross pair space —
+    instant death at 100 TB; all legitimate cross shapes here (scalar
+    ships, small-dim crosses, explicit cross join) must come out as
+    BroadcastNestedLoopJoin. (b) an unpartitioned window (empty
+    windowspecdefinition partition list) funnels the whole relation
+    through ONE task — allowed only on the bounded-relation allowlist
+    above. Plans are built (not executed) for expression-only queries;
+    iterative operators execute their convergence probes at sf0.001
+    cost."""
+    import re
+
     from dataingestion_pt_ms_spark.queries import registry
 
     offenders = {}
+    global_windows = {}
     for name, spec in registry().items():
         df = spec.fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders[name] = plan.splitlines()[0:3]
+        if name in GLOBAL_WINDOW_ALLOWLIST:
+            continue
+        logical = qe.analyzed().toString()
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", logical):
+            args = m.group(1)
+            if re.match(r"\s*[\w#.]+ (ASC|DESC)", args) or args.strip().startswith(
+                "specifiedwindowframe"
+            ):
+                global_windows[name] = m.group(0)[:90]
+                break
     assert not offenders, f"cartesian products in: {sorted(offenders)}"
+    assert not global_windows, (
+        f"unpartitioned windows outside the allowlist: {global_windows}"
+    )
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
