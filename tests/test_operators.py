@@ -1755,3 +1755,43 @@ def test_every_registry_query_is_documented():
     assert not stale_guards, f"bench guards naming unknown queries: {stale_guards}"
     stale_headline = sorted(set(bench.HEADLINE) - names)
     assert not stale_headline, f"headline naming unknown queries: {stale_headline}"
+
+
+def test_bipartite_margin_pairs_edge_cases(spark):
+    """Edge discipline for the blocked margin miner: an empty side yields
+    an empty result (not an error), and k larger than a side clamps to
+    the side size without changing the mutual-argmax semantics."""
+    from dataingestion_pt_ms_spark.operators.similarity import (
+        bipartite_margin_pairs,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "xa long, va array<double>")
+
+    def mkb(rows):
+        return spark.createDataFrame(rows, "xb long, vb array<double>")
+
+    a = mk([(1, [1.0, 0.0]), (2, [0.9, 0.1])])
+    b_empty = mkb([])
+    assert bipartite_margin_pairs(a, b_empty, k=4, n_blocks=4).count() == 0
+    assert (
+        bipartite_margin_pairs(
+            mk([]), mkb([(9, [1.0, 0.0])]), k=4, n_blocks=4
+        ).count()
+        == 0
+    )
+
+    # k=10 over a 2×2 space: each side's neighborhood mean is over ALL
+    # partners (clamped), mutual argmax pairs the aligned vectors
+    b = mkb([(10, [1.0, 0.0]), (20, [0.0, 1.0])])
+    a2 = mk([(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    got = {
+        (r.xa, r.xb): (r.c, r.margin)
+        for r in bipartite_margin_pairs(a2, b, k=10, n_blocks=4).collect()
+    }
+    assert set(got) == {(1, 10), (2, 20)}
+    for (xa, xb), (c, m) in got.items():
+        assert c == 1.0
+        # both endpoints' neighborhood means are (1.0 + 0.0)/2 = 0.5,
+        # so margin = 1.0 / 0.5 = 2.0
+        assert m == 2.0
