@@ -564,24 +564,36 @@ def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (coefficient of variation), flag when CV < 0.1 over ≥ 20 events. The
 # microsecond axis discipline applies (sub-second gaps are the signal).
 # Scale: one window + one grouped agg; flags compare ROUNDED CV to the
-# constant so the cut is engine-stable.
+# constant so the cut is engine-stable. EXACT cross-engine (round-5 fix:
+# a 1-ulp avg() summation-order flip at sf0.1 broke the 6-dp round of
+# one row in 1500): gaps are exact integer MICROSECONDS, the moments
+# Σx (BIGINT) and Σx² (DECIMAL38/HUGEINT) are exact integers, and
+# mean/CV only touch doubles after the exact→nearest-double conversion
+# both engines share — same discipline as orders_spearman_rank_corr.
 # --------------------------------------------------------------------------
 BOT_DETECT_ORACLE = """
 WITH g AS (
   SELECT user_id,
-         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
-           PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-           AS DOUBLE) / 1e6 AS gap_s
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
   FROM events
-), st AS (
+), m AS (
   SELECT user_id,
-         CAST(count(gap_s) AS BIGINT) AS n_gaps,
-         round(avg(gap_s), 6) AS mean_gap_s,
-         round(CASE WHEN avg(gap_s) = 0 THEN 0.0
-                    ELSE stddev_samp(gap_s) / avg(gap_s) END, 6) AS cv
+         CAST(count(gap_us) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_us) AS DOUBLE) AS sx,
+         CAST(sum(CAST(gap_us AS HUGEINT) * gap_us) AS DOUBLE) AS sxx,
+         CAST(count(gap_us) AS DOUBLE) AS n
   FROM g
-  WHERE gap_s IS NOT NULL
+  WHERE gap_us IS NOT NULL
   GROUP BY user_id
+), st AS (
+  SELECT user_id, n_gaps,
+         floor(sx / n + 0.5) / 1e6 AS mean_gap_s,
+         floor(CASE WHEN sx = 0 THEN 0.0
+                    WHEN n_gaps < 2 THEN NULL
+                    ELSE sqrt((sxx - sx * sx / n) / (n - 1.0)) / (sx / n)
+               END * 1e6 + 0.5) / 1e6 AS cv
+  FROM m
 )
 SELECT user_id, n_gaps, mean_gap_s, cv,
        CAST(n_gaps >= 20 AND cv < 0.1 AS BOOLEAN) AS bot_flag
@@ -596,18 +608,36 @@ def events_bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
     g = events.select(
         "user_id",
-        (
-            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).cast("double")
-            / F.lit(1e6)
-        ).alias("gap_s"),
-    ).where(F.col("gap_s").isNotNull())
-    cv = F.when(F.avg("gap_s") == 0, F.lit(0.0)).otherwise(
-        F.stddev_samp("gap_s") / F.avg("gap_s")
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    m = g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").cast("double").alias("sx"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us"))
+        .cast("double")
+        .alias("sxx"),
     )
-    st = g.groupBy("user_id").agg(
-        F.count("gap_s").alias("n_gaps"),
-        F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
-        F.round(cv, 6).alias("cv"),
+    n = F.col("n_gaps").cast("double")
+    mean_s = F.col("sx") / n / F.lit(1e6)
+    cv = (
+        F.when(F.col("sx") == 0, F.lit(0.0))
+        .when(F.col("n_gaps") < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+            )
+            / (F.col("sx") / n)
+        )
+    )
+    # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): engine round()
+    # tie-break on exact .5·1e-6 values differs (the BENCH.md
+    # "cross-engine rounding" class); mean·1e6 = sx/n exactly, so the
+    # trick needs no extra scaling there
+    st = m.select(
+        "user_id",
+        "n_gaps",
+        (F.floor(F.col("sx") / n + F.lit(0.5)) / F.lit(1e6)).alias("mean_gap_s"),
+        (F.floor(cv * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cv"),
     )
     return st.select(
         "user_id",
