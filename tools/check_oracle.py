@@ -25,10 +25,17 @@ from dataingestion_pt_ms_spark.session import get_spark
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        path = table_path(sf_dir, t)
+        # Spark writes a DIRECTORY named <table>.parquet; DuckDB needs
+        # the file glob (lets the checker run against .benchdata/sf1x)
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
