@@ -284,13 +284,13 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINSOR_ORACLE = """
 WITH b AS (
   SELECT event_type,
-         quantile_cont(value, 0.05) AS p05,
-         quantile_cont(value, 0.95) AS p95
+         floor(quantile_cont(value, 0.05) * 1e6 + 0.5) / 1e6 AS p05,
+         floor(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS p95
   FROM events GROUP BY event_type
 )
 SELECT e.event_type,
-       round(any_value(b.p05), 6) AS p05,
-       round(any_value(b.p95), 6) AS p95,
+       any_value(b.p05) AS p05,
+       any_value(b.p95) AS p95,
        CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_clipped_low,
        CAST(sum(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
@@ -306,17 +306,25 @@ ORDER BY e.event_type
 @register("events_winsorize_stats", oracle=WINSOR_ORACLE, tags=("timeseries", "stats"))
 def events_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # clip thresholds are the 6dp floor-trick-rounded percentiles: the
+    # UNROUNDED interpolated bound differs by 1 ulp between engines and
+    # flips strict < / > membership when it lands on a data value (caught
+    # by the 10x sf1x sweep, 50 rows of one event_type); rounding the
+    # bound BEFORE comparing makes the boundary engine-stable, and the
+    # audit reports exactly the bound it clipped at
     bounds = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("p05"),
-        F.percentile("value", F.lit(0.95)).alias("p95"),
+        (F.floor(F.percentile("value", F.lit(0.05)) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("p05"),
+        (F.floor(F.percentile("value", F.lit(0.95)) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("p95"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
     return (
         ev.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.any_value("p05"), 6).alias("p05"),
-            F.round(F.any_value("p95"), 6).alias("p95"),
+            F.any_value("p05").alias("p05"),
+            F.any_value("p95").alias("p95"),
             F.sum((F.col("value") < F.col("p05")).cast("long")).alias(
                 "n_clipped_low"
             ),
