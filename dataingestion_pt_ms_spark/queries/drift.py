@@ -1918,8 +1918,12 @@ def lineitem_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 CONFORMAL_ORACLE = """
 WITH mu AS (
-  SELECT avg(l_quantity) AS gq, avg(l_discount) AS gd,
-         avg(l_extendedprice) AS gy
+  SELECT CAST(sum(CAST(round(l_quantity) AS HUGEINT)) AS DOUBLE)
+           / count(*) AS gq,
+         CAST(sum(CAST(round(l_discount * 100) AS HUGEINT)) AS DOUBLE)
+           / count(*) / 100 AS gd,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS DOUBLE)
+           / count(*) / 100 AS gy
   FROM lineitem
 ), c AS (
   SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5
@@ -1927,12 +1931,32 @@ WITH mu AS (
          l_orderkey, l_linenumber,
          l_quantity - gq AS q, l_discount - gd AS d, l_extendedprice - gy AS y
   FROM lineitem CROSS JOIN mu
-), tr AS (
+), ri AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+           AS fold,
+         CAST(round(l_quantity) AS HUGEINT) AS qi,
+         CAST(round(l_discount * 100) AS HUGEINT) AS di,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS yi
+  FROM lineitem
+), rm AS (
   SELECT CAST(count(*) AS DOUBLE) AS n,
-         sum(q) AS sq, sum(d) AS sd, sum(y) AS sy,
-         sum(q*q) AS sqq, sum(q*d) AS sqd, sum(d*d) AS sdd,
-         sum(q*y) AS sqy, sum(d*y) AS sdy
-  FROM c WHERE fold >= 2
+         CAST(sum(qi) AS DOUBLE) AS rq, CAST(sum(di) AS DOUBLE) AS rd,
+         CAST(sum(yi) AS DOUBLE) AS ry,
+         CAST(sum(qi*qi) AS DOUBLE) AS rqq, CAST(sum(qi*di) AS DOUBLE) AS rqd,
+         CAST(sum(di*di) AS DOUBLE) AS rdd, CAST(sum(qi*yi) AS DOUBLE) AS rqy,
+         CAST(sum(di*yi) AS DOUBLE) AS rdy
+  FROM ri WHERE fold >= 2
+), tr AS (
+  SELECT n,
+         rq - n * gq AS sq,
+         rd / 100 - n * gd AS sd,
+         ry / 100 - n * gy AS sy,
+         rqq - 2 * gq * rq + n * gq * gq AS sqq,
+         rqd / 100 - gd * rq - gq * (rd / 100) + n * gq * gd AS sqd,
+         rdd / 10000 - 2 * gd * (rd / 100) + n * gd * gd AS sdd,
+         rqy / 100 - gy * rq - gq * (ry / 100) + n * gq * gy AS sqy,
+         rdy / 10000 - gy * (rd / 100) - gd * (ry / 100) + n * gd * gy AS sdy
+  FROM rm CROSS JOIN mu
 ), coef AS (
   SELECT ((sqy - sq*sy/n)*(sdd - sd*sd/n) - (sdy - sd*sy/n)*(sqd - sq*sd/n))
            / ((sqq - sq*sq/n)*(sdd - sd*sd/n) - (sqd - sq*sd/n)*(sqd - sq*sd/n))
@@ -1977,8 +2001,21 @@ def lineitem_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount").cast("double").alias("d0"),
         F.col("l_extendedprice").cast("double").alias("y0"),
     )
+    # exact-integer moment discipline (round-5, caught by the 10x sf1x
+    # differential sweep: centered-double summation order shifted the OLS
+    # coefficients by ulps and flipped `resid <= q_alpha` for 2 of 1.2M
+    # rows): quantity is integer UNITS, discount/price integer CENTS, so
+    # every raw moment is an exact DECIMAL(38,0)/HUGEINT integer and the
+    # centered moments are derived ALGEBRAICALLY in double from exact
+    # inputs — both engines then run identical IEEE expression trees.
+    qi = F.round(F.col("q0")).cast("decimal(38,0)")
+    di = F.round(F.col("d0") * 100).cast("decimal(38,0)")
+    yi = F.round(F.col("y0") * 100).cast("decimal(38,0)")
+    nall = F.count(F.lit(1)).cast("double")
     mu = li.agg(
-        F.avg("q0").alias("gq"), F.avg("d0").alias("gd"), F.avg("y0").alias("gy")
+        (F.sum(qi).cast("double") / nall).alias("gq"),
+        (F.sum(di).cast("double") / nall / F.lit(100)).alias("gd"),
+        (F.sum(yi).cast("double") / nall / F.lit(100)).alias("gy"),
     )
     fold = (
         F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
@@ -1991,14 +2028,48 @@ def lineitem_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y0") - F.col("gy")).alias("y"),
     )
     c = c.localCheckpoint(eager=False)  # train/cal/test branches
-    tr = c.where(F.col("fold") >= 2).agg(
+    ints = li.select(fold.alias("fold"), qi.alias("qi"), di.alias("di"), yi.alias("yi"))
+    rm = ints.where(F.col("fold") >= 2).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("q").alias("sq"), F.sum("d").alias("sd"), F.sum("y").alias("sy"),
-        F.sum(F.col("q") * F.col("q")).alias("sqq"),
-        F.sum(F.col("q") * F.col("d")).alias("sqd"),
-        F.sum(F.col("d") * F.col("d")).alias("sdd"),
-        F.sum(F.col("q") * F.col("y")).alias("sqy"),
-        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+        F.sum("qi").cast("double").alias("rq"),
+        F.sum("di").cast("double").alias("rd"),
+        F.sum("yi").cast("double").alias("ry"),
+        F.sum(F.col("qi") * F.col("qi")).cast("double").alias("rqq"),
+        F.sum(F.col("qi") * F.col("di")).cast("double").alias("rqd"),
+        F.sum(F.col("di") * F.col("di")).cast("double").alias("rdd"),
+        F.sum(F.col("qi") * F.col("yi")).cast("double").alias("rqy"),
+        F.sum(F.col("di") * F.col("yi")).cast("double").alias("rdy"),
+    )
+    tr = rm.crossJoin(F.broadcast(mu)).select(
+        "n",
+        (F.col("rq") - F.col("n") * F.col("gq")).alias("sq"),
+        (F.col("rd") / F.lit(100) - F.col("n") * F.col("gd")).alias("sd"),
+        (F.col("ry") / F.lit(100) - F.col("n") * F.col("gy")).alias("sy"),
+        (
+            F.col("rqq") - F.lit(2) * F.col("gq") * F.col("rq")
+            + F.col("n") * F.col("gq") * F.col("gq")
+        ).alias("sqq"),
+        (
+            F.col("rqd") / F.lit(100) - F.col("gd") * F.col("rq")
+            - F.col("gq") * (F.col("rd") / F.lit(100))
+            + F.col("n") * F.col("gq") * F.col("gd")
+        ).alias("sqd"),
+        (
+            F.col("rdd") / F.lit(10000)
+            - F.lit(2) * F.col("gd") * (F.col("rd") / F.lit(100))
+            + F.col("n") * F.col("gd") * F.col("gd")
+        ).alias("sdd"),
+        (
+            F.col("rqy") / F.lit(100) - F.col("gy") * F.col("rq")
+            - F.col("gq") * (F.col("ry") / F.lit(100))
+            + F.col("n") * F.col("gq") * F.col("gy")
+        ).alias("sqy"),
+        (
+            F.col("rdy") / F.lit(10000)
+            - F.col("gy") * (F.col("rd") / F.lit(100))
+            - F.col("gd") * (F.col("ry") / F.lit(100))
+            + F.col("n") * F.col("gd") * F.col("gy")
+        ).alias("sdy"),
     )
     n = F.col("n")
     cqq = F.col("sqq") - F.col("sq") * F.col("sq") / n
