@@ -1917,35 +1917,38 @@ def lineitem_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate. α = 0.1.
 # --------------------------------------------------------------------------
 CONFORMAL_ORACLE = """
-WITH mu AS (
-  SELECT CAST(sum(CAST(round(l_quantity) AS HUGEINT)) AS DOUBLE)
-           / count(*) AS gq,
-         CAST(sum(CAST(round(l_discount * 100) AS HUGEINT)) AS DOUBLE)
-           / count(*) / 100 AS gd,
-         CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS DOUBLE)
-           / count(*) / 100 AS gy
-  FROM lineitem
-), c AS (
-  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5
-           AS fold,
-         l_orderkey, l_linenumber,
-         l_quantity - gq AS q, l_discount - gd AS d, l_extendedprice - gy AS y
-  FROM lineitem CROSS JOIN mu
-), ri AS (
+WITH ri AS (
   SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5
            AS fold,
          CAST(round(l_quantity) AS HUGEINT) AS qi,
          CAST(round(l_discount * 100) AS HUGEINT) AS di,
          CAST(round(l_extendedprice * 100) AS HUGEINT) AS yi
   FROM lineitem
+), pf AS (
+  SELECT fold, count(*) AS c,
+         sum(qi) AS q1, sum(di) AS d1, sum(yi) AS y1,
+         sum(qi*qi) AS qq, sum(qi*di) AS qd, sum(di*di) AS dd,
+         sum(qi*yi) AS qy, sum(di*yi) AS dy
+  FROM ri GROUP BY fold
+), mu AS (
+  SELECT CAST(sum(q1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS gq,
+         CAST(sum(d1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) / 100 AS gd,
+         CAST(sum(y1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) / 100 AS gy
+  FROM pf
+), c AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+           AS fold,
+         l_orderkey, l_linenumber,
+         l_quantity - gq AS q, l_discount - gd AS d, l_extendedprice - gy AS y
+  FROM lineitem CROSS JOIN mu
 ), rm AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(qi) AS DOUBLE) AS rq, CAST(sum(di) AS DOUBLE) AS rd,
-         CAST(sum(yi) AS DOUBLE) AS ry,
-         CAST(sum(qi*qi) AS DOUBLE) AS rqq, CAST(sum(qi*di) AS DOUBLE) AS rqd,
-         CAST(sum(di*di) AS DOUBLE) AS rdd, CAST(sum(qi*yi) AS DOUBLE) AS rqy,
-         CAST(sum(di*yi) AS DOUBLE) AS rdy
-  FROM ri WHERE fold >= 2
+  SELECT CAST(sum(c) AS DOUBLE) AS n,
+         CAST(sum(q1) AS DOUBLE) AS rq, CAST(sum(d1) AS DOUBLE) AS rd,
+         CAST(sum(y1) AS DOUBLE) AS ry,
+         CAST(sum(qq) AS DOUBLE) AS rqq, CAST(sum(qd) AS DOUBLE) AS rqd,
+         CAST(sum(dd) AS DOUBLE) AS rdd, CAST(sum(qy) AS DOUBLE) AS rqy,
+         CAST(sum(dy) AS DOUBLE) AS rdy
+  FROM pf WHERE fold >= 2
 ), tr AS (
   SELECT n,
          rq - n * gq AS sq,
@@ -2008,18 +2011,39 @@ def lineitem_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every raw moment is an exact DECIMAL(38,0)/HUGEINT integer and the
     # centered moments are derived ALGEBRAICALLY in double from exact
     # inputs — both engines then run identical IEEE expression trees.
-    qi = F.round(F.col("q0")).cast("decimal(38,0)")
-    di = F.round(F.col("d0") * 100).cast("decimal(38,0)")
-    yi = F.round(F.col("y0") * 100).cast("decimal(38,0)")
-    nall = F.count(F.lit(1)).cast("double")
-    mu = li.agg(
-        (F.sum(qi).cast("double") / nall).alias("gq"),
-        (F.sum(di).cast("double") / nall / F.lit(100)).alias("gd"),
-        (F.sum(yi).cast("double") / nall / F.lit(100)).alias("gy"),
-    )
+    # BIGINT moments stay exact with big headroom: the largest, Σqi·yi,
+    # is ≤ 5.5e8/row → overflows int64 only past ~1.6e10 rows (~sf2700);
+    # past that the swap is DECIMAL(38,0) at an interpreted-agg cost
+    # (the oracle's HUGEINT sums are overflow-proof either way)
+    qi = F.round(F.col("q0")).cast("long")
+    di = F.round(F.col("d0") * 100).cast("long")
+    yi = F.round(F.col("y0") * 100).cast("long")
     fold = (
         F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
         .cast("long") % 5
+    )
+    # ONE moments scan serves everything: per-fold exact integer partials
+    # (5 rows, localCheckpoint'd), from which both the global means (all
+    # folds) and the train moments (folds 2-4) are exact sums — summing
+    # exact per-fold DECIMAL sums is exact; doubles only after the final
+    # sums
+    ints = li.select(fold.alias("fold"), qi.alias("qi"), di.alias("di"), yi.alias("yi"))
+    pf = ints.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("qi").alias("q1"),
+        F.sum("di").alias("d1"),
+        F.sum("yi").alias("y1"),
+        F.sum(F.col("qi") * F.col("qi")).alias("qq"),
+        F.sum(F.col("qi") * F.col("di")).alias("qd"),
+        F.sum(F.col("di") * F.col("di")).alias("dd"),
+        F.sum(F.col("qi") * F.col("yi")).alias("qy"),
+        F.sum(F.col("di") * F.col("yi")).alias("dy"),
+    )
+    pf = pf.localCheckpoint(eager=False)  # mu + rm branches
+    mu = pf.agg(
+        (F.sum("q1").cast("double") / F.sum("c").cast("double")).alias("gq"),
+        (F.sum("d1").cast("double") / F.sum("c").cast("double") / F.lit(100)).alias("gd"),
+        (F.sum("y1").cast("double") / F.sum("c").cast("double") / F.lit(100)).alias("gy"),
     )
     c = li.crossJoin(F.broadcast(mu)).select(
         fold.alias("fold"),
@@ -2028,17 +2052,16 @@ def lineitem_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y0") - F.col("gy")).alias("y"),
     )
     c = c.localCheckpoint(eager=False)  # train/cal/test branches
-    ints = li.select(fold.alias("fold"), qi.alias("qi"), di.alias("di"), yi.alias("yi"))
-    rm = ints.where(F.col("fold") >= 2).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("qi").cast("double").alias("rq"),
-        F.sum("di").cast("double").alias("rd"),
-        F.sum("yi").cast("double").alias("ry"),
-        F.sum(F.col("qi") * F.col("qi")).cast("double").alias("rqq"),
-        F.sum(F.col("qi") * F.col("di")).cast("double").alias("rqd"),
-        F.sum(F.col("di") * F.col("di")).cast("double").alias("rdd"),
-        F.sum(F.col("qi") * F.col("yi")).cast("double").alias("rqy"),
-        F.sum(F.col("di") * F.col("yi")).cast("double").alias("rdy"),
+    rm = pf.where(F.col("fold") >= 2).agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum("q1").cast("double").alias("rq"),
+        F.sum("d1").cast("double").alias("rd"),
+        F.sum("y1").cast("double").alias("ry"),
+        F.sum("qq").cast("double").alias("rqq"),
+        F.sum("qd").cast("double").alias("rqd"),
+        F.sum("dd").cast("double").alias("rdd"),
+        F.sum("qy").cast("double").alias("rqy"),
+        F.sum("dy").cast("double").alias("rdy"),
     )
     tr = rm.crossJoin(F.broadcast(mu)).select(
         "n",
