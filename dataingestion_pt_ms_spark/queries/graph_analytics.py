@@ -928,13 +928,22 @@ def graph_lp_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at O(lineitems) with broadcast dims.
 # --------------------------------------------------------------------------
 RECIPROCITY_ORACLE = """
-WITH edges AS (
+WITH lo AS MATERIALIZED (
+  -- pre-aggregate the fact join to (suppkey, custkey) BEFORE the dim
+  -- joins: without this DuckDB's optimizer (no stats on glob views)
+  -- picked a customer x supplier build at the 10x sweep scale and ground
+  -- to a 100 GB hash join; the pre-agg pins the cheap order
+  SELECT l_suppkey, o_custkey, count(*) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey, o_custkey
+), edges AS MATERIALIZED (
+  -- MATERIALIZED: nonloop is referenced twice; inlining re-plans the
+  -- star join per reference and one copy picked the quadratic build
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-         CAST(count(*) AS DOUBLE) AS w
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         CAST(sum(cnt) AS DOUBLE) AS w
+  FROM lo
+  JOIN customer c ON lo.o_custkey = c.c_custkey
+  JOIN supplier s ON lo.l_suppkey = s.s_suppkey
   GROUP BY c.c_nationkey, s.s_nationkey
 ), nonloop AS (
   SELECT * FROM edges WHERE src <> dst
