@@ -100,6 +100,21 @@ HEAVY = [
     "sketch_histogram_quantiles",
     "dedup_minhash_lsh_pairs",
     "dedup_incremental_minhash",
+    # §13b next tier (round 5)
+    "sim_pq_adc_topk",
+    "dedup_cross_corpus_minhash",
+    "dedup_winnowing_overlap",
+    "graph_degree_assortativity",
+    "text_retrieval_eval_ndcg",
+    "dedup_semdedup_clusters",
+    "graph_cheapest_path_rounds",
+    "graph_hits_nation_trade",
+    "emb_pca_power_iteration",
+    "dedup_simhash_banded_pairs",
+    "rec_als_rank2_round",
+    "sql_recursive_cte_reachability",
+    "orders_spearman_rank_corr",
+    "lineitem_conformal_intervals",
 ]
 
 
