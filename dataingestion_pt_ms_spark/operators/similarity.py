@@ -579,8 +579,12 @@ def bipartite_margin_pairs(
         ids_b = sb["id"].to_numpy()
         ua = np.stack(sa["_v"].to_numpy()).astype("float64")
         ub = np.stack(sb["_v"].to_numpy()).astype("float64")
-        ua = ua / np.linalg.norm(ua, axis=1, keepdims=True)
-        ub = ub / np.linalg.norm(ub, axis=1, keepdims=True)
+        # zero-norm guard (ADVICE r5): a zero vector keeps cosine 0 instead
+        # of NaN, whose lexsort placement is engine-dependent
+        norm_a = np.linalg.norm(ua, axis=1, keepdims=True)
+        norm_b = np.linalg.norm(ub, axis=1, keepdims=True)
+        ua = ua / np.where(norm_a == 0, 1.0, norm_a)
+        ub = ub / np.where(norm_b == 0, 1.0, norm_b)
         sims = np.round(ua @ ub.T, 6)
         return sa, sb, ids_a, ids_b, sims
 
@@ -640,7 +644,13 @@ def bipartite_margin_pairs(
         na, nb = len(ids_a), len(ids_b)
         ax = sa["aux"].to_numpy()
         ay = sb["aux"].to_numpy()
-        margins = np.round(sims / ((ax[:, None] + ay[None, :]) / 2.0), 6)
+        # zero-denominator guard (ADVICE r5): (ax+ay)/2 == 0 would give
+        # inf/NaN margins with engine-dependent argmax placement — such
+        # pairs get margin 0 (same rule in the crossjoin twin + oracle)
+        den = (ax[:, None] + ay[None, :]) / 2.0
+        margins = np.round(
+            np.where(den == 0, 0.0, sims / np.where(den == 0, 1.0, den)), 6
+        )
         j = np.lexsort((ids_b[np.newaxis, :].repeat(na, 0), -margins), axis=1)[:, 0]
         fwd = pd.DataFrame(
             {

@@ -105,7 +105,13 @@ def _driver_attested() -> frozenset[str]:
 def registry() -> dict[str, QuerySpec]:
     _load_all()
     seen = _driver_attested()
-    ordered = sorted(_REGISTRY, key=lambda n: n in seen)  # stable: new first
+    # Stable sort: never-attested first so each driver round's 50-row sample
+    # is all-new; within never-attested, rows-only (no-oracle) names last so
+    # a structurally-unattestable row never burns a driver slot while an
+    # oracled query is still waiting (r5: ``sample_seeded_fraction``).
+    ordered = sorted(
+        _REGISTRY, key=lambda n: (n in seen, _REGISTRY[n].oracle is None)
+    )
     return {name: _REGISTRY[name] for name in ordered}
 
 

@@ -599,7 +599,8 @@ WITH g AS (
          floor(sx / n + 0.5) / 1e6 AS mean_gap_s,
          floor(CASE WHEN sx = 0 THEN 0.0
                     WHEN n_gaps < 2 THEN NULL
-                    ELSE sqrt((sxx - sx * sx / n) / (n - 1.0)) / (sx / n)
+                    ELSE sqrt(greatest(sxx - sx * sx / n, 0)
+                              / (n - 1.0)) / (sx / n)
                END * 1e6 + 0.5) / 1e6 AS cv
   FROM m
 )
@@ -631,8 +632,14 @@ def events_bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("sx") == 0, F.lit(0.0))
         .when(F.col("n_gaps") < 2, F.lit(None).cast("double"))
         .otherwise(
+            # greatest(·, 0): the centered moment can cancel to a tiny
+            # negative double for metronomic (near-zero-variance) users —
+            # exactly the bot signal — and sqrt(neg) would NULL the flag
             F.sqrt(
-                (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+                F.greatest(
+                    F.col("sxx") - F.col("sx") * F.col("sx") / n, F.lit(0.0)
+                )
+                / (n - F.lit(1.0))
             )
             / (F.col("sx") / n)
         )

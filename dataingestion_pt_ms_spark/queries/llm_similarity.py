@@ -1946,7 +1946,11 @@ WITH a AS (
 ), b AS (
   SELECT vec_id AS xb, embedding::DOUBLE[] AS vb FROM embeddings WHERE label = 1
 ), pairs AS (
-  SELECT xa, xb, round(list_cosine_similarity(va, vb), 6) AS c
+  -- zero-norm guard mirrors bipartite_margin_pairs: zero vectors keep c=0
+  SELECT xa, xb,
+         CASE WHEN list_dot_product(va, va) = 0
+                OR list_dot_product(vb, vb) = 0 THEN 0.0
+              ELSE round(list_cosine_similarity(va, vb), 6) END AS c
   FROM a CROSS JOIN b
 ), ka AS (
   SELECT xa, avg(c) AS ax FROM (
@@ -1959,7 +1963,10 @@ WITH a AS (
     FROM pairs
   ) WHERE r <= {_MG_K} GROUP BY xb
 ), m AS (
-  SELECT pairs.xa, pairs.xb, c, round(c / ((ax + ay) / 2), 6) AS margin
+  -- zero-denominator guard mirrors bipartite_margin_pairs: margin 0
+  SELECT pairs.xa, pairs.xb, c,
+         CASE WHEN (ax + ay) = 0 THEN 0.0
+              ELSE round(c / ((ax + ay) / 2), 6) END AS margin
   FROM pairs JOIN ka ON ka.xa = pairs.xa JOIN kb ON kb.xb = pairs.xb
 ), fwd AS (
   SELECT xa, xb FROM (
@@ -2024,7 +2031,16 @@ def _margin_mining_crossjoin_twin(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("embedding").cast("array<double>").alias("vb"),
     )
     pairs = a.crossJoin(F.broadcast(b)).select(
-        "xa", "xb", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("c")
+        "xa",
+        "xb",
+        # coalesce(·, 0): cosine_similarity is NULL on zero norms; the
+        # blocked path and oracle both pin zero-norm cosines to 0
+        F.round(
+            F.coalesce(
+                cosine_similarity(F.col("va"), F.col("vb")), F.lit(0.0)
+            ),
+            6,
+        ).alias("c"),
     )
     pairs = pairs.localCheckpoint(eager=False)  # ka/kb/margin branches
     wa = W.partitionBy("xa").orderBy(F.col("c").desc(), "xb")
@@ -2046,7 +2062,12 @@ def _margin_mining_crossjoin_twin(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(kb), "xb")
         .select(
             "xa", "xb", "c",
-            F.round(F.col("c") / ((F.col("ax") + F.col("ay")) / 2), 6).alias("margin"),
+            # zero-denominator rule mirrors the blocked path: margin 0
+            F.when(F.col("ax") + F.col("ay") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("c") / ((F.col("ax") + F.col("ay")) / 2), 6)
+            )
+            .alias("margin"),
         )
     )
     m = m.localCheckpoint(eager=False)  # fwd/bwd/output branches

@@ -165,11 +165,26 @@ class _BarsStreamReader(DataSourceStreamReader):
         self.bars_per_batch = int(options.get("bars_per_batch", "10"))
         self.max_bars = int(options.get("max_bars", "50"))
         self.state_dir = options.get("state_dir")
+        # Namespace the persisted head (ADVICE r5): a fixed filename let
+        # two queries sharing a state_dir clobber one head and re-trigger
+        # the backward-range failure. Default namespace = option
+        # fingerprint; two CONCURRENT queries with identical options must
+        # pass distinct ``state_name`` values (or per-query state_dirs).
+        import hashlib
+
+        self.state_name = options.get("state_name") or hashlib.md5(
+            "|".join(
+                [",".join(self.symbols), str(self.bars_per_batch),
+                 str(self.max_bars)]
+            ).encode()
+        ).hexdigest()[:12]
 
     def _head_path(self) -> str:
         import os
 
-        return os.path.join(self.state_dir, "synth_bars_head.json")
+        return os.path.join(
+            self.state_dir, f"synth_bars_head_{self.state_name}.json"
+        )
 
     def _load_head(self) -> int:
         if not self.state_dir:
@@ -183,6 +198,18 @@ class _BarsStreamReader(DataSourceStreamReader):
             return 0
 
     def initialOffset(self) -> dict:
+        # the engine asks for the initial offset only on a FRESH query
+        # (no checkpointed offset) — drop any stale persisted head left
+        # by an earlier query that reused this state_dir, else the walk
+        # would resume mid-space for a brand-new checkpoint (ADVICE r5)
+        if self.state_dir:
+            import os
+
+            try:
+                os.remove(self._head_path())
+            except OSError:
+                pass
+        self._head = 0
         return {"idx": 0}
 
     def latestOffset(self) -> dict:

@@ -186,9 +186,46 @@ def test_registry_wide_no_cartesian_product(spark, sf_dir):
     above. Plans are built (not executed) for expression-only queries;
     iterative operators execute their convergence probes at sf0.001
     cost."""
-    import re
-
     from dataingestion_pt_ms_spark.queries import registry
+
+    def window_spec_args(logical: str):
+        """Full (paren-BALANCED) argument string of every
+        windowspecdefinition(...) in the plan — a `[^)]*` regex stops at
+        the first ')' inside a nested expression and silently skips any
+        global window ordered by a function call (ADVICE r5)."""
+        token = "windowspecdefinition("
+        i = 0
+        while (j := logical.find(token, i)) >= 0:
+            depth, k = 1, j + len(token)
+            while k < len(logical) and depth:
+                depth += (logical[k] == "(") - (logical[k] == ")")
+                k += 1
+            yield logical[j + len(token) : k - 1]
+            i = k
+
+    def is_global_window(args: str) -> bool:
+        # first TOP-LEVEL argument: partition column if partitioned, else
+        # an ordering expression (" ASC"/" DESC") or directly the frame
+        depth, first = 0, args
+        for idx, ch in enumerate(args):
+            depth += (ch == "(") - (ch == ")")
+            if ch == "," and depth == 0:
+                first = args[:idx]
+                break
+        first = first.strip()
+        if first.startswith("specifiedwindowframe"):
+            return True
+        # drop nested-paren content so inner commas/sorts can't confuse
+        depth, flat = 0, []
+        for ch in first:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                flat.append(ch)
+        stripped = "".join(flat)
+        return " ASC" in stripped or " DESC" in stripped
 
     offenders = {}
     global_windows = {}
@@ -201,12 +238,9 @@ def test_registry_wide_no_cartesian_product(spark, sf_dir):
         if name in GLOBAL_WINDOW_ALLOWLIST:
             continue
         logical = qe.analyzed().toString()
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", logical):
-            args = m.group(1)
-            if re.match(r"\s*[\w#.]+ (ASC|DESC)", args) or args.strip().startswith(
-                "specifiedwindowframe"
-            ):
-                global_windows[name] = m.group(0)[:90]
+        for args in window_spec_args(logical):
+            if is_global_window(args):
+                global_windows[name] = ("windowspecdefinition(" + args)[:90]
                 break
     assert not offenders, f"cartesian products in: {sorted(offenders)}"
     assert not global_windows, (

@@ -139,11 +139,15 @@ def synthesize(spark) -> None:
                     df = df.withColumn(col, _translate(F.col(col), r))
                 elif spec[0] == "rotate":
                     # rotate array left by r: concat(slice(r+1..), slice(1..r))
+                    # length derived from the data (ADVICE r5): a hardcoded
+                    # dim silently truncates if the fixture dim ever changes
                     if r:
                         df = df.withColumn(
                             col,
                             F.concat(
-                                F.slice(F.col(col), r + 1, 64 - r),
+                                F.slice(
+                                    F.col(col), r + 1, F.size(F.col(col)) - r
+                                ),
                                 F.slice(F.col(col), 1, r),
                             ),
                         )
