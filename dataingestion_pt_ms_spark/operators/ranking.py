@@ -275,3 +275,100 @@ def global_prefix_scan(
         + (["_lrn"] if rn_col is not None else [])
     )
     return out.drop(*drop)
+
+
+def global_islands(
+    df: DataFrame,
+    axis_col: str,
+    order_cols: list[Column | str],
+    gap: int,
+    out_col: str = "island_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global gaps-and-islands WITHOUT a single-reducer global window
+    (round 6, VERDICT r5 #2): rows sorted by ``order_cols`` (a total
+    order) split into maximal runs where consecutive ``axis_col`` values
+    differ by at most ``gap``; ``out_col`` = the 1-based global island
+    index, bit-identical to ``sum(brk) OVER (ORDER BY ...)`` on the
+    break flag ``axis - lag(axis) > gap OR lag IS NULL``.
+
+    One data-sized range exchange; everything else is partition-count-
+    sized. Per partition p (local window over its own slice only):
+
+    - local break flag, counting the first LOCAL row as a break;
+    - local island index ``_lis`` = running sum of local breaks;
+    - stitch: the first local break is NOT real iff the last axis value
+      of the latest earlier non-empty partition (from the broadcast
+      lasts frame) is within ``gap`` — then every island of p shifts
+      down by one onto the previous partition's open island. With
+      real(p) = local_breaks(p) − adj(p) and off(p) = Σ_{q<p} real(q):
+
+          island_id = _lis + off(p) − adj(p)
+
+      (adj(p)=1 maps p's first local island onto island off(p), the
+      previous partitions' last open island — exactly the merge.)
+
+    ``axis_col`` must be an exact integer axis (unix_micros — the house
+    µs discipline) and non-null; ``order_cols`` should start with the
+    axis for the run semantics to make sense.
+    """
+    sort_exprs = _cols(order_cols)
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = df.repartitionByRange(p, *sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = W.partitionBy("_pid").orderBy(*sort_exprs)
+    lag_axis = F.lag(axis_col).over(wloc)
+    parts = parts.withColumn(
+        "_brk",
+        F.when(
+            lag_axis.isNull() | (F.col(axis_col) - lag_axis > gap), 1
+        ).otherwise(0),
+    )
+    parts = parts.withColumn(
+        "_lis", F.sum("_brk").over(wloc.rowsBetween(W.unboundedPreceding, 0))
+    )
+    parts = parts.localCheckpoint(eager=False)  # stats + output branches
+    stats = parts.groupBy("_pid").agg(
+        F.sum("_brk").alias("_nbrk"),
+        F.min_by(F.col(axis_col), F.struct(*sort_exprs)).alias("_first_ax"),
+        F.max_by(F.col(axis_col), F.struct(*sort_exprs)).alias("_last_ax"),
+    )
+    earlier = stats.select(
+        F.col("_pid").alias("_pid2"), F.col("_last_ax").alias("_last2")
+    )
+    # boundary axis value = last row of the latest earlier non-empty
+    # partition; adj = 1 iff that row is within gap of p's first row
+    bounds = (
+        stats.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid", "_nbrk", "_first_ax")
+        .agg(F.max_by("_last2", "_pid2").alias("_bnd_ax"))
+        .select(
+            "_pid",
+            "_nbrk",
+            F.when(
+                F.col("_bnd_ax").isNotNull()
+                & (F.col("_first_ax") - F.col("_bnd_ax") <= gap),
+                1,
+            )
+            .otherwise(0)
+            .alias("_adj"),
+        )
+    )
+    real = bounds.select(
+        F.col("_pid").alias("_pid3"), (F.col("_nbrk") - F.col("_adj")).alias("_real")
+    )
+    offsets = (
+        bounds.join(real, F.col("_pid3") < F.col("_pid"), "left")
+        .groupBy("_pid", "_adj")
+        .agg(F.coalesce(F.sum("_real"), F.lit(0)).alias("_off"))
+    )
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            (F.col("_lis") + F.col("_off") - F.col("_adj")).cast("long"),
+        )
+        .drop("_pid", "_brk", "_lis", "_off", "_adj")
+    )

@@ -1132,11 +1132,16 @@ def events_exponential_fit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Error-burst clustering (round 4): consecutive error events less than
-# 5 minutes apart form a burst (gaps-and-islands on the global error
-# stream — errors are RARE, so the ordered window runs over the filtered
-# error table, not the event stream); per burst: size, span, peak density.
-# The incident-detection shape ("one outage, not 400 alerts").
+# Error-burst clustering (round 4; distributed round 6 per VERDICT r5
+# #2): consecutive error events less than 5 minutes apart form a burst
+# (gaps-and-islands on the global error stream); per burst: size, span.
+# The incident-detection shape ("one outage, not 400 alerts"). Scale:
+# the former rare-event exemption (one unpartitioned window over the
+# filtered error table) relied on a DATA assumption — at 100× "errors
+# only" is not a bound. Now operators/ranking.global_islands: one range
+# exchange, per-partition break scan, boundary islands stitched through
+# the partition-count-sized lasts frame — no SinglePartition anywhere,
+# identical island numbering.
 # --------------------------------------------------------------------------
 BURST_ORACLE = """
 WITH e AS (
@@ -1165,20 +1170,19 @@ ORDER BY burst_id
 
 @register("events_error_bursts", oracle=BURST_ORACLE, tags=("drift", "window", "ops"))
 def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_islands
+
     _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     ev = load_table(spark, sf_dir, "events")
-    err = ev.where(F.col("event_type") == "error")
-    # unpartitioned window over ERRORS ONLY — the rare-event exemption (the
-    # error table is orders of magnitude smaller than the stream; at true
-    # scale partition by service/tenant like every per-series window here)
-    w = W.orderBy("ts", "event_id")
-    wrun = w.rowsBetween(W.unboundedPreceding, 0)
-    lag_us = F.lag(F.unix_micros("ts")).over(w)
-    brk = F.when(
-        lag_us.isNull() | (F.unix_micros("ts") - lag_us > 300_000_000), 1
-    ).otherwise(0)
-    g = err.select(
-        "event_id", "ts", F.sum(brk).over(wrun).alias("burst_id")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    g = global_islands(
+        err,
+        "ts_us",
+        [F.col("ts_us"), F.col("event_id")],
+        gap=300_000_000,
+        out_col="burst_id",
     )
     return (
         g.groupBy("burst_id")

@@ -1134,6 +1134,56 @@ def test_global_running_sum_matches_window_twin(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_global_islands_matches_window_twin(spark):
+    """operators/ranking.global_islands ≡ the classic single-window
+    gaps-and-islands (running sum of break flags over the global order) on
+    a fixture engineered so islands cross MANY range-partition boundaries
+    (both merge and no-merge boundaries), and no SinglePartition in its
+    plan."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from dataingestion_pt_ms_spark.operators.ranking import global_islands
+
+    # axis walk: mostly gap-3 steps (same island) with a gap-20 break
+    # every 11th row; 257 rows over 8 range partitions => ~23 islands,
+    # most spanning a partition boundary
+    ax, cur = [], 0
+    for i in range(257):
+        cur += 20 if i % 11 == 0 and i else 3
+        ax.append((i, cur))
+    df = spark.createDataFrame(ax, "rid bigint, axis bigint")
+    got = {
+        r["rid"]: r["isl"]
+        for r in global_islands(
+            df, "axis", ["axis", "rid"], gap=5, out_col="isl", num_partitions=8
+        ).collect()
+    }
+    w = W.orderBy("axis", "rid")
+    brk = F.when(
+        F.lag("axis").over(w).isNull()
+        | (F.col("axis") - F.lag("axis").over(w) > 5),
+        1,
+    ).otherwise(0)
+    want = {
+        r["rid"]: r["isl"]
+        for r in df.withColumn(
+            "isl",
+            F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        ).collect()
+    }
+    assert got == want
+    plan = (
+        global_islands(
+            df, "axis", ["axis", "rid"], gap=5, out_col="isl", num_partitions=8
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
+
+
 def test_band_cost_audit_bounds_actual_candidates(spark, sf_dir):
     """The band-cost audit's per-band pair bill must (a) sum to an upper
     bound on the cross-band-deduped candidate set lsh_candidate_pairs

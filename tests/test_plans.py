@@ -156,14 +156,13 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
 
 # Queries allowed an UNPARTITIONED window: each windows a relation whose
 # size is bounded by something other than the input row count (calendar
-# days, sketch grid, shortlist k, strata count) or is a documented
-# rare-event exemption with the at-scale partitioning named in its
-# docstring. Anything else with a global window fails the registry-wide
-# test below — the round-5 plan audit caught lineitem_conformal_intervals
-# ranking a full 20%-of-input fold through one window task this way
-# (fixed: global_prefix_scan).
+# days, sketch grid, shortlist k, strata count). Anything else with a
+# global window fails the registry-wide test below — the round-5 plan
+# audit caught lineitem_conformal_intervals ranking a full 20%-of-input
+# fold through one window task this way (fixed: global_prefix_scan), and
+# round 6 retired the last data-assumption exemption
+# (events_error_bursts → operators/ranking.global_islands).
 GLOBAL_WINDOW_ALLOWLIST = {
-    "events_error_bursts",  # errors only; partition by tenant at scale
     "events_evalue_sequential",  # daily series (calendar-bounded)
     "sample_neyman_stratified",  # per-stratum rows (≤ #langs)
     "sim_pq_refine_rerank",  # k-bounded shortlist
