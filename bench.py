@@ -130,6 +130,9 @@ BASELINE_SEC = {
     # outlier; keeping the fresh clean number so the guard stays meaningful
     "join_broadcast_range_lookup": 0.62,
     "join_fuzzy_name_match": 3.45,
+    "join_fuzzy_name_match_counts": 3.76,
+    "join_theta_balance_band_counts": 0.5,
+    "join_range_clicks_before_error_counts": 0.39,
     "lineitem_transit_concurrency": 0.619,
     "multimodal_fake_features": 0.396,
     "multimodal_frame_sample": 0.416,
@@ -618,6 +621,11 @@ HEADLINE = [
     "events_holt_linear_forecast",
     "warehouse_market_concentration",
     "orders_spearman_rank_corr",
+    # round-6: count-grain twins of the sf1x-excluded band/fuzzy joins
+    # (VERDICT r5 #1)
+    "join_theta_balance_band_counts",
+    "join_range_clicks_before_error_counts",
+    "join_fuzzy_name_match_counts",
 ]
 
 

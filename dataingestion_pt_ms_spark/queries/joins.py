@@ -259,6 +259,59 @@ def join_theta_balance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Count-grain twin of the theta join (round 6, VERDICT r5 #1): the SAME
+# supplier × customer band pair space collapsed to the supplier-nation
+# grain — pair count, distinct suppliers, a modular key checksum binding
+# every (s_suppkey, c_custkey) pair into the value hash, and the exact
+# decimal balance sum. 25 output rows at any scale, so the 10× (sf1x)
+# differential sweep verifies the band-join family without the checker
+# ever holding pair-grain rows driver-side.
+# --------------------------------------------------------------------------
+THETA_COUNTS_ORACLE = """
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(sum((s_suppkey * 1000003 + c_custkey) % 1000000007) AS BIGINT)
+         AS pair_checksum,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_close_balance
+FROM supplier JOIN customer
+  ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register(
+    "join_theta_balance_band_counts",
+    oracle=THETA_COUNTS_ORACLE,
+    tags=("join", "theta", "audit"),
+)
+def join_theta_balance_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    cond = F.col("c_acctbal").between(F.col("s_acctbal") - 50, F.col("s_acctbal") + 50)
+    return (
+        cust.join(F.broadcast(supp), cond)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+            F.sum(
+                (F.col("s_suppkey") * 1_000_003 + F.col("c_custkey"))
+                % 1_000_000_007
+            )
+            .cast("long")
+            .alias("pair_checksum"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_close_balance"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Time-range join (events self-join): for every error event, the count and
 # value-sum of the same user's click events in the 10 minutes before it.
 # The equi key (user_id) carries the shuffle; the range predicate on ts is
@@ -305,6 +358,71 @@ def join_range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("click_value_10m"),
         )
         .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-grain twin of the time-range join (round 6, VERDICT r5 #1): the
+# SAME error ⋈ prior-clicks interval-join pair space collapsed to the
+# error-day grain — errors, matched clicks, and the exact decimal click-
+# value sum per day. Output is calendar-bounded, so the sf1x sweep
+# verifies the interval-join family at pair-count grain.
+# --------------------------------------------------------------------------
+RANGE_COUNTS_ORACLE = """
+SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS error_day,
+       CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_errors,
+       CAST(count(c.event_id) AS BIGINT) AS n_click_matches,
+       CAST(round(sum(coalesce(CAST(c.value AS DECIMAL(18,6)), 0)), 2)
+            AS DOUBLE) AS click_value_sum
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= e.ts - INTERVAL 10 MINUTE
+ AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY error_day
+ORDER BY error_day
+"""
+
+
+@register(
+    "join_range_clicks_before_error_counts",
+    oracle=RANGE_COUNTS_ORACLE,
+    tags=("join", "range", "timeseries", "audit"),
+)
+def join_range_clicks_before_error_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").cast("decimal(18,6)").alias("c_value"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    return (
+        errors.join(clicks, cond, "left")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "e_ts"), "yyyy-MM-dd").alias(
+                "error_day"
+            )
+        )
+        .agg(
+            F.count_distinct("event_id").alias("n_errors"),
+            F.count("c_ts").alias("n_click_matches"),
+            F.round(F.sum(F.coalesce(F.col("c_value"), F.lit(0).cast("decimal(18,6)"))), 2)
+            .cast("double")
+            .alias("click_value_sum"),
+        )
+        .orderBy("error_day")
     )
 
 

@@ -428,6 +428,71 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Count-grain twin of the fuzzy join (round 6, VERDICT r5 #1): the SAME
+# blocked levenshtein pair space collapsed to the edit-distance grain —
+# pair count plus a modular key checksum over every (key_a, key_b) pair.
+# ≤4 output rows at any scale: the sf1x differential verifies the fuzzy
+# family without materializing the (quadratic-in-cluster-depth) pair
+# output driver-side — r5's sweep OOMed exactly there at 14M pairs.
+# --------------------------------------------------------------------------
+FUZZY_COUNTS_ORACLE = """
+SELECT edit_dist,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum((key_a * 1000003 + key_b) % 1000000007) AS BIGINT)
+         AS pair_checksum
+FROM (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         levenshtein(a.p_name, b.p_name) AS edit_dist
+  FROM part a
+  JOIN part b
+    ON a.p_brand = b.p_brand
+   AND (length(a.p_name) // 4) = (length(b.p_name) // 4)
+   AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+)
+GROUP BY edit_dist
+ORDER BY edit_dist
+"""
+
+
+@register(
+    "join_fuzzy_name_match_counts",
+    oracle=FUZZY_COUNTS_ORACLE,
+    tags=("join", "fuzzy", "dedup", "audit"),
+)
+def join_fuzzy_name_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+        F.floor(F.length("p_name") / 4).alias("len_band"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+        F.floor(F.length("p_name") / 4).alias("len_band"),
+    )
+    return (
+        a.join(b, ["brand", "len_band"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 3))
+        .filter(F.col("edit_dist") >= 0)
+        .groupBy("edit_dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("key_a") * 1_000_003 + F.col("key_b")) % 1_000_000_007
+            )
+            .cast("long")
+            .alias("pair_checksum"),
+        )
+        .orderBy("edit_dist")
+    )
+
+
+# --------------------------------------------------------------------------
 # Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the join that treats
 # NULL as a joinable value instead of dropping those rows — the semantics
 # users need when a nullable business key ("no bucket") must still line up
