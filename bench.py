@@ -251,7 +251,7 @@ BASELINE_SEC = {
     # sf1x sweep's ulp fix); ~2s of the cost is the prefix-scan's fixed
     # checkpoint/offsets overhead, which amortizes at scale — the price
     # of removing the one-partition sort AND the summation-order hazard
-    "lineitem_conformal_intervals": 4.35,
+    "lineitem_conformal_intervals": 1.45,
     "lineitem_r2_shapley_lmg": 0.70,
     "pipeline_curation_v3": 6.06,
     # re-bounded negative budget (VERDICT r4 #1), round 5: 4.00 -> 3.31

@@ -16,6 +16,8 @@ are computed with identical integer/double expressions in both engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1929,8 +1931,7 @@ def lineitem_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 CONFORMAL_ORACLE = """
 WITH ri AS (
-  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5
-           AS fold,
+  SELECT ((l_orderkey * 2654435761) % 4294967296) % 5 AS fold,
          CAST(round(l_quantity) AS HUGEINT) AS qi,
          CAST(round(l_discount * 100) AS HUGEINT) AS di,
          CAST(round(l_extendedprice * 100) AS HUGEINT) AS yi
@@ -1947,8 +1948,7 @@ WITH ri AS (
          CAST(sum(y1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) / 100 AS gy
   FROM pf
 ), c AS (
-  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5
-           AS fold,
+  SELECT ((l_orderkey * 2654435761) % 4294967296) % 5 AS fold,
          l_orderkey, l_linenumber,
          l_quantity - gq AS q, l_discount - gd AS d, l_extendedprice - gy AS y
   FROM lineitem CROSS JOIN mu
@@ -2007,8 +2007,6 @@ FROM qhat CROSS JOIN test
 
 @register("lineitem_conformal_intervals", oracle=CONFORMAL_ORACLE, tags=("drift", "stats", "ml"))
 def lineitem_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.col("l_quantity").cast("double").alias("q0"),
@@ -2019,9 +2017,8 @@ def lineitem_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differential sweep: centered-double summation order shifted the OLS
     # coefficients by ulps and flipped `resid <= q_alpha` for 2 of 1.2M
     # rows): quantity is integer UNITS, discount/price integer CENTS, so
-    # every raw moment is an exact DECIMAL(38,0)/HUGEINT integer and the
-    # centered moments are derived ALGEBRAICALLY in double from exact
-    # inputs — both engines then run identical IEEE expression trees.
+    # every raw moment is an exact BIGINT/HUGEINT integer and the
+    # centered moments are derived ALGEBRAICALLY from exact inputs.
     # BIGINT moments stay exact with big headroom: the largest, Σqi·yi,
     # is ≤ 5.5e8/row → overflows int64 only past ~1.6e10 rows (~sf2700);
     # past that the swap is DECIMAL(38,0) at an interpreted-agg cost
@@ -2029,126 +2026,146 @@ def lineitem_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     qi = F.round(F.col("q0")).cast("long")
     di = F.round(F.col("d0") * 100).cast("long")
     yi = F.round(F.col("y0") * 100).cast("long")
-    fold = (
-        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 5
+    # fold assignment: multiplicative hash on the order key, EXACT int64
+    # arithmetic in both engines (l_orderkey*K fits int64 to ~sf10^6; the
+    # mod-2^32 wrap mixes consecutive keys). Round 6 (VERDICT r5 #6):
+    # replaces md5/conv — the per-row md5 was ~0.5 s/pass at sf0.1 in a
+    # multi-pass query shape; same per-order fold-grouping property (all
+    # lines of an order share a fold), balance verified within 0.5% at
+    # sf0.1 in both engines.
+    fold = ((F.col("l_orderkey") * F.lit(2654435761)) % F.lit(4294967296)) % 5
+    # ---- job 1: ONE distributed moments pass -----------------------------
+    # per-fold exact integer partials + min/max — structurally ≤ 5 rows
+    # (fold is mod 5), so collecting it driver-side is a metadata-bounded
+    # collect, same class as the centroid shortlist
+    # (operators/similarity.py) the plan audit already clears. From these
+    # 5 rows the driver replicates the oracle's mu → rm → tr → coef chain
+    # op-for-op in Python floats (IEEE-754 binary64, identical to both
+    # engines' DOUBLE arithmetic on the same exact integer inputs), so
+    # the coefficients embedded below as literals are bit-identical to
+    # what the r5 broadcast-scalar-frame plan computed — without the
+    # ~10 tiny AQE broadcast jobs that plan paid (the 1.26→2.77 s r5
+    # exactness tax was mostly this overhead, VERDICT r5 #6).
+    pf = (
+        li.select(fold.alias("fold"), qi.alias("qi"), di.alias("di"), yi.alias("yi"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("qi").alias("q1"),
+            F.sum("di").alias("d1"),
+            F.sum("yi").alias("y1"),
+            F.sum(F.col("qi") * F.col("qi")).alias("qq"),
+            F.sum(F.col("qi") * F.col("di")).alias("qd"),
+            F.sum(F.col("di") * F.col("di")).alias("dd"),
+            F.sum(F.col("qi") * F.col("yi")).alias("qy"),
+            F.sum(F.col("di") * F.col("yi")).alias("dy"),
+            F.min("qi").alias("minq"),
+            F.max("qi").alias("maxq"),
+            F.min("di").alias("mind"),
+            F.max("di").alias("maxd"),
+            F.min("yi").alias("miny"),
+            F.max("yi").alias("maxy"),
+        )
+        .collect()
     )
-    # ONE moments scan serves everything: per-fold exact integer partials
-    # (5 rows, localCheckpoint'd), from which both the global means (all
-    # folds) and the train moments (folds 2-4) are exact sums — summing
-    # exact per-fold DECIMAL sums is exact; doubles only after the final
-    # sums
-    ints = li.select(fold.alias("fold"), qi.alias("qi"), di.alias("di"), yi.alias("yi"))
-    pf = ints.groupBy("fold").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum("qi").alias("q1"),
-        F.sum("di").alias("d1"),
-        F.sum("yi").alias("y1"),
-        F.sum(F.col("qi") * F.col("qi")).alias("qq"),
-        F.sum(F.col("qi") * F.col("di")).alias("qd"),
-        F.sum(F.col("di") * F.col("di")).alias("dd"),
-        F.sum(F.col("qi") * F.col("yi")).alias("qy"),
-        F.sum(F.col("di") * F.col("yi")).alias("dy"),
+    empty = spark.createDataFrame(
+        [],
+        "n_cal bigint, q_alpha double, n_test bigint, covered bigint, coverage double",
     )
-    pf = pf.localCheckpoint(eager=False)  # mu + rm branches
-    mu = pf.agg(
-        (F.sum("q1").cast("double") / F.sum("c").cast("double")).alias("gq"),
-        (F.sum("d1").cast("double") / F.sum("c").cast("double") / F.lit(100)).alias("gd"),
-        (F.sum("y1").cast("double") / F.sum("c").cast("double") / F.lit(100)).alias("gy"),
-    )
-    c = li.crossJoin(F.broadcast(mu)).select(
-        fold.alias("fold"),
-        (F.col("q0") - F.col("gq")).alias("q"),
-        (F.col("d0") - F.col("gd")).alias("d"),
-        (F.col("y0") - F.col("gy")).alias("y"),
-    )
-    c = c.localCheckpoint(eager=False)  # train/cal/test branches
-    rm = pf.where(F.col("fold") >= 2).agg(
-        F.sum("c").cast("double").alias("n"),
-        F.sum("q1").cast("double").alias("rq"),
-        F.sum("d1").cast("double").alias("rd"),
-        F.sum("y1").cast("double").alias("ry"),
-        F.sum("qq").cast("double").alias("rqq"),
-        F.sum("qd").cast("double").alias("rqd"),
-        F.sum("dd").cast("double").alias("rdd"),
-        F.sum("qy").cast("double").alias("rqy"),
-        F.sum("dy").cast("double").alias("rdy"),
-    )
-    tr = rm.crossJoin(F.broadcast(mu)).select(
-        "n",
-        (F.col("rq") - F.col("n") * F.col("gq")).alias("sq"),
-        (F.col("rd") / F.lit(100) - F.col("n") * F.col("gd")).alias("sd"),
-        (F.col("ry") / F.lit(100) - F.col("n") * F.col("gy")).alias("sy"),
-        (
-            F.col("rqq") - F.lit(2) * F.col("gq") * F.col("rq")
-            + F.col("n") * F.col("gq") * F.col("gq")
-        ).alias("sqq"),
-        (
-            F.col("rqd") / F.lit(100) - F.col("gd") * F.col("rq")
-            - F.col("gq") * (F.col("rd") / F.lit(100))
-            + F.col("n") * F.col("gq") * F.col("gd")
-        ).alias("sqd"),
-        (
-            F.col("rdd") / F.lit(10000)
-            - F.lit(2) * F.col("gd") * (F.col("rd") / F.lit(100))
-            + F.col("n") * F.col("gd") * F.col("gd")
-        ).alias("sdd"),
-        (
-            F.col("rqy") / F.lit(100) - F.col("gy") * F.col("rq")
-            - F.col("gq") * (F.col("ry") / F.lit(100))
-            + F.col("n") * F.col("gq") * F.col("gy")
-        ).alias("sqy"),
-        (
-            F.col("rdy") / F.lit(10000)
-            - F.col("gy") * (F.col("rd") / F.lit(100))
-            - F.col("gd") * (F.col("ry") / F.lit(100))
-            + F.col("n") * F.col("gd") * F.col("gy")
-        ).alias("sdy"),
-    )
-    n = F.col("n")
-    cqq = F.col("sqq") - F.col("sq") * F.col("sq") / n
-    cqd = F.col("sqd") - F.col("sq") * F.col("sd") / n
-    cdd = F.col("sdd") - F.col("sd") * F.col("sd") / n
-    cqy = F.col("sqy") - F.col("sq") * F.col("sy") / n
-    cdy = F.col("sdy") - F.col("sd") * F.col("sy") / n
+    m = {r["fold"]: r for r in pf}
+    if 0 not in m or 1 not in m or not any(f in m for f in (2, 3, 4)):
+        return empty
+    # mu: global means over ALL folds (oracle CTE `mu`, op-for-op)
+    sc_ = sum(r["c"] for r in pf)
+    gq = float(sum(r["q1"] for r in pf)) / float(sc_)
+    gd = float(sum(r["d1"] for r in pf)) / float(sc_) / 100
+    gy = float(sum(r["y1"] for r in pf)) / float(sc_) / 100
+    # rm/tr/coef: train folds {2,3,4} (oracle CTEs, op-for-op; integer
+    # sums first, floats only after — identical rounding in all engines)
+    tf = [r for r in pf if r["fold"] >= 2]
+    n = float(sum(r["c"] for r in tf))
+    rq = float(sum(r["q1"] for r in tf))
+    rd = float(sum(r["d1"] for r in tf))
+    ry = float(sum(r["y1"] for r in tf))
+    rqq = float(sum(r["qq"] for r in tf))
+    rqd = float(sum(r["qd"] for r in tf))
+    rdd = float(sum(r["dd"] for r in tf))
+    rqy = float(sum(r["qy"] for r in tf))
+    rdy = float(sum(r["dy"] for r in tf))
+    sq = rq - n * gq
+    sd = rd / 100 - n * gd
+    sy = ry / 100 - n * gy
+    sqq = rqq - 2 * gq * rq + n * gq * gq
+    sqd = rqd / 100 - gd * rq - gq * (rd / 100) + n * gq * gd
+    sdd = rdd / 10000 - 2 * gd * (rd / 100) + n * gd * gd
+    sqy = rqy / 100 - gy * rq - gq * (ry / 100) + n * gq * gy
+    sdy = rdy / 10000 - gy * (rd / 100) - gd * (ry / 100) + n * gd * gy
+    cqq = sqq - sq * sq / n
+    cqd = sqd - sq * sd / n
+    cdd = sdd - sd * sd / n
+    cqy = sqy - sq * sy / n
+    cdy = sdy - sd * sy / n
     det = cqq * cdd - cqd * cqd
+    if det == 0:
+        return empty
     b1 = (cqy * cdd - cdy * cqd) / det
     b2 = (cdy * cqq - cqy * cqd) / det
-    a = F.col("sy") / n - b1 * (F.col("sq") / n) - b2 * (F.col("sd") / n)
-    ab = F.broadcast(tr.select(b1.alias("b1"), b2.alias("b2"), a.alias("a")))
-    resid = F.abs(
-        F.col("y") - (F.col("a") + F.col("b1") * F.col("q") + F.col("b2") * F.col("d"))
+    a = sy / n - b1 * (sq / n) - b2 * (sd / n)
+    n_cal = m[0]["c"]
+    k = math.ceil((n_cal + 1) * 0.9)
+    if k > n_cal:
+        return empty  # oracle: rank k never matches → empty via the join
+    # residual expression — the SAME IEEE tree as the oracle's
+    # `abs(y - (a + b1*q + b2*d))` over centered columns, with the
+    # coefficients as literals
+    rexpr = F.abs(
+        (F.col("y0") - F.lit(gy))
+        - (
+            F.lit(a)
+            + F.lit(b1) * (F.col("q0") - F.lit(gq))
+            + F.lit(b2) * (F.col("d0") - F.lit(gd))
+        )
     )
-    cal = c.where(F.col("fold") == 0).crossJoin(ab).select(resid.alias("r"))
-    cal = cal.localCheckpoint(eager=False)  # count + rank branches
-    ncal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
-    # exact order statistic WITHOUT a single-partition window (round-5
-    # plan-audit fix): global_prefix_scan range-partitions by r and
-    # assembles the global rank from per-partition row numbers + a
-    # broadcast offsets frame — one range exchange, no task ever holds
-    # the whole calibration fold. (Exact rank is the conformal
-    # guarantee; the lossy swap at extreme scale is approx_percentile.)
-    from ..operators.ranking import global_prefix_scan
+    cal = li.where(fold == 0).select(rexpr.alias("r"))
+    # residual bound from the SAME moments pass by interval arithmetic
+    # (q0 = qi, d0 = di/100, y0 = yi/100 exactly): |r| ≤ max|y-gy| + |a|
+    # + |b1|·max|q-gq| + |b2|·max|d-gd| over fold 0. A loose — or even
+    # undershooting — bound only coarsens the selector's buckets, never
+    # the ordering (clamped-monotone bucket map), so no epsilon games.
+    f0 = m[0]
+    hi = (
+        max(abs(f0["miny"] / 100.0 - gy), abs(f0["maxy"] / 100.0 - gy))
+        + abs(a)
+        + abs(b1) * max(abs(f0["minq"] - gq), abs(f0["maxq"] - gq))
+        + abs(b2) * max(abs(f0["mind"] / 100.0 - gd), abs(f0["maxd"] / 100.0 - gd))
+    )
+    # ---- job 2 (inside the operator): bounded histogram → target bucket;
+    # returned plan ranks only that bucket (~n_cal/1024 rows, window
+    # PARTITIONED by the bucket id). Exact order statistic with NO
+    # data-sized sort, range exchange, or single-partition window —
+    # round 6, VERDICT r5 #6. (Exact rank is the conformal guarantee;
+    # the lossy swap at extreme scale is approx_percentile.)
+    from ..operators.ranking import histogram_select_kth_eager
 
-    ranked = global_prefix_scan(cal, [], ["r"], rn_col="rn")
-    qhat = (
-        ranked.crossJoin(F.broadcast(ncal))
-        .where(F.col("rn") == F.ceil((F.col("n_cal") + 1) * 0.9).cast("long"))
-        .select(F.col("r").alias("q_alpha"), "n_cal")
+    qhat = histogram_select_kth_eager(
+        cal, "r", k, 0.0, hi, out_col="q_alpha", buckets=1024
     )
+    # ---- the RETURNED (lazy) plan: candidate-bucket ranking × test-fold
+    # coverage — both distributed scans; the driver never holds row data
     test = (
-        c.where(F.col("fold") == 1)
-        .crossJoin(ab)
+        li.where(fold == 1)
+        .select(rexpr.alias("r"))
         .crossJoin(F.broadcast(qhat))
         .agg(
             F.count(F.lit(1)).alias("n_test"),
-            F.sum(F.when(resid <= F.col("q_alpha"), 1).otherwise(0)).alias("covered"),
+            F.sum(
+                F.when(F.col("r") <= F.col("q_alpha"), 1).otherwise(0)
+            ).alias("covered"),
             F.first("q_alpha").alias("q_alpha"),
-            F.first("n_cal").alias("n_cal"),
         )
     )
     return test.select(
-        "n_cal",
+        F.lit(n_cal).cast("long").alias("n_cal"),
         F.round("q_alpha", 4).alias("q_alpha"),
         "n_test",
         F.col("covered").cast("long").alias("covered"),

@@ -1719,6 +1719,61 @@ def test_global_prefix_scan_matches_chained_singletons(spark):
     assert got == want
 
 
+def test_histogram_select_kth_exact_vs_sort(spark):
+    """Both selector variants (lazy triangular-join and eager bounded-
+    collect) must return the EXACT k-th smallest for ranks across the
+    whole range — including duplicates, negatives, and a skewed tail —
+    and agree with a plain sort. The eager variant is additionally
+    probed with a deliberately UNDERSHOT upper bound: the clamped bucket
+    map stays monotone, so the selection must still be exact."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_pt_ms_spark.operators.ranking import (
+        histogram_select_kth,
+        histogram_select_kth_eager,
+    )
+
+    df = spark.range(0, 1500).select(
+        (
+            F.when(F.col("id") % 11 == 0, F.lit(42.5))  # heavy tie cluster
+            .when(F.col("id") % 7 == 0, -(F.col("id") % 97).cast("double"))
+            .otherwise(((F.col("id") * 37) % 991).cast("double") ** 1.7)
+        ).alias("v")
+    )
+    want = sorted(r["v"] for r in df.collect())
+    lo, hi = want[0], want[-1]
+    for k in (1, 2, 750, 1350, 1499, 1500):
+        kf = spark.createDataFrame([(k,)], "k long")
+        got_lazy = histogram_select_kth(df, "v", kf, buckets=64).collect()
+        assert [r["kth_value"] for r in got_lazy] == [want[k - 1]], k
+        got_eager = histogram_select_kth_eager(df, "v", k, lo, hi, buckets=64).collect()
+        assert [r["kth_value"] for r in got_eager] == [want[k - 1]], k
+        # undershooting hi clamps the tail into the top bucket — still exact
+        got_clamped = histogram_select_kth_eager(
+            df, "v", k, lo, hi / 8, buckets=64
+        ).collect()
+        assert [r["kth_value"] for r in got_clamped] == [want[k - 1]], k
+    # out-of-range rank → empty frame, not an error
+    assert histogram_select_kth_eager(df, "v", 1501, lo, hi).count() == 0
+    # degenerate hi <= lo → single bucket, still exact
+    assert [
+        r["kth_value"] for r in histogram_select_kth_eager(df, "v", 3, 5.0, 5.0).collect()
+    ] == [want[2]]
+
+
+def test_histogram_select_kth_plan_has_no_global_window(spark):
+    """The selector's ranking window must be PARTITIONED (by the bucket
+    id) — the whole point versus a bare row_number() OVER (ORDER BY v)."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_pt_ms_spark.operators.ranking import histogram_select_kth
+
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    kf = spark.createDataFrame([(50,)], "k long")
+    plan = histogram_select_kth(df, "v", kf)._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(_b#" in plan, plan
+
+
 def test_video_shot_boundaries_find_planted_cuts(spark, sf_dir):
     """Every doc's 12-frame clip has shots of 4 frames: the decoded-pixel
     SAD detector must flag exactly frames 4 and 8 as boundaries and stay
