@@ -419,6 +419,53 @@ def test_multimodal_real_decode_path(spark):
     assert all(0.0 <= x <= 1.0 for x in r.feature)
 
 
+@pytest.mark.skipif(not M.HAVE_PIL, reason="Pillow not installed (codec-less container)")
+def test_real_codec_features_pinned_against_bmp_twin(spark):
+    """VERDICT r5 #7: executable coverage for the escape hatch the day it
+    lands on a cluster image with codecs. The SAME arithmetic pixel array
+    is (a) PNG-encoded by Pillow and (b) BMP-encoded by our own
+    codec-free encode_bmp; both payloads go through the REAL
+    image_feature_extract path, and every output column must be
+    IDENTICAL — PNG and BMP are both lossless, so any difference is a
+    decode bug (channel order, row orientation, padding) in one of the
+    two paths. A solid-color image additionally pins the grayscale strip
+    EXACTLY (any resampler over a constant image returns the constant),
+    so the assertion is Pillow-version-independent."""
+    import io
+
+    from PIL import Image
+
+    y, x, ch = np.meshgrid(np.arange(4), np.arange(8), np.arange(3), indexing="ij")
+    arr = ((7 * 31 + y * 7 + x * 3 + ch) % 256).astype("uint8")
+    solid = np.full((4, 8, 3), 200, dtype="uint8")
+
+    def png_bytes(a):
+        buf = io.BytesIO()
+        Image.fromarray(a, "RGB").save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png_bytes(arr))),
+            (2, bytearray(M.encode_bmp(arr))),
+            (3, bytearray(png_bytes(solid))),
+            (4, bytearray(M.encode_bmp(solid))),
+        ],
+        "doc_id long, media_bytes binary",
+    )
+    rows = {r.doc_id: r for r in M.image_feature_extract(df).collect()}
+    for png_id, bmp_id in ((1, 2), (3, 4)):
+        p, b = rows[png_id], rows[bmp_id]
+        assert (p.width, p.height) == (b.width, b.height) == (8, 4)
+        assert p.feature == b.feature, (png_id, bmp_id)
+    # constant image → the strip is exactly the constant, both codecs
+    assert rows[3].feature == [200 / 255.0] * M.FEATURE_DIM
+    # and decode_image itself round-trips pixels losslessly for both
+    got_png = np.asarray(M.decode_image(png_bytes(arr)).convert("RGB"))
+    got_bmp = np.asarray(M.decode_image(bytes(M.encode_bmp(arr))).convert("RGB"))
+    assert (got_png == arr).all() and (got_bmp == arr).all()
+
+
 def test_cosine_similarity_null_on_zero_vector(spark):
     df = spark.createDataFrame(
         [([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>"
@@ -631,13 +678,17 @@ def test_blocked_cosine_pairs_threshold_and_blocking(spark):
     assert got == {(0, 1): (0, 1.0), (3, 4): (1, 1.0)}
 
 
-def test_sample_frames_and_resize_stub(spark):
+def test_sample_frames_and_bmp_resize(spark):
     from dataingestion_pt_ms_spark.operators.multimodal import (
         attach_binary_payload,
-        fake_resize,
+        bmp_resize,
+        decode_bmp,
+        encode_bmp,
         sample_frames,
     )
     import hashlib
+
+    import numpy as np
 
     text = "".join(chr(65 + (i % 26)) for i in range(70))  # 70 ASCII bytes
     df = attach_binary_payload(
@@ -653,14 +704,23 @@ def test_sample_frames_and_resize_stub(spark):
     assert frames[(1, 0)][1] == hashlib.md5(text[:32].encode()).hexdigest()
     assert frames[(2, 0)] == (2, hashlib.md5(b"ab").hexdigest())
 
-    resized = {r.doc_id: r for r in fake_resize(df, target_px=16).collect()}
-    # doc 1: stride 70//16 = 4 -> pixels = bytes 0,4,8,...,60
-    assert resized[1].stride == 4
-    assert resized[1].pixels == [round(ord(text[i * 4]) / 255.0, 6) for i in range(16)]
-    # doc 2: shorter than target -> stride 1, zero-padded past the end
-    assert resized[2].stride == 1
-    assert resized[2].pixels[:2] == [round(ord("a") / 255.0, 6), round(ord("b") / 255.0, 6)]
-    assert resized[2].pixels[2:] == [0.0] * 14
+    # bmp_resize: REAL decoded-pixel nearest-neighbor resample (round 6)
+    rng = np.random.default_rng(7)
+    img1 = rng.integers(0, 256, size=(4, 8, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    bdf = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(img1))), (2, bytearray(encode_bmp(img2)))],
+        "doc_id long, media_bytes binary",
+    )
+    got = {r.doc_id: decode_bmp(bytes(r.media_bytes))
+           for r in bmp_resize(bdf, 6, 5).collect()}
+    for doc, src in ((1, img1), (2, img2)):
+        h, w, _ = src.shape
+        ys = (np.arange(6) * h) // 6
+        xs = (np.arange(5) * w) // 5
+        want = src[np.ix_(ys, xs)]
+        assert got[doc].shape == (6, 5, 3), doc
+        assert (got[doc] == want).all(), doc
 
 
 def test_unit_normalize_and_quantize_match_numpy(spark, sf_dir):
