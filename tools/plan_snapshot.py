@@ -31,9 +31,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 BASELINE_PATH = Path(__file__).resolve().parent / "plan_baseline.json"
 
-# The queries whose plan shape carries the 100 TB argument: flagship +
-# TPC-H joins, the dedup/ANN hot paths, and this round's additions.
-SNAPSHOT_QUERIES = [
+# Round 6 (VERDICT r5 #4): the fingerprint set is no longer a hand-picked
+# shortlist — it is EVERY query in bench.py's guard table (BASELINE_SEC),
+# so a bench guard and a plan fingerprint always travel together: adding
+# a query to the bench without snapshotting its plan fails
+# tests/test_plan_snapshots.py, and a silent broadcast→sort-merge flip
+# (or new exchange, or lost pushdown) anywhere hot fails with a readable
+# diff. The original 22 hand-picked scale-critical queries are kept as a
+# documented core subset (they'd be in BASELINE_SEC anyway).
+CORE_QUERIES = [
     "flagship_region_monthly_revenue",
     "q3_shipping_priority",
     "q9_product_type_profit",
@@ -50,20 +56,22 @@ SNAPSHOT_QUERIES = [
     "pipeline_curation_v3",
     "sketch_kmv_distinct",
     "lineitem_kfold_cv_ols",
-    # round-4 session-5 additions: the GBDT histogram pass (partial agg
-    # on bins), the OOF encoding (broadcast global totals, no global
-    # window), the blocking audit (band joins stay shuffle-on-band-key),
-    # and the fused Wasserstein prefix scan (exactly one range exchange)
     "lineitem_histogram_split_finder",
     "orders_target_encoding_oof",
     "dedup_blocking_quality_audit",
     "orders_wasserstein_drift",
-    # round-5 reworks (VERDICT r4 #1/#2): the bounded LP negative budget
-    # and the blocked-GEMM margin miner — a silent return to the
-    # crossJoin pair-space shapes must fail CI
     "graph_lp_training_set",
     "sim_margin_alignment_mining",
 ]
+
+
+def _guarded_queries() -> list[str]:
+    from bench import BASELINE_SEC
+
+    return sorted(set(BASELINE_SEC) | set(CORE_QUERIES))
+
+
+SNAPSHOT_QUERIES = _guarded_queries()
 
 _FEATURES = [
     "BroadcastHashJoin",
