@@ -115,6 +115,26 @@ HEAVY = [
     "sql_recursive_cte_reachability",
     "orders_spearman_rank_corr",
     "lineitem_conformal_intervals",
+    # §13c next tier (round 6, VERDICT r5 #8): the 1-2 s guard band —
+    # graph/copurchase remainder, the rest of the pair-dedup family, the
+    # AMS sketch, and the band-join count twin added this round
+    "join_fuzzy_name_match_counts",
+    "graph_copurchase_link_prediction",
+    "dedup_minhash_lsh_pairs_md5",
+    "dedup_containment_pairs",
+    "graph_clustering_coefficient",
+    "dedup_estimator_error_profile",
+    "dedup_prefix_filter_pairs",
+    "dedup_cluster_keep_longest",
+    "dedup_cluster_assignment",
+    "dedup_simhash_pairs",
+    "graph_bfs_copurchase_hops",
+    "multimodal_wav_decode",
+    "pipeline_curation_v2",
+    "orders_abc_migration",
+    "orders_wasserstein_drift",
+    "graph_copurchase_communities",
+    "sketch_ams_f2_selfjoin",
 ]
 
 
@@ -177,11 +197,15 @@ def main() -> None:
 
     specs = registry()
     names = args.names or HEAVY
-    print("| query | sf0.1 guard (s) | sf1x wall (s) | ratio | verdict |")
-    print("|---|---|---|---|---|")
+    print(
+        "| query | sf0.1 guard (s) | sf1x wall (s) | ratio "
+        "| rows sf0.1 → sf1x | rows ratio | verdict |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for name in names:
         fn = specs[name].fn
         fn(spark, "/root/testdata/sf0.001").count()  # plan/codegen warmup
+        n01 = fn(spark, "/root/testdata/sf0.1").count()
         best = None
         for _ in range(args.repeats):
             t0 = time.perf_counter()
@@ -190,9 +214,11 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         ref = bench.BASELINE_SEC.get(name)
         ratio = best / ref if ref else float("nan")
+        rows_ratio = f"{n / n01:.1f}x" if n01 else "n/a"
         verdict = "ok" if ref and ratio <= 10.0 else "SUPERLINEAR"
         print(
-            f"| {name} | {ref} | {best:.2f} | {ratio:.1f}x | {verdict} ({n} rows) |"
+            f"| {name} | {ref} | {best:.2f} | {ratio:.1f}x "
+            f"| {n01} → {n} | {rows_ratio} | {verdict} |"
         )
         sys.stdout.flush()
 
