@@ -24,10 +24,15 @@ Synthesis preserves the structures the heavy family actually measures:
   one 10×-deep block.
 
 Usage:
-    python tools/stress_sf1.py [--regen] [--repeats 2] [name ...]
+    python tools/stress_sf1.py [--regen] [--repeats 2] [--factor 10|100]
+                               [name ...]
 
-Writes parquet under .benchdata/sf1x/ (gitignored) and prints a
-markdown table ready for BENCH.md §13.
+Writes parquet under .benchdata/sf1x/ (factor 10, bit-identical to the
+round-5 synthesis) or .benchdata/sf10x/ (factor 100: the third char-map
+band and the modulo embedding rotation only engage for replicas ≥ 25 /
+≥ dim, so the first 10 replicas of both factors coincide) and prints a
+markdown table ready for BENCH.md §13; the acceptance bar scales with
+the factor (wall ≤ factor × the sf0.1 guard).
 """
 
 from __future__ import annotations
@@ -45,21 +50,34 @@ from dataingestion_pt_ms_spark.queries import registry
 from dataingestion_pt_ms_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
-DST = str(Path(__file__).resolve().parent.parent / ".benchdata" / "sf1x")
-REPLICAS = 10
+_BENCHDATA = Path(__file__).resolve().parent.parent / ".benchdata"
+
+
+def _dst(factor: int) -> str:
+    """factor-10 keeps the historical ``sf1x`` name (synthesized sf1);
+    factor-100 is ``sf10x`` (synthesized sf10)."""
+    return str(_BENCHDATA / ("sf1x" if factor == 10 else f"sf{factor // 10}x"))
 
 # per-replica bijective character maps: rotate vowels by r mod 5 and a
 # consonant band by r // 5 — composition is a bijection on the alphabet,
 # so equality of any two strings (hence any two shingles) is preserved
 # within a replica and broken across replicas for most tokens
 _V, _C = "aeiou", "bcdfg"
+_C2 = "hjklm"  # third band: only rotates for r >= 25, so factor-10
+# synthesis (r < 10) is bit-identical to the round-5 sf1x output while
+# factor-100 keeps all 125 composite maps distinct (no accidental
+# identical-text replicas beyond chance shingle collisions)
 
 
 def _cmap(r: int) -> tuple[str, str]:
-    src = _V + _C + _V.upper() + _C.upper()
+    src = _V + _C + _C2 + _V.upper() + _C.upper() + _C2.upper()
     rot_v = _V[r % 5:] + _V[: r % 5]
     rot_c = _C[r // 5 % 5:] + _C[: r // 5 % 5]
-    dst = rot_v + rot_c + rot_v.upper() + rot_c.upper()
+    rot_c2 = _C2[r // 25 % 5:] + _C2[: r // 25 % 5]
+    dst = (
+        rot_v + rot_c + rot_c2
+        + rot_v.upper() + rot_c.upper() + rot_c2.upper()
+    )
     return src, dst
 
 
@@ -138,10 +156,11 @@ HEAVY = [
 ]
 
 
-def synthesize(spark) -> None:
-    Path(DST).mkdir(parents=True, exist_ok=True)
+def synthesize(spark, factor: int) -> None:
+    dst = _dst(factor)
+    Path(dst).mkdir(parents=True, exist_ok=True)
     for table, cols in SPEC.items():
-        out = f"{DST}/{table}.parquet"
+        out = f"{dst}/{table}.parquet"
         if Path(out).exists():
             continue
         base = spark.read.parquet(f"{SRC}/{table}.parquet")
@@ -150,7 +169,7 @@ def synthesize(spark) -> None:
             print(f"# {table}: copied", file=sys.stderr)
             continue
         parts = []
-        for r in range(REPLICAS):
+        for r in range(factor):
             df = base
             for col, spec in cols.items():
                 if spec[0] == "shift":
@@ -158,48 +177,64 @@ def synthesize(spark) -> None:
                 elif spec[0] == "translate":
                     df = df.withColumn(col, _translate(F.col(col), r))
                 elif spec[0] == "rotate":
-                    # rotate array left by r: concat(slice(r+1..), slice(1..r))
-                    # length derived from the data (ADVICE r5): a hardcoded
-                    # dim silently truncates if the fixture dim ever changes
+                    # rotate array left by r mod len: for r < dim this is
+                    # concat(slice(r+1..), slice(1..r)) exactly as round 5
+                    # wrote sf1x; the modulo only matters for factor-100
+                    # replicas beyond the embedding dim. Length derived
+                    # from the data (ADVICE r5): a hardcoded dim silently
+                    # truncates if the fixture dim ever changes.
                     if r:
+                        sz = F.size(F.col(col))
+                        sh = F.lit(r) % sz
                         df = df.withColumn(
                             col,
-                            F.concat(
-                                F.slice(
-                                    F.col(col), r + 1, F.size(F.col(col)) - r
-                                ),
-                                F.slice(F.col(col), 1, r),
+                            F.when(sh == 0, F.col(col)).otherwise(
+                                F.concat(
+                                    F.slice(F.col(col), sh + 1, sz - sh),
+                                    F.slice(F.col(col), 1, sh),
+                                )
                             ),
                         )
             parts.append(df)
         full = parts[0]
         for p in parts[1:]:
             full = full.unionByName(p)
-        full.repartition(32).write.mode("overwrite").parquet(out)
-        print(f"# {table}: {REPLICAS} replicas written", file=sys.stderr)
+        full.repartition(32 if factor <= 10 else 64).write.mode(
+            "overwrite"
+        ).parquet(out)
+        print(f"# {table}: {factor} replicas written", file=sys.stderr)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--regen", action="store_true")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--factor",
+        type=int,
+        default=10,
+        choices=(10, 100),
+        help="replicas of sf0.1 to synthesize: 10 (sf1x) or 100 (sf10x)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    dst = _dst(args.factor)
+    label = Path(dst).name
 
     spark = get_spark("stress-sf1")
     if args.regen:
         import shutil
 
-        shutil.rmtree(DST, ignore_errors=True)
-    synthesize(spark)
+        shutil.rmtree(dst, ignore_errors=True)
+    synthesize(spark, args.factor)
 
     import bench
 
     specs = registry()
     names = args.names or HEAVY
     print(
-        "| query | sf0.1 guard (s) | sf1x wall (s) | ratio "
-        "| rows sf0.1 → sf1x | rows ratio | verdict |"
+        f"| query | sf0.1 guard (s) | {label} wall (s) | ratio "
+        f"| rows sf0.1 → {label} | rows ratio | verdict |"
     )
     print("|---|---|---|---|---|---|---|")
     for name in names:
@@ -209,13 +244,13 @@ def main() -> None:
         best = None
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            n = fn(spark, DST).count()
+            n = fn(spark, dst).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         ref = bench.BASELINE_SEC.get(name)
         ratio = best / ref if ref else float("nan")
         rows_ratio = f"{n / n01:.1f}x" if n01 else "n/a"
-        verdict = "ok" if ref and ratio <= 10.0 else "SUPERLINEAR"
+        verdict = "ok" if ref and ratio <= args.factor else "SUPERLINEAR"
         print(
             f"| {name} | {ref} | {best:.2f} | {ratio:.1f}x "
             f"| {n01} → {n} | {rows_ratio} | {verdict} |"
