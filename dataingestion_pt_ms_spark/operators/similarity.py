@@ -206,51 +206,106 @@ def blocked_cosine_pairs(
     block_col: str = "label",
     key_col: str = "vec_id",
     vec_col: str = "embedding",
+    tile_rows: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: every (a, b) with a < b in the
     same block whose cosine similarity clears ``threshold``.
 
     Same IVF-cell blocking as :func:`blocked_nearest_neighbor` — the pair
-    space is Σ|block|², never n², and each block's cosine matrix is one
-    numpy GEMM over a single Arrow batch (the sanctioned Pandas-UDF case:
-    O(|block|²·d) float math loses badly to interpreted array expressions).
-    At 100 TB the block column is a learned coarse quantizer's cell id and
-    blocks are bounded by construction, so one group = one task stays true.
+    space is Σ|block|², never n², and the pairwise math is numpy GEMM over
+    Arrow batches (the sanctioned Pandas-UDF case: O(|block|²·d) float math
+    loses badly to interpreted array expressions).
+
+    Within a block the work is TILED (round 6, found by the 100× stress
+    ladder): vectors hash into ⌈|block|/tile_rows⌉ tiles and each unordered
+    tile pair (lo ≤ hi) is one applyInPandas group — the diagonal group
+    emits its within-tile upper-triangle pairs, off-diagonal groups emit
+    cross-tile pairs, so every (a, b) pair surfaces exactly once and no
+    task ever materializes more than a tile_rows² similarity matrix. The
+    pre-tile shape (one group = one block = one n² matrix in one task)
+    OOMed the moment a block grew with the corpus: cells are only as
+    bounded as the quantizer that made them, and a skewed or data-sized
+    cell must degrade into more tasks, not into a bigger task. Blocks at
+    or below tile_rows keep a single diagonal group, so small-block plans
+    and outputs are unchanged.
     """
     import numpy as np
     import pandas as pd
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        empty = pd.DataFrame(
-            columns=["key_a", "key_b", "label", "cosine_sim"]
-        ).astype({"key_a": "int64", "key_b": "int64",
-                  "label": "int64", "cosine_sim": "float64"})
-        if n < 2:
-            return empty
-        order = np.argsort(pdf[key_col].to_numpy())
-        ids = pdf[key_col].to_numpy()[order]
-        vecs = np.stack(pdf["_v"].to_numpy())[order].astype("float64")
-        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        sims = np.round(unit @ unit.T, 6)
-        ia, ib = np.triu_indices(n, k=1)
-        keep = sims[ia, ib] >= threshold
-        if not keep.any():
-            return empty
+    _empty = pd.DataFrame(
+        columns=["key_a", "key_b", "label", "cosine_sim"]
+    ).astype({"key_a": "int64", "key_b": "int64",
+              "label": "int64", "cosine_sim": "float64"})
+
+    def _unit(pdf: pd.DataFrame) -> "np.ndarray":
+        vecs = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        return vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(pdf["_lo"].iat[0]), int(pdf["_hi"].iat[0])
+        label = pdf[block_col].to_numpy()
+        if lo == hi:  # diagonal: within-tile upper triangle
+            n = len(pdf)
+            if n < 2:
+                return _empty
+            order = np.argsort(pdf[key_col].to_numpy())
+            ids = pdf[key_col].to_numpy()[order]
+            sims = np.round(_unit(pdf)[order] @ _unit(pdf)[order].T, 6)
+            ia, ib = np.triu_indices(n, k=1)
+            keep = sims[ia, ib] >= threshold
+            if not keep.any():
+                return _empty
+            return pd.DataFrame(
+                {
+                    "key_a": ids[ia[keep]],
+                    "key_b": ids[ib[keep]],
+                    "label": label[order][ia[keep]],
+                    "cosine_sim": sims[ia[keep], ib[keep]],
+                }
+            )
+        in_lo = pdf["_t"].to_numpy() == lo
+        a_pdf, b_pdf = pdf[in_lo], pdf[~in_lo]
+        if not len(a_pdf) or not len(b_pdf):
+            return _empty
+        sims = np.round(_unit(a_pdf) @ _unit(b_pdf).T, 6)
+        ia, ib = np.nonzero(sims >= threshold)
+        if not len(ia):
+            return _empty
+        a_ids = a_pdf[key_col].to_numpy()[ia]
+        b_ids = b_pdf[key_col].to_numpy()[ib]
         return pd.DataFrame(
             {
-                "key_a": ids[ia[keep]],
-                "key_b": ids[ib[keep]],
-                "label": pdf[block_col].to_numpy()[order][ia[keep]],
-                "cosine_sim": sims[ia[keep], ib[keep]],
+                "key_a": np.minimum(a_ids, b_ids),
+                "key_b": np.maximum(a_ids, b_ids),
+                "label": a_pdf[block_col].to_numpy()[ia],
+                "cosine_sim": sims[ia, ib],
             }
         )
 
     prepared = corpus.select(
         F.col(key_col), F.col(block_col), _dvec(vec_col).alias("_v")
     )
-    return prepared.groupBy(block_col).applyInPandas(
-        block_pairs, "key_a long, key_b long, label long, cosine_sim double"
+    cnts = prepared.groupBy(block_col).agg(F.count(F.lit(1)).alias("_n"))
+    tiled = (
+        prepared.join(F.broadcast(cnts), block_col)
+        .withColumn(
+            "_nt",
+            F.ceil(F.col("_n") / F.lit(tile_rows)).cast("int"),
+        )
+        .withColumn(
+            "_t", F.pmod(F.xxhash64(F.col(key_col)), F.col("_nt")).cast("int")
+        )
+        .withColumn("_o", F.explode(F.sequence(F.lit(0), F.col("_nt") - 1)))
+        # a vector meets each other-tile index o exactly once, so group
+        # (lo, hi) holds every participant exactly once: tile-lo members
+        # arrive via o = hi, tile-hi members via o = lo, and the diagonal
+        # group (t, t) gets each tile-t member from o = t — no pair is
+        # ever double-emitted
+        .withColumn("_lo", F.least("_t", "_o"))
+        .withColumn("_hi", F.greatest("_t", "_o"))
+    )
+    return tiled.groupBy(block_col, "_lo", "_hi").applyInPandas(
+        tile_pairs, "key_a long, key_b long, label long, cosine_sim double"
     )
 
 

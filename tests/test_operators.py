@@ -678,6 +678,35 @@ def test_blocked_cosine_pairs_threshold_and_blocking(spark):
     assert got == {(0, 1): (0, 1.0), (3, 4): (1, 1.0)}
 
 
+def test_blocked_cosine_pairs_tiling_is_invisible(spark):
+    # the 100x ladder found the one-task-per-block GEMM OOMs when a block
+    # grows with the corpus; the tiled rewrite must emit the IDENTICAL pair
+    # set (each unordered pair exactly once: diagonal groups give in-tile
+    # pairs, off-diagonal groups give cross-tile pairs) for any tile size
+    import random
+
+    from dataingestion_pt_ms_spark.operators.similarity import blocked_cosine_pairs
+
+    rng = random.Random(7)
+    rows = [
+        (i, i % 2, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    whole = {
+        (r.key_a, r.key_b, r.label, r.cosine_sim)
+        for r in blocked_cosine_pairs(df, threshold=0.2, tile_rows=10_000).collect()
+    }
+    assert whole, "fixture must produce pairs for the comparison to mean anything"
+    for tile in (7, 16, 61):  # forces 1..9 tiles per 60-row block
+        tiled = blocked_cosine_pairs(df, threshold=0.2, tile_rows=tile).collect()
+        assert len(tiled) == len(set((r.key_a, r.key_b) for r in tiled)), (
+            f"tile_rows={tile}: a pair was emitted twice"
+        )
+        assert {
+            (r.key_a, r.key_b, r.label, r.cosine_sim) for r in tiled
+        } == whole, f"tile_rows={tile}: pair set diverged from untiled output"
+
+
 def test_sample_frames_and_bmp_resize(spark):
     from dataingestion_pt_ms_spark.operators.multimodal import (
         attach_binary_payload,
