@@ -70,7 +70,11 @@ BASELINE_SEC = {
     "sim_pq_adc_topk": 3.5,
     "sim_cosine_topk_bruteforce": 0.31,
     "sim_ann_ivf_topk": 0.49,
-    "sim_blocked_nearest_neighbor": 0.35,
+    # round 6: the blocked-GEMM family is tiled so a corpus-sized cell
+    # degrades into more tasks instead of one OOMing matrix (found by the
+    # 100x ladder); the extra count-broadcast + candidate-reduce stages
+    # cost ~0.5-0.7 s fixed at local toy scale - re-recorded clean
+    "sim_blocked_nearest_neighbor": 1.11,
     "cdc_merge_apply": 0.64,
     "warehouse_zorder_layout": 0.17,
     "agg_hll_distinct_customers": 0.26,
@@ -153,7 +157,7 @@ BASELINE_SEC = {
     "sim_ann_lsh_bucketed": 1.157,
     "sim_centroid_outliers": 0.353,
     "sim_kmeans_clusters": 0.932,
-    "sim_knn_graph_cells": 0.48,
+    "sim_knn_graph_cells": 0.99,  # round-6 tiling re-record (see sim_blocked_nearest_neighbor)
     "text_chunk_documents": 0.377,
     "text_contamination_check": 0.46,
     "text_duplicate_ngram_fraction": 0.57,
@@ -215,7 +219,7 @@ BASELINE_SEC = {
     "events_mann_whitney_u": 1.006,
     "graph_clustering_coefficient": 2.534,
     "ohlc_theil_sen_trend": 0.715,
-    "sim_lof_outliers": 1.16,
+    "sim_lof_outliers": 1.24,  # round-6 tiling re-record
     # round-4 session-4 additions (min-of-2 hot, sf0.1)
     "dedup_prefix_filter_pairs": 2.38,
     "dedup_winnowing_overlap": 2.92,
@@ -265,7 +269,7 @@ BASELINE_SEC = {
     "lineitem_histogram_split_finder": 0.71,
     "orders_target_encoding_oof": 0.57,
     "sketch_ddsketch_quantiles": 1.33,
-    "sim_mutual_knn_pairs": 0.84,
+    "sim_mutual_knn_pairs": 1.02,  # round-6 tiling re-record
     "warehouse_compaction_plan": 0.98,
     "text_qlm_dirichlet_topk": 1.20,
     "text_stupid_backoff_logprob": 0.88,

@@ -285,8 +285,28 @@ def blocked_cosine_pairs(
     prepared = corpus.select(
         F.col(key_col), F.col(block_col), _dvec(vec_col).alias("_v")
     )
+    tiled = _tile_blocks(prepared, block_col, key_col, tile_rows)
+    return tiled.groupBy(block_col, "_lo", "_hi").applyInPandas(
+        tile_pairs, "key_a long, key_b long, label long, cosine_sim double"
+    )
+
+
+def _tile_blocks(
+    prepared: DataFrame, block_col: str, key_col: str, tile_rows: int
+) -> DataFrame:
+    """Replicate each vector into its block's tile-pair groups.
+
+    Vectors hash into ⌈|block|/tile_rows⌉ tiles; each vector emits one row
+    per other-tile index ``_o``, keyed by the unordered pair
+    (_lo, _hi) = (min(_t, _o), max(_t, _o)). Group (lo, hi) then holds
+    every participant exactly once — tile-lo members arrive via o = hi,
+    tile-hi members via o = lo, and the diagonal group (t, t) gets each
+    tile-t member from o = t — so per-group GEMMs over the tiles cover
+    every in-block pair exactly once with task memory capped at
+    tile_rows². Blocks at or below tile_rows keep their single group.
+    """
     cnts = prepared.groupBy(block_col).agg(F.count(F.lit(1)).alias("_n"))
-    tiled = (
+    return (
         prepared.join(F.broadcast(cnts), block_col)
         .withColumn(
             "_nt",
@@ -296,16 +316,8 @@ def blocked_cosine_pairs(
             "_t", F.pmod(F.xxhash64(F.col(key_col)), F.col("_nt")).cast("int")
         )
         .withColumn("_o", F.explode(F.sequence(F.lit(0), F.col("_nt") - 1)))
-        # a vector meets each other-tile index o exactly once, so group
-        # (lo, hi) holds every participant exactly once: tile-lo members
-        # arrive via o = hi, tile-hi members via o = lo, and the diagonal
-        # group (t, t) gets each tile-t member from o = t — no pair is
-        # ever double-emitted
         .withColumn("_lo", F.least("_t", "_o"))
         .withColumn("_hi", F.greatest("_t", "_o"))
-    )
-    return tiled.groupBy(block_col, "_lo", "_hi").applyInPandas(
-        tile_pairs, "key_a long, key_b long, label long, cosine_sim double"
     )
 
 
@@ -314,53 +326,89 @@ def blocked_nearest_neighbor(
     block_col: str = "label",
     key_col: str = "vec_id",
     vec_col: str = "embedding",
+    tile_rows: int = 2048,
 ) -> DataFrame:
     """For every vector: its nearest neighbor within its block (IVF cell).
 
     The pair space is blocked on ``block_col`` — the join shuffles both
     sides on the block key, so cost is Σ|block|² instead of n². Winner is
     deterministic: max (rounded cosine, then smallest neighbor key).
+
+    Like :func:`blocked_cosine_pairs`, the in-block GEMM is tiled (round
+    6): each tile-pair group emits a per-vector best-in-group candidate
+    and a final per-key reduce picks the block-wide winner under the same
+    (rounded score DESC, neighbor key ASC) order — associative, so the
+    output is identical to the one-matrix-per-block shape that OOMed the
+    100× stress ladder, while no task holds more than a tile² matrix.
     """
     from pyspark.sql import Window as W
 
     # The O(|block|²·d) pairwise work is the one place array expressions
     # lose badly to vectorized math (higher-order lambdas are interpreted
     # per element — ~25M evals at sf0.1). This is the sanctioned Pandas-UDF
-    # use: one Arrow batch per block, a numpy GEMM for the whole cosine
-    # matrix, deterministic (rounded-score, smallest-key) winner per row.
+    # use: one Arrow batch per tile-pair, a numpy GEMM for the cosine
+    # tile, deterministic (rounded-score, smallest-key) winner per row.
     import numpy as np
     import pandas as pd
 
-    def block_nn(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                columns=["vec_id", "label", "nn_vec_id", "cosine_sim"]
-            ).astype({"vec_id": "int64", "label": "int64",
-                      "nn_vec_id": "int64", "cosine_sim": "float64"})
-        vecs = np.stack(pdf["_v"].to_numpy()).astype("float64")
-        ids = pdf[key_col].to_numpy()
-        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        sims = np.round(unit @ unit.T, 6)
-        np.fill_diagonal(sims, -np.inf)
-        # winner per row: max rounded score, then smallest neighbor id —
+    _empty = pd.DataFrame(
+        columns=["vec_id", "label", "nn_vec_id", "cosine_sim"]
+    ).astype({"vec_id": "int64", "label": "int64",
+              "nn_vec_id": "int64", "cosine_sim": "float64"})
+
+    def _best(ids_q, labels_q, ids_c, sims) -> pd.DataFrame:
+        # per query row: max rounded score, then smallest candidate id —
         # identical to the SQL row_number() ORDER BY score DESC, id
-        order = np.lexsort((ids[np.newaxis, :].repeat(n, 0), -sims), axis=1)
+        nq = len(ids_q)
+        order = np.lexsort((ids_c[np.newaxis, :].repeat(nq, 0), -sims), axis=1)
         nn_idx = order[:, 0]
         return pd.DataFrame(
             {
-                "vec_id": ids,
-                "label": pdf[block_col].to_numpy(),
-                "nn_vec_id": ids[nn_idx],
-                "cosine_sim": sims[np.arange(n), nn_idx],
+                "vec_id": ids_q,
+                "label": labels_q,
+                "nn_vec_id": ids_c[nn_idx],
+                "cosine_sim": sims[np.arange(nq), nn_idx],
             }
+        )
+
+    def tile_nn(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(pdf["_lo"].iat[0]), int(pdf["_hi"].iat[0])
+        ids = pdf[key_col].to_numpy()
+        labels = pdf[block_col].to_numpy()
+        vecs = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        if lo == hi:
+            if len(pdf) < 2:
+                return _empty
+            sims = np.round(unit @ unit.T, 6)
+            np.fill_diagonal(sims, -np.inf)
+            return _best(ids, labels, ids, sims)
+        in_lo = pdf["_t"].to_numpy() == lo
+        if not in_lo.any() or in_lo.all():
+            return _empty
+        sims = np.round(unit[in_lo] @ unit[~in_lo].T, 6)
+        return pd.concat(
+            [
+                _best(ids[in_lo], labels[in_lo], ids[~in_lo], sims),
+                _best(ids[~in_lo], labels[~in_lo], ids[in_lo], sims.T),
+            ],
+            ignore_index=True,
         )
 
     prepared = corpus.select(
         F.col(key_col), F.col(block_col), _dvec(vec_col).alias("_v")
     )
-    return prepared.groupBy(block_col).applyInPandas(
-        block_nn, "vec_id long, label long, nn_vec_id long, cosine_sim double"
+    tiled = _tile_blocks(prepared, block_col, key_col, tile_rows)
+    cand = tiled.groupBy(block_col, "_lo", "_hi").applyInPandas(
+        tile_nn, "vec_id long, label long, nn_vec_id long, cosine_sim double"
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("nn_vec_id").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -457,55 +505,89 @@ def blocked_knn(
     block_col: str = "label",
     key_col: str = "vec_id",
     vec_col: str = "embedding",
+    tile_rows: int = 2048,
 ) -> DataFrame:
     """Top-``k`` cosine neighbours per vector WITHIN its block — the
     generalization of :func:`blocked_nearest_neighbor` from top-1 to
-    top-k, same per-block numpy-GEMM strategy and the same deterministic
+    top-k, same tiled numpy-GEMM strategy and the same deterministic
     ordering (rounded cosine DESC, neighbour key ASC). Returns
     (key, nb, block, cosine_sim, rnk) with rnk 1..k.
 
-    Pair space is Σ|block|² by construction; one Arrow batch per block,
-    one GEMM, one lexsort — no join, no window, no interpreted per-element
+    Pair space is Σ|block|² by construction; the per-tile-pair GEMM emits
+    each vector's top-k *within the group* and the per-key reduce keeps
+    the global top-k — any block-wide top-k neighbour is necessarily in
+    its group's top-k, so the output matches the one-matrix-per-block
+    shape (which OOMed the 100× ladder once blocks grew with the corpus)
+    while task memory stays capped at tile². No interpreted per-element
     cosine (measured ~7 s → ~1 s at sf0.1 for the kNN-graph query).
     """
     import numpy as np
     import pandas as pd
 
-    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        empty = pd.DataFrame(
-            columns=[key_col, "nb", block_col, "cosine_sim", "rnk"]
-        ).astype({key_col: "int64", "nb": "int64", block_col: "int64",
-                  "cosine_sim": "float64", "rnk": "int64"})
-        if n < 2:
-            return empty
-        ids = pdf[key_col].to_numpy()
-        vecs = np.stack(pdf["_v"].to_numpy()).astype("float64")
-        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        sims = np.round(unit @ unit.T, 6)
-        np.fill_diagonal(sims, -np.inf)
-        kk = min(k, n - 1)
+    from pyspark.sql import Window as W
+
+    _empty = pd.DataFrame(
+        columns=[key_col, "nb", block_col, "cosine_sim"]
+    ).astype({key_col: "int64", "nb": "int64", block_col: "int64",
+              "cosine_sim": "float64"})
+
+    def _topk(ids_q, labels_q, ids_c, sims) -> pd.DataFrame:
+        nq, nc = sims.shape
+        kk = min(k, nc)
         # full lexsort per row: (-sim, nb) — deterministic tie order
-        order = np.lexsort((ids[np.newaxis, :].repeat(n, 0), -sims), axis=1)
+        order = np.lexsort((ids_c[np.newaxis, :].repeat(nq, 0), -sims), axis=1)
         top = order[:, :kk]
-        rows = np.repeat(np.arange(n), kk)
+        rows = np.repeat(np.arange(nq), kk)
         cols = top.ravel()
         return pd.DataFrame(
             {
-                key_col: ids[rows],
-                "nb": ids[cols],
-                block_col: pdf[block_col].to_numpy()[rows],
+                key_col: ids_q[rows],
+                "nb": ids_c[cols],
+                block_col: labels_q[rows],
                 "cosine_sim": sims[rows, cols],
-                "rnk": np.tile(np.arange(1, kk + 1), n),
             }
+        )
+
+    def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(pdf["_lo"].iat[0]), int(pdf["_hi"].iat[0])
+        ids = pdf[key_col].to_numpy()
+        labels = pdf[block_col].to_numpy()
+        vecs = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        if lo == hi:
+            if len(pdf) < 2:
+                return _empty
+            sims = np.round(unit @ unit.T, 6)
+            np.fill_diagonal(sims, -np.inf)
+            out = _topk(ids, labels, ids, sims)
+            # drop the -inf self rows a 1-neighbour tile can surface
+            return out[np.isfinite(out["cosine_sim"].to_numpy())]
+        in_lo = pdf["_t"].to_numpy() == lo
+        if not in_lo.any() or in_lo.all():
+            return _empty
+        sims = np.round(unit[in_lo] @ unit[~in_lo].T, 6)
+        return pd.concat(
+            [
+                _topk(ids[in_lo], labels[in_lo], ids[~in_lo], sims),
+                _topk(ids[~in_lo], labels[~in_lo], ids[in_lo], sims.T),
+            ],
+            ignore_index=True,
         )
 
     prepared = corpus.select(
         F.col(key_col), F.col(block_col), _dvec(vec_col).alias("_v")
     )
-    return prepared.groupBy(block_col).applyInPandas(
-        block_topk,
-        f"{key_col} long, nb long, {block_col} long, cosine_sim double, rnk long",
+    tiled = _tile_blocks(prepared, block_col, key_col, tile_rows)
+    cand = tiled.groupBy(block_col, "_lo", "_hi").applyInPandas(
+        tile_topk,
+        f"{key_col} long, nb long, {block_col} long, cosine_sim double",
+    )
+    w = W.partitionBy(key_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("nb").asc()
+    )
+    # cast matches the pre-tiling Arrow schema (rnk was a pandas int64)
+    return cand.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
     )
 
 

@@ -707,6 +707,45 @@ def test_blocked_cosine_pairs_tiling_is_invisible(spark):
         } == whole, f"tile_rows={tile}: pair set diverged from untiled output"
 
 
+def test_blocked_nn_and_knn_tiling_is_invisible(spark):
+    # same invariant as the pairs operator: per-group candidates + the
+    # associative (sim DESC, id ASC) reduce must reproduce the untiled
+    # winner/top-k exactly, including rnk numbering and tie-breaks
+    import random
+
+    from dataingestion_pt_ms_spark.operators.similarity import (
+        blocked_knn,
+        blocked_nearest_neighbor,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+
+    nn_whole = {
+        (r.vec_id, r.label, r.nn_vec_id, r.cosine_sim)
+        for r in blocked_nearest_neighbor(df, tile_rows=10_000).collect()
+    }
+    knn_whole = {
+        (r.vec_id, r.nb, r.label, r.cosine_sim, r.rnk)
+        for r in blocked_knn(df, k=4, tile_rows=10_000).collect()
+    }
+    assert len(nn_whole) == 90 and len(knn_whole) == 360
+    for tile in (7, 29):
+        nn_tiled = {
+            (r.vec_id, r.label, r.nn_vec_id, r.cosine_sim)
+            for r in blocked_nearest_neighbor(df, tile_rows=tile).collect()
+        }
+        assert nn_tiled == nn_whole, f"tile_rows={tile}: NN winners diverged"
+        knn_tiled = {
+            (r.vec_id, r.nb, r.label, r.cosine_sim, r.rnk)
+            for r in blocked_knn(df, k=4, tile_rows=tile).collect()
+        }
+        assert knn_tiled == knn_whole, f"tile_rows={tile}: top-k diverged"
+
+
 def test_sample_frames_and_bmp_resize(spark):
     from dataingestion_pt_ms_spark.operators.multimodal import (
         attach_binary_payload,
