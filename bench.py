@@ -233,7 +233,7 @@ BASELINE_SEC = {
     "join_phonetic_blocking": 0.42,
     "scalar_xml_parse": 1.50,
     # blocked-GEMM rewrite (VERDICT r4 #2), round 5 re-measure
-    "sim_margin_alignment_mining": 1.65,
+    "sim_margin_alignment_mining": 2.17,  # round-6 B-tiling re-record (bounded per-task B matrix)
     "text_bpe_train_merges": 1.42,
     "text_kneser_ney_bigram": 0.90,
     "sketch_kmv_distinct": 0.91,

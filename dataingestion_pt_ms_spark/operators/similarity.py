@@ -678,27 +678,35 @@ def bipartite_margin_pairs(
     key_b: str = "xb",
     vec_a: str = "va",
     vec_b: str = "vb",
+    b_tile_rows: int = 2048,
 ) -> DataFrame:
     """Ratio-margin mutual-argmax bitext mining (Artetxe & Schwenk ACL'19)
     without EVER materializing the |A|·|B| pair space (VERDICT r4 #2).
 
-    Two streaming blocked-GEMM passes over (A-chunk × all B) groups — A is
-    hash-split into ``n_blocks`` chunks, B replicated to each chunk:
+    Two streaming blocked-GEMM passes over (A-chunk × B-tile) groups — A
+    is hash-split into ``n_blocks`` chunks and B into
+    ⌈|B|/b_tile_rows⌉ hash tiles (round 6: the 100× ladder showed any
+    group holding a full corpus-sized side must OOM eventually — the old
+    shape replicated ALL of B into every chunk, so raising ``n_blocks``
+    shrank only the A slice while the |B|-wide similarity rows grew with
+    the corpus; a fat side degrades into more tasks, not a bigger task):
 
-    1. top-``k`` cosine lists per endpoint (per-xa exact within its chunk,
-       per-xb chunk partials merged by a k-bounded window) → the
-       neighborhood means ax / ay;
-    2. with ax/ay joined back in, per-chunk margin argmax — per-xa exact,
-       per-xb partials merged by a deterministic struct-max.
+    1. top-``k`` cosine lists per endpoint (per-xa and per-xb group
+       partials, each merged by a k-bounded window) → the neighborhood
+       means ax / ay;
+    2. with ax/ay joined back in, per-group margin argmax — per-xa
+       partials merged by a deterministic struct-max, per-xb likewise.
 
-    Mutual pairs = fwd ∩ bwd. Rows that ever hit a shuffle: Θ(|A|·k +
-    |B|·k·n_blocks + |A| + |B|) — the O(|A|·|B|) cosine FLOPs are inherent
-    to EXACT mining and stay inside per-task numpy GEMMs (one Arrow batch
-    per chunk); nothing pair-shaped is checkpointed or exchanged. At 100 TB
-    you raise ``n_blocks`` so a chunk × B fits executor memory, or swap B
+    Mutual pairs = fwd ∩ bwd. Rows that ever hit a shuffle:
+    Θ((|A|·nbt + |B|·n_blocks)·(1 + k)) where nbt = ⌈|B|/b_tile_rows⌉ —
+    the O(|A|·|B|) cosine FLOPs are inherent to EXACT mining and stay
+    inside per-task numpy GEMMs bounded by (|A|/n_blocks) × b_tile_rows;
+    nothing pair-shaped is checkpointed or exchanged. At 100 TB swap B
     for each chunk's nprobe IVF cells (ann_ivf_topk) to go sub-quadratic
     at a recall cost. Determinism: cosines and margins rounded to 6dp,
-    all argmax ties broken on the partner id ascending.
+    all argmax ties broken on the partner id ascending — the merges use
+    the same order as the in-group lexsorts, so tiling is invisible in
+    the output.
 
     Returns (key_a, key_b, c, margin) for the mutual pairs.
     """
@@ -812,15 +820,25 @@ def bipartite_margin_pairs(
         )
         return pd.concat([fwd, bwd], ignore_index=True)
 
-    a_pre = a.select(
+    # B tile count as a broadcast 1-row frame so the operator stays lazy;
+    # greatest(..., 1) keeps sequence(0, nbt-1) well-formed on empty B
+    bcnt = b.agg(F.count(F.lit(1)).alias("_bn")).select(
+        F.greatest(
+            F.ceil(F.col("_bn") / F.lit(b_tile_rows)), F.lit(1)
+        ).cast("int").alias("_nbt")
+    )
+    a_pre = a.crossJoin(F.broadcast(bcnt)).select(
         F.pmod(F.xxhash64(F.col(key_a)), F.lit(n_blocks)).alias("ablk"),
+        F.explode(F.sequence(F.lit(0), F.col("_nbt") - 1)).alias("_bt"),
         F.lit(0).alias("side"),
         F.col(key_a).alias("id"),
         F.col(vec_a).cast("array<double>").alias("_v"),
         F.lit(0.0).alias("aux"),
     )
-    b_rep = b.select(
+    b_tile = F.pmod(F.xxhash64(F.col(key_b)), F.col("_nbt")).cast("int")
+    b_rep = b.crossJoin(F.broadcast(bcnt)).select(
         blocks.alias("ablk"),
+        b_tile.alias("_bt"),
         F.lit(1).alias("side"),
         F.col(key_b).alias("id"),
         F.col(vec_b).cast("array<double>").alias("_v"),
@@ -828,17 +846,23 @@ def bipartite_margin_pairs(
     )
     pass1 = (
         a_pre.unionByName(b_rep)
-        .groupBy("ablk")
+        .groupBy("ablk", "_bt")
         .applyInPandas(topk_block, "kind int, xa long, xb long, c double")
         .localCheckpoint(eager=False)  # ax / ay branches
     )
+    from pyspark.sql import Window as W
+
+    # per-endpoint k-bounded merges of the per-group top-k partials — the
+    # window order matches the in-group lexsort (c DESC, partner id ASC),
+    # so the merged top-k equals the untiled single-group top-k exactly
+    wrow = W.partitionBy("xa").orderBy(F.col("c").desc(), "xb")
     ax = (
         pass1.where(F.col("kind") == 0)
+        .withColumn("r", F.row_number().over(wrow))
+        .where(F.col("r") <= k)
         .groupBy("xa")
         .agg(F.avg("c").alias("ax"))
     )
-    from pyspark.sql import Window as W
-
     wcol = W.partitionBy("xb").orderBy(F.col("c").desc(), "xa")
     ay = (
         pass1.where(F.col("kind") == 1)
@@ -849,29 +873,60 @@ def bipartite_margin_pairs(
     )
     ax = ax.select(F.col("xa").alias("_axid"), "ax")
     ay = ay.select(F.col("xb").alias("_ayid"), "ay")
-    a_m = a.join(F.broadcast(ax), F.col(key_a) == F.col("_axid")).select(
-        F.pmod(F.xxhash64(F.col(key_a)), F.lit(n_blocks)).alias("ablk"),
-        F.lit(0).alias("side"),
-        F.col(key_a).alias("id"),
-        F.col(vec_a).cast("array<double>").alias("_v"),
-        F.col("ax").alias("aux"),
+    a_m = (
+        a.join(F.broadcast(ax), F.col(key_a) == F.col("_axid"))
+        .crossJoin(F.broadcast(bcnt))
+        .select(
+            F.pmod(F.xxhash64(F.col(key_a)), F.lit(n_blocks)).alias("ablk"),
+            F.explode(F.sequence(F.lit(0), F.col("_nbt") - 1)).alias("_bt"),
+            F.lit(0).alias("side"),
+            F.col(key_a).alias("id"),
+            F.col(vec_a).cast("array<double>").alias("_v"),
+            F.col("ax").alias("aux"),
+        )
     )
-    b_m = b.join(F.broadcast(ay), F.col(key_b) == F.col("_ayid")).select(
-        blocks.alias("ablk"),
-        F.lit(1).alias("side"),
-        F.col(key_b).alias("id"),
-        F.col(vec_b).cast("array<double>").alias("_v"),
-        F.col("ay").alias("aux"),
+    b_m = (
+        b.join(F.broadcast(ay), F.col(key_b) == F.col("_ayid"))
+        .crossJoin(F.broadcast(bcnt))
+        .select(
+            blocks.alias("ablk"),
+            b_tile.alias("_bt"),
+            F.lit(1).alias("side"),
+            F.col(key_b).alias("id"),
+            F.col(vec_b).cast("array<double>").alias("_v"),
+            F.col("ay").alias("aux"),
+        )
     )
     pass2 = (
         a_m.unionByName(b_m)
-        .groupBy("ablk")
+        .groupBy("ablk", "_bt")
         .applyInPandas(
             margin_block, "kind int, xa long, xb long, c double, margin double"
         )
         .localCheckpoint(eager=False)  # fwd / bwd branches
     )
-    fwd = pass2.where(F.col("kind") == 0).select("xa", "xb", "c", "margin")
+    # struct-max merges: (margin DESC, partner ASC) — same tie order as
+    # the in-group argmax lexsorts
+    fwd = (
+        pass2.where(F.col("kind") == 0)
+        .groupBy("xa")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("margin"),
+                    (-F.col("xb")).alias("nxb"),
+                    F.col("xb"),
+                    F.col("c"),
+                )
+            ).alias("s")
+        )
+        .select(
+            "xa",
+            F.col("s.xb").alias("xb"),
+            F.col("s.c").alias("c"),
+            F.col("s.margin").alias("margin"),
+        )
+    )
     bwd = (
         pass2.where(F.col("kind") == 1)
         .groupBy("xb")

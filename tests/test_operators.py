@@ -2030,6 +2030,43 @@ def test_bipartite_margin_pairs_edge_cases(spark):
         assert m == 2.0
 
 
+def test_bipartite_margin_pairs_b_tiling_is_invisible(spark):
+    """Round 6: B is hash-tiled so no task ever holds a corpus-sized B
+    matrix; the k-bounded window / struct-max merges use the in-group tie
+    order, so mutual pairs, cosines, and margins must be identical for
+    any tile size."""
+    import random
+
+    from dataingestion_pt_ms_spark.operators.similarity import (
+        bipartite_margin_pairs,
+    )
+
+    rng = random.Random(23)
+    a = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)],
+        "xa long, va array<double>",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(55)],
+        "xb long, vb array<double>",
+    )
+    whole = {
+        (r.xa, r.xb, r.c, r.margin)
+        for r in bipartite_margin_pairs(
+            a, b, k=3, n_blocks=4, b_tile_rows=10_000
+        ).collect()
+    }
+    assert whole, "fixture must produce mutual pairs"
+    for tile in (5, 17):  # 11 and 4 B-tiles
+        tiled = {
+            (r.xa, r.xb, r.c, r.margin)
+            for r in bipartite_margin_pairs(
+                a, b, k=3, n_blocks=4, b_tile_rows=tile
+            ).collect()
+        }
+        assert tiled == whole, f"b_tile_rows={tile}: mutual pairs diverged"
+
+
 def test_every_slow_query_is_guarded():
     """VERDICT r4 #4 (optional half): every query measured > 0.3 s in the
     latest full bench run must carry a BASELINE_SEC regression guard —
