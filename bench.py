@@ -110,6 +110,7 @@ BASELINE_SEC = {
     "dedup_cluster_near_dups": 8.169,
     "dedup_cross_corpus_minhash_md5": 3.528,
     "dedup_estimator_error_profile": 2.45,
+    "dedup_embedding_cosine_pairs": 0.61,  # round-6: crossed 0.3s with the tiled GEMM; guarded + benched from now on
     "dedup_incremental_minhash": 3.05,
     "dedup_lsh_band_cost_audit": 1.21,
     "dedup_minhash_lsh_pairs_md5": 2.93,
@@ -452,6 +453,7 @@ HEADLINE = [
     "dedup_cluster_keep_longest",
     "dedup_cluster_near_dups",
     "dedup_cross_corpus_minhash_md5",
+    "dedup_embedding_cosine_pairs",
     "dedup_estimator_error_profile",
     "dedup_incremental_minhash",
     "dedup_lsh_band_cost_audit",
