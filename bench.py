@@ -57,6 +57,10 @@ BASELINE_SEC = {
     "pipeline_pretrain_corpus": 1.3,
     "text_quality_score": 0.15,
     "dedup_exact_groups": 0.17,
+    # r7 adjudication (VERDICT r6 #3): code unchanged since r3; quiet-window
+    # min-of-5 hot = 3.29 s (1.06x of record) — the r6 full-map 4.53 s was
+    # JVM ramp (first hot repeats measure 4.5/3.7 s before settling at 3.3)
+    # under end-of-sweep GC pressure, not a regression. Record kept.
     "dedup_minhash_lsh_pairs": 3.1,  # xxhash64 path since round 3
     "dedup_cross_corpus_minhash": 3.6,  # xxhash64 path since round 3
     "text_unigram_logprob": 0.63,
@@ -284,7 +288,10 @@ BASELINE_SEC = {
     "orders_wasserstein_drift": 2.02,
     "orders_hill_tail_index": 1.16,
     "events_imr_control_chart": 0.53,
-    "dedup_semdedup_clusters": 2.72,
+    # r7 re-record (VERDICT r6 #3): the 2.72 record came from a contended
+    # r5 window; quiet-window min-of-3 isolated = 1.86 s (r6 full map said
+    # 1.71). Re-recorded to the quiet-window protocol number.
+    "dedup_semdedup_clusters": 1.86,
     "text_rake_keyphrases": 1.58,
     "events_poisson_glm_hourly": 0.80,
     "multimodal_wav_spectral": 0.58,
@@ -299,6 +306,8 @@ BASELINE_SEC = {
     "events_holt_linear_forecast": 0.45,
     "warehouse_market_concentration": 0.80,
     "orders_spearman_rank_corr": 2.05,
+    # round-7: bounded-degree DBSCAN (VERDICT r6 #2) — min-of-3 quiet window
+    "sim_dbscan_capped": 4.25,
 }
 GUARD_FACTOR = 2.0
 
@@ -632,6 +641,8 @@ HEADLINE = [
     "join_theta_balance_band_counts",
     "join_range_clicks_before_error_counts",
     "join_fuzzy_name_match_counts",
+    # round-7: bounded-degree DBSCAN production twin (VERDICT r6 #2)
+    "sim_dbscan_capped",
 ]
 
 

@@ -292,8 +292,16 @@ def global_islands(
     index, bit-identical to ``sum(brk) OVER (ORDER BY ...)`` on the
     break flag ``axis - lag(axis) > gap OR lag IS NULL``.
 
-    One data-sized range exchange; everything else is partition-count-
-    sized. Per partition p (local window over its own slice only):
+    ONE data-sized range exchange, genuinely (ADVICE r6): the local
+    break flag + island index come from a streaming ``mapInPandas``
+    scan over the range-partitioned, locally-sorted data — a window
+    ``PARTITION BY _pid`` here would insert a SECOND data-sized
+    ``Exchange hashpartitioning(_pid)``, because RangePartitioning does
+    not satisfy a window's hash-clustering requirement (verified in the
+    executed plan). The scan carries O(1) state (previous axis value,
+    running break count) across Arrow batches, so per-task memory is
+    one batch; everything after it is partition-count-sized. Per
+    partition p (scan over its own slice only):
 
     - local break flag, counting the first LOCAL row as a break;
     - local island index ``_lis`` = running sum of local breaks;
@@ -312,23 +320,42 @@ def global_islands(
     µs discipline) and non-null; ``order_cols`` should start with the
     axis for the run semantics to make sense.
     """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     sort_exprs = _cols(order_cols)
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = df.repartitionByRange(p, *sort_exprs).withColumn(
-        "_pid", F.spark_partition_id()
+    sorted_parts = (
+        df.repartitionByRange(p, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("_pid", F.spark_partition_id())
     )
-    wloc = W.partitionBy("_pid").orderBy(*sort_exprs)
-    lag_axis = F.lag(axis_col).over(wloc)
-    parts = parts.withColumn(
-        "_brk",
-        F.when(
-            lag_axis.isNull() | (F.col(axis_col) - lag_axis > gap), 1
-        ).otherwise(0),
+    scan_schema = T.StructType(
+        list(sorted_parts.schema.fields)
+        + [T.StructField("_brk", T.LongType()), T.StructField("_lis", T.LongType())]
     )
-    parts = parts.withColumn(
-        "_lis", F.sum("_brk").over(wloc.rowsBetween(W.unboundedPreceding, 0))
-    )
+    gap_v = int(gap)
+
+    def _scan(batches):
+        # one partition = one call; prev axis value + running break count
+        # carry across Arrow batches (O(1) state, never a matrix)
+        prev = None
+        run = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ax = pdf[axis_col].to_numpy()
+            sentinel = ax[0] - gap_v - 1 if prev is None else prev
+            lagged = np.concatenate(([sentinel], ax[:-1]))
+            brk = (ax - lagged > gap_v).astype("int64")
+            lis = run + np.cumsum(brk)
+            run = int(lis[-1])
+            prev = ax[-1]
+            yield pdf.assign(_brk=brk, _lis=lis)
+
+    parts = sorted_parts.mapInPandas(_scan, scan_schema)
     parts = parts.localCheckpoint(eager=False)  # stats + output branches
     stats = parts.groupBy("_pid").agg(
         F.sum("_brk").alias("_nbrk"),
@@ -374,6 +401,17 @@ def global_islands(
     )
 
 
+def _non_null_values(df: DataFrame, value_col: str) -> DataFrame:
+    """Drop NULL (and, for float/double columns, NaN) ``value_col`` rows —
+    the shared precondition of the histogram k-th selectors: both rank
+    among orderable values only, like SQL's ordered-set aggregates."""
+    v = F.col(value_col)
+    cond = v.isNotNull()
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        cond = cond & ~F.isnan(v)
+    return df.where(cond)
+
+
 def histogram_select_kth(
     df: DataFrame,
     value_col: str,
@@ -414,7 +452,15 @@ def histogram_select_kth(
     monotone in ``v`` (constant subtract, positive-constant divide,
     floor, clamp — each IEEE-monotone), which is the only property the
     LOW / candidate / HIGH rank split relies on.
+
+    NULL / NaN values are filtered before bucketing (ADVICE r6): an
+    unfiltered NULL maps to a NULL bucket whose triangular cumulative
+    join matches nothing (``_before = 0``), which could let two buckets
+    claim rank ``k``. So ``k`` ranks among the non-null, non-NaN values
+    — the same population every SQL ordered-set aggregate
+    (percentile_disc etc.) ranks over.
     """
+    df = _non_null_values(df, value_col)
     v = F.col(value_col)
     stats = F.broadcast(
         bounds
@@ -486,8 +532,10 @@ def histogram_select_kth_eager(
     frame — and as there, a loose or even undershooting ``hi`` only
     coarsens buckets: ``least(floor((v - lo)/w), B-1)`` stays monotone in
     ``v``, the only property the LOW / candidate split needs for an exact
-    rank.
+    rank. NULL / NaN values are filtered first, same as the lazy variant
+    (ADVICE r6): ``k`` ranks among non-null, non-NaN values.
     """
+    df = _non_null_values(df, value_col)
     v = F.col(value_col)
     if hi > lo:
         wid = (hi - lo) / float(buckets)

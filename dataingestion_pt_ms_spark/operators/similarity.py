@@ -26,6 +26,19 @@ def _dvec(col_name: str = "embedding"):
     return F.col(col_name).cast("array<double>")
 
 
+def _unit_rows(vecs):
+    """Row-normalize a 2-D float array with the zero-norm guard (ADVICE r6):
+    a zero vector keeps cosine 0 against everything instead of producing
+    NaN — Spark sorts NaN as the LARGEST double, so an unguarded NaN would
+    win the tiled operators' cross-tile window merge while numpy's lexsort
+    ranks it last, making tiling output-visible for zero-norm inputs. Same
+    guard as ``bipartite_margin_pairs``."""
+    import numpy as np
+
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    return vecs / np.where(norms == 0.0, 1.0, norms)
+
+
 def cosine_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -239,7 +252,7 @@ def blocked_cosine_pairs(
 
     def _unit(pdf: pd.DataFrame) -> "np.ndarray":
         vecs = np.stack(pdf["_v"].to_numpy()).astype("float64")
-        return vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        return _unit_rows(vecs)
 
     def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         lo, hi = int(pdf["_lo"].iat[0]), int(pdf["_hi"].iat[0])
@@ -376,7 +389,7 @@ def blocked_nearest_neighbor(
         ids = pdf[key_col].to_numpy()
         labels = pdf[block_col].to_numpy()
         vecs = np.stack(pdf["_v"].to_numpy()).astype("float64")
-        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = _unit_rows(vecs)
         if lo == hi:
             if len(pdf) < 2:
                 return _empty
@@ -553,7 +566,7 @@ def blocked_knn(
         ids = pdf[key_col].to_numpy()
         labels = pdf[block_col].to_numpy()
         vecs = np.stack(pdf["_v"].to_numpy()).astype("float64")
-        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = _unit_rows(vecs)
         if lo == hi:
             if len(pdf) < 2:
                 return _empty

@@ -35,19 +35,29 @@ class QuerySpec:
     fn: QueryFn
     oracle: Optional[str]  # DuckDB SQL; None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
+    since: int = 0  # build round that added the query (0 = rounds 1-6)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    """Decorator: register ``fn`` as the named query ``name``."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    since: int = 0,
+):
+    """Decorator: register ``fn`` as the named query ``name``. ``since``
+    (the round that added the query) keys the attestation ordering:
+    newer registrations join the BACK of the never-attested queue so a
+    new row never displaces a longer-waiting one from the driver's
+    50-query round sample (VERDICT r6 #4/#8)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags))
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), since)
         return fn
 
     return deco
@@ -108,9 +118,15 @@ def registry() -> dict[str, QuerySpec]:
     # Stable sort: never-attested first so each driver round's 50-row sample
     # is all-new; within never-attested, rows-only (no-oracle) names last so
     # a structurally-unattestable row never burns a driver slot while an
-    # oracled query is still waiting (r5: ``sample_seeded_fraction``).
+    # oracled query is still waiting (r5: ``sample_seeded_fraction``), and
+    # newer registrations (``since``) after longer-waiting ones (r6 #4).
     ordered = sorted(
-        _REGISTRY, key=lambda n: (n in seen, _REGISTRY[n].oracle is None)
+        _REGISTRY,
+        key=lambda n: (
+            n in seen,
+            _REGISTRY[n].oracle is None,
+            _REGISTRY[n].since,
+        ),
     )
     return {name: _REGISTRY[name] for name in ordered}
 

@@ -1292,6 +1292,83 @@ def sim_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bounded-degree DBSCAN (round 7, VERDICT r6 #2): same ε / minPts as
+# sim_dbscan_cells, but every point keeps only its K_MAX nearest
+# ε-neighbours (tiled blocked_knn order: rounded cosine DESC, id ASC), so
+# the cluster graph is ≤ n·K_MAX edges BY CONSTRUCTION — the production
+# path when the ε-geometry is dense (the 100× rung's 2.3e8-edge ε-graph
+# becomes an O(n) one; clusters can only split vs full DBSCAN, never
+# merge, since every capped edge is a real ε-edge). Core status is
+# IDENTICAL to full DBSCAN for K_MAX ≥ minPts. Beyond-reference [NS]
+# (SURVEY.md §2.B clustering family).
+# --------------------------------------------------------------------------
+_DB_KMAX = 16
+
+DBSCAN_CAPPED_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS k, b.vec_id AS nb,
+         round(list_cosine_similarity(a.v, b.v), 6) AS c
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+), adj AS (
+  SELECT k, nb FROM (
+    SELECT k, nb, c,
+           row_number() OVER (PARTITION BY k ORDER BY c DESC, nb) AS rn
+    FROM scored
+  ) WHERE rn <= {_DB_KMAX} AND c >= {_DB_EPS}
+), deg AS (
+  SELECT k, count(*) AS n_neigh FROM adj GROUP BY k
+), cores AS (
+  SELECT k FROM deg WHERE n_neigh >= {_DB_MINPTS}
+), sym AS (
+  SELECT k, nb FROM adj UNION SELECT nb, k FROM adj
+), ce2 AS (
+  SELECT k AS a, nb AS b FROM sym
+  WHERE k IN (SELECT k FROM cores) AND nb IN (SELECT k FROM cores)
+), walk(node, lbl) AS (
+  SELECT k, k FROM cores
+  UNION
+  SELECT ce2.b, w.lbl FROM walk w JOIN ce2 ON ce2.a = w.node
+  WHERE w.lbl < ce2.b
+), assign AS (
+  SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node
+), border AS (
+  SELECT sym.k, min(a2.cluster_id) AS cluster_id
+  FROM sym
+  JOIN cores c ON c.k = sym.nb
+  JOIN assign a2 ON a2.node = sym.nb
+  WHERE sym.k NOT IN (SELECT k FROM cores)
+  GROUP BY sym.k
+)
+SELECT e.vec_id, e.label,
+       CASE WHEN a.node IS NOT NULL THEN 'core'
+            WHEN b.k IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(a.cluster_id, b.cluster_id, -1) AS cluster_id
+FROM e
+LEFT JOIN assign a ON a.node = e.vec_id
+LEFT JOIN border b ON b.k = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+@register(
+    "sim_dbscan_capped",
+    oracle=DBSCAN_CAPPED_ORACLE,
+    tags=("llm", "clustering", "graph"),
+    since=7,
+)
+def sim_dbscan_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import density_clusters_capped
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return density_clusters_capped(
+        emb, eps_cosine=_DB_EPS, min_pts=_DB_MINPTS, k_max=_DB_KMAX
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
 # Contrastive-pair mining (round 4): for each anchor in a fixed panel, the
 # strongest POSITIVE (highest cosine, same label, not self) and the
 # HARDEST NEGATIVE (highest cosine, different label) plus the margin

@@ -746,6 +746,63 @@ def test_blocked_nn_and_knn_tiling_is_invisible(spark):
         assert knn_tiled == knn_whole, f"tile_rows={tile}: top-k diverged"
 
 
+def test_tiled_operators_zero_norm_guard(spark):
+    """ADVICE r6: a zero-norm vector must keep cosine 0 — never NaN — in
+    the tiled GEMM operators. Spark sorts NaN as the LARGEST double, so an
+    unguarded NaN would win the cross-tile window merge while the in-tile
+    numpy lexsort ranks it last: tiling would be output-VISIBLE exactly for
+    zero-norm inputs. With the guard, tiled == untiled and no NaN
+    surfaces anywhere."""
+    import math
+    import random
+
+    from dataingestion_pt_ms_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        blocked_knn,
+        blocked_nearest_neighbor,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, 0, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+    rows += [(100, 0, [0.0] * 4), (101, 0, [0.0] * 4)]  # zero-norm vectors
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+
+    pairs_whole = {
+        (r.key_a, r.key_b, r.cosine_sim)
+        for r in blocked_cosine_pairs(df, threshold=0.2, tile_rows=10_000).collect()
+    }
+    nn_whole = {
+        (r.vec_id, r.nn_vec_id, r.cosine_sim)
+        for r in blocked_nearest_neighbor(df, tile_rows=10_000).collect()
+    }
+    knn_whole = {
+        (r.vec_id, r.nb, r.cosine_sim, r.rnk)
+        for r in blocked_knn(df, k=3, tile_rows=10_000).collect()
+    }
+    # the zero vectors appear with cosine 0 (guard pins them), never NaN,
+    # and their NN is the smallest candidate id (all-ties → id ASC)
+    assert not any(math.isnan(t[-1]) for t in pairs_whole)
+    assert not any(math.isnan(t[-1]) for t in nn_whole)
+    assert not any(math.isnan(t[2]) for t in knn_whole)
+    zero_rows = {t for t in nn_whole if t[0] in (100, 101)}
+    assert zero_rows == {(100, 0, 0.0), (101, 0, 0.0)}
+    for tile in (7, 17):
+        assert {
+            (r.key_a, r.key_b, r.cosine_sim)
+            for r in blocked_cosine_pairs(
+                df, threshold=0.2, tile_rows=tile
+            ).collect()
+        } == pairs_whole, f"tile_rows={tile}: pair set diverged"
+        assert {
+            (r.vec_id, r.nn_vec_id, r.cosine_sim)
+            for r in blocked_nearest_neighbor(df, tile_rows=tile).collect()
+        } == nn_whole, f"tile_rows={tile}: NN winners diverged"
+        assert {
+            (r.vec_id, r.nb, r.cosine_sim, r.rnk)
+            for r in blocked_knn(df, k=3, tile_rows=tile).collect()
+        } == knn_whole, f"tile_rows={tile}: top-k diverged"
+
+
 def test_sample_frames_and_bmp_resize(spark):
     from dataingestion_pt_ms_spark.operators.multimodal import (
         attach_binary_payload,
@@ -1127,6 +1184,73 @@ def test_density_clusters_roles(spark):
     assert all(got2[k][0] in ("core", "border", "noise") for k in got2)
 
 
+def test_density_clusters_capped_semantics(spark):
+    """VERDICT r6 #2: the bounded-degree DBSCAN must (a) equal full DBSCAN
+    exactly when the k_max cap doesn't bind, and (b) when it does bind,
+    keep CORE status identical (k_max ≥ min_pts preserves the degree
+    test) while clusters only ever SPLIT — every capped cluster's members
+    sit inside ONE full-DBSCAN cluster, never across two."""
+    import random
+
+    from dataingestion_pt_ms_spark.operators.clustering import (
+        density_clusters,
+        density_clusters_capped,
+    )
+
+    rng = random.Random(19)
+
+    def jitter(base, n, start_id):
+        return [
+            (
+                start_id + i,
+                [b + rng.uniform(-0.02, 0.02) for b in base],
+                0,
+            )
+            for i in range(n)
+        ]
+
+    # two tight bundles + two stragglers in one cell
+    rows = (
+        jitter([1.0, 0.0, 0.0], 8, 0)
+        + jitter([0.0, 1.0, 0.0], 8, 100)
+        + [(200, [0.7, 0.7, 0.1], 0), (201, [-1.0, 0.2, 0.3], 0)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    full = {
+        r.vec_id: (r.role, r.cluster_id)
+        for r in density_clusters(df, eps_cosine=0.9, min_pts=3).collect()
+    }
+    # (a) cap larger than any degree → bit-identical to full DBSCAN
+    uncapped = {
+        r.vec_id: (r.role, r.cluster_id)
+        for r in density_clusters_capped(
+            df, eps_cosine=0.9, min_pts=3, k_max=64
+        ).collect()
+    }
+    assert uncapped == full
+    # (b) binding cap: cores identical, clusters refine (never merge)
+    capped = {
+        r.vec_id: (r.role, r.cluster_id)
+        for r in density_clusters_capped(
+            df, eps_cosine=0.9, min_pts=3, k_max=3
+        ).collect()
+    }
+    assert {k for k, v in capped.items() if v[0] == "core"} == {
+        k for k, v in full.items() if v[0] == "core"
+    }
+    # refinement: map each capped cluster to the set of full clusters its
+    # members belong to — must be a single full cluster per capped cluster
+    from collections import defaultdict
+
+    spread = defaultdict(set)
+    for k, (role, cid) in capped.items():
+        if cid != -1:
+            spread[cid].add(full[k][1])
+    assert spread and all(len(v) == 1 for v in spread.values()), spread
+
+
 def test_hits_star_graph(spark):
     """On a star 1→{2,3,4}: node 1 is the only hub (authority 0), leaves
     are pure authorities (hub 0) with equal scores 1/√3; L2 norms are 1."""
@@ -1310,6 +1434,13 @@ def test_global_islands_matches_window_twin(spark):
         .toString()
     )
     assert "SinglePartition" not in plan, plan
+    # ADVICE r6: the local scan must NOT be a window PARTITION BY _pid —
+    # RangePartitioning doesn't satisfy a window's hash-clustering
+    # requirement, so that shape re-shuffles ALL rows on _pid. The
+    # mapInPandas scan leaves zero Window nodes, making the range
+    # exchange the only data-sized one (the stats/offsets branches hash
+    # only partition-count-sized partial aggregates).
+    assert "Window" not in plan, plan
 
 
 def test_band_cost_audit_bounds_actual_candidates(spark, sf_dir):
@@ -1887,6 +2018,36 @@ def test_histogram_select_kth_exact_vs_sort(spark):
     assert [
         r["kth_value"] for r in histogram_select_kth_eager(df, "v", 3, 5.0, 5.0).collect()
     ] == [want[2]]
+
+
+def test_histogram_select_kth_ignores_null_and_nan(spark):
+    """ADVICE r6: a NULL/NaN value used to map to a NULL (or NaN) bucket
+    whose triangular cumulative join matched nothing (_before = 0),
+    letting two buckets claim rank k. Both selectors now rank among the
+    non-null, non-NaN values only — the same population SQL's ordered-set
+    aggregates rank over."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_pt_ms_spark.operators.ranking import (
+        histogram_select_kth,
+        histogram_select_kth_eager,
+    )
+
+    vals = [7.0, None, 3.0, float("nan"), 11.0, 5.0, None, 2.0, float("nan"), 9.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    clean = sorted(v for v in vals if v is not None and v == v)
+    lo, hi = clean[0], clean[-1]
+    for k in (1, 3, len(clean)):
+        kf = spark.createDataFrame([(k,)], "k long")
+        got_lazy = [r["kth_value"] for r in histogram_select_kth(df, "v", kf, buckets=8).collect()]
+        assert got_lazy == [clean[k - 1]], (k, got_lazy)
+        got_eager = [
+            r["kth_value"]
+            for r in histogram_select_kth_eager(df, "v", k, lo, hi, buckets=8).collect()
+        ]
+        assert got_eager == [clean[k - 1]], (k, got_eager)
+    # rank beyond the non-null population → empty, not a phantom NaN row
+    assert histogram_select_kth_eager(df, "v", len(clean) + 1, lo, hi).count() == 0
 
 
 def test_histogram_select_kth_plan_has_no_global_window(spark):
