@@ -2269,6 +2269,82 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# REAL PNG decode with a FULL oracle (round 7, VERDICT r6 #6): the
+# zlib-compressed sibling of multimodal_bmp_decode. Pixels are generated
+# arithmetically — pixel(y,x,c) = (id·29 + y·5 + x·11 + c·3) mod 256 —
+# serialized to REAL PNG bytes (operators/multimodal.encode_png: IHDR /
+# multi-IDAT / IEND with CRC32s, deflate scanlines) using a PER-ROW
+# FILTER MIX (filter type = (id + y) mod 5, so None/Sub/Up/Average/Paeth
+# all appear in the corpus), inflated + unfiltered back by the
+# pure-zlib/struct parser, and reduced to per-channel means. The oracle
+# computes the same means straight from the arithmetic, so any inflate,
+# unfilter, CRC, channel-order or scanline bug breaks the value hash.
+# Retires the container's PNG NotImplementedError; the Pillow hatch now
+# covers JPEG only. Beyond-reference [NS] (multimodal family).
+# --------------------------------------------------------------------------
+_PNG_H, _PNG_W = 6, 9
+
+PNG_DECODE_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 100
+), px AS (
+  SELECT doc_id, c,
+         avg(CAST((doc_id * 29 + y * 5 + x * 11 + c * 3) % 256 AS DOUBLE)) AS m
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PNG_H - 1})) AS y)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PNG_W - 1})) AS x)
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c)
+  GROUP BY doc_id, c
+)
+SELECT doc_id, {_PNG_W} AS width, {_PNG_H} AS height,
+       round(max(CASE WHEN c = 0 THEN m END), 6) AS mean_r,
+       round(max(CASE WHEN c = 1 THEN m END), 6) AS mean_g,
+       round(max(CASE WHEN c = 2 THEN m END), 6) AS mean_b
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_png_decode",
+    oracle=PNG_DECODE_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+    since=7,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                y, x, ch = np.meshgrid(
+                    np.arange(_PNG_H), np.arange(_PNG_W), np.arange(3),
+                    indexing="ij",
+                )
+                arr = ((did * 29 + y * 5 + x * 11 + ch * 3) % 256).astype("uint8")
+                png = M.encode_png(arr, row_filter=lambda yy, d=did: (d + yy) % 5)
+                rows.append((did, bytearray(png)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    pngs = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
+    feats = M.png_feature_extract(pngs)
+    return feats.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # REAL audio decode with a FULL oracle (round 4): the WAV sibling of
 # multimodal_bmp_decode — PCM16 samples s_i = ((id·13 + i·7) mod 2001) −
 # 1000 serialized to actual RIFF/WAVE bytes, chunk-walked back by the

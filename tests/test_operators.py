@@ -390,33 +390,78 @@ def test_multimodal_stub_plumbing(spark, sf_dir):
         assert len(r.feature) == M.FEATURE_DIM
         assert all(0.0 <= x <= 1.0 for x in r.feature)
     if not M.HAVE_PIL:
-        with pytest.raises(NotImplementedError):
-            M.decode_image(b"\x89PNG")
-        with pytest.raises(NotImplementedError):
-            M.image_feature_extract(with_bin)
+        # PNG/BMP decode codec-free since round 7; only JPEG-class
+        # payloads (here: a text/plain body) still need the Pillow hatch
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            M.decode_image(b"not-an-image-payload")
 
 
-@pytest.mark.skipif(not M.HAVE_PIL, reason="Pillow not installed (codec-less container)")
 def test_multimodal_real_decode_path(spark):
-    """When a codec library IS present (the cluster target), the real
-    decode path must run end-to-end: PNG bytes → (width, height, mode) +
-    a FEATURE_DIM grayscale strip (VERDICT r3 #6 escape hatch)."""
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (4, 2), (255, 0, 0)).save(buf, format="PNG")
-    png = buf.getvalue()
-    img = M.decode_image(png)
-    assert (img.width, img.height) == (4, 2)
+    """The real decode path runs end-to-end IN THIS CONTAINER since
+    round 7 (codec-free PNG): PNG bytes → (width, height, mode) + a
+    FEATURE_DIM strip. Solid color pins the strip exactly."""
+    png = bytes(M.encode_png(np.full((2, 4, 3), [255, 0, 0], dtype="uint8")))
+    arr = M.decode_image(png)
+    assert arr.shape == (2, 4, 3)
     df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, media_bytes binary")
     rows = M.image_feature_extract(df).collect()
     assert len(rows) == 1
     r = rows[0]
     assert (r.width, r.height, r.mode) == (4, 2, "RGB")
     assert len(r.feature) == M.FEATURE_DIM
-    assert all(0.0 <= x <= 1.0 for x in r.feature)
+    assert r.feature == [255 / 3 / 255.0] * M.FEATURE_DIM  # gray=(255+0+0)/3
+
+
+def test_png_codec_roundtrip_all_filters():
+    """decode_png must really UNFILTER, not just inflate: the same pixel
+    array encoded with each of the five PNG scanline filters (and a
+    per-row mix) must decode bit-identically; CRC corruption must raise;
+    gray (type 0) replicates to RGB and RGBA (type 6) drops alpha."""
+    import zlib
+
+    y, x, ch = np.meshgrid(np.arange(5), np.arange(7), np.arange(3), indexing="ij")
+    arr = ((y * 37 + x * 11 + ch * 5) % 256).astype("uint8")
+    for ft in (0, 1, 2, 3, 4, lambda yy: yy % 5):
+        got = M.decode_png(bytes(M.encode_png(arr, row_filter=ft)))
+        assert (got == arr).all(), f"filter {ft} did not round-trip"
+    # multi-IDAT: 2-byte chunks force dozens of IDATs
+    got = M.decode_png(bytes(M.encode_png(arr, idat_chunk_bytes=2)))
+    assert (got == arr).all()
+    # CRC validation: flip one IDAT payload byte, keep the stored CRC
+    data = bytearray(M.encode_png(arr))
+    idat_at = bytes(data).index(b"IDAT")
+    data[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(data))
+    # PIL-free gray/RGBA coverage: hand-build color-type 0 and 6 PNGs
+    import struct
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    gray = np.arange(12, dtype="uint8").reshape(3, 4)
+    scan = b"".join(b"\x00" + gray[r].tobytes() for r in range(3))
+    png0 = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    got0 = M.decode_png(png0)
+    assert got0.shape == (3, 4, 3) and (got0 == gray[:, :, None]).all()
+    rgba = np.arange(2 * 2 * 4, dtype="uint8").reshape(2, 2, 4)
+    scan6 = b"".join(b"\x00" + rgba[r].tobytes() for r in range(2))
+    png6 = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan6))
+        + chunk(b"IEND", b"")
+    )
+    got6 = M.decode_png(png6)
+    assert got6.shape == (2, 2, 3) and (got6 == rgba[:, :, :3]).all()
 
 
 @pytest.mark.skipif(not M.HAVE_PIL, reason="Pillow not installed (codec-less container)")
@@ -460,9 +505,11 @@ def test_real_codec_features_pinned_against_bmp_twin(spark):
         assert p.feature == b.feature, (png_id, bmp_id)
     # constant image → the strip is exactly the constant, both codecs
     assert rows[3].feature == [200 / 255.0] * M.FEATURE_DIM
-    # and decode_image itself round-trips pixels losslessly for both
-    got_png = np.asarray(M.decode_image(png_bytes(arr)).convert("RGB"))
-    got_bmp = np.asarray(M.decode_image(bytes(M.encode_bmp(arr))).convert("RGB"))
+    # and decode_image itself round-trips pixels losslessly for both —
+    # the PNG side exercises OUR codec-free decoder against a FOREIGN
+    # (Pillow) encoder, the strongest spec-conformance check available
+    got_png = M.decode_image(png_bytes(arr))
+    got_bmp = M.decode_image(bytes(M.encode_bmp(arr)))
     assert (got_png == arr).all() and (got_bmp == arr).all()
 
 
