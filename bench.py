@@ -311,6 +311,12 @@ BASELINE_SEC = {
 }
 GUARD_FACTOR = 2.0
 
+# Streaming-job wall guards (round 7, VERDICT r6 #5): sf0.1 input volume,
+# heap state store, 8 staged triggers via tools/stream_bench.py — same 2×
+# GUARD_FACTOR discipline as the batch table above; full per-job metrics
+# (rows/sec, trigger latency, state size, RocksDB twin) in BENCH.md §17.
+STREAM_BASELINE_SEC: dict[str, float] = {}
+
 # Driver-artifact subsets (VERDICT r4 #3): the driver captures only the
 # last ~2000 chars of stdout, so the full per-query map (240+ entries)
 # must go to a FILE and the final stdout line must stay compact while

@@ -2321,3 +2321,157 @@ def warehouse_market_concentration(spark: SparkSession, sf_dir: str) -> DataFram
             "cr4"
         ),
     ).orderBy("region")
+
+
+# --------------------------------------------------------------------------
+# Kafka wire-format parse (round 7, VERDICT r6 #8): records come from the
+# swappable kafka_records() boundary (sources/kafka.py — synthetic wire
+# source in this container, format("kafka") on a cluster with a broker;
+# IDENTICAL record schema either way), the JSON envelope parses in one
+# from_json projection, and the rollup checks exactly-once-shaped
+# bookkeeping per (partition, event_type): row count, high-water offset,
+# an order-proof event_id checksum, and an exact DECIMAL value sum. The
+# payloads are md5-derived from (topic, partition, offset), so DuckDB
+# recomputes every field in SQL — a FULL value oracle for a custom-source
+# query (the bars source predates this trick and stays engine-test).
+# --------------------------------------------------------------------------
+_KW_PARTS, _KW_ROWS = 4, 250
+
+KAFKA_WIRE_ORACLE = f"""
+WITH g AS (
+  SELECT p.p AS part, o.o AS off,
+         md5('events:' || p.p || ':' || o.o) AS h
+  FROM (SELECT unnest(generate_series(0, {_KW_PARTS - 1})) AS p) p
+  CROSS JOIN (SELECT unnest(generate_series(0, {_KW_ROWS - 1})) AS o) o
+), r AS (
+  SELECT part, off,
+         part * {_KW_ROWS} + off AS event_id,
+         ['click','view','error','buy'][
+           CAST(('0x' || substr(h, 9, 4))::UBIGINT % 4 AS INTEGER) + 1
+         ] AS event_type,
+         (('0x' || substr(h, 13, 8))::UBIGINT % 100000) / 100.0 AS value
+  FROM g
+)
+SELECT part AS partition, event_type,
+       count(*) AS n,
+       max(off) AS max_offset,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM r
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "kafka_wire_events_parse",
+    oracle=KAFKA_WIRE_ORACLE,
+    tags=("source", "kafka", "streaming"),
+    since=7,
+)
+def kafka_wire_events_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.kafka import kafka_records, parse_kafka_envelope
+
+    recs = kafka_records(
+        spark,
+        provider="synthetic",
+        topic="events",
+        partitions=_KW_PARTS,
+        rows_per_partition=_KW_ROWS,
+    )
+    ev = parse_kafka_envelope(recs)
+    return (
+        ev.groupBy(F.col("partition").cast("int").alias("partition"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("offset").alias("max_offset"),
+            F.sum("event_id").alias("id_sum"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("partition", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dead-letter channel as a queryable table (round 7, VERDICT r6 #8): the
+# reference parks unparseable payloads in an error channel (R24,
+# app/main.py error paths; engine side: sources/readers.py PERMISSIVE
+# corrupt-record column + badRecordsPath). This query runs the FULL
+# route-and-audit loop inside the engine: serialize events to JSON
+# envelopes, deterministically corrupt every 7th payload (truncation —
+# the classic truncated-producer-write failure), parse back with
+# from_json (NULL parsed struct == dead letter), route rows, and emit
+# the per-bucket audit a pipeline operator pages on: parsed buckets keep
+# exact DECIMAL value sums, the dead-letter bucket reports its count and
+# an id-checksum of the quarantined payload keys (provable replay set).
+# The oracle classifies by the same modular rule and aggregates the
+# ORIGINAL columns — any Spark-side mis-route (a valid payload dead-
+# lettered, a corrupt one silently parsed) breaks n/id_sum/sum_value.
+# --------------------------------------------------------------------------
+DEAD_LETTER_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events
+), ok AS (
+  SELECT event_type AS bucket, count(*) AS n,
+         CAST(sum(event_id) AS BIGINT) AS id_sum,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+  FROM base WHERE event_id % 7 <> 0 GROUP BY 1
+), dead AS (
+  SELECT '__dead_letter__' AS bucket, count(*) AS n,
+         CAST(sum(event_id) AS BIGINT) AS id_sum,
+         CAST(NULL AS DOUBLE) AS sum_value
+  FROM base WHERE event_id % 7 = 0
+)
+SELECT * FROM ok UNION ALL SELECT * FROM dead ORDER BY bucket
+"""
+
+
+@register(
+    "events_dead_letter_audit",
+    oracle=DEAD_LETTER_ORACLE,
+    tags=("warehouse", "dq", "source"),
+    since=7,
+)
+def events_dead_letter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    envelope = F.to_json(F.struct("event_id", "event_type", "value"))
+    payload = F.when(
+        F.col("event_id") % 7 == 0,
+        F.substring(envelope, 1, F.length(envelope) - F.lit(2)),
+    ).otherwise(envelope)
+    parsed = F.from_json(
+        payload, "event_id long, event_type string, value double"
+    ).alias("p")
+    routed = ev.select(F.col("event_id").alias("raw_id"), parsed).select(
+        "raw_id", "p.*"
+    )
+    ok = (
+        routed.where(F.col("event_id").isNotNull())
+        .groupBy(F.col("event_type").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    dead = (
+        routed.where(F.col("event_id").isNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # quarantined payloads keep their source key for replay
+            F.sum("raw_id").alias("id_sum"),
+        )
+        .select(
+            F.lit("__dead_letter__").alias("bucket"),
+            "n",
+            "id_sum",
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+    )
+    return ok.unionByName(dead).orderBy("bucket")

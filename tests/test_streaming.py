@@ -1282,3 +1282,42 @@ def test_stream_source_restart_without_state_dir_fails_loudly(spark, tmp_path):
     dups = {k: v for k, v in Counter(rows).items() if v > 1}
     assert not dups, f"bars re-served after the failure: {sorted(dups)[:8]}"
     assert len(rows) >= before
+
+
+def test_synth_kafka_stream_exactly_once(spark, tmp_path):
+    """Streaming read of the wire-format source: per-partition offsets
+    advance rows_per_trigger per trigger (the real source's commit-log
+    bookkeeping shape), every (partition, offset) arrives EXACTLY once,
+    and the drained total equals the batch read of the same options."""
+    import time as _t
+
+    from dataingestion_pt_ms_spark.sources.kafka import kafka_records
+
+    recs = kafka_records(
+        spark,
+        provider="synthetic",
+        streaming=True,
+        topic="t2",
+        partitions=3,
+        rows_per_partition=40,
+        rows_per_trigger=15,
+    )
+    q = (
+        recs.writeStream.format("memory")
+        .queryName("kafka_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM kafka_stream").first().c >= 120:
+                break
+            _t.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT partition, offset FROM kafka_stream").collect()
+    assert len(rows) == 120, len(rows)
+    assert len({(r.partition, r.offset) for r in rows}) == 120
