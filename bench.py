@@ -308,6 +308,14 @@ BASELINE_SEC = {
     "orders_spearman_rank_corr": 2.05,
     # round-7: bounded-degree DBSCAN (VERDICT r6 #2) — min-of-3 quiet window
     "sim_dbscan_capped": 4.25,
+    # round-7 additions (min-of-3 hot, quiet window): PNG decode (r6 #6),
+    # kafka wire parse + dead-letter audit (r6 #8), and error_bursts —
+    # >0.3 s since the r6 distributed-islands rewrite but never benched
+    # (it predates HEADLINE; the r7 mapInPandas scan made it guardable)
+    "events_error_bursts": 1.58,
+    "kafka_wire_events_parse": 0.58,
+    "events_dead_letter_audit": 1.09,
+    "multimodal_png_decode": 0.35,
 }
 GUARD_FACTOR = 2.0
 
@@ -649,6 +657,11 @@ HEADLINE = [
     "join_fuzzy_name_match_counts",
     # round-7: bounded-degree DBSCAN production twin (VERDICT r6 #2)
     "sim_dbscan_capped",
+    # round-7: PNG decode, kafka wire parse, dead-letter audit, islands
+    "multimodal_png_decode",
+    "kafka_wire_events_parse",
+    "events_dead_letter_audit",
+    "events_error_bursts",
 ]
 
 

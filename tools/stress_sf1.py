@@ -153,6 +153,9 @@ HEAVY = [
     "orders_wasserstein_drift",
     "graph_copurchase_communities",
     "sketch_ams_f2_selfjoin",
+    # round 7 (VERDICT r6 #2): the bounded-degree DBSCAN production twin —
+    # the one operator family whose FULL form is excluded at 100×
+    "sim_dbscan_capped",
 ]
 
 
