@@ -300,8 +300,18 @@ def global_islands(
     not satisfy a window's hash-clustering requirement (verified in the
     executed plan). The scan carries O(1) state (previous axis value,
     running break count) across Arrow batches, so per-task memory is
-    one batch; everything after it is partition-count-sized. Per
-    partition p (scan over its own slice only):
+    one batch; everything after it is partition-count-sized.
+
+    Trade, measured (BENCH §16c): the Arrow round-trip prices this
+    shape at ~0.4 µs/row·column, so it wins for the NARROW or
+    pre-filtered frames islands consumers feed (the burst detector's
+    error subset), while the in-JVM window-over-_pid shape — a cheap
+    in-memory exchange on local mode, one extra network shuffle on a
+    cluster — measured 9× faster on a raw 20M-row frame. That is why
+    the prefix-scan siblings above deliberately KEEP the window shape:
+    their consumers feed full-width fact tables where Arrow'ing every
+    row costs more than the exchange it saves. Per partition p (scan
+    over its own slice only):
 
     - local break flag, counting the first LOCAL row as a break;
     - local island index ``_lis`` = running sum of local breaks;
