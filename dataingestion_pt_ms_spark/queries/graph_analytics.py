@@ -802,8 +802,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling keys correlate with degree — here they cannot: md5 of the id).
 # --------------------------------------------------------------------------
 LP_TRAINSET_ORACLE = f"""
-WITH e AS ({_TRI_EDGES_SQL}),
-deg AS (
+WITH e AS MATERIALIZED ({_TRI_EDGES_SQL}),
+deg AS MATERIALIZED (
   SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
     SELECT u AS node FROM e UNION ALL SELECT v FROM e
   ) GROUP BY node
