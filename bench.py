@@ -323,7 +323,12 @@ GUARD_FACTOR = 2.0
 # heap state store, 8 staged triggers via tools/stream_bench.py — same 2×
 # GUARD_FACTOR discipline as the batch table above; full per-job metrics
 # (rows/sec, trigger latency, state size, RocksDB twin) in BENCH.md §17.
-STREAM_BASELINE_SEC: dict[str, float] = {}
+STREAM_BASELINE_SEC: dict[str, float] = {
+    "windowed_histogram_stream": 10.91,
+    "interval_join_stream": 29.65,
+    "streaming_incremental_dedup": 19.68,
+    "incremental_mv_stream": 5.44,
+}
 
 # Driver-artifact subsets (VERDICT r4 #3): the driver captures only the
 # last ~2000 chars of stdout, so the full per-query map (240+ entries)

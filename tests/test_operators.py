@@ -2196,6 +2196,16 @@ def test_every_registry_query_is_documented():
     assert not stale_guards, f"bench guards naming unknown queries: {stale_guards}"
     stale_headline = sorted(set(bench.HEADLINE) - names)
     assert not stale_headline, f"headline naming unknown queries: {stale_headline}"
+    # §17 streaming jobs (VERDICT r6 #5): every stream-bench job carries a
+    # wall guard, and every guard names a real job
+    import tools.stream_bench as sb
+
+    assert set(bench.STREAM_BASELINE_SEC) == set(sb.JOBS), (
+        set(bench.STREAM_BASELINE_SEC) ^ set(sb.JOBS)
+    )
+    import dataingestion_pt_ms_spark.streaming.jobs as sj
+
+    assert all(hasattr(sj, j) for j in sb.JOBS)
 
 
 def test_bipartite_margin_pairs_edge_cases(spark):
