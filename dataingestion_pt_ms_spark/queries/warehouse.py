@@ -2449,29 +2449,22 @@ def events_dead_letter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = ev.select(F.col("event_id").alias("raw_id"), parsed).select(
         "raw_id", "p.*"
     )
-    ok = (
-        routed.where(F.col("event_id").isNotNull())
-        .groupBy(F.col("event_type").alias("bucket"))
+    # ONE pass over the fact table: the dead-letter class is just another
+    # group key (parse failure → NULL struct → '__dead_letter__' bucket),
+    # so routing + both audits are a single scan + a single shuffle — at
+    # 100 TB the two-branch union shape would read the facts twice.
+    # id_sum uses the source key for BOTH classes (for parsed rows the
+    # round-tripped event_id equals it; for quarantined rows it IS the
+    # replay set); sum_value over an all-NULL group is NULL natively.
+    bucket = F.coalesce(F.col("event_type"), F.lit("__dead_letter__"))
+    return (
+        routed.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("event_id").alias("id_sum"),
+            F.sum("raw_id").alias("id_sum"),
             F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("sum_value"),
         )
+        .orderBy("bucket")
     )
-    dead = (
-        routed.where(F.col("event_id").isNull())
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            # quarantined payloads keep their source key for replay
-            F.sum("raw_id").alias("id_sum"),
-        )
-        .select(
-            F.lit("__dead_letter__").alias("bucket"),
-            "n",
-            "id_sum",
-            F.lit(None).cast("double").alias("sum_value"),
-        )
-    )
-    return ok.unionByName(dead).orderBy("bucket")
