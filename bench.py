@@ -316,6 +316,10 @@ BASELINE_SEC = {
     "kafka_wire_events_parse": 0.58,
     "events_dead_letter_audit": 1.09,
     "multimodal_png_decode": 0.35,
+    # round-7 continuation: codec-free baseline JPEG (last Pillow gate
+    # retired); warm min-of-3 0.47 s — the three encoder variants cycle
+    # per doc, so the guard also covers the 4:2:0 MCU + restart path
+    "multimodal_jpeg_decode": 0.65,
 }
 GUARD_FACTOR = 2.0
 
@@ -667,6 +671,8 @@ HEADLINE = [
     "kafka_wire_events_parse",
     "events_dead_letter_audit",
     "events_error_bursts",
+    # round-7 continuation: codec-free baseline JPEG decode
+    "multimodal_jpeg_decode",
 ]
 
 
