@@ -320,6 +320,21 @@ BASELINE_SEC = {
     # retired); warm min-of-3 0.47 s — the three encoder variants cycle
     # per doc, so the guard also covers the 4:2:0 MCU + restart path
     "multimodal_jpeg_decode": 0.65,
+    # round-7 continuation: GIF LZW (0.36 warm), G.711 telephony WAV
+    # (0.51 — 51k-row JVM-side error agg), cross-format PNG-vs-JPEG
+    # perceptual dedup (1.21 — two codecs + banded LSH + 2 verify joins)
+    "multimodal_gif_decode": 0.55,
+    "multimodal_g711_roundtrip": 0.75,
+    "multimodal_cross_format_dedup": 1.70,
+    # animated-GIF demux + shot detection (0.76 warm — 50 containers,
+    # 600 composited frames, window lag + zip_with SAD)
+    "multimodal_animated_gif_shots": 1.10,
+    # IMA-ADPCM stateful decode (0.70 warm — 100 WAV 0x11 payloads,
+    # 25.6k-sample JVM-side error agg; oracle is a 256-deep recursion)
+    "multimodal_adpcm_roundtrip": 1.00,
+    # mixed-format triage capstone (0.60 warm — 140 payloads across all
+    # seven codec paths, magic-byte sniff + dispatch + 7-group agg)
+    "multimodal_media_triage": 0.90,
 }
 GUARD_FACTOR = 2.0
 
@@ -671,8 +686,15 @@ HEADLINE = [
     "kafka_wire_events_parse",
     "events_dead_letter_audit",
     "events_error_bursts",
-    # round-7 continuation: codec-free baseline JPEG decode
+    # round-7 continuation: codec-free baseline JPEG decode, GIF LZW,
+    # G.711 telephony WAV, cross-format perceptual dedup
     "multimodal_jpeg_decode",
+    "multimodal_gif_decode",
+    "multimodal_g711_roundtrip",
+    "multimodal_cross_format_dedup",
+    "multimodal_animated_gif_shots",
+    "multimodal_adpcm_roundtrip",
+    "multimodal_media_triage",
 ]
 
 

@@ -2345,6 +2345,87 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# REAL GIF decode with a FULL oracle (round 7 continuation): LZW is
+# lossless, so this is PNG-style exact-pixel arithmetic — palette entry i
+# is ((i·7)%256, (i·11)%256, (i·13)%256), pixel (y,x) holds index
+# (id·29 + y·5 + x·3) mod 256, and per-doc encode options cycle through
+# interlaced row order, local-color-table override and a comment
+# extension block, so the de-interleave, LCT and extension-skip decoder
+# paths all sit under one value hash. With JPEG this completes the four
+# legacy web image formats decoding codec-free in ANY container.
+# Beyond-reference [NS] (multimodal family).
+# --------------------------------------------------------------------------
+_GIF_H, _GIF_W = 6, 9
+
+GIF_DECODE_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 100
+), px AS (
+  SELECT doc_id, (doc_id * 29 + y * 5 + x * 3) % 256 AS i
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, {_GIF_H - 1})) AS y)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_GIF_W - 1})) AS x)
+)
+SELECT doc_id, {_GIF_W} AS width, {_GIF_H} AS height,
+       round(avg(CAST((i * 7) % 256 AS DOUBLE)), 6) AS mean_r,
+       round(avg(CAST((i * 11) % 256 AS DOUBLE)), 6) AS mean_g,
+       round(avg(CAST((i * 13) % 256 AS DOUBLE)), 6) AS mean_b
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle=GIF_DECODE_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+    since=7,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataingestion_pt_ms_spark.operators import gif as G
+
+        i = np.arange(256)
+        pal = np.stack([(i * 7) % 256, (i * 11) % 256, (i * 13) % 256], -1).astype(
+            "uint8"
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                y, x = np.meshgrid(
+                    np.arange(_GIF_H), np.arange(_GIF_W), indexing="ij"
+                )
+                idx = (did * 29 + y * 5 + x * 3) % 256
+                data = G.encode_gif(
+                    idx,
+                    pal,
+                    interlace=did % 2 == 1,
+                    local_palette=did % 3 == 0,
+                    comment=b"corpus" if did % 5 == 0 else None,
+                )
+                rows.append((did, bytearray(data)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    gifs = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
+    feats = M.image_means_extract(gifs)
+    return feats.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # REAL baseline-JPEG decode with a FULL oracle (round 7 continuation —
 # retires the container's LAST Pillow-gated format, VERDICT r6 "missing"
 # #3): 16×32 images of constant 8×8 blocks g = (id·31 + bi·17 + bj·7) mod
@@ -2503,6 +2584,781 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         F.round("zcr", 6).alias("zcr"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Shot-boundary detection over a REAL multi-frame CONTAINER (round 7
+# continuation): multimodal_video_shot_boundaries ships each frame as its
+# own BMP row; here the whole 12-frame clip is ONE animated-GIF payload —
+# the shape video curation actually meets (a binary column of container
+# bytes, demuxed in the engine). encode_animated_gif delta-encodes frames
+# (changed-pixel bounding rect per frame, like real GIF optimizers) and
+# decode_gif_frames re-composites them, so the LZW coder, sub-rect
+# compositing and extension walk all sit under the oracle. Pixels are
+# palette indices through an identity-gray table: idx(f,y,x) = (m·31 +
+# 7y + 3x + (m+1)·(8y+x+1)·Knuth + (f div 4)·89·(8y+x+1) + f) mod 256 —
+# 3 planted shots of 4 frames; metric = mean |Δidx| between consecutive
+# decoded frames (integer-exact), cut when > 30. The oracle recomputes
+# everything from the index formula alone. Beyond-reference [NS]
+# (multimodal video family).
+# --------------------------------------------------------------------------
+_AGIF_FRAMES, _AGIF_SHOT_LEN, _AGIF_PANEL = 12, 4, 50
+
+ANIMATED_GIF_SHOTS_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_AGIF_PANEL}
+), grid AS (
+  SELECT doc_id, f, y, x,
+         CAST(((doc_id % 256) * 31 + y * 7 + x * 3
+               + ((doc_id % 256) + 1) * (y * 8 + x + 1) * 2654435761
+               + (f // {_AGIF_SHOT_LEN}) * 89 * (y * 8 + x + 1) + f) % 256
+            AS BIGINT) AS idx
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, {_AGIF_FRAMES - 1})) AS f)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
+), diffs AS (
+  SELECT a.doc_id, b.f AS frame_idx,
+         SUM(abs(b.idx - a.idx)) AS sad
+  FROM grid a
+  JOIN grid b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+             AND b.y = a.y AND b.x = a.x
+  GROUP BY a.doc_id, b.f
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       round(sad / 64.0, 6) AS mean_abs_diff,
+       CASE WHEN sad / 64.0 > 30.0 THEN 1 ELSE 0 END AS is_shot_boundary
+FROM diffs
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register(
+    "multimodal_animated_gif_shots",
+    oracle=ANIMATED_GIF_SHOTS_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+    since=7,
+)
+def multimodal_animated_gif_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _AGIF_PANEL)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataingestion_pt_ms_spark.operators import gif as G
+
+        i = np.arange(256)
+        pal = np.stack([i, i, i], -1).astype("uint8")  # identity gray
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                m = int(doc_id) % 256
+                y, x = np.meshgrid(
+                    np.arange(8, dtype="int64"), np.arange(8, dtype="int64"),
+                    indexing="ij",
+                )
+                frames = [
+                    (
+                        m * 31 + y * 7 + x * 3
+                        + (m + 1) * (y * 8 + x + 1) * 2654435761
+                        + (f // _AGIF_SHOT_LEN) * 89 * (y * 8 + x + 1) + f
+                    ) % 256
+                    for f in range(_AGIF_FRAMES)
+                ]
+                rows.append(
+                    (int(doc_id), bytearray(G.encode_animated_gif(frames, pal)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    clips = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataingestion_pt_ms_spark.operators import gif as G
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames = G.decode_gif_frames(bytes(r["media_bytes"]))
+                for f in range(frames.shape[0]):
+                    # identity palette: channel 0 IS the index plane
+                    rows.append(
+                        (
+                            int(r["doc_id"]), f,
+                            frames[f, :, :, 0].astype("int64").ravel().tolist(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "idx"])
+
+    grays = clips.mapInPandas(demux, "doc_id long, frame_idx int, idx array<long>")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("frame_idx")
+    with_prev = grays.withColumn("prev", F.lag("idx").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    sad = F.aggregate(
+        F.zip_with("idx", "prev", lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return with_prev.select(
+        "doc_id",
+        "frame_idx",
+        F.round(sad / 64.0, 6).alias("mean_abs_diff"),
+        F.when(sad / 64.0 > 30.0, 1).otherwise(0).alias("is_shot_boundary"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# Mixed-format media triage (round 7 continuation, capstone): the entry
+# point of every raw media dump — ONE binary column carrying seven
+# payload kinds (PNG, BMP, GIF, baseline JPEG, WAV PCM16 / G.711 μ-law /
+# IMA-ADPCM), content-sniffed from MAGIC BYTES (extensions lie), routed
+# to the right codec-free decoder, and profiled per (media_kind, codec):
+# payload count + the decoded-domain metric (mean pixel channel-sum for
+# images, RMS for audio). The oracle composes every formula the
+# per-format queries established — exact pixels for the lossless three,
+# the JPEG DC closed form, the μ-law companding closed form, and the
+# IMA-ADPCM recursive CTE — so ONE value hash covers the entire
+# sniff→dispatch→decode matrix. A mis-sniff, a wrong dispatch, or any
+# decoder regression moves a group's n or metric. Scale shape: pure
+# mapInPandas over the binary column + a 7-group JVM aggregate.
+# Beyond-reference [NS] (multimodal family capstone).
+# --------------------------------------------------------------------------
+_TRI_PANEL = 140  # doc_id % 7 selects the format
+_TRI_WAVN, _TRI_ADPCMN = 200, 128
+
+# public IMA ADPCM step table as a DuckDB array literal (shared by the
+# triage and adpcm_roundtrip oracles' recursive CTEs)
+_IMA_STEPS = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,"
+    "73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,"
+    "408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,"
+    "1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,"
+    "7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,"
+    "22385,24623,27086,29794,32767]"
+)
+
+MEDIA_TRIAGE_ORACLE = f"""
+WITH RECURSIVE ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_TRI_PANEL}
+), png_m AS (
+  SELECT doc_id, round(avg(
+           CAST((doc_id * 29 + y * 5 + x * 11 + 0) % 256
+              + (doc_id * 29 + y * 5 + x * 11 + 3) % 256
+              + (doc_id * 29 + y * 5 + x * 11 + 6) % 256 AS DOUBLE)), 6) AS metric
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y)
+  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x)
+  WHERE doc_id % 7 = 0 GROUP BY doc_id
+), bmp_m AS (
+  SELECT doc_id, round(avg(
+           CAST((doc_id * 17 + y * 3 + x * 5) % 256
+              + (doc_id * 17 + y * 3 + x * 5 + 7) % 256
+              + (doc_id * 17 + y * 3 + x * 5 + 14) % 256 AS DOUBLE)), 6) AS metric
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
+  WHERE doc_id % 7 = 1 GROUP BY doc_id
+), gif_m AS (
+  SELECT doc_id, round(avg(CAST(
+           (((doc_id * 29 + y * 5 + x * 3) % 256) * 7) % 256
+         + (((doc_id * 29 + y * 5 + x * 3) % 256) * 11) % 256
+         + (((doc_id * 29 + y * 5 + x * 3) % 256) * 13) % 256 AS DOUBLE)), 6) AS metric
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y)
+  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x)
+  WHERE doc_id % 7 = 2 GROUP BY doc_id
+), jpg_m AS (
+  SELECT doc_id, round(avg(3 * least(255.0, greatest(0.0,
+           2 * floor(((doc_id * 31 + bi * 17 + bj * 7) % 256 - 128) / 2.0 + 0.5)
+           + 128))), 6) AS metric
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS bi)
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bj)
+  WHERE doc_id % 7 = 3 GROUP BY doc_id
+), pcm_m AS (
+  SELECT doc_id, round(sqrt(avg(CAST(
+           ((doc_id * 13 + i * 7) % 2001 - 1000)
+         * ((doc_id * 13 + i * 7) % 2001 - 1000) AS DOUBLE))), 6) AS metric
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, {_TRI_WAVN - 1})) AS i)
+  WHERE doc_id % 7 = 4 GROUP BY doc_id
+), mu_raw AS (
+  SELECT doc_id, i,
+         CAST((doc_id * 13 + i * 7) % 2001 - 1000 AS BIGINT) AS v,
+         least(abs(CAST((doc_id * 13 + i * 7) % 2001 - 1000 AS BIGINT)), 32635)
+           + 132 AS m
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, {_TRI_WAVN - 1})) AS i)
+  WHERE doc_id % 7 = 5
+), mu_m AS (
+  SELECT doc_id, round(sqrt(avg(CAST(d * d AS DOUBLE))), 6) AS metric
+  FROM (
+    SELECT doc_id,
+           CASE WHEN m < 256 THEN 0 WHEN m < 512 THEN 1 WHEN m < 1024 THEN 2
+                WHEN m < 2048 THEN 3 WHEN m < 4096 THEN 4 WHEN m < 8192 THEN 5
+                WHEN m < 16384 THEN 6 ELSE 7 END AS e,
+           CASE WHEN v < 0 THEN -1 ELSE 1 END
+             * ((((m // (1 << (e + 3))) % 16) * 8 + 132) * (1 << e) - 132) AS d
+    FROM mu_raw
+  ) GROUP BY doc_id
+), st AS (
+  SELECT generate_subscripts(a, 1) - 1 AS sidx, unnest(a) AS step
+  FROM (SELECT {_IMA_STEPS}::BIGINT[] AS a)
+), rec AS (
+  SELECT doc_id, 0 AS i,
+         CAST((doc_id * 13) % 64001 - 32000 AS BIGINT) AS pred,
+         0 AS idx
+  FROM ids WHERE doc_id % 7 = 6
+  UNION ALL
+  SELECT doc_id, i,
+         least(32767, greatest(-32768,
+           CASE WHEN diff < 0 THEN pred - delta ELSE pred + delta END)),
+         least(88, greatest(0, idx +
+           CASE b4 * 4 + b2 * 2 + b1
+                WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+                ELSE -1 END))
+  FROM (
+    SELECT r.doc_id, r.i + 1 AS i, r.pred, r.idx, s.step,
+           CAST((r.doc_id * 13 + (r.i + 1) * 7) % 64001 - 32000 AS BIGINT)
+             - r.pred AS diff,
+           abs(diff) AS ad,
+           CASE WHEN ad >= step THEN 1 ELSE 0 END AS b4,
+           CASE WHEN ad - b4 * step >= step // 2 THEN 1 ELSE 0 END AS b2,
+           CASE WHEN ad - b4 * step - b2 * (step // 2) >= step // 4
+                THEN 1 ELSE 0 END AS b1,
+           step // 8 + b4 * step + b2 * (step // 2) + b1 * (step // 4) AS delta
+    FROM rec r JOIN st s ON s.sidx = r.idx
+    WHERE r.i + 1 < {_TRI_ADPCMN}
+  ) q
+), adpcm_m AS (
+  SELECT doc_id, round(sqrt(avg(CAST(pred * pred AS DOUBLE))), 6) AS metric
+  FROM rec GROUP BY doc_id
+), all_m AS (
+  SELECT 'image/png' AS media_kind, 'png' AS codec, metric FROM png_m
+  UNION ALL SELECT 'image/bmp', 'bmp', metric FROM bmp_m
+  UNION ALL SELECT 'image/gif', 'gif', metric FROM gif_m
+  UNION ALL SELECT 'image/jpeg', 'jpeg', metric FROM jpg_m
+  UNION ALL SELECT 'audio/wav', 'pcm16', metric FROM pcm_m
+  UNION ALL SELECT 'audio/wav', 'mulaw', metric FROM mu_m
+  UNION ALL SELECT 'audio/wav', 'ima_adpcm', metric FROM adpcm_m
+)
+SELECT media_kind, codec, count(*) AS n_payloads,
+       round(avg(metric), 6) AS avg_metric
+FROM all_m
+GROUP BY media_kind, codec
+ORDER BY media_kind, codec
+"""
+
+
+@register(
+    "multimodal_media_triage",
+    oracle=MEDIA_TRIAGE_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+    since=7,
+)
+def multimodal_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _TRI_PANEL)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataingestion_pt_ms_spark.operators import gif as G
+        from dataingestion_pt_ms_spark.operators import jpeg as J
+
+        i256 = np.arange(256)
+        gif_pal = np.stack(
+            [(i256 * 7) % 256, (i256 * 11) % 256, (i256 * 13) % 256], -1
+        ).astype("uint8")
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                fmt = did % 7
+                if fmt == 0:
+                    y, x, c = np.meshgrid(
+                        np.arange(6), np.arange(9), np.arange(3), indexing="ij"
+                    )
+                    arr = ((did * 29 + y * 5 + x * 11 + c * 3) % 256).astype("uint8")
+                    payload = M.encode_png(arr)
+                elif fmt == 1:
+                    y, x, c = np.meshgrid(
+                        np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+                    )
+                    arr = ((did * 17 + y * 3 + x * 5 + c * 7) % 256).astype("uint8")
+                    payload = M.encode_bmp(arr)
+                elif fmt == 2:
+                    y, x = np.meshgrid(np.arange(6), np.arange(9), indexing="ij")
+                    idx = (did * 29 + y * 5 + x * 3) % 256
+                    payload = G.encode_gif(idx, gif_pal, interlace=did % 2 == 1)
+                elif fmt == 3:
+                    gray = np.zeros((16, 32), dtype="uint8")
+                    for bi in range(2):
+                        for bj in range(4):
+                            gray[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = (
+                                did * 31 + bi * 17 + bj * 7
+                            ) % 256
+                    payload = J.encode_jpeg(gray, quality=50)
+                elif fmt in (4, 5):
+                    i = np.arange(_TRI_WAVN)
+                    s = ((did * 13 + i * 7) % 2001 - 1000).astype("<i2")
+                    payload = M.encode_wav(s, 8000, "pcm16" if fmt == 4 else "mulaw")
+                else:
+                    i = np.arange(_TRI_ADPCMN)
+                    s = ((did * 13 + i * 7) % 64001 - 32000).astype("<i2")
+                    payload = M.encode_wav(s, 8000, "ima_adpcm")
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    payloads = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
+
+    def triage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["media_bytes"])
+                kind = M.sniff_media_kind(data)
+                if kind.startswith("image/"):
+                    arr = M.decode_image(data)
+                    codec = kind.split("/")[1]
+                    metric = float(arr.astype("int64").sum(axis=2).mean())
+                elif kind == "audio/wav":
+                    tag = struct.unpack_from("<H", data, 20)[0]
+                    codec = {1: "pcm16", 6: "alaw", 7: "mulaw", 0x11: "ima_adpcm"}[tag]
+                    s, _rate = M.decode_wav(data)
+                    x = s.astype("float64")
+                    metric = float(np.sqrt((x * x).mean()))
+                else:
+                    codec, metric = "unknown", 0.0
+                rows.append((int(r["doc_id"]), kind, codec, round(metric, 6)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_kind", "codec", "metric"]
+            )
+
+    triaged = payloads.mapInPandas(
+        triage, "doc_id long, media_kind string, codec string, metric double"
+    )
+    return (
+        triaged.groupBy("media_kind", "codec")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.round(F.avg("metric"), 6).alias("avg_metric"),
+        )
+        .orderBy("media_kind", "codec")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-format re-encode dedup (round 7 continuation): the real
+# web-corpus scenario byte-level dedup cannot see — the SAME image
+# stored once lossless (PNG) and once as a lossy JPEG re-encode. Each of
+# 120 logical images becomes two payloads: PNG of a 64×64 grid of
+# constant 8×8 blocks g(m,bi,bj) (Knuth-constant mixing, the
+# image_phash_dedup lesson), and a quality-50 grayscale JPEG of the same
+# pixels whose DECODED blocks are the closed form clip(2·floor((g−128)/2
+# + 0.5)+128) — off by ≤1 gray level per block. The format-agnostic
+# box-sum aHash over decode_image therefore puts every (png, jpeg) twin
+# within hamming ≤ 2 while the closest cross-image pair sits at 3
+# (verified in the prototype sweep and pinned by the oracle), and the
+# pipeline is the standard banded LSH: 16-bit band candidates → hamming
+# verify — never all-pairs. The oracle replays pixels, BOTH decoders'
+# arithmetic, hash, bands and hamming entirely in SQL. Scale shape: at
+# 10⁹ images this is the image twin of dedup_simhash_banded_pairs —
+# O(images) band exchange, candidate-bounded verify.
+# Beyond-reference [NS] (multimodal × dedup).
+# --------------------------------------------------------------------------
+_XF_PANEL = 120
+_XF_JKEY = 1000  # jpeg twin key offset
+_XF_MAXHAM = 2
+
+_XF_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT key, {b} AS band_idx, (ahash >> {b * 16}) & 65535 AS chunk FROM ah"
+    for b in range(4)
+)
+
+CROSS_FORMAT_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_XF_PANEL}
+), blk AS (
+  SELECT doc_id, bi, bj,
+         ((doc_id % 256) * 31 + bi * 7 + bj * 3
+          + ((doc_id % 256) + 1) * (bi * 8 + bj + 1) * 2654435761) % 256 AS g
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bi)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bj)
+), vals AS (
+  SELECT doc_id AS key, bi, bj, CAST(g AS BIGINT) AS val FROM blk
+  UNION ALL
+  SELECT doc_id + {_XF_JKEY} AS key, bi, bj,
+         CAST(least(255, greatest(0,
+              2 * floor((g - 128) / 2.0 + 0.5) + 128)) AS BIGINT) AS val
+  FROM blk
+), tot AS (
+  SELECT key, SUM(val) AS total FROM vals GROUP BY key
+), ah AS (
+  SELECT vals.key,
+         SUM(CASE WHEN bi * 8 + bj < 63 AND 64 * val > tot.total
+                  THEN (1::BIGINT << (bi * 8 + bj)) ELSE 0 END) AS ahash
+  FROM vals JOIN tot ON tot.key = vals.key
+  GROUP BY vals.key
+), banded AS (
+  {_XF_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.chunk = b.chunk
+              AND a.key < b.key
+)
+SELECT key_a, key_b,
+       bit_count(xor(ha.ahash, hb.ahash)) AS hamming
+FROM cand
+JOIN ah ha ON ha.key = cand.key_a
+JOIN ah hb ON hb.key = cand.key_b
+WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {_XF_MAXHAM}
+ORDER BY key_a, key_b
+"""
+
+
+@register(
+    "multimodal_cross_format_dedup",
+    oracle=CROSS_FORMAT_ORACLE,
+    tags=("llm", "multimodal", "dedup", "udf"),
+    since=7,
+)
+def multimodal_cross_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _XF_PANEL)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataingestion_pt_ms_spark.operators import jpeg as J
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                m = did % 256
+                bi, bj = np.meshgrid(
+                    np.arange(8, dtype="int64"), np.arange(8, dtype="int64"),
+                    indexing="ij",
+                )
+                g = (
+                    m * 31 + bi * 7 + bj * 3 + (m + 1) * (bi * 8 + bj + 1) * 2654435761
+                ) % 256
+                pixels = np.repeat(np.repeat(g, 8, axis=0), 8, axis=1).astype("uint8")
+                png = M.encode_png(np.stack([pixels] * 3, axis=-1))
+                jpg = J.encode_jpeg(pixels, quality=50)  # grayscale re-encode
+                rows.append((did, bytearray(png)))
+                rows.append((did + _XF_JKEY, bytearray(jpg)))
+            yield pd.DataFrame(rows, columns=["key", "media_bytes"])
+
+    payloads = docs.select("doc_id").mapInPandas(gen, "key long, media_bytes binary")
+    ah = M.image_ahash64(payloads, key_col="key")
+    ah = ah.localCheckpoint(eager=False)  # banding + two verify joins
+    banded = ah.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("ahash"), b * 16)
+                            .bitwiseAND(F.lit(65535))
+                        ).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("key", "bb.band_idx", "bb.chunk")
+    cand = (
+        banded.select(F.col("key").alias("key_a"), "band_idx", "chunk")
+        .join(banded.select(F.col("key").alias("key_b"), "band_idx", "chunk"),
+              ["band_idx", "chunk"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("ha.ahash").bitwiseXOR(F.col("hb.ahash"))
+    ).alias("hamming")
+    return (
+        cand.join(ah.alias("ha"), F.col("key_a") == F.col("ha.key"))
+        .join(ah.alias("hb"), F.col("key_b") == F.col("hb.key"))
+        .select("key_a", "key_b", ham)
+        .filter(F.col("hamming") <= _XF_MAXHAM)
+        .orderBy("key_a", "key_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# G.711 telephony-WAV round-trip with a FULL oracle (round 7
+# continuation): μ-law/A-law companding is EXACT integer arithmetic, so
+# unlike JPEG the whole lossy path has a closed form — both SQL formulas
+# are verified against the numpy codecs over the ENTIRE int16 domain in
+# tests/test_g711.py. Per doc the codec alternates (even → μ-law format
+# tag 7, odd → A-law tag 6); the decode UDF emits per-sample rows and the
+# error statistics are computed JVM-side (groupBy + codegen arithmetic,
+# not inside Python), so the Spark plan exercises a real
+# expand-then-aggregate shape. Any bug in companding, the WAV format-tag
+# dispatch, or the chunk walk breaks rms/max_abs_err/mean_abs_err.
+# Beyond-reference [NS] (multimodal audio family).
+# --------------------------------------------------------------------------
+_G711_N = 512
+
+_MULAW_DEC = """
+  CASE WHEN v < 0 THEN -1 ELSE 1 END * (
+    ((((least(abs(v), 32635) + 132) // (1 << (mue + 3))) % 16) * 8 + 132)
+    * (1 << mue) - 132)
+"""
+
+_ALAW_DEC = """
+  8 * (CASE WHEN x13 < 0 THEN -amagp - 1 ELSE amagp END)
+"""
+
+G711_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 100
+), s AS (
+  SELECT doc_id, i,
+         CAST((doc_id * 13 + i * 7) % 64001 - 32000 AS BIGINT) AS v
+  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, {_G711_N - 1})) AS i)
+), mu AS (
+  SELECT doc_id, i, v,
+         CASE WHEN least(abs(v), 32635) + 132 < 256 THEN 0
+              WHEN least(abs(v), 32635) + 132 < 512 THEN 1
+              WHEN least(abs(v), 32635) + 132 < 1024 THEN 2
+              WHEN least(abs(v), 32635) + 132 < 2048 THEN 3
+              WHEN least(abs(v), 32635) + 132 < 4096 THEN 4
+              WHEN least(abs(v), 32635) + 132 < 8192 THEN 5
+              WHEN least(abs(v), 32635) + 132 < 16384 THEN 6
+              ELSE 7 END AS mue,
+         CAST(floor(v / 8.0) AS BIGINT) AS x13
+  FROM s
+), al AS (
+  SELECT *,
+         CASE WHEN x13 < 0 THEN -x13 - 1 ELSE x13 END AS amag
+  FROM mu
+), al2 AS (
+  SELECT *,
+         CASE WHEN amag < 32 THEN 0 WHEN amag < 64 THEN 1
+              WHEN amag < 128 THEN 2 WHEN amag < 256 THEN 3
+              WHEN amag < 512 THEN 4 WHEN amag < 1024 THEN 5
+              WHEN amag < 2048 THEN 6 ELSE 7 END AS ae
+  FROM al
+), al3 AS (
+  SELECT *,
+         CASE WHEN ae < 2 THEN (amag // 2) % 16
+              ELSE (amag // (1 << ae)) % 16 END AS alow
+  FROM al2
+), al4 AS (
+  SELECT *,
+         CASE WHEN ae = 0 THEN 2 * alow + 1
+              ELSE (2 * alow + 33) * (1 << (ae - 1)) END AS amagp
+  FROM al3
+), dec AS (
+  SELECT doc_id, i, v,
+         CASE WHEN doc_id % 2 = 0 THEN {_MULAW_DEC} ELSE {_ALAW_DEC} END AS d
+  FROM al4
+)
+SELECT doc_id,
+       count(*) AS n_samples,
+       CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS codec,
+       round(sqrt(avg(CAST(d * d AS DOUBLE))), 6) AS rms_decoded,
+       max(abs(d - v)) AS max_abs_err,
+       round(avg(CAST(abs(d - v) AS DOUBLE)), 6) AS mean_abs_err
+FROM dec
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_g711_roundtrip",
+    oracle=G711_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+    since=7,
+)
+def multimodal_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                i = np.arange(_G711_N)
+                s = ((did * 13 + i * 7) % 64001 - 32000).astype("<i2")
+                codec = "mulaw" if did % 2 == 0 else "alaw"
+                rows.append((did, bytearray(M.encode_wav(s, 8000, codec))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                samples, _rate = M.decode_wav(bytes(r["media_bytes"]))
+                did = int(r["doc_id"])
+                for i, d in enumerate(samples.astype("int64")):
+                    out.append((did, i, int(d)))
+            yield pd.DataFrame(out, columns=["doc_id", "i", "d"])
+
+    wavs = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
+    rows = wavs.mapInPandas(dec, "doc_id long, i long, d long")
+    # original sample value recomputed JVM-side; all stats in codegen
+    v = (F.col("doc_id") * 13 + F.col("i") * 7) % 64001 - 32000
+    err = F.abs(F.col("d") - v)
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("mulaw"))
+            .otherwise(F.lit("alaw"))
+            .alias("codec"),
+            F.round(F.sqrt(F.avg(F.col("d").cast("double") * F.col("d"))), 6).alias(
+                "rms_decoded"
+            ),
+            F.max(err).alias("max_abs_err"),
+            F.round(F.avg(err.cast("double")), 6).alias("mean_abs_err"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# IMA-ADPCM round-trip with a FULL oracle (round 7 continuation): the
+# STATEFUL audio codec — μ-law maps samples independently, ADPCM carries
+# a (predictor, step-index) state across every sample, so the oracle
+# cannot be a per-row closed form: it is a RECURSIVE CTE that replays the
+# entire integer state machine (encode quantization AND decode
+# reconstruction share the predictor by construction) against the public
+# IMA step/index tables, 256 steps deep per doc. DuckDB's lateral column
+# aliases keep the bit logic readable. The Spark side decodes real WAV
+# format-tag-0x11 payloads (4-byte block header + packed nibbles) via the
+# chunk walker and aggregates error stats JVM-side. Demonstrates that
+# even sequential-by-spec decoders stay under full value oracles.
+# Beyond-reference [NS] (multimodal audio family).
+# --------------------------------------------------------------------------
+_ADPCM_N = 256
+
+ADPCM_ORACLE = f"""
+WITH RECURSIVE ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 100
+), st AS (
+  SELECT generate_subscripts(a, 1) - 1 AS sidx, unnest(a) AS step
+  FROM (SELECT {_IMA_STEPS}::BIGINT[] AS a)
+), rec AS (
+  SELECT doc_id, 0 AS i,
+         CAST((doc_id * 13) % 64001 - 32000 AS BIGINT) AS pred,
+         0 AS idx
+  FROM ids
+  UNION ALL
+  SELECT doc_id, i,
+         least(32767, greatest(-32768,
+           CASE WHEN diff < 0 THEN pred - delta ELSE pred + delta END)),
+         least(88, greatest(0, idx +
+           CASE b4 * 4 + b2 * 2 + b1
+                WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+                ELSE -1 END))
+  FROM (
+    -- lateral column aliases: each line may use the ones above it
+    SELECT r.doc_id, r.i + 1 AS i, r.pred, r.idx, s.step,
+           CAST((r.doc_id * 13 + (r.i + 1) * 7) % 64001 - 32000 AS BIGINT)
+             - r.pred AS diff,
+           abs(diff) AS ad,
+           CASE WHEN ad >= step THEN 1 ELSE 0 END AS b4,
+           CASE WHEN ad - b4 * step >= step // 2 THEN 1 ELSE 0 END AS b2,
+           CASE WHEN ad - b4 * step - b2 * (step // 2) >= step // 4
+                THEN 1 ELSE 0 END AS b1,
+           step // 8 + b4 * step + b2 * (step // 2) + b1 * (step // 4) AS delta
+    FROM rec r JOIN st s ON s.sidx = r.idx
+    WHERE r.i + 1 < {_ADPCM_N}
+  ) q
+), dec AS (
+  SELECT r.doc_id, r.i,
+         CAST((r.doc_id * 13 + r.i * 7) % 64001 - 32000 AS BIGINT) AS v,
+         r.pred AS d
+  FROM rec r
+)
+SELECT doc_id,
+       count(*) AS n_samples,
+       round(sqrt(avg(CAST(d * d AS DOUBLE))), 6) AS rms_decoded,
+       max(abs(d - v)) AS max_abs_err,
+       round(avg(CAST(abs(d - v) AS DOUBLE)), 6) AS mean_abs_err
+FROM dec
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_adpcm_roundtrip",
+    oracle=ADPCM_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+    since=7,
+)
+def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                i = np.arange(_ADPCM_N)
+                s = ((did * 13 + i * 7) % 64001 - 32000).astype("<i2")
+                rows.append((did, bytearray(M.encode_wav(s, 8000, "ima_adpcm"))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                samples, _rate = M.decode_wav(bytes(r["media_bytes"]))
+                did = int(r["doc_id"])
+                for i, d in enumerate(samples.astype("int64")):
+                    out.append((did, i, int(d)))
+            yield pd.DataFrame(out, columns=["doc_id", "i", "d"])
+
+    wavs = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
+    rows = wavs.mapInPandas(dec, "doc_id long, i long, d long")
+    v = (F.col("doc_id") * 13 + F.col("i") * 7) % 64001 - 32000
+    err = F.abs(F.col("d") - v)
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.sqrt(F.avg(F.col("d").cast("double") * F.col("d"))), 6).alias(
+                "rms_decoded"
+            ),
+            F.max(err).alias("max_abs_err"),
+            F.round(F.avg(err.cast("double")), 6).alias("mean_abs_err"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
