@@ -335,6 +335,9 @@ BASELINE_SEC = {
     # mixed-format triage capstone (0.60 warm — 140 payloads across all
     # seven codec paths, magic-byte sniff + dispatch + 7-group agg)
     "multimodal_media_triage": 0.90,
+    # HTML → text extraction (1.20 warm — scales with the table: every
+    # doc wrapped in a synthesized page and parsed by html.parser)
+    "text_html_extraction": 1.80,
 }
 GUARD_FACTOR = 2.0
 
@@ -695,6 +698,7 @@ HEADLINE = [
     "multimodal_animated_gif_shots",
     "multimodal_adpcm_roundtrip",
     "multimodal_media_triage",
+    "text_html_extraction",
 ]
 
 

@@ -2681,3 +2681,83 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_k")
     )
+
+
+# --------------------------------------------------------------------------
+# HTML → text extraction (round 7 continuation): the FIRST step of web
+# curation, run by a REAL parser (stdlib html.parser via
+# operators/htmltext.py), not regex stripping. Each doc's text is wrapped
+# in a synthesized page that plants every hazard class: a <script> and a
+# <style> whose contents must NOT leak, an HTML comment, character
+# references (&amp; &lt; &quot; &#65;) that must decode, inline tags
+# (<span>) that must NOT break lines, and block tags that must. The
+# oracle recomputes the EXPECTED extraction directly from the source
+# columns — a leak, a dropped block, a mis-decoded entity or a broken
+# line split changes length/md5/line-count. Scales with the table (no
+# fixed panel): at 100 TB this is one Arrow-batched mapInPandas pass.
+# Beyond-reference [NS] (text family).
+# --------------------------------------------------------------------------
+
+HTML_EXTRACTION_ORACLE = """
+WITH exp AS (
+  SELECT doc_id,
+         'Doc ' || doc_id || chr(10) ||
+         'Doc ' || doc_id || chr(10) ||
+         'AT&T <' || doc_id || '> "q" A' || chr(10) ||
+         trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10) ||
+         'tail ' || doc_id || ' end' AS expected
+  FROM documents
+)
+SELECT doc_id,
+       length(expected) AS n_chars,
+       5 AS n_lines,
+       md5(expected) AS text_md5
+FROM exp
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_html_extraction",
+    oracle=HTML_EXTRACTION_ORACLE,
+    tags=("llm", "text", "udf"),
+    since=7,
+)
+def text_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+    from html import escape
+
+    import pandas as pd
+
+    from ..operators import htmltext as H
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                html = (
+                    f"<html><head><title>Doc {did}</title>\n"
+                    f"<style>p {{color: red}}</style>\n"
+                    f'<script>var leak = "LEAK {did}";</script>\n'
+                    f"</head><body>\n"
+                    f"<h1>Doc {did}</h1>\n"
+                    f"<p>AT&amp;T &lt;{did}&gt; &quot;q&quot; &#65;</p>\n"
+                    f"<p>{escape(str(r['text']))}</p>\n"
+                    f"<!-- LEAK comment {did} -->\n"
+                    f"<div>tail <span>{did}</span> end</div>\n"
+                    f"</body></html>"
+                )
+                rows.append((did, html))
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    pages = docs.mapInPandas(gen, "doc_id long, html string")
+    extracted = H.html_text_extract(pages)
+    return extracted.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("extracted", "\n")).alias("n_lines"),
+        F.md5(F.encode("extracted", "utf-8")).alias("text_md5"),
+    ).orderBy("doc_id")
