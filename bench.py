@@ -338,6 +338,9 @@ BASELINE_SEC = {
     # HTML → text extraction (1.20 warm — scales with the table: every
     # doc wrapped in a synthesized page and parsed by html.parser)
     "text_html_extraction": 1.80,
+    # web-curation pipeline (2.87 warm — synthesize + parse + explode +
+    # df boilerplate anti-join + gate + prefix-dedup window + lang agg)
+    "pipeline_web_curation": 4.00,
 }
 GUARD_FACTOR = 2.0
 
@@ -699,6 +702,7 @@ HEADLINE = [
     "multimodal_adpcm_roundtrip",
     "multimodal_media_triage",
     "text_html_extraction",
+    "pipeline_web_curation",
 ]
 
 

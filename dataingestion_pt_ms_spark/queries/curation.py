@@ -1020,3 +1020,130 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Web-curation pipeline (round 7 continuation): the raw-HTML-to-corpus
+# chain end to end, with every stage actually DISTRIBUTED — synthesize a
+# page per doc (id-FREE template, so boilerplate is genuinely shared),
+# parse it with the real extractor (operators/htmltext.py), explode the
+# extracted lines and remove BOILERPLATE by document frequency (a line
+# present in > 50% of docs is chrome — here the planted entity fragment
+# and footer, each on every page), apply a word-count quality gate,
+# dedup by leading-5-word fingerprint (sorted-neighborhood-lite; the
+# corpus has real collision groups), and profile survivors per language.
+# The oracle recomputes each stage's outcome from the source columns:
+# boilerplate lines have df = 1.0 and text lines are corpus-unique, so
+# the expected survivor set is derivable without re-parsing HTML — while
+# the Spark side genuinely runs parse → explode → df-count → gate →
+# dedup. A leak from <script>, a broken entity, or a mis-split line
+# changes word counts and breaks the hash. Scale shape: one mapInPandas
+# + two hash aggregations + one min-per-key dedup — no all-pairs stage.
+# --------------------------------------------------------------------------
+_WEBCUR_MIN_WORDS = 20
+_WEBCUR_BOILER_DF = 0.5
+
+WEB_CURATION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(text, ' +', ' ', 'g')) AS line
+  FROM documents
+), gated AS (
+  SELECT doc_id, lang, line,
+         len(str_split(line, ' ')) AS n_words
+  FROM base
+  WHERE len(str_split(line, ' ')) >= {_WEBCUR_MIN_WORDS}
+), deduped AS (
+  SELECT lang, n_words
+  FROM (
+    SELECT lang, n_words,
+           row_number() OVER (
+             PARTITION BY array_to_string((str_split(line, ' '))[1:5], ' ')
+             ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+)
+SELECT lang,
+       count(*) AS n_kept,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round(avg(CAST(n_words AS DOUBLE)), 6) AS avg_words
+FROM deduped
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "pipeline_web_curation",
+    oracle=WEB_CURATION_ORACLE,
+    tags=("llm", "text", "pipeline", "udf"),
+    since=7,
+)
+def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+    from html import escape
+
+    import pandas as pd
+
+    from ..operators import htmltext as H
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                # id-FREE page: the chrome (entity fragment + footer) is
+                # byte-identical across all pages, like a real site shell
+                html = (
+                    "<html><head><title>corpus page</title>\n"
+                    "<style>body {margin: 0}</style>\n"
+                    '<script>var leak = "SHOULD_NOT_APPEAR";</script>\n'
+                    "</head><body>\n"
+                    "<p>AT&amp;T &lt;terms&gt; &quot;apply&quot; &#65;</p>\n"
+                    f"<p>{escape(str(r['text']))}</p>\n"
+                    "<!-- tracking comment -->\n"
+                    "<div>footer <span>links</span> here</div>\n"
+                    "</body></html>"
+                )
+                rows.append((int(r["doc_id"]), html))
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    pages = docs.mapInPandas(gen, "doc_id long, html string")
+    extracted = H.html_text_extract(pages)
+    lines = extracted.select(
+        "doc_id", F.explode(F.split("extracted", "\n")).alias("line")
+    ).filter(F.length("line") > 0)
+
+    # boilerplate removal by document frequency: distributed two-pass —
+    # per-line distinct-doc counts, broadcast-joined back as a filter
+    n_docs = docs.count()  # metadata-sized driver value (one long)
+    dfreq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = dfreq.filter(F.col("df") > _WEBCUR_BOILER_DF * n_docs).select("line")
+    content = lines.join(F.broadcast(boiler), "line", "left_anti")
+
+    gated = (
+        content.withColumn("n_words", F.size(F.split("line", " ")))
+        .filter(F.col("n_words") >= _WEBCUR_MIN_WORDS)
+    )
+    from pyspark.sql import Window as W
+
+    dedup_w = W.partitionBy(
+        F.array_join(F.slice(F.split("line", " "), 1, 5), " ")
+    ).orderBy("doc_id")
+    survivors = (
+        gated.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_words").alias("total_words"),
+            F.round(F.avg(F.col("n_words").cast("double")), 6).alias("avg_words"),
+        )
+        .orderBy("lang")
+    )

@@ -49,3 +49,16 @@ def test_empty_and_tagless():
     assert extract_text("") == ""
     assert extract_text("just text") == "just text"
     assert extract_text("<script>only</script>") == ""
+
+
+def test_web_curation_boilerplate_removed(spark):
+    """The pipeline's df-based boilerplate stage must drop the shared
+    chrome lines (entity fragment + footer) and the script must never
+    leak; survivors are pure document text."""
+    from dataingestion_pt_ms_spark.queries.curation import pipeline_web_curation
+
+    rows = pipeline_web_curation(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.n_kept > 0 for r in rows)
+    # every survivor averages >= the gate, and langs are the corpus five
+    assert all(r.avg_words >= 20 for r in rows)
+    assert {r.lang for r in rows} <= {"en", "de", "es", "fr", "zh"}
