@@ -156,6 +156,10 @@ HEAVY = [
     # round 7 (VERDICT r6 #2): the bounded-degree DBSCAN production twin —
     # the one operator family whose FULL form is excluded at 100×
     "sim_dbscan_capped",
+    # round-7 continuation: the two new TABLE-SCALING text queries (the
+    # codec queries are fixed panels by design — scale-independent)
+    "text_html_extraction",
+    "pipeline_web_curation",
 ]
 
 
