@@ -232,13 +232,10 @@ def encode_gif(
         out += b"\x21\xfe" + _sub_blocks(comment)
     # graphic control extension (fixed, exercises extension skipping too)
     out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
-    out += bytes([(int(local_palette) << 7) | (int(interlace) << 6) | (s if local_palette else 0)])
-    if local_palette:
-        out += table.tobytes()
-    rows = idx[_interlace_order(h)] if interlace else idx
-    out += bytes([min_code_size])
-    out += _sub_blocks(lzw_compress(rows.reshape(-1), min_code_size))
+    out += _image_descriptor(
+        idx, table, s, min_code_size,
+        local_palette=local_palette, interlace=interlace,
+    )
     out += b"\x3b"
     return bytes(out)
 
@@ -325,13 +322,11 @@ def decode_gif_frames(data: bytes):
     sw, sh = next(it)
     canvas = np.zeros((sh, sw), dtype=np.int64)
     frames = []
-    pal_last = None
     for left, top, idx, pal in it:
         h, w = idx.shape
         if top + h > sh or left + w > sw:
             raise ValueError("frame rectangle outside logical screen")
         canvas[top : top + h, left : left + w] = idx
-        pal_last = pal
         frames.append(pal[canvas])
     if not frames:
         raise ValueError("GIF has no image descriptor")
