@@ -1304,20 +1304,30 @@ def sim_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _DB_KMAX = 16
 
-DBSCAN_CAPPED_ORACLE = f"""
-WITH RECURSIVE e AS (
+# The ε filter is applied BEFORE the per-point top-k window: every non-ε
+# neighbour has strictly smaller rounded cosine than every ε neighbour, so
+# it sorts after ALL of them and its removal cannot change an ε row's rank
+# — identical `adj` either way, but the window (the oracle's only
+# materialization) now holds the ε-graph instead of the full within-label
+# pair space, which is what makes the sf10x rung's DuckDB side feasible
+# (BENCH §13e: ~2×10⁹ streamed cosines, ~10⁸ materialized edges).
+_DB_CAPPED_CTES = f"""e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 ), scored AS (
   SELECT a.vec_id AS k, b.vec_id AS nb,
          round(list_cosine_similarity(a.v, b.v), 6) AS c
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_DB_EPS}
 ), adj AS (
   SELECT k, nb FROM (
     SELECT k, nb, c,
            row_number() OVER (PARTITION BY k ORDER BY c DESC, nb) AS rn
     FROM scored
-  ) WHERE rn <= {_DB_KMAX} AND c >= {_DB_EPS}
-), deg AS (
+  ) WHERE rn <= {_DB_KMAX}
+)"""
+
+DBSCAN_CAPPED_ORACLE = f"""
+WITH RECURSIVE {_DB_CAPPED_CTES}, deg AS (
   SELECT k, count(*) AS n_neigh FROM adj GROUP BY k
 ), cores AS (
   SELECT k FROM deg WHERE n_neigh >= {_DB_MINPTS}
@@ -1366,6 +1376,122 @@ def sim_dbscan_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_clusters_capped(
         emb, eps_cosine=_DB_EPS, min_pts=_DB_MINPTS, k_max=_DB_KMAX
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Count-grain twin of the capped DBSCAN (round 8, VERDICT r7 #2): the full
+# assignment collapsed to two bounded grains UNIONed under one schema —
+# per ROLE (core/border/noise: point count, distinct clusters, a modular
+# (vec_id, cluster_id) membership checksum binding every point's exact
+# assignment) and per CLUSTER SIZE (the cluster-size histogram: total
+# points, cluster count, a cluster-id checksum binding which clusters have
+# that size). Output is O(distinct sizes) rows at any scale while every
+# point's assignment still contributes to a checksum, so the 100× tier
+# (BENCH §13e) can value-check the capped path end to end — the full
+# assignment's 200k-row output at sf10x is exactly what the driver-side
+# diff can't hold. cluster_id is the component's MIN member id (both
+# engines), so checksums are engine-stable; +2 keeps the noise id (−1)
+# inside positive modular range.
+# --------------------------------------------------------------------------
+DBSCAN_COUNTS_ORACLE = f"""
+WITH RECURSIVE {_DB_CAPPED_CTES}, deg AS (
+  SELECT k, count(*) AS n_neigh FROM adj GROUP BY k
+), cores AS (
+  SELECT k FROM deg WHERE n_neigh >= {_DB_MINPTS}
+), sym AS (
+  SELECT k, nb FROM adj UNION SELECT nb, k FROM adj
+), ce2 AS (
+  SELECT k AS a, nb AS b FROM sym
+  WHERE k IN (SELECT k FROM cores) AND nb IN (SELECT k FROM cores)
+), walk(node, lbl) AS (
+  SELECT k, k FROM cores
+  UNION
+  SELECT ce2.b, w.lbl FROM walk w JOIN ce2 ON ce2.a = w.node
+  WHERE w.lbl < ce2.b
+), assign AS (
+  SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node
+), border AS (
+  SELECT sym.k, min(a2.cluster_id) AS cluster_id
+  FROM sym
+  JOIN cores c ON c.k = sym.nb
+  JOIN assign a2 ON a2.node = sym.nb
+  WHERE sym.k NOT IN (SELECT k FROM cores)
+  GROUP BY sym.k
+), full_assign AS (
+  SELECT e.vec_id,
+         CASE WHEN a.node IS NOT NULL THEN 'core'
+              WHEN b.k IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS role,
+         coalesce(a.cluster_id, b.cluster_id, -1) AS cluster_id
+  FROM e
+  LEFT JOIN assign a ON a.node = e.vec_id
+  LEFT JOIN border b ON b.k = e.vec_id
+), role_grain AS (
+  SELECT 'role:' || role AS grain,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_groups,
+         CAST(sum((vec_id * 1000003 + cluster_id + 2) % 1000000007) AS BIGINT)
+           AS checksum
+  FROM full_assign GROUP BY role
+), csize AS (
+  SELECT cluster_id, count(*) AS sz
+  FROM full_assign WHERE cluster_id <> -1 GROUP BY cluster_id
+), size_grain AS (
+  SELECT 'size:' || lpad(CAST(sz AS VARCHAR), 9, '0') AS grain,
+         CAST(sum(sz) AS BIGINT) AS n_points,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum((cluster_id + 2) % 1000000007) AS BIGINT) AS checksum
+  FROM csize GROUP BY sz
+)
+SELECT * FROM role_grain
+UNION ALL
+SELECT * FROM size_grain
+ORDER BY grain
+"""
+
+
+@register(
+    "sim_dbscan_capped_counts",
+    oracle=DBSCAN_COUNTS_ORACLE,
+    tags=("llm", "clustering", "graph", "audit"),
+    since=8,
+)
+def sim_dbscan_capped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import density_clusters_capped
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = density_clusters_capped(
+        emb, eps_cosine=_DB_EPS, min_pts=_DB_MINPTS, k_max=_DB_KMAX
+    ).localCheckpoint(eager=False)  # role + size grains
+    role_grain = assign.groupBy(
+        F.concat(F.lit("role:"), F.col("role")).alias("grain")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count_distinct("cluster_id").alias("n_groups"),
+        F.sum(
+            (F.col("vec_id") * F.lit(1000003) + F.col("cluster_id") + F.lit(2))
+            % F.lit(1000000007)
+        )
+        .cast("long")
+        .alias("checksum"),
+    )
+    csize = (
+        assign.filter(F.col("cluster_id") != -1)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    size_grain = csize.groupBy(
+        F.concat(
+            F.lit("size:"), F.lpad(F.col("sz").cast("string"), 9, "0")
+        ).alias("grain")
+    ).agg(
+        F.sum("sz").cast("long").alias("n_points"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("cluster_id") + F.lit(2)) % F.lit(1000000007))
+        .cast("long")
+        .alias("checksum"),
+    )
+    return role_grain.unionByName(size_grain).orderBy("grain")
 
 
 # --------------------------------------------------------------------------
