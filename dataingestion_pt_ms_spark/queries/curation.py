@@ -1073,50 +1073,45 @@ ORDER BY lang
 """
 
 
-@register(
-    "pipeline_web_curation",
-    oracle=WEB_CURATION_ORACLE,
-    tags=("llm", "text", "pipeline", "udf"),
-    since=7,
+# id-FREE page shell shared by the direct and the WARC-container variants:
+# the chrome (entity fragment + footer) is byte-identical across all
+# pages, like a real site shell, so boilerplate removal has real df=1.0
+# lines to find. Kept as HEAD/TAIL constants so the archive queries can
+# state the page's exact byte arithmetic in their oracles.
+_PAGE_HEAD = (
+    "<html><head><title>corpus page</title>\n"
+    "<style>body {margin: 0}</style>\n"
+    '<script>var leak = "SHOULD_NOT_APPEAR";</script>\n'
+    "</head><body>\n"
+    "<p>AT&amp;T &lt;terms&gt; &quot;apply&quot; &#65;</p>\n"
+    "<p>"
 )
-def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
+_PAGE_TAIL = (
+    "</p>\n"
+    "<!-- tracking comment -->\n"
+    "<div>footer <span>links</span> here</div>\n"
+    "</body></html>"
+)
+
+
+def _page_html(text) -> str:
     from html import escape
 
-    import pandas as pd
+    return _PAGE_HEAD + escape(str(text)) + _PAGE_TAIL
 
-    from ..operators import htmltext as H
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+def _web_curation_tail(docs: DataFrame, extracted: DataFrame) -> DataFrame:
+    """The shared curation chain after HTML extraction: explode lines →
+    boilerplate removal by document frequency (distributed two-pass:
+    per-line distinct-doc counts, broadcast-joined back as an anti-join
+    filter) → word-count gate → leading-5-word-fingerprint dedup →
+    per-language survivor profile."""
+    from pyspark.sql import Window as W
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                # id-FREE page: the chrome (entity fragment + footer) is
-                # byte-identical across all pages, like a real site shell
-                html = (
-                    "<html><head><title>corpus page</title>\n"
-                    "<style>body {margin: 0}</style>\n"
-                    '<script>var leak = "SHOULD_NOT_APPEAR";</script>\n'
-                    "</head><body>\n"
-                    "<p>AT&amp;T &lt;terms&gt; &quot;apply&quot; &#65;</p>\n"
-                    f"<p>{escape(str(r['text']))}</p>\n"
-                    "<!-- tracking comment -->\n"
-                    "<div>footer <span>links</span> here</div>\n"
-                    "</body></html>"
-                )
-                rows.append((int(r["doc_id"]), html))
-            yield pd.DataFrame(rows, columns=["doc_id", "html"])
-
-    pages = docs.mapInPandas(gen, "doc_id long, html string")
-    extracted = H.html_text_extract(pages)
     lines = extracted.select(
         "doc_id", F.explode(F.split("extracted", "\n")).alias("line")
     ).filter(F.length("line") > 0)
 
-    # boilerplate removal by document frequency: distributed two-pass —
-    # per-line distinct-doc counts, broadcast-joined back as a filter
     n_docs = docs.count()  # metadata-sized driver value (one long)
     dfreq = lines.groupBy("line").agg(
         F.countDistinct("doc_id").alias("df")
@@ -1128,8 +1123,6 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         content.withColumn("n_words", F.size(F.split("line", " ")))
         .filter(F.col("n_words") >= _WEBCUR_MIN_WORDS)
     )
-    from pyspark.sql import Window as W
-
     dedup_w = W.partitionBy(
         F.array_join(F.slice(F.split("line", " "), 1, 5), " ")
     ).orderBy("doc_id")
@@ -1146,4 +1139,290 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("n_words").cast("double")), 6).alias("avg_words"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "pipeline_web_curation",
+    oracle=WEB_CURATION_ORACLE,
+    tags=("llm", "text", "pipeline", "udf"),
+    since=7,
+)
+def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators import htmltext as H
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                rows.append((int(r["doc_id"]), _page_html(r["text"])))
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    pages = docs.mapInPandas(gen, "doc_id long, html string")
+    extracted = H.html_text_extract(pages)
+    return _web_curation_tail(docs, extracted)
+
+
+# --------------------------------------------------------------------------
+# WARC archive-container head for the web-curation pipeline (round 8,
+# VERDICT r7 #7): a real crawl dump arrives as a few thousand MULTI-RECORD
+# ``.warc`` / ``.warc.gz`` segments in object storage, not one row per
+# page. These queries drive the full container path through the engine:
+# pages are packed into spec-shaped WARC archives (one warcinfo record +
+# one application/http response record per page; every odd archive uses
+# the standard per-record-gzip framing) GROUP-WISE on executors
+# (applyInPandas over the archive key — the driver never sees a page),
+# then split back into member records by sources/archives.py's
+# executor-side ISO-28500 walker, and only then curated. The oracles
+# state the expected outcome straight from ``documents`` byte arithmetic,
+# so a record-boundary bug, a Content-Length miscount, a gzip-member walk
+# slip, or an HTTP-header leak into the body breaks the value hash.
+# Reference parity: R2's remote fetch (app/alpaca_service.py:117-135)
+# re-shaped as batch re-play of an already-acquired crawl.
+# --------------------------------------------------------------------------
+_ARCH_DOCS = 32  # pages per archive segment
+_WARCINFO_PAYLOAD = (
+    b"software: dataingestion-pt-ms-spark\r\nformat: WARC file version 1.0\r\n"
+)
+
+
+def _warc_archives(docs: DataFrame) -> DataFrame:
+    """(archive string, content binary): pack each ``_ARCH_DOCS``-page
+    group of the corpus into one WARC blob, executor-side."""
+    import pandas as pd
+
+    from ..sources import archives as A
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        aid = int(pdf["archive_id"].iloc[0])
+        recs = [
+            A.encode_warc_record(
+                "warcinfo",
+                _WARCINFO_PAYLOAD,
+                record_id=f"<urn:uuid:warcinfo-{aid}>",
+                content_type="application/warc-fields",
+            )
+        ]
+        for _, r in pdf.iterrows():
+            body = _page_html(r["text"]).encode("utf-8")
+            recs.append(
+                A.encode_warc_record(
+                    "response",
+                    A.encode_http_response(body),
+                    target_uri=f"http://corpus.example/doc/{int(r['doc_id'])}",
+                    record_id=f"<urn:uuid:doc-{int(r['doc_id'])}>",
+                    content_type="application/http; msgtype=response",
+                )
+            )
+        blob = A.encode_warc(recs, per_record_gzip=aid % 2 == 1)
+        return pd.DataFrame(
+            {"archive": [f"segment-{aid}.warc"], "content": [bytearray(blob)]}
+        )
+
+    return (
+        docs.withColumn("archive_id", F.floor(F.col("doc_id") / _ARCH_DOCS))
+        .groupBy("archive_id")
+        .applyInPandas(build, "archive string, content binary")
+    )
+
+
+# exact byte arithmetic of the synthesized page/record, computed once at
+# import so the oracle can state every Content-Length from `documents`:
+# html.escape maps & -> &amp; (+4), < -> &lt; (+3), > -> &gt; (+3),
+# " -> &quot; (+5), ' -> &#x27; (+5); all five are single-byte chars, so
+# the byte deltas hold for UTF-8 text too.
+def _tpl_fixed_bytes() -> int:
+    return len((_PAGE_HEAD + _PAGE_TAIL).encode("utf-8"))
+
+
+def _http_head_bytes() -> int:
+    from ..sources import archives as A
+
+    return len(A.encode_http_response(b""))
+
+
+_ESC_BYTES_SQL = (
+    "strlen(text)"
+    " + 4*(strlen(text) - strlen(replace(text, '&', '')))"
+    " + 3*(strlen(text) - strlen(replace(text, '<', '')))"
+    " + 3*(strlen(text) - strlen(replace(text, '>', '')))"
+    " + 5*(strlen(text) - strlen(replace(text, '\"', '')))"
+    " + 5*(strlen(text) - strlen(replace(text, '''', '')))"
+)
+
+WARC_INVENTORY_ORACLE = f"""
+WITH resp AS (
+  SELECT 'response' AS warc_type,
+         CAST(200 AS INTEGER) AS http_status,
+         CAST(count(*) AS BIGINT) AS n_records,
+         CAST(sum({_ESC_BYTES_SQL} + {{tpl}} + {{http}}) AS BIGINT)
+           AS sum_content_length,
+         CAST(sum({_ESC_BYTES_SQL} + {{tpl}}) AS BIGINT) AS sum_payload_bytes,
+         CAST(sum(doc_id % 1000000007) AS BIGINT) AS uri_checksum
+  FROM documents
+), info AS (
+  SELECT 'warcinfo' AS warc_type,
+         CAST(NULL AS INTEGER) AS http_status,
+         CAST(count(DISTINCT doc_id // {_ARCH_DOCS}) AS BIGINT) AS n_records,
+         CAST(count(DISTINCT doc_id // {_ARCH_DOCS}) * {{info}} AS BIGINT)
+           AS sum_content_length,
+         CAST(count(DISTINCT doc_id // {_ARCH_DOCS}) * {{info}} AS BIGINT)
+           AS sum_payload_bytes,
+         CAST(0 AS BIGINT) AS uri_checksum
+  FROM documents
+)
+SELECT * FROM resp UNION ALL SELECT * FROM info ORDER BY warc_type
+"""
+
+
+def _warc_inventory_oracle() -> str:
+    return WARC_INVENTORY_ORACLE.format(
+        tpl=_tpl_fixed_bytes(),
+        http=_http_head_bytes(),
+        info=len(_WARCINFO_PAYLOAD),
+    )
+
+
+@register(
+    "warc_record_inventory",
+    oracle=_warc_inventory_oracle(),
+    tags=("llm", "source", "warc", "udf", "audit"),
+    since=8,
+)
+def warc_record_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-grain audit of the WARC container walk: per (warc-type,
+    http-status) — record count, the sum of every record's Content-Length
+    header, the sum of HTTP-stripped payload bytes, and a target-URI doc
+    checksum binding each page to exactly one response record. The oracle
+    recomputes all four from `documents` byte arithmetic (template bytes +
+    per-char escape deltas), so the whole chain — record packing, gzip
+    member framing, boundary walk, header parse, HTTP split — has to be
+    byte-exact for the hash to match."""
+    from ..sources import archives as A
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    records = A.split_warc_records(
+        _warc_archives(docs), content_col="content", path_col="archive"
+    )
+    doc_key = F.coalesce(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long"),
+        F.lit(0),
+    )
+    return (
+        records.groupBy("warc_type", "http_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("content_length").cast("long").alias("sum_content_length"),
+            F.sum(F.length("payload")).cast("long").alias("sum_payload_bytes"),
+            F.sum(doc_key % F.lit(1000000007)).cast("long").alias("uri_checksum"),
+        )
+        .orderBy("warc_type")
+    )
+
+
+@register(
+    "pipeline_web_curation_warc",
+    oracle=WEB_CURATION_ORACLE,
+    tags=("llm", "text", "pipeline", "warc", "udf"),
+    since=8,
+)
+def pipeline_web_curation_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-curation pipeline fed from WARC containers instead of a
+    page column: pack → (gzip) → executor-side record split → HTTP body →
+    HTML extract → boilerplate df → gate → prefix dedup → profile. Same
+    oracle as ``pipeline_web_curation``: the container round-trip must be
+    lossless for the per-language survivor profile to hash-match — one
+    dropped record, one leaked HTTP header line, or one mis-decoded body
+    changes the counts."""
+    from ..operators import htmltext as H
+    from ..sources import archives as A
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    records = A.split_warc_records(
+        _warc_archives(docs), content_col="content", path_col="archive"
+    )
+    pages = records.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    extracted = H.html_text_extract(pages)
+    return _web_curation_tail(docs, extracted)
+
+
+TAR_MEMBERS_ORACLE = f"""
+SELECT CAST(doc_id // {_ARCH_DOCS} % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+       CAST(sum(doc_id % 1000000007) AS BIGINT) AS name_checksum,
+       CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS content_checksum
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "archive_tar_members_audit",
+    oracle=TAR_MEMBERS_ORACLE,
+    tags=("llm", "source", "tar", "udf", "audit"),
+    since=8,
+)
+def archive_tar_members_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAR-container round-trip audit: pack each corpus segment's raw
+    texts into a ustar archive executor-side (odd segments gzipped),
+    split members back out with sources/archives.py:split_tar_members,
+    and roll up per archive bucket — member count, byte sum, a
+    member-name doc checksum, and an md5-prefix CONTENT checksum over the
+    extracted bytes. The oracle computes all four straight from
+    `documents`, so a truncated member, a name mangle, or a header-offset
+    slip breaks the hash."""
+    import pandas as pd
+
+    from ..sources import archives as A
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        aid = int(pdf["archive_id"].iloc[0])
+        members = [
+            (f"segment-{aid}/doc-{int(r['doc_id'])}.txt",
+             str(r["text"]).encode("utf-8"))
+            for _, r in pdf.iterrows()
+        ]
+        blob = A.encode_tar(members, gz=aid % 2 == 1)
+        name = f"segment-{aid}.tar" + (".gz" if aid % 2 == 1 else "")
+        return pd.DataFrame({"archive": [name], "content": [bytearray(blob)]})
+
+    tars = (
+        docs.withColumn("archive_id", F.floor(F.col("doc_id") / _ARCH_DOCS))
+        .groupBy("archive_id")
+        .applyInPandas(build, "archive string, content binary")
+    )
+    members = A.split_tar_members(tars, content_col="content", path_col="archive")
+    doc_key = F.regexp_extract("member_name", r"/doc-(\d+)\.txt$", 1).cast("long")
+    bucket = (
+        F.floor(doc_key / _ARCH_DOCS) % 4
+    ).cast("long").alias("bucket")
+    return (
+        members.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.length("payload")).cast("long").alias("sum_bytes"),
+            F.sum(doc_key % F.lit(1000000007)).cast("long").alias("name_checksum"),
+            F.sum(F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast("long"))
+            .cast("long")
+            .alias("content_checksum"),
+        )
+        .orderBy("bucket")
     )

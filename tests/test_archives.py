@@ -1,0 +1,113 @@
+"""Archive-container source tests (round 8, VERDICT r7 #7): real
+``.warc`` / ``.warc.gz`` / ``.tar`` / ``.tar.gz`` files staged on disk,
+read through the full binaryFile → executor-side member-split path —
+the end-to-end crawl-dump geometry the registered queries exercise with
+synthesized in-DataFrame blobs."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from dataingestion_pt_ms_spark.sources import archives as A
+
+
+def _response_record(doc_id: int, body: bytes) -> bytes:
+    return A.encode_warc_record(
+        "response",
+        A.encode_http_response(body),
+        target_uri=f"http://crawl.example/page/{doc_id}",
+        record_id=f"<urn:uuid:page-{doc_id}>",
+        content_type="application/http; msgtype=response",
+    )
+
+
+def _stage_warc(path, gz: bool) -> dict[int, bytes]:
+    bodies = {
+        i: f"<html><body>page {i} body écontent</body></html>".encode()
+        for i in range(3)
+    }
+    recs = [
+        A.encode_warc_record(
+            "warcinfo",
+            b"software: test\r\n",
+            content_type="application/warc-fields",
+        )
+    ] + [_response_record(i, b) for i, b in sorted(bodies.items())]
+    path.write_bytes(A.encode_warc(recs, per_record_gzip=gz))
+    return bodies
+
+
+def test_warc_roundtrip_plain_and_gzip(spark, tmp_path):
+    plain = _stage_warc(tmp_path / "seg-0.warc", gz=False)
+    gzed = _stage_warc(tmp_path / "seg-1.warc.gz", gz=True)
+
+    df = A.read_warc_files(spark, str(tmp_path))
+    rows = df.collect()
+    # 2 archives x (1 warcinfo + 3 responses)
+    assert len(rows) == 8
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.warc_type, []).append(r)
+    assert len(by_type["warcinfo"]) == 2
+    assert len(by_type["response"]) == 6
+    for r in by_type["response"]:
+        seg = r.archive.rsplit("/", 1)[-1]
+        doc_id = int(r.target_uri.rsplit("/", 1)[-1])
+        expect = (plain if seg == "seg-0.warc" else gzed)[doc_id]
+        assert bytes(r.payload) == expect, (seg, doc_id)
+        assert r.http_status == 200
+        # Content-Length covers the HTTP block, payload is the body only
+        assert r.content_length == len(A.encode_http_response(expect))
+    # offsets strictly increase within an archive (inflated-stream axis)
+    for seg in ("seg-0.warc", "seg-1.warc.gz"):
+        offs = sorted(
+            r.record_offset for r in rows if r.archive.endswith(seg)
+        )
+        assert offs[0] == 0 and len(set(offs)) == 4
+
+
+def test_warc_rejects_garbage(spark):
+    with pytest.raises(ValueError, match="version line"):
+        list(A.parse_warc(b"NOT-A-WARC\r\n\r\npayload", "bad"))
+
+
+def test_warc_record_id_and_missing_uri(spark):
+    rec = A.encode_warc_record("warcinfo", b"x: y\r\n")
+    (row,) = list(A.parse_warc(rec, "a"))
+    assert row[3] is None  # no target_uri
+    assert row[2] == "warcinfo"
+
+
+def test_tar_roundtrip_plain_and_gzip(spark, tmp_path):
+    members = [
+        ("d/one.txt", b"first payload"),
+        ("d/two.txt", b"second \x00 binary payload"),
+        ("three.txt", b""),
+    ]
+    (tmp_path / "a.tar").write_bytes(A.encode_tar(members))
+    (tmp_path / "b.tar.gz").write_bytes(A.encode_tar(members, gz=True))
+
+    df = A.read_tar_files(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6
+    for r in rows:
+        expect = dict(members)[r.member_name]
+        assert bytes(r.payload) == expect
+        assert r.member_size == len(expect)
+
+
+def test_tar_encode_deterministic():
+    members = [("m.txt", b"abc")]
+    assert A.encode_tar(members, gz=True) == A.encode_tar(members, gz=True)
+    # pinned mtime: gzip header carries no timestamp variance
+    assert A.encode_tar(members, gz=True)[:10] == gzip.compress(
+        A.encode_tar(members), compresslevel=6, mtime=0
+    )[:10]
+
+
+def test_gunzip_members_chain():
+    parts = [b"alpha", b"beta", b"gamma"]
+    blob = b"".join(gzip.compress(p, mtime=0) for p in parts)
+    assert A._gunzip_members(blob) == b"alphabetagamma"
