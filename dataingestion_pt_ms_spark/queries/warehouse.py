@@ -2468,3 +2468,91 @@ def events_dead_letter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Transaction-log MERGE + time travel as an oracled query (round 8,
+# VERDICT r7 #4): two keyed MERGE commits into a txn-log table
+# (sources/tableformat.py) built from `orders` — batch 0 inserts the
+# keys with last digit < 5, batch 1 upserts every key (updating digits
+# 3-4 with a +1 price bump and a newer version, inserting digits 5-9) —
+# then BOTH snapshots are read back via time travel and profiled
+# (row count, key checksum, exact decimal price sum). The oracle states
+# each snapshot's expected contents straight from `orders`, so a broken
+# match condition, a lost insert, a stale-update leak, or a time-travel
+# read that sees the wrong file set all break the value hash. Only the
+# two profile rows are collected; the table lives in a per-run temp dir
+# that is removed after the profile is computed.
+# --------------------------------------------------------------------------
+TXNLOG_TT_ORACLE = """
+WITH s0 AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 10 < 5
+), s1 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 10 >= 3
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+  FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS snapshot,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k % 1000000007) AS BIGINT) AS key_checksum,
+       CAST(sum(price) AS DOUBLE) AS sum_price
+FROM s0
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(k % 1000000007) AS BIGINT), CAST(sum(price) AS DOUBLE)
+FROM s1
+ORDER BY snapshot
+"""
+
+
+@register(
+    "warehouse_txnlog_time_travel",
+    oracle=TXNLOG_TT_ORACLE,
+    tags=("warehouse", "merge", "sink", "audit"),
+    since=8,
+)
+def warehouse_txnlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import tableformat as TF
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    b0 = orders.filter(F.col("k") % 10 < 5).withColumn("ver", F.lit(1))
+    b1 = orders.withColumn(
+        "price",
+        F.when(F.col("k") % 10 >= 3, F.col("price") + 1).otherwise(
+            F.col("price")
+        ),
+    ).withColumn("ver", F.lit(2))
+
+    tmp = tempfile.mkdtemp(prefix="txnlog_tt_")
+    try:
+        table = f"{tmp}/orders_txn"
+        TF.merge_into(spark, b0, table, ["k"], "ver", batch_id="b0")
+        TF.merge_into(spark, b1, table, ["k"], "ver", batch_id="b1")
+        rows = []
+        for snap in (0, 1):
+            r = (
+                TF.read_snapshot(spark, table, snap)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("k") % F.lit(1000000007))
+                    .cast("long")
+                    .alias("key_checksum"),
+                    F.sum("price").cast("double").alias("sum_price"),
+                )
+                .collect()[0]
+            )  # one profile row per snapshot — bounded
+            rows.append((snap, r["n_rows"], r["key_checksum"], r["sum_price"]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "snapshot long, n_rows long, key_checksum long, sum_price double"
+    )
