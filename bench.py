@@ -355,6 +355,13 @@ STREAM_BASELINE_SEC: dict[str, float] = {
     "incremental_mv_stream": 5.44,
 }
 
+# Sink-pass wall guards (round 8, VERDICT r7 #5): tools/stress_sinks.py
+# drives the keyed upsert + RTBF delete writers at sf1x/sf10x bar volumes
+# (1M/10M rows, 30 day-partitions) and WARNs over GUARD_FACTOR x these
+# min-of-1 quiet-window records; full pass metrics (partition scope,
+# idempotency, untouched-partition byte-identity) in BENCH.md §13f.
+SINK_BASELINE_SEC: dict[str, float] = {}
+
 # Driver-artifact subsets (VERDICT r4 #3): the driver captures only the
 # last ~2000 chars of stdout, so the full per-query map (240+ entries)
 # must go to a FILE and the final stdout line must stay compact while

@@ -1,0 +1,241 @@
+"""Streaming throughput-knee bench (round 8, VERDICT r7 #3) — BENCH.md
+§17b.
+
+§17 measured the four streaming jobs at fixed input volumes and found
+wall ≈ per-trigger fixed cost — i.e. the bench never stressed the
+engine. This tool finds the actual knee: drive the two stateful-operator
+jobs from a RATE source (``format("rate")`` — rows generated
+executor-side at a target rows/sec, no disk staging) under a
+``processingTime`` trigger, ramping the rate up a ladder until the
+engine can no longer finish a batch inside the trigger interval
+(p50 triggerExecution > trigger period, or sustained processed-rate <
+90% of input-rate). The first failing rung brackets the knee;
+backpressure past it means unbounded batch growth on a real pipeline.
+
+Second half: push the interval join's state PAST 1 GB (high rate ×
+long run; the 15-minute watermark means nothing is evicted inside the
+run, so state grows ≈ rate × seconds rows) and compare the heap
+(HDFSBackedStateStoreProvider) and RocksDB stores where they actually
+diverge — §17 measured them equal at 21 MB state, which its own text
+called too small to mean anything.
+
+Usage:
+    python tools/stream_knee.py knee [--jobs windowed_histogram_stream interval_join_stream]
+                                     [--rates 100000 250000 500000 1000000 2000000]
+                                     [--secs 45] [--trigger-ms 2000]
+    python tools/stream_knee.py bigstate [--rate 150000] [--secs 150]
+                                     [--providers heap rocksdb]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataingestion_pt_ms_spark.session import get_spark
+from dataingestion_pt_ms_spark.streaming import jobs as J
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _rate_events(spark: SparkSession, rows_per_sec: int) -> DataFrame:
+    """Rate source shaped like the events table: ~10% errors / 90%
+    clicks over a 10k-user key space — the same key geometry the batch
+    twin (join_range_clicks_before_error) runs on."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .option("numPartitions", 8)
+        .load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 10_000).alias("user_id"),
+            F.when(F.col("value") % 10 == 0, "error")
+            .otherwise("click")
+            .alias("event_type"),
+            (F.col("value") % 1_000).cast("double").alias("value"),
+        )
+    )
+
+
+def _job_stream(spark: SparkSession, name: str, rate: int) -> DataFrame:
+    if name == "windowed_histogram_stream":
+        return J.windowed_histogram_stream(
+            _rate_events(spark, rate), window="1 minute", watermark="30 seconds"
+        )
+    if name == "interval_join_stream":
+        # two independent rate sources, as two topics would be
+        return J.interval_join_stream(
+            _rate_events(spark, rate), _rate_events(spark, rate)
+        )
+    raise ValueError(name)
+
+
+def _out_mode(name: str) -> str:
+    return "update" if name == "windowed_histogram_stream" else "append"
+
+
+def _run(
+    spark: SparkSession,
+    name: str,
+    rate: int,
+    secs: int,
+    trigger_ms: int,
+    tmp: str,
+) -> dict:
+    q = (
+        _job_stream(spark, name, rate)
+        .writeStream.format("noop")
+        .outputMode(_out_mode(name))
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+    try:
+        time.sleep(secs)
+        progress = [
+            json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+        ]
+    finally:
+        q.stop()
+    # steady state: drop the first 3 triggers (source ramp + codegen)
+    execs, in_rate, out_rate, srows, sbytes = [], [], [], 0, 0
+    for p in progress[3:]:
+        if p.get("numInputRows", 0) <= 0:
+            continue
+        execs.append(p["durationMs"]["triggerExecution"])
+        in_rate.append(p.get("inputRowsPerSecond", 0.0))
+        out_rate.append(p.get("processedRowsPerSecond", 0.0))
+    for p in progress:  # peak state over the whole run
+        for o in p.get("stateOperators") or []:
+            srows = max(srows, int(o.get("numRowsTotal", 0)))
+            b = int(o.get("memoryUsedBytes", 0))
+            cm = o.get("customMetrics") or {}
+            b = max(b, int(cm.get("rocksdbTotalSSTFilesBytes", 0)))
+            sbytes = max(sbytes, b)
+    execs.sort()
+    n = len(execs)
+    return {
+        "job": name,
+        "rate": rate,
+        "batches": n,
+        "p50_ms": execs[n // 2] if n else None,
+        "max_ms": execs[-1] if n else None,
+        "input_rps": round(sum(in_rate) / len(in_rate)) if in_rate else 0,
+        "processed_rps": round(sum(out_rate) / len(out_rate)) if out_rate else 0,
+        "state_rows": srows,
+        "state_mb": round(sbytes / 1e6, 1),
+    }
+
+
+def _set_provider(spark: SparkSession, provider: str) -> None:
+    if provider == "rocksdb":
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def cmd_knee(spark: SparkSession, args) -> None:
+    print(
+        f"### §17b throughput knee (rate source, trigger "
+        f"{args.trigger_ms} ms, {args.secs} s/rung, heap store)\n"
+    )
+    print("| job | rate rows/s | batches | p50/max ms | processed/input | state MB | verdict |")
+    print("|---|---|---|---|---|---|---|")
+    for name in args.jobs:
+        knee = None
+        for rate in args.rates:
+            tmp = tempfile.mkdtemp(prefix=f"knee_{name}_{rate}_")
+            try:
+                m = _run(spark, name, rate, args.secs, args.trigger_ms, tmp)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            lag = (
+                m["processed_rps"] / m["input_rps"] if m["input_rps"] else 1.0
+            )
+            over = m["p50_ms"] is not None and m["p50_ms"] > args.trigger_ms
+            starved = lag < 0.9
+            verdict = "KNEE" if (over or starved) else "ok"
+            print(
+                f"| {name} | {rate} | {m['batches']} "
+                f"| {m['p50_ms']}/{m['max_ms']} "
+                f"| {m['processed_rps']}/{m['input_rps']} ({lag:.2f}) "
+                f"| {m['state_mb']} | {verdict} |"
+            )
+            sys.stdout.flush()
+            if over or starved:
+                knee = rate
+                break
+        tail = f"knee at {knee} rows/s" if knee else "no knee inside the ladder"
+        print(f"\n{name}: {tail}\n")
+
+
+def cmd_bigstate(spark: SparkSession, args) -> None:
+    print(
+        f"### §17b interval-join big-state run (rate {args.rate} rows/s x "
+        f"{args.secs} s, 15 min watermark => no eviction in-run)\n"
+    )
+    print("| provider | batches | p50/max ms | state rows | state MB | verdict |")
+    print("|---|---|---|---|---|---|")
+    for prov in args.providers:
+        _set_provider(spark, prov)
+        tmp = tempfile.mkdtemp(prefix=f"bigstate_{prov}_")
+        try:
+            m = _run(
+                spark, "interval_join_stream", args.rate, args.secs,
+                args.trigger_ms, tmp,
+            )
+        finally:
+            _set_provider(spark, "heap")
+            shutil.rmtree(tmp, ignore_errors=True)
+        bar = "ok" if m["state_mb"] >= 1000 else "state < 1 GB — raise --rate/--secs"
+        print(
+            f"| {prov} | {m['batches']} | {m['p50_ms']}/{m['max_ms']} "
+            f"| {m['state_rows']} | {m['state_mb']} | {bar} |"
+        )
+        sys.stdout.flush()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    k = sub.add_parser("knee")
+    k.add_argument(
+        "--jobs", nargs="+",
+        default=["windowed_histogram_stream", "interval_join_stream"],
+    )
+    k.add_argument(
+        "--rates", nargs="+", type=int,
+        default=[100_000, 250_000, 500_000, 1_000_000, 2_000_000, 4_000_000],
+    )
+    k.add_argument("--secs", type=int, default=45)
+    k.add_argument("--trigger-ms", type=int, default=2000)
+    b = sub.add_parser("bigstate")
+    b.add_argument("--rate", type=int, default=150_000)
+    b.add_argument("--secs", type=int, default=150)
+    b.add_argument("--trigger-ms", type=int, default=2000)
+    b.add_argument("--providers", nargs="+", default=["heap", "rocksdb"])
+    args = ap.parse_args()
+
+    spark = get_spark("stream-knee")
+    if args.cmd == "knee":
+        cmd_knee(spark, args)
+    else:
+        cmd_bigstate(spark, args)
+
+
+if __name__ == "__main__":
+    main()
