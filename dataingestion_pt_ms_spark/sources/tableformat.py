@@ -387,3 +387,79 @@ def delete_keys(
         batch_id,
     )
     return snapshot
+
+
+# ---------------------------------------------------------------------------
+# Maintenance passes (the Delta OPTIMIZE-adjacent surface): log checkpoint
+# compaction and VACUUM. Both are metadata-driven — they never read data
+# rows, only the log and the file listing.
+# ---------------------------------------------------------------------------
+
+
+def checkpoint(spark: SparkSession, table: str) -> int:
+    """Compact the log's history into one consolidated commit — Delta's
+    ``_last_checkpoint`` mechanism reduced to its core. Replays the
+    add/remove actions into the CURRENT live file set and rewrites the
+    NEXT snapshot as a full listing ("checkpoint": the commit carries
+    every live file as an add with no removes, plus the ids of the
+    commits it supersedes). Readers replaying from scratch still get
+    identical state (replay is idempotent over a full listing); a reader
+    that starts AT the checkpoint skips the whole prefix — O(1) log reads
+    instead of O(commits). Time travel to pre-checkpoint snapshots keeps
+    working because superseded log files are retained until
+    :func:`vacuum` removes what their snapshots reference.
+
+    Returns the checkpoint snapshot id."""
+    snaps = list_snapshots(spark, table)
+    if not snaps:
+        raise ValueError(f"{table}: nothing to checkpoint")
+    live = live_files(spark, table)
+    snapshot = snaps[-1] + 1
+    doc = {
+        "snapshot": snapshot,
+        "operation": "CHECKPOINT",
+        "adds": sorted(live, key=lambda a: a["path"]),
+        "removes": [],
+        "checkpoint_of": snaps,
+    }
+    data = json.dumps(doc, indent=1).encode("utf-8")
+    if not _create_exclusive(spark, _log_path(table, snapshot), data):
+        raise RuntimeError(
+            f"{table}: snapshot {snapshot} was committed concurrently — "
+            "re-read the log and retry the checkpoint"
+        )
+    return snapshot
+
+
+def vacuum(
+    spark: SparkSession, table: str, retain_snapshots: int = 1
+) -> list[str]:
+    """Physically delete data files no snapshot within the retention
+    window references — the pass that makes a txn-log DELETE actually
+    land in object storage (until then old files legitimately serve time
+    travel). Keeps every file referenced by the newest
+    ``retain_snapshots`` snapshots' live sets; deletes the rest of the
+    ``data/`` tree (which also sweeps orphans from aborted commits).
+    Time travel to vacuumed snapshots then fails by design, exactly as
+    in Delta. Returns the deleted relative paths."""
+    if retain_snapshots < 1:
+        raise ValueError("retain_snapshots must be >= 1")
+    snaps = list_snapshots(spark, table)
+    if not snaps:
+        return []
+    keep: set[str] = set()
+    for s in snaps[-retain_snapshots:]:
+        keep |= {f["path"] for f in live_files(spark, table, s)}
+    data_dir, fs = _fs(spark, f"{table}/data")
+    if not fs.exists(data_dir):
+        return []
+    deleted: list[str] = []
+    it = fs.listFiles(data_dir, True)
+    while it.hasNext():
+        status = it.next()
+        full = status.getPath().toString()
+        rel = "data/" + full.split("/data/", 1)[1]
+        if rel not in keep and rel.endswith(".parquet"):
+            fs.delete(status.getPath(), False)
+            deleted.append(rel)
+    return sorted(deleted)

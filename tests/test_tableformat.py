@@ -183,3 +183,41 @@ def test_upsert_unknown_provider(spark, tmp_path):
             "ts",
             provider="iceberg-nope",
         )
+
+
+def test_checkpoint_compacts_and_preserves_state(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(4):
+        TF.merge_into(
+            spark, _batch(spark, [(i, 10 + i, f"v{i}")]), t, ["k"], "ts"
+        )
+    before = _state(spark, t)
+    cp = TF.checkpoint(spark, t)
+    assert cp == 4
+    c = TF.read_commit(spark, t, cp)
+    assert c["operation"] == "CHECKPOINT" and c["checkpoint_of"] == [0, 1, 2, 3]
+    # replay-from-scratch equals pre-checkpoint state; merges continue after
+    assert _state(spark, t) == before
+    TF.merge_into(spark, _batch(spark, [(9, 10, "z")]), t, ["k"], "ts")
+    assert _state(spark, t) == {**before, 9: (10, "z")}
+
+
+def test_vacuum_deletes_unreferenced_keeps_retained(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.merge_into(spark, _batch(spark, [(1, 10, "a")]), t, ["k"], "ts")
+    TF.merge_into(spark, _batch(spark, [(1, 20, "a2")]), t, ["k"], "ts")
+    # snapshot 0's file is superseded; retention=1 may delete it
+    deleted = TF.vacuum(spark, t, retain_snapshots=1)
+    assert deleted, "superseded file should be vacuumed"
+    # the current snapshot still reads; the vacuumed one no longer does
+    assert _state(spark, t) == {1: (20, "a2")}
+    with pytest.raises(Exception):
+        TF.read_snapshot(spark, t, 0).collect()
+
+
+def test_vacuum_retention_preserves_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.merge_into(spark, _batch(spark, [(1, 10, "a")]), t, ["k"], "ts")
+    TF.merge_into(spark, _batch(spark, [(1, 20, "a2")]), t, ["k"], "ts")
+    assert TF.vacuum(spark, t, retain_snapshots=2) == []
+    assert _state(spark, t, snapshot=0) == {1: (10, "a")}
