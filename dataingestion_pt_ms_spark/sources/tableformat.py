@@ -167,11 +167,18 @@ def current_snapshot(spark: SparkSession, table: str) -> int | None:
 def read_snapshot(
     spark: SparkSession, table: str, snapshot: int | None = None
 ) -> DataFrame:
-    """Time-travel read: the table exactly as of ``snapshot``."""
+    """Time-travel read: the table exactly as of ``snapshot``.
+    ``mergeSchema`` because schema evolution (a MERGE batch carrying new
+    columns) leaves older live files on the narrower schema — the union
+    schema is the table schema, old rows surface NULLs (Delta
+    mergeSchema semantics). Footer-merge costs one metadata pass;
+    :func:`optimize` rewrites everything onto one schema again."""
     files = live_files(spark, table, snapshot)
     if not files:
         raise ValueError(f"{table}: no data at snapshot {snapshot}")
-    return spark.read.parquet(*[f"{table}/{f['path']}" for f in files])
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[f"{table}/{f['path']}" for f in files]
+    )
 
 
 def _committed_batch_ids(spark: SparkSession, table: str) -> set[str]:
@@ -194,6 +201,7 @@ def _write_data_files(
     table: str,
     snapshot: int,
     stat_col: str,
+    num_files: int | None = None,
 ) -> list[dict]:
     """Write ``df`` as immutable parquet files under a snapshot-unique
     data directory and return their add-actions with per-file min/max
@@ -203,7 +211,12 @@ def _write_data_files(
     file-count-bounded output, as Delta's write-side stats collection."""
     rel_dir = f"data/s{snapshot:08d}-{uuid.uuid4().hex[:8]}"
     out_dir = f"{table}/{rel_dir}"
-    df.repartitionByRange(F.col(stat_col)).write.mode("error").parquet(out_dir)
+    ranged = (
+        df.repartitionByRange(num_files, F.col(stat_col))
+        if num_files is not None
+        else df.repartitionByRange(F.col(stat_col))
+    )
+    ranged.write.mode("error").parquet(out_dir)
     stats = (
         spark.read.parquet(out_dir)
         .groupBy(F.input_file_name().alias("_file"))
@@ -319,11 +332,18 @@ def merge_into(
 
     source = batch_d.withColumn("_prio", F.lit(1))
     if overlap:
-        target = spark.read.parquet(
+        # allowMissingColumns = schema evolution on MERGE (Delta
+        # autoMerge): a batch carrying NEW columns widens the table —
+        # old rows surface NULLs; a batch missing table columns writes
+        # NULLs into the rows it wins (ADD-column evolution is the
+        # supported direction, as in Delta mergeSchema)
+        target = spark.read.option("mergeSchema", "true").parquet(
             *[f"{table}/{f['path']}" for f in overlap]
         ).withColumn("_prio", F.lit(0))
         merged = _dedup_source_wins(
-            target.unionByName(source), key_cols, order_col
+            target.unionByName(source, allowMissingColumns=True),
+            key_cols,
+            order_col,
         )
     else:
         merged = source.drop("_prio")
@@ -463,3 +483,42 @@ def vacuum(
             fs.delete(status.getPath(), False)
             deleted.append(rel)
     return sorted(deleted)
+
+
+def optimize(
+    spark: SparkSession,
+    table: str,
+    stat_col: str,
+    target_files: int = 1,
+) -> int:
+    """Small-file compaction as a COMMIT (Delta OPTIMIZE): rewrite the
+    live file set into ``target_files`` range-partitioned files and
+    publish atomically — removes = every old live file, adds = the
+    compacted ones. Unlike :func:`sinks.compact_parquet_dir` (whose
+    directory swap has a reader-visible gap), readers here never see a
+    hole: the old files stay on disk until :func:`vacuum` and the table
+    flips file sets in one exclusive log write. Also re-homes every row
+    onto the CURRENT union schema (post-evolution cleanup) and restores
+    tight per-file key stats. Data-preserving by construction; returns
+    the commit snapshot id."""
+    snaps = list_snapshots(spark, table)
+    if not snaps:
+        raise ValueError(f"{table}: nothing to optimize")
+    live = live_files(spark, table)
+    snapshot = snaps[-1] + 1
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{table}/{f['path']}" for f in live]
+    )
+    adds = _write_data_files(
+        spark, df, table, snapshot, stat_col, num_files=target_files
+    )
+    _commit(
+        spark,
+        table,
+        snapshot,
+        "OPTIMIZE",
+        adds,
+        [f["path"] for f in live],
+        None,
+    )
+    return snapshot

@@ -221,3 +221,36 @@ def test_vacuum_retention_preserves_time_travel(spark, tmp_path):
     TF.merge_into(spark, _batch(spark, [(1, 20, "a2")]), t, ["k"], "ts")
     assert TF.vacuum(spark, t, retain_snapshots=2) == []
     assert _state(spark, t, snapshot=0) == {1: (10, "a")}
+
+
+def test_schema_evolution_on_merge(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.merge_into(spark, _batch(spark, [(1, 10, "a"), (2, 10, "b")]), t, ["k"], "ts")
+    widened = _batch(spark, [(2, 20, "b2"), (3, 10, "c")]).withColumn(
+        "lang", F.lit("en")
+    )
+    TF.merge_into(spark, widened, t, ["k"], "ts")
+    rows = {r.k: (r.ts, r.v, r.lang) for r in TF.read_snapshot(spark, t).collect()}
+    # old row surfaces NULL in the evolved column; updated/new rows carry it
+    assert rows == {1: (10, "a", None), 2: (20, "b2", "en"), 3: (10, "c", "en")}
+    # pre-evolution snapshot keeps the narrow schema
+    assert "lang" not in TF.read_snapshot(spark, t, 0).columns
+
+
+def test_optimize_compacts_atomically(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(4):
+        TF.merge_into(
+            spark,
+            _batch(spark, [(100 * i + j, 10, f"v{i}.{j}") for j in range(5)]),
+            t, ["k"], "ts",
+        )
+    before = _state(spark, t)
+    n_files_before = len(TF.live_files(spark, t))
+    assert n_files_before >= 4
+    s = TF.optimize(spark, t, "k", target_files=1)
+    assert len(TF.live_files(spark, t)) == 1
+    assert _state(spark, t) == before  # data-preserving
+    assert _state(spark, t, snapshot=s - 1) == before  # old snapshot intact
+    c = TF.read_commit(spark, t, s)
+    assert c["operation"] == "OPTIMIZE" and len(c["removes"]) == n_files_before
