@@ -1257,7 +1257,7 @@ WITH RECURSIVE e AS (
   UNION
   SELECT ce2.b, w.lbl FROM walk w JOIN ce2 ON ce2.a = w.node
   WHERE w.lbl < ce2.b
-), assign AS (
+), assign AS MATERIALIZED (
   SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node
 ), border AS (
   SELECT nb.k, min(a2.cluster_id) AS cluster_id
@@ -1311,6 +1311,11 @@ _DB_KMAX = 16
 # materialization) now holds the ε-graph instead of the full within-label
 # pair space, which is what makes the sf10x rung's DuckDB side feasible
 # (BENCH §13e: ~2×10⁹ streamed cosines, ~10⁸ materialized edges).
+# ``adj AS MATERIALIZED`` is load-bearing at that scale: it is referenced
+# twice (degree + symmetrize), and DuckDB inlines each CTE reference —
+# without the hint the whole cosine join + top-k window runs TWICE and
+# the two concurrent spills exhausted the VM's disk on the first sf10x
+# attempt (the §13e graph_lp_training_set plan-bug class, same fix).
 _DB_CAPPED_CTES = f"""e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 ), scored AS (
@@ -1318,7 +1323,7 @@ _DB_CAPPED_CTES = f"""e AS (
          round(list_cosine_similarity(a.v, b.v), 6) AS c
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
   WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_DB_EPS}
-), adj AS (
+), adj AS MATERIALIZED (
   SELECT k, nb FROM (
     SELECT k, nb, c,
            row_number() OVER (PARTITION BY k ORDER BY c DESC, nb) AS rn
@@ -1329,9 +1334,9 @@ _DB_CAPPED_CTES = f"""e AS (
 DBSCAN_CAPPED_ORACLE = f"""
 WITH RECURSIVE {_DB_CAPPED_CTES}, deg AS (
   SELECT k, count(*) AS n_neigh FROM adj GROUP BY k
-), cores AS (
+), cores AS MATERIALIZED (
   SELECT k FROM deg WHERE n_neigh >= {_DB_MINPTS}
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT k, nb FROM adj UNION SELECT nb, k FROM adj
 ), ce2 AS (
   SELECT k AS a, nb AS b FROM sym
@@ -1341,7 +1346,7 @@ WITH RECURSIVE {_DB_CAPPED_CTES}, deg AS (
   UNION
   SELECT ce2.b, w.lbl FROM walk w JOIN ce2 ON ce2.a = w.node
   WHERE w.lbl < ce2.b
-), assign AS (
+), assign AS MATERIALIZED (
   SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node
 ), border AS (
   SELECT sym.k, min(a2.cluster_id) AS cluster_id
@@ -1396,9 +1401,9 @@ def sim_dbscan_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 DBSCAN_COUNTS_ORACLE = f"""
 WITH RECURSIVE {_DB_CAPPED_CTES}, deg AS (
   SELECT k, count(*) AS n_neigh FROM adj GROUP BY k
-), cores AS (
+), cores AS MATERIALIZED (
   SELECT k FROM deg WHERE n_neigh >= {_DB_MINPTS}
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT k, nb FROM adj UNION SELECT nb, k FROM adj
 ), ce2 AS (
   SELECT k AS a, nb AS b FROM sym
@@ -1408,7 +1413,7 @@ WITH RECURSIVE {_DB_CAPPED_CTES}, deg AS (
   UNION
   SELECT ce2.b, w.lbl FROM walk w JOIN ce2 ON ce2.a = w.node
   WHERE w.lbl < ce2.b
-), assign AS (
+), assign AS MATERIALIZED (
   SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node
 ), border AS (
   SELECT sym.k, min(a2.cluster_id) AS cluster_id
@@ -1417,7 +1422,7 @@ WITH RECURSIVE {_DB_CAPPED_CTES}, deg AS (
   JOIN assign a2 ON a2.node = sym.nb
   WHERE sym.k NOT IN (SELECT k FROM cores)
   GROUP BY sym.k
-), full_assign AS (
+), full_assign AS MATERIALIZED (
   SELECT e.vec_id,
          CASE WHEN a.node IS NOT NULL THEN 'core'
               WHEN b.k IS NOT NULL THEN 'border'
