@@ -1255,8 +1255,8 @@ WITH RECURSIVE e AS (
 ), walk(node, lbl) AS (
   SELECT k, k FROM cores
   UNION
-  SELECT ce2.b, w.lbl FROM walk w JOIN ce2 ON ce2.a = w.node
-  WHERE w.lbl < ce2.b
+  SELECT ce2.b, min(w.lbl) FROM walk w JOIN ce2 ON ce2.a = w.node
+  WHERE w.lbl < ce2.b GROUP BY ce2.b
 ), assign AS MATERIALIZED (
   SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node
 ), border AS (
@@ -1344,8 +1344,8 @@ WITH RECURSIVE {_DB_CAPPED_CTES}, deg AS (
 ), walk(node, lbl) AS (
   SELECT k, k FROM cores
   UNION
-  SELECT ce2.b, w.lbl FROM walk w JOIN ce2 ON ce2.a = w.node
-  WHERE w.lbl < ce2.b
+  SELECT ce2.b, min(w.lbl) FROM walk w JOIN ce2 ON ce2.a = w.node
+  WHERE w.lbl < ce2.b GROUP BY ce2.b
 ), assign AS MATERIALIZED (
   SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node
 ), border AS (
@@ -1411,8 +1411,8 @@ WITH RECURSIVE {_DB_CAPPED_CTES}, deg AS (
 ), walk(node, lbl) AS (
   SELECT k, k FROM cores
   UNION
-  SELECT ce2.b, w.lbl FROM walk w JOIN ce2 ON ce2.a = w.node
-  WHERE w.lbl < ce2.b
+  SELECT ce2.b, min(w.lbl) FROM walk w JOIN ce2 ON ce2.a = w.node
+  WHERE w.lbl < ce2.b GROUP BY ce2.b
 ), assign AS MATERIALIZED (
   SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node
 ), border AS (
