@@ -341,6 +341,19 @@ BASELINE_SEC = {
     # web-curation pipeline (2.87 warm — synthesize + parse + explode +
     # df boilerplate anti-join + gate + prefix-dedup window + lang agg)
     "pipeline_web_curation": 4.00,
+    # round 8 (VERDICT r7 #2/#4/#7): count-grain twins (same md5 pipelines
+    # as their pair-grain parents + a cheap rollup), archive-container
+    # heads, and the txn-log MERGE/time-travel query — min-of-3 hot,
+    # quiet window, 2026-08-16
+    "dedup_minhash_lsh_pairs_counts": 3.78,
+    "dedup_containment_pairs_counts": 3.58,
+    "dedup_winnowing_overlap_counts": 2.44,
+    "dedup_cross_corpus_minhash_counts": 3.78,
+    "sim_dbscan_capped_counts": 4.00,
+    "warc_record_inventory": 1.15,
+    "pipeline_web_curation_warc": 3.76,
+    "archive_tar_members_audit": 1.28,
+    "warehouse_txnlog_time_travel": 3.11,
 }
 GUARD_FACTOR = 2.0
 
@@ -710,6 +723,16 @@ HEADLINE = [
     "multimodal_media_triage",
     "text_html_extraction",
     "pipeline_web_curation",
+    # round 8: count-grain twins, archive containers, txn-log MERGE
+    "dedup_minhash_lsh_pairs_counts",
+    "dedup_containment_pairs_counts",
+    "dedup_winnowing_overlap_counts",
+    "dedup_cross_corpus_minhash_counts",
+    "sim_dbscan_capped_counts",
+    "warc_record_inventory",
+    "pipeline_web_curation_warc",
+    "archive_tar_members_audit",
+    "warehouse_txnlog_time_travel",
 ]
 
 

@@ -160,6 +160,17 @@ HEAVY = [
     # codec queries are fixed panels by design — scale-independent)
     "text_html_extraction",
     "pipeline_web_curation",
+    # round 8 (VERDICT r7 #2/#7): the count-grain audit twins — same
+    # heavy pipelines as their pair-grain parents, bounded output so the
+    # §13e VALUE tier reaches them — and the archive-container heads
+    "dedup_minhash_lsh_pairs_counts",
+    "dedup_containment_pairs_counts",
+    "dedup_winnowing_overlap_counts",
+    "dedup_cross_corpus_minhash_counts",
+    "sim_dbscan_capped_counts",
+    "warc_record_inventory",
+    "pipeline_web_curation_warc",
+    "archive_tar_members_audit",
 ]
 
 
