@@ -373,7 +373,19 @@ STREAM_BASELINE_SEC: dict[str, float] = {
 # (1M/10M rows, 30 day-partitions) and WARNs over GUARD_FACTOR x these
 # min-of-1 quiet-window records; full pass metrics (partition scope,
 # idempotency, untouched-partition byte-identity) in BENCH.md §13f.
-SINK_BASELINE_SEC: dict[str, float] = {}
+SINK_BASELINE_SEC: dict[str, float] = {
+    # quiet window 2026-08-16 (BENCH.md §13f)
+    "sink_upsert_initial_load_10x": 6.3,
+    "sink_upsert_incremental_10x": 3.4,
+    "sink_upsert_replay_10x": 1.6,
+    "sink_rtbf_delete_10x": 1.6,
+    "sink_rtbf_delete_replay_10x": 1.0,
+    "sink_upsert_initial_load_100x": 11.2,
+    "sink_upsert_incremental_100x": 5.8,
+    "sink_upsert_replay_100x": 3.0,
+    "sink_rtbf_delete_100x": 2.4,
+    "sink_rtbf_delete_replay_100x": 1.8,
+}
 
 # Driver-artifact subsets (VERDICT r4 #3): the driver captures only the
 # last ~2000 chars of stdout, so the full per-query map (240+ entries)
