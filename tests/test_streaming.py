@@ -1321,3 +1321,41 @@ def test_synth_kafka_stream_exactly_once(spark, tmp_path):
     rows = spark.sql("SELECT partition, offset FROM kafka_stream").collect()
     assert len(rows) == 120, len(rows)
     assert len({(r.partition, r.offset) for r in rows}) == 120
+
+
+def test_streaming_ingest_txnlog_exactly_once(spark, tmp_path):
+    """R16's production streaming form (round 8): foreachBatch into the
+    txn-log table. A fresh-checkpoint full replay (the at-least-once
+    re-delivery case) short-circuits on the committed batch_id — same
+    final table, NO new snapshot for the duplicate epoch — and the first
+    micro-batch's state stays time-travel-readable."""
+    from dataingestion_pt_ms_spark.sources import tableformat as TF
+    from dataingestion_pt_ms_spark.streaming.ingest import streaming_ingest_txnlog
+
+    raw_dir = str(tmp_path / "raw")
+    table = str(tmp_path / "bars_txn")
+    rows = [
+        ("SPY", "Day", dt.datetime(2024, 1, 1 + d, tzinfo=UTC), 1.0, 2.0, 0.5, 1.5, 10)
+        for d in range(3)
+    ]
+    spark.createDataFrame(rows, RAW_BAR_SCHEMA).write.parquet(raw_dir)
+    assets = spark.createDataFrame(
+        [("alpaca_SPY", "alpaca", "SPY", "SPDR", "ETF")], ASSET_SCHEMA
+    )
+    # same checkpoint NAME both runs = same batch_id tags on replay
+    ckpt = str(tmp_path / "ckpt_txn")
+    stream = stream_from_dir(spark, raw_dir, RAW_BAR_SCHEMA)
+    q = streaming_ingest_txnlog(spark, stream, assets, table, ckpt)
+    q.awaitTermination(120)
+    snaps_first = TF.list_snapshots(spark, table)
+    assert TF.read_snapshot(spark, table).count() == 3
+
+    shutil.rmtree(ckpt)  # lose the checkpoint → engine replays epoch 0
+    stream = stream_from_dir(spark, raw_dir, RAW_BAR_SCHEMA)
+    q = streaming_ingest_txnlog(spark, stream, assets, table, ckpt)
+    q.awaitTermination(120)
+    assert TF.list_snapshots(spark, table) == snaps_first  # exactly-once
+    assert TF.read_snapshot(spark, table).count() == 3
+    # history records the streaming epoch's batch id
+    h = TF.history(spark, table).collect()
+    assert any(r.batch_id == "ckpt_txn-0" for r in h)
