@@ -182,6 +182,21 @@ def streaming_ingest(
     return writer.start()
 
 
+def _txn_app_id(checkpoint_path: str, app_id: str | None) -> str:
+    """The exactly-once commit namespace (Delta's ``txnAppId``). An
+    explicit ``app_id`` wins; otherwise hash the FULL checkpoint path —
+    two queries whose checkpoints merely share a basename (e.g. both
+    named ``ckpt``) must NOT collide and drop each other's epochs as
+    replays (ADVICE r8, low)."""
+    if app_id is not None:
+        return app_id
+    import hashlib
+
+    return hashlib.md5(
+        checkpoint_path.rstrip("/").encode("utf-8")
+    ).hexdigest()[:12]
+
+
 def streaming_ingest_txnlog(
     spark: SparkSession,
     raw_stream: DataFrame,
@@ -189,13 +204,15 @@ def streaming_ingest_txnlog(
     table_path: str,
     checkpoint_path: str,
     processing_time: str | None = None,
+    app_id: str | None = None,
 ):
     """R16's PRODUCTION streaming form (round 8, VERDICT r7 #4): the same
     foreachBatch ingest targeting the transaction-log table
     (sources/tableformat.py) with TRUE exactly-once per micro-batch —
     the Delta + foreachBatch idempotent-writes pattern
-    (``txnAppId``/``txnVersion``), here as ``batch_id = "<query
-    checkpoint>-<epoch>"``. The parquet variant above is idempotent only
+    (``txnAppId``/``txnVersion``), here as ``batch_id = "<app id>-<epoch>"``
+    where the app id is an explicit ``app_id`` or a hash of the full
+    checkpoint path. The parquet variant above is idempotent only
     because its MERGE happens to be a deterministic last-wins dedup; the
     txn-log sink is exactly-once for ANY batch function, because a
     replayed epoch (post-crash foreachBatch re-delivery, the documented
@@ -205,7 +222,7 @@ def streaming_ingest_txnlog(
     across micro-batches for free."""
     from ..sources.tableformat import merge_into
 
-    ckpt_tag = checkpoint_path.rstrip("/").rsplit("/", 1)[-1]
+    ckpt_tag = _txn_app_id(checkpoint_path, app_id)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

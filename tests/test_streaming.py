@@ -1330,7 +1330,10 @@ def test_streaming_ingest_txnlog_exactly_once(spark, tmp_path):
     final table, NO new snapshot for the duplicate epoch — and the first
     micro-batch's state stays time-travel-readable."""
     from dataingestion_pt_ms_spark.sources import tableformat as TF
-    from dataingestion_pt_ms_spark.streaming.ingest import streaming_ingest_txnlog
+    from dataingestion_pt_ms_spark.streaming.ingest import (
+        _txn_app_id,
+        streaming_ingest_txnlog,
+    )
 
     raw_dir = str(tmp_path / "raw")
     table = str(tmp_path / "bars_txn")
@@ -1342,7 +1345,8 @@ def test_streaming_ingest_txnlog_exactly_once(spark, tmp_path):
     assets = spark.createDataFrame(
         [("alpaca_SPY", "alpaca", "SPY", "SPDR", "ETF")], ASSET_SCHEMA
     )
-    # same checkpoint NAME both runs = same batch_id tags on replay
+    # same checkpoint PATH both runs = same batch_id tags on replay
+    # (the tag hashes the FULL path — shared basenames don't collide)
     ckpt = str(tmp_path / "ckpt_txn")
     stream = stream_from_dir(spark, raw_dir, RAW_BAR_SCHEMA)
     q = streaming_ingest_txnlog(spark, stream, assets, table, ckpt)
@@ -1358,4 +1362,4 @@ def test_streaming_ingest_txnlog_exactly_once(spark, tmp_path):
     assert TF.read_snapshot(spark, table).count() == 3
     # history records the streaming epoch's batch id
     h = TF.history(spark, table).collect()
-    assert any(r.batch_id == "ckpt_txn-0" for r in h)
+    assert any(r.batch_id == f"{_txn_app_id(ckpt, None)}-0" for r in h)

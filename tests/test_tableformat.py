@@ -207,7 +207,8 @@ def test_vacuum_deletes_unreferenced_keeps_retained(spark, tmp_path):
     TF.merge_into(spark, _batch(spark, [(1, 10, "a")]), t, ["k"], "ts")
     TF.merge_into(spark, _batch(spark, [(1, 20, "a2")]), t, ["k"], "ts")
     # snapshot 0's file is superseded; retention=1 may delete it
-    deleted = TF.vacuum(spark, t, retain_snapshots=1)
+    # (min_file_age_ms=0: this test IS the exclusive single writer)
+    deleted = TF.vacuum(spark, t, retain_snapshots=1, min_file_age_ms=0)
     assert deleted, "superseded file should be vacuumed"
     # the current snapshot still reads; the vacuumed one no longer does
     assert _state(spark, t) == {1: (20, "a2")}
@@ -219,8 +220,121 @@ def test_vacuum_retention_preserves_time_travel(spark, tmp_path):
     t = str(tmp_path / "t")
     TF.merge_into(spark, _batch(spark, [(1, 10, "a")]), t, ["k"], "ts")
     TF.merge_into(spark, _batch(spark, [(1, 20, "a2")]), t, ["k"], "ts")
-    assert TF.vacuum(spark, t, retain_snapshots=2) == []
+    assert TF.vacuum(spark, t, retain_snapshots=2, min_file_age_ms=0) == []
     assert _state(spark, t, snapshot=0) == {1: (10, "a")}
+
+
+def test_vacuum_table_under_data_ancestor_dir(spark, tmp_path):
+    """ADVICE r8 (high): relative paths must come from stripping the
+    table's own data-dir prefix, not from splitting on the first
+    '/data/' — a table mounted under an ancestor directory named data
+    (e.g. /data/lake/t) must not have its LIVE files swept."""
+    t = str(tmp_path / "data" / "lake" / "t")
+    TF.merge_into(spark, _batch(spark, [(1, 10, "a")]), t, ["k"], "ts")
+    TF.merge_into(spark, _batch(spark, [(1, 20, "a2")]), t, ["k"], "ts")
+    deleted = TF.vacuum(spark, t, retain_snapshots=1, min_file_age_ms=0)
+    assert deleted, "superseded file should still be vacuumed"
+    assert all(d.startswith("data/s") for d in deleted)
+    assert _state(spark, t) == {1: (20, "a2")}  # live files survived
+
+
+def test_vacuum_retention_window_skips_fresh_files(spark, tmp_path):
+    """ADVICE r8 (medium): files younger than min_file_age_ms may belong
+    to an in-flight merge (data lands before its log commit) — the
+    default window must skip them instead of corrupting that merge."""
+    t = str(tmp_path / "t")
+    TF.merge_into(spark, _batch(spark, [(1, 10, "a")]), t, ["k"], "ts")
+    TF.merge_into(spark, _batch(spark, [(1, 20, "a2")]), t, ["k"], "ts")
+    # default window (1h): the just-written superseded file is too fresh
+    assert TF.vacuum(spark, t, retain_snapshots=1) == []
+    assert _state(spark, t, snapshot=0) == {1: (10, "a")}  # still readable
+    # explicit 0 (single-writer escape hatch) sweeps it
+    assert TF.vacuum(spark, t, retain_snapshots=1, min_file_age_ms=0)
+
+
+def test_delete_keys_after_schema_evolution(spark, tmp_path):
+    """ADVICE r8 (medium): the RTBF rewrite must read overlapping files
+    with mergeSchema, or evolved columns silently vanish from every
+    surviving row in rewritten files."""
+    t = str(tmp_path / "t")
+    TF.merge_into(spark, _batch(spark, [(1, 10, "a"), (2, 10, "b")]), t, ["k"], "ts")
+    widened = _batch(spark, [(3, 10, "c")]).withColumn("lang", F.lit("en"))
+    TF.merge_into(spark, widened, t, ["k"], "ts")
+    doomed = spark.createDataFrame([Row(k=2)], "k long")
+    TF.delete_keys(spark, doomed, t, ["k"])
+    rows = {r.k: (r.ts, r.v, r.lang) for r in TF.read_snapshot(spark, t).collect()}
+    # the evolved column survives the copy-on-write rewrite
+    assert rows == {1: (10, "a", None), 3: (10, "c", "en")}
+
+
+def test_delete_keys_emptying_every_overlapping_file(spark, tmp_path):
+    """Deleting every key in the overlapping files commits removes with
+    zero adds (no pre-count probe job, no phantom empty-file adds)."""
+    t = str(tmp_path / "t")
+    TF.merge_into(spark, _batch(spark, [(1, 10, "a"), (2, 10, "b")]), t, ["k"], "ts")
+    doomed = spark.createDataFrame([Row(k=1), Row(k=2)], "k long")
+    s = TF.delete_keys(spark, doomed, t, ["k"])
+    c = TF.read_commit(spark, t, s)
+    assert c["adds"] == [] and c["removes"], "empty rewrite → pure removal"
+    with pytest.raises(ValueError, match="no data"):
+        TF.read_snapshot(spark, t)  # table is now empty
+    assert len(_state(spark, t, snapshot=s - 1)) == 2  # time travel intact
+
+
+def test_checkpoint_skip_makes_log_reads_o1(spark, tmp_path):
+    """VERDICT r8 #2: after a checkpoint, a merge's log reads must be
+    O(commits since checkpoint), not O(all commits) — the scaling the
+    checkpoint docstring promises. Counted via TF.LOG_READS."""
+    t = str(tmp_path / "t")
+    n = 10
+    for i in range(n):
+        TF.merge_into(
+            spark,
+            _batch(spark, [(i, 10, f"v{i}")]),
+            t, ["k"], "ts",
+            batch_id=f"epoch-{i}",
+        )
+    # without a checkpoint a merge replays every commit (> n reads)
+    before = TF.LOG_READS
+    TF.merge_into(
+        spark, _batch(spark, [(100, 10, "x")]), t, ["k"], "ts",
+        batch_id="epoch-pre-ckpt",
+    )
+    assert TF.LOG_READS - before > n
+    cp = TF.checkpoint(spark, t)
+    # post-checkpoint: batch-id set + live files come from the checkpoint
+    # commit plus the (zero) commits after it — a small constant
+    before = TF.LOG_READS
+    TF.merge_into(
+        spark, _batch(spark, [(101, 10, "y")]), t, ["k"], "ts",
+        batch_id="epoch-post-ckpt",
+    )
+    post_ckpt_reads = TF.LOG_READS - before
+    assert post_ckpt_reads <= 4, f"expected O(1) log reads, got {post_ckpt_reads}"
+    # exactly-once replay still short-circuits on PRE-checkpoint batch ids
+    # (the checkpoint carries the committed set forward)
+    n_snaps = len(TF.list_snapshots(spark, t))
+    TF.merge_into(
+        spark, _batch(spark, [(0, 99, "dup")]), t, ["k"], "ts",
+        batch_id="epoch-0",
+    )
+    assert len(TF.list_snapshots(spark, t)) == n_snaps  # replay was a no-op
+    assert _state(spark, t)[0] == (10, "v0")
+    # time travel to a pre-checkpoint snapshot still replays from 0
+    assert _state(spark, t, snapshot=0) == {0: (10, "v0")}
+    assert _state(spark, t, snapshot=cp) == _state(spark, t, snapshot=cp - 1)
+
+
+def test_txn_app_id_disambiguates_shared_basenames():
+    """ADVICE r8 (low): two queries whose checkpoints share a basename
+    must not collide in the exactly-once batch-id namespace."""
+    from dataingestion_pt_ms_spark.streaming.ingest import _txn_app_id
+
+    a = _txn_app_id("/jobs/alpha/ckpt", None)
+    b = _txn_app_id("/jobs/beta/ckpt", None)
+    assert a != b
+    assert _txn_app_id("/jobs/alpha/ckpt/", None) == a  # slash-insensitive
+    assert _txn_app_id("/jobs/alpha/ckpt", "explicit") == "explicit"
 
 
 def test_schema_evolution_on_merge(spark, tmp_path):
