@@ -107,6 +107,11 @@ def sniff_media_kind(data: bytes) -> str:
         return "image/jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
+    if data[:5] == b"%PDF-":
+        return "application/pdf"
+    head = data[:256].lstrip()[:9].lower()
+    if head[:5] == b"<html" or head == b"<!doctype":
+        return "text/html"
     return "application/octet-stream"
 
 

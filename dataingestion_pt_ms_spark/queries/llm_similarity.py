@@ -2873,7 +2873,10 @@ _IMA_STEPS = (
     "22385,24623,27086,29794,32767]"
 )
 
-MEDIA_TRIAGE_ORACLE = f"""
+# The CTE block is shared verbatim by MEDIA_TRIAGE_ORACLE and the
+# WARC-fed composition below (pipeline_warc_media_triage): one source of
+# truth for the per-format closed-form metrics.
+_TRIAGE_CTES = f"""
 WITH RECURSIVE ids AS (
   SELECT doc_id FROM documents WHERE doc_id < {_TRI_PANEL}
 ), png_m AS (
@@ -2969,7 +2972,9 @@ WITH RECURSIVE ids AS (
 ), adpcm_m AS (
   SELECT doc_id, round(sqrt(avg(CAST(pred * pred AS DOUBLE))), 6) AS metric
   FROM rec GROUP BY doc_id
-), all_m AS (
+)"""
+
+_TRIAGE_ALL_M = """
   SELECT 'image/png' AS media_kind, 'png' AS codec, metric FROM png_m
   UNION ALL SELECT 'image/bmp', 'bmp', metric FROM bmp_m
   UNION ALL SELECT 'image/gif', 'gif', metric FROM gif_m
@@ -2977,13 +2982,103 @@ WITH RECURSIVE ids AS (
   UNION ALL SELECT 'audio/wav', 'pcm16', metric FROM pcm_m
   UNION ALL SELECT 'audio/wav', 'mulaw', metric FROM mu_m
   UNION ALL SELECT 'audio/wav', 'ima_adpcm', metric FROM adpcm_m
-)
+"""
+
+_TRIAGE_FINAL = """
 SELECT media_kind, codec, count(*) AS n_payloads,
        round(avg(metric), 6) AS avg_metric
 FROM all_m
 GROUP BY media_kind, codec
 ORDER BY media_kind, codec
 """
+
+MEDIA_TRIAGE_ORACLE = (
+    _TRIAGE_CTES + ", all_m AS (" + _TRIAGE_ALL_M + ")" + _TRIAGE_FINAL
+)
+
+
+def _triage_payload(did: int) -> bytes:
+    """One deterministic media payload per panel doc, format keyed by
+    ``doc_id % 7`` — shared by the direct triage query and the WARC-fed
+    composition, and recomputed closed-form by ``_TRIAGE_CTES``."""
+    import numpy as np
+
+    from dataingestion_pt_ms_spark.operators import gif as G
+    from dataingestion_pt_ms_spark.operators import jpeg as J
+
+    fmt = did % 7
+    if fmt == 0:
+        y, x, c = np.meshgrid(
+            np.arange(6), np.arange(9), np.arange(3), indexing="ij"
+        )
+        arr = ((did * 29 + y * 5 + x * 11 + c * 3) % 256).astype("uint8")
+        return M.encode_png(arr)
+    if fmt == 1:
+        y, x, c = np.meshgrid(
+            np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+        )
+        arr = ((did * 17 + y * 3 + x * 5 + c * 7) % 256).astype("uint8")
+        return M.encode_bmp(arr)
+    if fmt == 2:
+        i256 = np.arange(256)
+        gif_pal = np.stack(
+            [(i256 * 7) % 256, (i256 * 11) % 256, (i256 * 13) % 256], -1
+        ).astype("uint8")
+        y, x = np.meshgrid(np.arange(6), np.arange(9), indexing="ij")
+        idx = (did * 29 + y * 5 + x * 3) % 256
+        return G.encode_gif(idx, gif_pal, interlace=did % 2 == 1)
+    if fmt == 3:
+        gray = np.zeros((16, 32), dtype="uint8")
+        for bi in range(2):
+            for bj in range(4):
+                gray[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = (
+                    did * 31 + bi * 17 + bj * 7
+                ) % 256
+        return J.encode_jpeg(gray, quality=50)
+    if fmt in (4, 5):
+        i = np.arange(_TRI_WAVN)
+        s = ((did * 13 + i * 7) % 2001 - 1000).astype("<i2")
+        return M.encode_wav(s, 8000, "pcm16" if fmt == 4 else "mulaw")
+    i = np.arange(_TRI_ADPCMN)
+    s = ((did * 13 + i * 7) % 64001 - 32000).astype("<i2")
+    return M.encode_wav(s, 8000, "ima_adpcm")
+
+
+def _triage_row(did: int, data: bytes) -> tuple[int, str, str, float]:
+    """Sniff one payload and compute its per-kind metric — images: mean
+    channel-sum; audio: RMS; HTML/PDF: extracted n_chars. Shared by the
+    direct and WARC-fed triage queries."""
+    import struct
+
+    import numpy as np
+
+    kind = M.sniff_media_kind(data)
+    if kind.startswith("image/"):
+        arr = M.decode_image(data)
+        codec = kind.split("/")[1]
+        metric = float(arr.astype("int64").sum(axis=2).mean())
+    elif kind == "audio/wav":
+        tag = struct.unpack_from("<H", data, 20)[0]
+        codec = {1: "pcm16", 6: "alaw", 7: "mulaw", 0x11: "ima_adpcm"}[tag]
+        s, _rate = M.decode_wav(data)
+        x = s.astype("float64")
+        metric = float(np.sqrt((x * x).mean()))
+    elif kind == "text/html":
+        from dataingestion_pt_ms_spark.operators.htmltext import extract_text
+
+        codec = "html"
+        metric = float(len(extract_text(data.decode("utf-8"))))
+    elif kind == "application/pdf":
+        from dataingestion_pt_ms_spark.operators.pdf import extract_pdf_text
+
+        codec = "pdf"
+        metric = float(len(extract_pdf_text(data)))
+    else:
+        codec, metric = "unknown", 0.0
+    return (did, kind, codec, round(metric, 6))
+
+
+_TRIAGE_OUT_SCHEMA = "doc_id long, media_kind string, codec string, metric double"
 
 
 @register(
@@ -2995,89 +3090,177 @@ ORDER BY media_kind, codec
 def multimodal_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
-    import numpy as np
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _TRI_PANEL)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from dataingestion_pt_ms_spark.operators import gif as G
-        from dataingestion_pt_ms_spark.operators import jpeg as J
-
-        i256 = np.arange(256)
-        gif_pal = np.stack(
-            [(i256 * 7) % 256, (i256 * 11) % 256, (i256 * 13) % 256], -1
-        ).astype("uint8")
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                did = int(doc_id)
-                fmt = did % 7
-                if fmt == 0:
-                    y, x, c = np.meshgrid(
-                        np.arange(6), np.arange(9), np.arange(3), indexing="ij"
-                    )
-                    arr = ((did * 29 + y * 5 + x * 11 + c * 3) % 256).astype("uint8")
-                    payload = M.encode_png(arr)
-                elif fmt == 1:
-                    y, x, c = np.meshgrid(
-                        np.arange(8), np.arange(8), np.arange(3), indexing="ij"
-                    )
-                    arr = ((did * 17 + y * 3 + x * 5 + c * 7) % 256).astype("uint8")
-                    payload = M.encode_bmp(arr)
-                elif fmt == 2:
-                    y, x = np.meshgrid(np.arange(6), np.arange(9), indexing="ij")
-                    idx = (did * 29 + y * 5 + x * 3) % 256
-                    payload = G.encode_gif(idx, gif_pal, interlace=did % 2 == 1)
-                elif fmt == 3:
-                    gray = np.zeros((16, 32), dtype="uint8")
-                    for bi in range(2):
-                        for bj in range(4):
-                            gray[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = (
-                                did * 31 + bi * 17 + bj * 7
-                            ) % 256
-                    payload = J.encode_jpeg(gray, quality=50)
-                elif fmt in (4, 5):
-                    i = np.arange(_TRI_WAVN)
-                    s = ((did * 13 + i * 7) % 2001 - 1000).astype("<i2")
-                    payload = M.encode_wav(s, 8000, "pcm16" if fmt == 4 else "mulaw")
-                else:
-                    i = np.arange(_TRI_ADPCMN)
-                    s = ((did * 13 + i * 7) % 64001 - 32000).astype("<i2")
-                    payload = M.encode_wav(s, 8000, "ima_adpcm")
-                rows.append((did, bytearray(payload)))
+            rows = [
+                (int(doc_id), bytearray(_triage_payload(int(doc_id))))
+                for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
 
     payloads = docs.select("doc_id").mapInPandas(gen, "doc_id long, media_bytes binary")
 
     def triage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["media_bytes"])
-                kind = M.sniff_media_kind(data)
-                if kind.startswith("image/"):
-                    arr = M.decode_image(data)
-                    codec = kind.split("/")[1]
-                    metric = float(arr.astype("int64").sum(axis=2).mean())
-                elif kind == "audio/wav":
-                    tag = struct.unpack_from("<H", data, 20)[0]
-                    codec = {1: "pcm16", 6: "alaw", 7: "mulaw", 0x11: "ima_adpcm"}[tag]
-                    s, _rate = M.decode_wav(data)
-                    x = s.astype("float64")
-                    metric = float(np.sqrt((x * x).mean()))
-                else:
-                    codec, metric = "unknown", 0.0
-                rows.append((int(r["doc_id"]), kind, codec, round(metric, 6)))
+            rows = [
+                _triage_row(int(r["doc_id"]), bytes(r["media_bytes"]))
+                for _, r in pdf.iterrows()
+            ]
             yield pd.DataFrame(
                 rows, columns=["doc_id", "media_kind", "codec", "metric"]
             )
 
-    triaged = payloads.mapInPandas(
-        triage, "doc_id long, media_kind string, codec string, metric double"
+    triaged = payloads.mapInPandas(triage, _TRIAGE_OUT_SCHEMA)
+    return (
+        triaged.groupBy("media_kind", "codec")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.round(F.avg("metric"), 6).alias("avg_metric"),
+        )
+        .orderBy("media_kind", "codec")
     )
+
+
+# --------------------------------------------------------------------------
+# WARC → media triage (round 9, VERDICT r8 #5): real crawl archives carry
+# MIXED payloads — HTML pages next to images, audio and PDFs. This row
+# composes the two already-oracled stages into one crawl-to-curated-
+# multimodal pipeline: pack THREE response records per panel doc (the
+# id-free HTML page shell, the doc's % 7-keyed media payload, a
+# synthesized PDF) into spec-shaped WARC segments executor-side (odd
+# segments per-record-gzip), split them back out with the ISO-28500
+# walker, content-sniff every payload (extensions don't exist inside a
+# WARC), and route each kind through its decoder: images → mean
+# channel-sum, audio → RMS, HTML → extracted n_chars, PDF → extracted
+# n_chars. The oracle reuses the triage CTEs verbatim and adds html_m /
+# pdf_m closed forms from the source columns — a container walk slip, a
+# sniff miss, or any decoder regression changes a per-kind count or
+# metric. Scale shape: one applyInPandas pack + one flatMap split + one
+# mapInPandas triage + one hash rollup; one archive per task in flight,
+# the driver never touches a container. Beyond-reference [NS]
+# (multimodal + source families).
+# --------------------------------------------------------------------------
+_WARC_TRIAGE_ORACLE = (
+    _TRIAGE_CTES
+    + f""", html_m AS (
+  SELECT doc_id,
+         CAST(length('corpus page' || chr(10) ||
+              'AT&T <terms> "apply" A' || chr(10) ||
+              trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10) ||
+              'footer links here') AS DOUBLE) AS metric
+  FROM documents WHERE doc_id < {_TRI_PANEL}
+), pdf_m AS (
+  SELECT doc_id,
+         CAST(length('Doc ' || doc_id || ' (A) \\ B' || chr(10) ||
+              'Token ' || doc_id || chr(10) ||
+              text || chr(10) ||
+              'tail ' || doc_id || ' end') AS DOUBLE) AS metric
+  FROM documents WHERE doc_id < {_TRI_PANEL}
+), all_m AS ("""
+    + _TRIAGE_ALL_M
+    + """
+  UNION ALL SELECT 'text/html', 'html', metric FROM html_m
+  UNION ALL SELECT 'application/pdf', 'pdf', metric FROM pdf_m
+)"""
+    + _TRIAGE_FINAL
+)
+
+
+@register(
+    "pipeline_warc_media_triage",
+    oracle=_WARC_TRIAGE_ORACLE,
+    tags=("llm", "multimodal", "pipeline", "warc", "udf"),
+    since=9,
+)
+def pipeline_warc_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources import archives as A
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _TRI_PANEL)
+        .select("doc_id", "text")
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dataingestion_pt_ms_spark.operators import pdf as P
+        from dataingestion_pt_ms_spark.queries.curation import _page_html
+
+        pdf = pdf.sort_values("doc_id")
+        aid = int(pdf["archive_id"].iloc[0])
+        recs = [
+            A.encode_warc_record(
+                "warcinfo",
+                b"software: dataingestion-pt-ms-spark\r\n",
+                record_id=f"<urn:uuid:warcinfo-mm-{aid}>",
+                content_type="application/warc-fields",
+            )
+        ]
+        for _, r in pdf.iterrows():
+            did = int(r["doc_id"])
+            page = _page_html(r["text"]).encode("utf-8")
+            media = _triage_payload(did)
+            doc_pdf = P.encode_pdf(
+                P.encode_text_ops(
+                    [
+                        f"Doc {did} (A) \\ B",
+                        f"Token {did}",
+                        str(r["text"]),
+                        f"tail {did} end",
+                    ]
+                ),
+                compress=did % 2 == 0,
+            )
+            for path, body, ctype in (
+                ("doc", page, "text/html"),
+                ("media", media, "application/octet-stream"),
+                ("pdf", doc_pdf, "application/pdf"),
+            ):
+                recs.append(
+                    A.encode_warc_record(
+                        "response",
+                        A.encode_http_response(body),
+                        target_uri=f"http://corpus.example/{path}/{did}",
+                        record_id=f"<urn:uuid:mm-{path}-{did}>",
+                        content_type="application/http; msgtype=response",
+                    )
+                )
+        blob = A.encode_warc(recs, per_record_gzip=aid % 2 == 1)
+        return pd.DataFrame(
+            {"archive": [f"mixed-{aid}.warc"], "content": [bytearray(blob)]}
+        )
+
+    archives_df = (
+        docs.withColumn("archive_id", F.floor(F.col("doc_id") / 16))
+        .groupBy("archive_id")
+        .applyInPandas(build, "archive string, content binary")
+    )
+    records = A.split_warc_records(
+        archives_df, content_col="content", path_col="archive"
+    )
+    payloads = records.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "payload",
+    )
+
+    def triage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _triage_row(int(r["doc_id"]), bytes(r["payload"]))
+                for _, r in pdf.iterrows()
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_kind", "codec", "metric"]
+            )
+
+    triaged = payloads.mapInPandas(triage, _TRIAGE_OUT_SCHEMA)
     return (
         triaged.groupBy("media_kind", "codec")
         .agg(

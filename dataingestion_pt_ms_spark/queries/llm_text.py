@@ -2761,3 +2761,79 @@ def text_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("extracted", "\n")).alias("n_lines"),
         F.md5(F.encode("extracted", "utf-8")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# PDF → text extraction (round 9, VERDICT r8 #4): the eighth media kind.
+# Round 8's WARC source made real crawl archives ingestible, and PDF is
+# the largest crawl payload type the curation head still dropped. Each
+# doc becomes a synthesized, structurally complete PDF (operators/pdf.py:
+# real xref offsets, FlateDecode on even doc_ids, filter-less streams on
+# odd ones) whose FOUR text lines exercise every text-showing operator
+# class: Tj with literal-string escapes \( \) \\, the ' next-line-show,
+# a TJ array with intra-word kerning nudges that must NOT become spaces,
+# and a whitespace-embedded hex string. The oracle recomputes the
+# EXPECTED extraction straight from the source columns (the
+# text_html_extraction recipe) — a missed escape, a kerning-as-space
+# slip, a hex-digit misparse, a dropped line advance, or a broken
+# FlateDecode changes length/md5. At 100 TB: two Arrow-batched
+# mapInPandas passes, embarrassingly parallel, no shuffle.
+# Beyond-reference [NS] (multimodal family).
+# --------------------------------------------------------------------------
+
+PDF_EXTRACTION_ORACLE = r"""
+WITH exp AS (
+  SELECT doc_id,
+         'Doc ' || doc_id || ' (A) \ B' || chr(10) ||
+         'Token ' || doc_id || chr(10) ||
+         text || chr(10) ||
+         'tail ' || doc_id || ' end' AS expected
+  FROM documents
+)
+SELECT doc_id,
+       length(expected) AS n_chars,
+       md5(expected) AS text_md5
+FROM exp
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_pdf_extract",
+    oracle=PDF_EXTRACTION_ORACLE,
+    tags=("llm", "multimodal", "text", "udf"),
+    since=9,
+)
+def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators import pdf as P
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                lines = [
+                    f"Doc {did} (A) \\ B",  # style 0: Tj with escapes
+                    f"Token {did}",  # style 1: ' next-line-show
+                    str(r["text"]),  # style 2: TJ kerning splits
+                    f"tail {did} end",  # style 3: hex string
+                ]
+                blob = P.encode_pdf(
+                    P.encode_text_ops(lines), compress=did % 2 == 0
+                )
+                rows.append((did, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf_bytes"])
+
+    pdfs = docs.mapInPandas(gen, "doc_id long, pdf_bytes binary")
+    extracted = P.pdf_text_extract(pdfs)
+    return extracted.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.encode("extracted", "utf-8")).alias("text_md5"),
+    ).orderBy("doc_id")

@@ -1,0 +1,138 @@
+"""PDF text-extraction tests (operators/pdf.py, round 9 VERDICT r8 #4)
+— the codec-free encode/extract round trip plus the spec edge cases the
+synthesized oracle PDFs don't all exercise."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from dataingestion_pt_ms_spark.operators import pdf as P
+from dataingestion_pt_ms_spark.operators.multimodal import sniff_media_kind
+
+
+def _pdf_of_ops(ops: bytes, compress: bool = False) -> bytes:
+    return P.encode_pdf(ops, compress=compress)
+
+
+def test_roundtrip_all_show_operator_styles():
+    # 8 lines → each of the 4 styles (Tj / ' / TJ / hex) twice
+    lines = [
+        "Doc 7 (A) \\ B",
+        "Token 7",
+        "key agg row scan",
+        "tail 7 end",
+        "fifth (line)",
+        "sixth",
+        "seventh \\ back",
+        "eighth",
+    ]
+    for compress in (True, False):
+        blob = P.encode_pdf(P.encode_text_ops(lines), compress=compress)
+        assert P.extract_pdf_text(blob) == "\n".join(lines)
+
+
+def test_flate_body_ending_in_eol_bytes_not_stripped():
+    """The bug the sf0.001 differential caught: a Flate body can
+    legitimately END in 0x0A/0x0D bytes — an exact /Length span must
+    not be rstripped or inflate fails and the page goes silent."""
+    lines = ["alpha zeta theta", "x alpha"]  # known EOL-terminated output
+    ops = P.encode_text_ops(lines)
+    assert zlib.compress(ops, 6).endswith((b"\n", b"\r"))
+    blob = P.encode_pdf(ops, compress=True)
+    assert P.extract_pdf_text(blob) == "\n".join(lines)
+
+
+def test_literal_string_escapes():
+    ops = rb"BT 72 720 Td (a\(b\)c\\d\n\t\101) Tj ET"
+    assert P.extract_pdf_text(_pdf_of_ops(ops)) == "a(b)c\\d\n\tA"
+
+
+def test_literal_string_raw_eol_and_continuation():
+    # raw CR, LF, CRLF inside a literal all become 0x0A; a backslash-EOL
+    # is a line continuation and vanishes
+    ops = b"BT 72 720 Td (x\ry\nz\r\nw) Tj T* (a\\\nb) Tj ET"
+    assert P.extract_pdf_text(_pdf_of_ops(ops)) == "x\ny\nz\nw\nab"
+
+
+def test_balanced_parens_unescaped():
+    ops = b"BT 72 720 Td (a (nested (deep)) b) Tj ET"
+    assert P.extract_pdf_text(_pdf_of_ops(ops)) == "a (nested (deep)) b"
+
+
+def test_hex_strings_whitespace_and_odd_padding():
+    # "Hi" = 4869; odd digit count zero-pads: 48697 -> 4869 70 = "Hip"
+    ops = b"BT 72 720 Td <48 69> Tj T* <48697> Tj ET"
+    assert P.extract_pdf_text(_pdf_of_ops(ops)) == "Hi\nHip"
+
+
+def test_tj_kerning_word_gap_threshold():
+    # -250 (<= -180) renders as a space; -50 and +120 do not
+    ops = b"BT 72 720 Td [(Hello) -250 (world) -50 (!) 120 (?)] TJ ET"
+    assert P.extract_pdf_text(_pdf_of_ops(ops)) == "Hello world!?"
+
+
+def test_quote_operators_advance_lines():
+    ops = b"BT 72 720 Td (one) Tj (two) ' 2 3 (three) \" ET"
+    assert P.extract_pdf_text(_pdf_of_ops(ops)) == "one\ntwo\nthree"
+
+
+def test_td_tm_tstar_break_lines_and_bt_blocks():
+    ops = (
+        b"BT 72 720 Td (a) Tj 0 -14 TD (b) Tj T* (c) Tj "
+        b"1 0 0 1 72 100 Tm (d) Tj ET BT 72 50 Td (e) Tj ET"
+    )
+    assert P.extract_pdf_text(_pdf_of_ops(ops)) == "a\nb\nc\nd\ne"
+
+
+def test_dicts_names_comments_inline_images_skipped():
+    ops = (
+        b"BT 72 720 Td\n% a comment (not text) Tj\n"
+        b"/GS1 gs << /K [(not shown)] >> BDC (real) Tj ET\n"
+        b"BI /W 2 /H 2 ID \x00\x01(fake) Tj\x02\x03 EI\n"
+        b"BT 72 700 Td (after) Tj ET"
+    )
+    assert P.extract_pdf_text(_pdf_of_ops(ops)) == "real\nafter"
+
+
+def test_non_flate_streams_skipped_and_uncompressed_walked():
+    # a DCTDecode (image) stream must not contribute garbage
+    img = b"5 0 obj\n<< /Length 4 /Filter /DCTDecode >>\nstream\n\xff\xd8\xff\xe0\nendstream\nendobj\n"
+    blob = _pdf_of_ops(b"BT 72 720 Td (text) Tj ET") + img
+    assert P.extract_pdf_text(blob) == "text"
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(ValueError, match="%PDF-"):
+        P.extract_pdf_text(b"GIF89a not a pdf")
+
+
+def test_sniff_pdf_magic():
+    blob = P.encode_pdf(P.encode_text_ops(["x"]))
+    assert sniff_media_kind(blob) == "application/pdf"
+    assert sniff_media_kind(b"%PDF-1.7\n") == "application/pdf"
+
+
+def test_utf8_payload_roundtrip():
+    lines = ["café — naïve", "中文 text"]
+    blob = P.encode_pdf(P.encode_text_ops(lines), compress=True)
+    assert P.extract_pdf_text(blob) == "\n".join(lines)
+
+
+def test_pdf_text_extract_operator(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, pdf_bytes=bytearray(
+            P.encode_pdf(P.encode_text_ops([f"line a {i}", f"line b {i}"]),
+                         compress=i % 2 == 0)
+        ))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pdf_bytes binary")
+    got = {r.doc_id: (r.extracted, r.n_chars)
+           for r in P.pdf_text_extract(df).collect()}
+    for i in range(6):
+        exp = f"line a {i}\nline b {i}"
+        assert got[i] == (exp, len(exp))
