@@ -19,12 +19,25 @@ run, so state grows ≈ rate × seconds rows) and compare the heap
 diverge — §17 measured them equal at 21 MB state, which its own text
 called too small to mean anything.
 
+Round 9 (VERDICT r8 #3): the knee ladder takes ``--provider rocksdb``
+(the r8 table was heap-only — at 100 TB the RocksDB curve is the one
+production runs on), and the ``floor`` subcommand measures the interval
+join's per-batch commit FLOOR — the ~4 s fixed cost that made any
+trigger < 5 s unmeetable in §17b — across the obvious levers: state
+store provider, streaming shuffle-partition count (fixed at first run
+by the checkpoint — fewer partitions = fewer state stores to commit
+per batch), and RocksDB changelog checkpointing (commit ships the
+changelog instead of re-uploading SST files).
+
 Usage:
     python tools/stream_knee.py knee [--jobs windowed_histogram_stream interval_join_stream]
                                      [--rates 100000 250000 500000 1000000 2000000]
                                      [--secs 45] [--trigger-ms 2000]
+                                     [--provider heap|rocksdb]
     python tools/stream_knee.py bigstate [--rate 150000] [--secs 150]
                                      [--providers heap rocksdb]
+    python tools/stream_knee.py floor [--rate 100000] [--secs 60]
+                                     [--parts 32 8] [--providers heap rocksdb]
 """
 
 from __future__ import annotations
@@ -126,7 +139,14 @@ def _run(
             cm = o.get("customMetrics") or {}
             b = max(b, int(cm.get("rocksdbTotalSSTFilesBytes", 0)))
             sbytes = max(sbytes, b)
+    commits = []
+    for p in progress[3:]:
+        if p.get("numInputRows", 0) <= 0:
+            continue
+        for o in p.get("stateOperators") or []:
+            commits.append(int(o.get("commitTimeMs", 0)))
     execs.sort()
+    commits.sort()
     n = len(execs)
     return {
         "job": name,
@@ -134,6 +154,7 @@ def _run(
         "batches": n,
         "p50_ms": execs[n // 2] if n else None,
         "max_ms": execs[-1] if n else None,
+        "p50_commit_ms": commits[len(commits) // 2] if commits else None,
         "input_rps": round(sum(in_rate) / len(in_rate)) if in_rate else 0,
         "processed_rps": round(sum(out_rate) / len(out_rate)) if out_rate else 0,
         "state_rows": srows,
@@ -149,9 +170,10 @@ def _set_provider(spark: SparkSession, provider: str) -> None:
 
 
 def cmd_knee(spark: SparkSession, args) -> None:
+    _set_provider(spark, args.provider)
     print(
-        f"### §17b throughput knee (rate source, trigger "
-        f"{args.trigger_ms} ms, {args.secs} s/rung, heap store)\n"
+        f"### §17b/§17c throughput knee (rate source, trigger "
+        f"{args.trigger_ms} ms, {args.secs} s/rung, {args.provider} store)\n"
     )
     print("| job | rate rows/s | batches | p50/max ms | processed/input | state MB | verdict |")
     print("|---|---|---|---|---|---|---|")
@@ -168,7 +190,12 @@ def cmd_knee(spark: SparkSession, args) -> None:
             )
             over = m["p50_ms"] is not None and m["p50_ms"] > args.trigger_ms
             starved = lag < 0.9
-            verdict = "KNEE" if (over or starved) else "ok"
+            if m["batches"] == 0:
+                # < 4 triggers completed inside --secs: no steady state to
+                # judge — lengthen the window instead of calling it ok
+                verdict = "NO-DATA (raise --secs)"
+            else:
+                verdict = "KNEE" if (over or starved) else "ok"
             print(
                 f"| {name} | {rate} | {m['batches']} "
                 f"| {m['p50_ms']}/{m['max_ms']} "
@@ -209,6 +236,58 @@ def cmd_bigstate(spark: SparkSession, args) -> None:
         sys.stdout.flush()
 
 
+_CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
+def cmd_floor(spark: SparkSession, args) -> None:
+    """The interval join's per-batch commit floor (§17c): fixed modest
+    rate (well under the knee), vary provider x shuffle partitions x
+    RocksDB changelog checkpointing; every state store in the plan
+    commits once per batch, so the floor tracks the per-store commit
+    cost x the store count (= shuffle partitions x stateful operators)."""
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    print(
+        f"### §17c interval-join commit floor (rate {args.rate} rows/s/side, "
+        f"{args.secs} s/run, trigger {args.trigger_ms} ms)\n"
+    )
+    print(
+        "| provider | shuffle parts | changelog | batches | p50/max ms "
+        "| p50 commit ms | state MB |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for prov in args.providers:
+        changelog_opts = [False, True] if prov == "rocksdb" else [False]
+        for parts in args.parts:
+            for changelog in changelog_opts:
+                _set_provider(spark, prov)
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                if prov == "rocksdb":
+                    spark.conf.set(_CHANGELOG_CONF, str(changelog).lower())
+                tmp = tempfile.mkdtemp(prefix=f"floor_{prov}_{parts}_")
+                try:
+                    m = _run(
+                        spark, "interval_join_stream", args.rate, args.secs,
+                        args.trigger_ms, tmp,
+                    )
+                except Exception as exc:  # e.g. changelog conf unsupported
+                    print(f"| {prov} | {parts} | {changelog} | FAILED: {exc} |")
+                    continue
+                finally:
+                    _set_provider(spark, "heap")
+                    spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+                    if prov == "rocksdb":
+                        spark.conf.unset(_CHANGELOG_CONF)
+                    shutil.rmtree(tmp, ignore_errors=True)
+                print(
+                    f"| {prov} | {parts} | {changelog} | {m['batches']} "
+                    f"| {m['p50_ms']}/{m['max_ms']} | {m['p50_commit_ms']} "
+                    f"| {m['state_mb']} |"
+                )
+                sys.stdout.flush()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -223,18 +302,27 @@ def main() -> None:
     )
     k.add_argument("--secs", type=int, default=45)
     k.add_argument("--trigger-ms", type=int, default=2000)
+    k.add_argument("--provider", choices=["heap", "rocksdb"], default="heap")
     b = sub.add_parser("bigstate")
     b.add_argument("--rate", type=int, default=150_000)
     b.add_argument("--secs", type=int, default=150)
     b.add_argument("--trigger-ms", type=int, default=2000)
     b.add_argument("--providers", nargs="+", default=["heap", "rocksdb"])
+    f = sub.add_parser("floor")
+    f.add_argument("--rate", type=int, default=100_000)
+    f.add_argument("--secs", type=int, default=60)
+    f.add_argument("--trigger-ms", type=int, default=2000)
+    f.add_argument("--parts", nargs="+", type=int, default=[32, 8])
+    f.add_argument("--providers", nargs="+", default=["heap", "rocksdb"])
     args = ap.parse_args()
 
     spark = get_spark("stream-knee")
     if args.cmd == "knee":
         cmd_knee(spark, args)
-    else:
+    elif args.cmd == "bigstate":
         cmd_bigstate(spark, args)
+    else:
+        cmd_floor(spark, args)
 
 
 if __name__ == "__main__":

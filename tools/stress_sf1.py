@@ -171,6 +171,13 @@ HEAVY = [
     "warc_record_inventory",
     "pipeline_web_curation_warc",
     "archive_tar_members_audit",
+    # round 9 (VERDICT r8 #4/#5): PDF extraction scales with the table
+    # (one synthesized PDF per doc); the WARC media-triage composition is
+    # a fixed 140-doc panel by design (codec-query class) but rides the
+    # ladder for its VALUE row — the oracle recomputes from the scaled
+    # documents table and must stay green
+    "multimodal_pdf_extract",
+    "pipeline_warc_media_triage",
 ]
 
 
