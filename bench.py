@@ -354,6 +354,12 @@ BASELINE_SEC = {
     "pipeline_web_curation_warc": 3.76,
     "archive_tar_members_audit": 1.28,
     "warehouse_txnlog_time_travel": 3.11,
+    # round 9 (quiet window 2026-08-16, min-of-3 hot): PDF synth+extract
+    # is Arrow-batched Python; the sf0.1 wall is bounded by the source's
+    # file-partition count (sf0.1 documents is a single parquet file),
+    # which is why the 10x sf1x wall reads ~equal (BENCH.md §13g)
+    "multimodal_pdf_extract": 1.72,
+    "pipeline_warc_media_triage": 0.90,
 }
 GUARD_FACTOR = 2.0
 
@@ -745,6 +751,8 @@ HEADLINE = [
     "pipeline_web_curation_warc",
     "archive_tar_members_audit",
     "warehouse_txnlog_time_travel",
+    "multimodal_pdf_extract",
+    "pipeline_warc_media_triage",
 ]
 
 
