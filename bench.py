@@ -360,6 +360,9 @@ BASELINE_SEC = {
     # which is why the 10x sf1x wall reads ~equal (BENCH.md §13g)
     "multimodal_pdf_extract": 1.72,
     "pipeline_warc_media_triage": 0.90,
+    # five txn-log commits (2 MERGE + CHECKPOINT + replay no-op + MERGE)
+    # + three snapshot reads — wall is commit-count, not data
+    "warehouse_txnlog_checkpoint_travel": 5.58,
 }
 GUARD_FACTOR = 2.0
 
@@ -753,6 +756,7 @@ HEADLINE = [
     "warehouse_txnlog_time_travel",
     "multimodal_pdf_extract",
     "pipeline_warc_media_triage",
+    "warehouse_txnlog_checkpoint_travel",
 ]
 
 

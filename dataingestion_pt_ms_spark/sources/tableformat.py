@@ -572,6 +572,32 @@ def vacuum(
     return sorted(deleted)
 
 
+def expire_log(spark: SparkSession, table: str) -> list[int]:
+    """Log retention (Delta's ``logRetentionDuration`` cleanup reduced to
+    its core): delete every commit JSON OLDER than the newest checkpoint
+    — the checkpoint is a full live-file listing carrying the committed
+    batch-id set, so no reader (current, time-travel >= checkpoint,
+    exactly-once replay) needs the expired prefix. Time travel to
+    expired snapshots then fails by design, exactly as in Delta after
+    log cleanup. Refuses when no checkpoint exists (expiring without a
+    full listing would orphan the live state). Returns the expired
+    snapshot ids; data files are untouched (that's :func:`vacuum`)."""
+    snaps, ckpts = _list_log(spark, table)
+    if not ckpts:
+        raise ValueError(
+            f"{table}: no checkpoint — run checkpoint() before expire_log()"
+        )
+    newest = ckpts[-1]
+    expired = [s for s in snaps if s < newest]
+    for s in expired:
+        hpath, fs = _fs(spark, _log_path(table, s))
+        fs.delete(hpath, False)
+        marker, _ = _fs(spark, f"{table}/{_LOG_DIR}/{s:08d}.checkpoint")
+        if fs.exists(marker):  # an older checkpoint's marker goes with it
+            fs.delete(marker, False)
+    return expired
+
+
 def optimize(
     spark: SparkSession,
     table: str,

@@ -368,3 +368,49 @@ def test_optimize_compacts_atomically(spark, tmp_path):
     assert _state(spark, t, snapshot=s - 1) == before  # old snapshot intact
     c = TF.read_commit(spark, t, s)
     assert c["operation"] == "OPTIMIZE" and len(c["removes"]) == n_files_before
+
+
+def test_expire_log_after_checkpoint(spark, tmp_path):
+    """Log retention: commits older than the newest checkpoint expire;
+    current reads, post-checkpoint time travel, history, and exactly-once
+    replay (via the checkpoint's carried batch-id set) all survive —
+    expired-snapshot time travel fails by design."""
+    t = str(tmp_path / "t")
+    for i in range(4):
+        TF.merge_into(
+            spark, _batch(spark, [(i, 10, f"v{i}")]), t, ["k"], "ts",
+            batch_id=f"e{i}",
+        )
+    before = _state(spark, t)
+    cp = TF.checkpoint(spark, t)
+    with_post = TF.merge_into(
+        spark, _batch(spark, [(9, 10, "z")]), t, ["k"], "ts", batch_id="e9"
+    )
+    expired = TF.expire_log(spark, t)
+    assert expired == [0, 1, 2, 3]
+    assert TF.list_snapshots(spark, t) == [cp, with_post]
+    assert _state(spark, t) == {**before, 9: (10, "z")}
+    assert _state(spark, t, snapshot=cp) == before
+    # pre-checkpoint batch ids still replay as no-ops (carried forward)
+    n = len(TF.list_snapshots(spark, t))
+    TF.merge_into(
+        spark, _batch(spark, [(0, 99, "dup")]), t, ["k"], "ts", batch_id="e0"
+    )
+    assert len(TF.list_snapshots(spark, t)) == n
+    assert _state(spark, t)[0] == (10, "v0")
+    # expired snapshots are gone by design
+    with pytest.raises(Exception):
+        TF.read_snapshot(spark, t, 1).collect()
+    # a second checkpoint supersedes the first; expiry sweeps it + marker
+    cp2 = TF.checkpoint(spark, t)
+    expired2 = TF.expire_log(spark, t)
+    assert cp in expired2 and with_post in expired2
+    assert TF.list_snapshots(spark, t) == [cp2]
+    assert _state(spark, t) == {**before, 9: (10, "z")}
+
+
+def test_expire_log_requires_checkpoint(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.merge_into(spark, _batch(spark, [(1, 10, "a")]), t, ["k"], "ts")
+    with pytest.raises(ValueError, match="no checkpoint"):
+        TF.expire_log(spark, t)
