@@ -178,6 +178,12 @@ HEAVY = [
     # documents table and must stay green
     "multimodal_pdf_extract",
     "pipeline_warc_media_triage",
+    # round 9 continuation: the txn-log table format's ladder rung — two
+    # MERGEs + CHECKPOINT + replay + MERGE over the scaled orders table;
+    # wall is write-dominated, value = three snapshot profiles the oracle
+    # recomputes from the scaled table
+    "warehouse_txnlog_time_travel",
+    "warehouse_txnlog_checkpoint_travel",
 ]
 
 
