@@ -371,6 +371,14 @@ def interval_join_stream(
     provably closed; an un-watermarked outer interval join is rejected by
     the engine). This is the "errors with no preceding activity" alerting
     shape.
+
+    Trigger sizing (measured, BENCH.md §17c): the per-batch FLOOR of this
+    job is per-state-store commit overhead × store count (= streaming
+    ``spark.sql.shuffle.partitions`` × stateful stores), not data volume
+    — dropping 32 → 8 partitions cut the heap-store p50 from 6.9 s to
+    1.8 s at the same rate. Size the streaming shuffle-partition count
+    to key cardinality and executor cores BEFORE the first run: the
+    checkpoint freezes it for the query's life.
     """
     e = (
         errors.filter(F.col("event_type") == "error")
