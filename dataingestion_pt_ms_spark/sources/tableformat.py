@@ -590,11 +590,14 @@ def expire_log(spark: SparkSession, table: str) -> list[int]:
     newest = ckpts[-1]
     expired = [s for s in snaps if s < newest]
     for s in expired:
-        hpath, fs = _fs(spark, _log_path(table, s))
-        fs.delete(hpath, False)
-        marker, _ = _fs(spark, f"{table}/{_LOG_DIR}/{s:08d}.checkpoint")
+        # marker BEFORE json: a crash between the two leaves a plain
+        # commit that full replay handles; the reverse order would leave
+        # a checkpoint marker pointing at a missing commit
+        marker, fs = _fs(spark, f"{table}/{_LOG_DIR}/{s:08d}.checkpoint")
         if fs.exists(marker):  # an older checkpoint's marker goes with it
             fs.delete(marker, False)
+        hpath, _ = _fs(spark, _log_path(table, s))
+        fs.delete(hpath, False)
     return expired
 
 
