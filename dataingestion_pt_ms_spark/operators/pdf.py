@@ -33,9 +33,11 @@ Two halves, mirroring the archive/codec pattern:
 Scope (stated, not hidden): byte strings decode as UTF-8 — correct for
 the synthetic corpus and for simple-font ASCII PDFs; composite-font
 CMap/ToUnicode resolution is out of scope for a codec-free walker and
-raises nothing (bytes pass through ``errors="replace"``). Image/object
-streams are skipped (only Flate or filter-less streams that tokenize as
-text operators contribute).
+raises nothing (bytes pass through ``errors="replace"``). Streams
+decode through /Filter chains of FlateDecode / ASCIIHexDecode /
+ASCII85Decode (incl. arrays); anything else (DCT, LZW, font programs)
+is skipped as not-a-text-stream. Multi-page documents extract in page
+order (one content stream per page object).
 
 At 100 TB: ``pdf_text_extract`` is one Arrow-batched ``mapInPandas``
 pass over the binary column — embarrassingly parallel, no shuffle; the
@@ -103,27 +105,41 @@ def encode_text_ops(lines: list[str]) -> bytes:
     return b"\n".join(out) + b"\n"
 
 
-def encode_pdf(content: bytes, compress: bool = True) -> bytes:
-    """Wrap a content stream in a structurally complete one-page PDF:
-    header, five numbered objects, a byte-accurate xref table and a
-    trailer — every offset real, so any spec-conformant reader (or this
-    module's own walker) can parse it."""
-    stream = zlib.compress(content, 6) if compress else content
-    filt = b"/Filter /FlateDecode " if compress else b""
-    objs = [
+def encode_pdf(content: bytes | list[bytes], compress: bool = True) -> bytes:
+    """Wrap one or more content streams in a structurally complete PDF —
+    header, one page object PER content stream under a shared /Pages
+    node, a byte-accurate xref table and a trailer — every offset real,
+    so any spec-conformant reader (or this module's own walker) can
+    parse it. ``content`` as bytes is the one-page form; a list builds a
+    multi-page document (page order = list order = extraction order)."""
+    pages = [content] if isinstance(content, (bytes, bytearray)) else list(content)
+    n = len(pages)
+    # object numbering: 1 catalog, 2 pages, then per page i (0-based):
+    # 3+2i page, 4+2i content stream; font is the last object
+    font_num = 3 + 2 * n
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
-        b"<< /Length "
-        + str(len(stream)).encode("ascii")
-        + b" "
-        + filt
-        + b">>\nstream\n"
-        + stream
-        + b"\nendstream",
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("ascii"),
     ]
+    for i, page_ops in enumerate(pages):
+        stream = zlib.compress(bytes(page_ops), 6) if compress else bytes(page_ops)
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {4 + 2 * i} 0 R >>".encode("ascii")
+        )
+        objs.append(
+            b"<< /Length "
+            + str(len(stream)).encode("ascii")
+            + b" "
+            + filt
+            + b">>\nstream\n"
+            + stream
+            + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     buf = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")  # binary-marker comment
     offsets = [0]  # object 0 is the free head
     for n, body in enumerate(objs, start=1):
@@ -150,6 +166,38 @@ def encode_pdf(content: bytes, compress: bool = True) -> bytes:
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream(?:\r\n|\n|\r)", re.DOTALL)
 _LEN_RE = re.compile(rb"/Length\s+(\d+)\b")
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
+_NAME_RE = re.compile(rb"/(\w+)")
+
+
+def _apply_filters(body: bytes, d: bytes) -> bytes:
+    """Run the dict's /Filter chain in decoding order. Supports the
+    codec-free trio every text-bearing PDF uses — FlateDecode,
+    ASCIIHexDecode, ASCII85Decode (PDF framing: no <~ prefix, ``~>``
+    EOD) — including chained arrays like [/ASCII85Decode /FlateDecode].
+    Raises ValueError on any other filter (image/font codecs), which the
+    caller treats as not-a-text-stream."""
+    fm = _FILTER_RE.search(d)
+    if not fm:
+        return body
+    for name in _NAME_RE.findall(fm.group(1)):
+        if name == b"FlateDecode":
+            body = zlib.decompress(body)
+        elif name == b"ASCIIHexDecode":
+            digits = bytearray(c for c in body.split(b">")[0] if c not in _WS)
+            if len(digits) % 2:
+                digits.append(0x30)
+            body = bytes.fromhex(digits.decode("ascii"))
+        elif name == b"ASCII85Decode":
+            import base64
+
+            data = bytes(c for c in body if c not in _WS)
+            if data.endswith(b"~>"):
+                data = data[:-2]
+            body = base64.a85decode(data)
+        else:
+            raise ValueError(f"unsupported filter {name!r}")
+    return body
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -194,13 +242,10 @@ def _content_streams(data: bytes) -> list[bytes]:
             # an EXACT /Length span must not be stripped — a Flate body
             # can legitimately end in 0x0A/0x0D bytes
             body = body.rstrip(b"\r\n")
-        if b"/FlateDecode" in d:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                continue
-        elif b"/Filter" in d:
-            continue  # DCT/LZW/... — not a text stream we can walk
+        try:
+            body = _apply_filters(body, d)
+        except (ValueError, zlib.error):
+            continue  # DCT/LZW/corrupt — not a text stream we can walk
         out.append(body)
     return out
 

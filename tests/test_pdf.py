@@ -136,3 +136,61 @@ def test_pdf_text_extract_operator(spark):
     for i in range(6):
         exp = f"line a {i}\nline b {i}"
         assert got[i] == (exp, len(exp))
+
+
+def test_multipage_roundtrip():
+    pages = [
+        P.encode_text_ops([f"page {p} line {i}" for i in range(3)])
+        for p in range(4)
+    ]
+    for compress in (True, False):
+        blob = P.encode_pdf(pages, compress=compress)
+        expected = "\n".join(
+            f"page {p} line {i}" for p in range(4) for i in range(3)
+        )
+        assert P.extract_pdf_text(blob) == expected
+
+
+def _obj_stream(filters: bytes, body: bytes) -> bytes:
+    return (
+        b"9 0 obj\n<< /Length " + str(len(body)).encode() + b" /Filter "
+        + filters + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+    )
+
+
+def test_asciihex_filter_stream():
+    ops = b"BT 72 720 Td (hexed) Tj ET"
+    body = ops.hex().upper().encode() + b">"
+    blob = P.encode_pdf(b"BT 72 720 Td (base) Tj ET", compress=False)
+    blob += _obj_stream(b"/ASCIIHexDecode", body)
+    assert P.extract_pdf_text(blob) == "base\nhexed"
+
+
+def test_ascii85_filter_stream():
+    import base64
+
+    ops = b"BT 72 720 Td (eighty-five) Tj ET"
+    body = base64.a85encode(ops) + b"~>"
+    blob = P.encode_pdf(b"BT 72 720 Td (base) Tj ET", compress=False)
+    blob += _obj_stream(b"/ASCII85Decode", body)
+    assert P.extract_pdf_text(blob) == "base\neighty-five"
+
+
+def test_chained_filter_array():
+    import base64
+    import zlib as _z
+
+    ops = b"BT 72 720 Td (chained) Tj ET"
+    body = base64.a85encode(_z.compress(ops)) + b"~>"
+    blob = P.encode_pdf(b"BT 72 720 Td (base) Tj ET", compress=False)
+    blob += _obj_stream(b"[/ASCII85Decode /FlateDecode]", body)
+    assert P.extract_pdf_text(blob) == "base\nchained"
+
+
+def test_sniff_html_magic():
+    assert sniff_media_kind(b"<html><head></head></html>") == "text/html"
+    assert sniff_media_kind(b"  \n<!DOCTYPE html><html>") == "text/html"
+    assert sniff_media_kind(b"<HTML><BODY>caps</BODY>") == "text/html"
+    assert sniff_media_kind(b"plain text, not markup") == (
+        "application/octet-stream"
+    )
