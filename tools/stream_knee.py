@@ -171,9 +171,12 @@ def _set_provider(spark: SparkSession, provider: str) -> None:
 
 def cmd_knee(spark: SparkSession, args) -> None:
     _set_provider(spark, args.provider)
+    if args.parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.parts))
     print(
         f"### §17b/§17c throughput knee (rate source, trigger "
-        f"{args.trigger_ms} ms, {args.secs} s/rung, {args.provider} store)\n"
+        f"{args.trigger_ms} ms, {args.secs} s/rung, {args.provider} store"
+        f"{f', {args.parts} shuffle parts' if args.parts else ''})\n"
     )
     print("| job | rate rows/s | batches | p50/max ms | processed/input | state MB | verdict |")
     print("|---|---|---|---|---|---|---|")
@@ -303,6 +306,10 @@ def main() -> None:
     k.add_argument("--secs", type=int, default=45)
     k.add_argument("--trigger-ms", type=int, default=2000)
     k.add_argument("--provider", choices=["heap", "rocksdb"], default="heap")
+    k.add_argument(
+        "--parts", type=int, default=None,
+        help="streaming shuffle-partition count (default: session value)",
+    )
     b = sub.add_parser("bigstate")
     b.add_argument("--rate", type=int, default=150_000)
     b.add_argument("--secs", type=int, default=150)
