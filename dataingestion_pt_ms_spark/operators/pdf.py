@@ -381,22 +381,24 @@ def _tokenize(content: bytes):
                 yield ("op", op)
 
 
-def _decode_shown(raw: bytes) -> str:
-    return raw.decode("utf-8", errors="replace")
-
-
 def extract_pdf_text(data: bytes) -> str:
     """Extract the text a viewer would show: one output line per text
     line (``Td``/``TD``/``T*``/``Tm``/``'``/``\"`` advances and ``ET``
     flush), TJ word-gap kerning rendered as a space, empty lines
-    dropped, lines joined with ``\\n``."""
+    dropped, lines joined with ``\\n``.
+
+    Shown strings accumulate as BYTES per line and decode once at line
+    flush — a conforming writer may split a multi-byte UTF-8 sequence
+    across TJ array elements (the glyph stream is the byte
+    concatenation), so per-string decoding would mojibake exactly those
+    splits (found by the hypothesis round-trip property)."""
     if data[:5] != b"%PDF-":
         raise ValueError("not a PDF: missing %PDF- header")
     lines: list[str] = []
-    cur: list[str] = []
+    cur: list[bytes] = []
 
     def flush() -> None:
-        text = "".join(cur)
+        text = b"".join(cur).decode("utf-8", errors="replace")
         cur.clear()
         if text:
             lines.append(text)
@@ -417,22 +419,22 @@ def extract_pdf_text(data: bytes) -> str:
             op = val
             if op == b"Tj":
                 if stack and stack[-1][0] == "str":
-                    cur.append(_decode_shown(stack[-1][1]))
+                    cur.append(stack[-1][1])
             elif op == b"'":
                 flush()
                 if stack and stack[-1][0] == "str":
-                    cur.append(_decode_shown(stack[-1][1]))
+                    cur.append(stack[-1][1])
             elif op == b'"':
                 flush()
                 if stack and stack[-1][0] == "str":
-                    cur.append(_decode_shown(stack[-1][1]))
+                    cur.append(stack[-1][1])
             elif op == b"TJ":
                 if stack and isinstance(stack[-1], list):
                     for k, v in stack[-1]:
                         if k == "str":
-                            cur.append(_decode_shown(v))
+                            cur.append(v)
                         elif k == "num" and v <= _TJ_SPACE_THRESHOLD:
-                            cur.append(" ")
+                            cur.append(b" ")
             elif op in (b"Td", b"TD", b"T*", b"Tm"):
                 flush()
             elif op in (b"BT", b"ET"):

@@ -194,3 +194,50 @@ def test_sniff_html_magic():
     assert sniff_media_kind(b"plain text, not markup") == (
         "application/octet-stream"
     )
+
+
+# Property tests (hypothesis): the literal-string escape/parse pair and
+# the full ops round trip must hold for ARBITRARY content, not just the
+# hand-picked cases above — the walker is the oracle recipe's foundation.
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.binary(min_size=0, max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_prop_literal_string_roundtrip(payload):
+        # escape -> parse returns the exact bytes, except raw EOL bytes,
+        # which the spec normalizes to 0x0A inside literal strings
+        raw = b"(" + P.escape_pdf_string(payload) + b")"
+        parsed, idx = P._parse_literal(raw, 0)
+        expected = (
+            payload.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+        )
+        assert parsed == expected
+        assert idx == len(raw)
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters="\r"
+                ),
+                min_size=1,
+                max_size=60,
+            ).map(str.strip).filter(bool),
+            min_size=1,
+            max_size=6,
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_prop_text_ops_roundtrip(lines, compress):
+        # arbitrary unicode lines through all four show-operator styles
+        # and both stream framings come back byte-exact (modulo the \r
+        # normalization the literal-string spec mandates; \r is excluded
+        # above because expected-line identity is the property)
+        blob = P.encode_pdf(P.encode_text_ops(lines), compress=compress)
+        assert P.extract_pdf_text(blob) == "\n".join(lines)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
