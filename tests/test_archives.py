@@ -111,3 +111,59 @@ def test_gunzip_members_chain():
     parts = [b"alpha", b"beta", b"gamma"]
     blob = b"".join(gzip.compress(p, mtime=0) for p in parts)
     assert A._gunzip_members(blob) == b"alphabetagamma"
+
+
+# Property tests (round 9): the walker's Content-Length byte arithmetic
+# must survive ADVERSARIAL payloads — ones embedding the record
+# separator, fake "WARC/1.0" version lines, gzip magic, NULs — because
+# a scanning-based splitter (the naive implementation) would split on
+# exactly those. Arbitrary binary via hypothesis proves the walker
+# never looks inside a payload.
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataingestion_pt_ms_spark.sources.archives import (
+        encode_warc,
+        encode_warc_record,
+        parse_warc,
+    )
+
+    _ADVERSARIAL = st.one_of(
+        st.binary(min_size=0, max_size=300),
+        st.just(b"\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\n"),
+        st.just(b"\x1f\x8b\x08\x00gzip-magic"),
+        st.binary(min_size=1, max_size=50).map(
+            lambda b: b + b"\r\n\r\n" + b
+        ),
+    )
+
+    @given(
+        st.lists(_ADVERSARIAL, min_size=1, max_size=8),
+        st.booleans(),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_prop_warc_roundtrip_adversarial_payloads(payloads, gz):
+        recs = [
+            encode_warc_record(
+                "resource",
+                p,
+                target_uri=f"http://x.example/{i}",
+                record_id=f"<urn:uuid:prop-{i}>",
+            )
+            for i, p in enumerate(payloads)
+        ]
+        blob = encode_warc(recs, per_record_gzip=gz)
+        out = list(parse_warc(blob, "prop.warc"))
+        assert len(out) == len(payloads)
+        for i, row in enumerate(out):
+            _, _, wtype, uri, rid, clen, status, payload = row
+            assert wtype == "resource"
+            assert uri == f"http://x.example/{i}"
+            assert rid == f"<urn:uuid:prop-{i}>"
+            assert clen == len(payloads[i])
+            assert bytes(payload) == payloads[i]
+            assert status is None  # not application/http
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
