@@ -46,6 +46,7 @@ A deployment with real jars swaps ``provider="txnlog"`` for
 from __future__ import annotations
 
 import json
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -55,8 +56,13 @@ _LOG_DIR = "_txn_log"
 
 # Commit-JSON reads since process start — the observable the checkpoint-skip
 # engine test pins (log reads per merge must be O(commits-since-checkpoint),
-# not O(all commits)). Monotone counter, test-only consumer.
+# not O(all commits)). Monotone counter, test-only consumer; the increment is
+# lock-guarded so concurrent sessions can't interleave a lost update
+# (``+= 1`` is not atomic in CPython), and the pinning test reads deltas —
+# it must still run serially to attribute a delta to its own merges
+# (ADVICE r9).
 LOG_READS = 0
+_LOG_READS_LOCK = threading.Lock()
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +138,8 @@ def list_snapshots(spark: SparkSession, table: str) -> list[int]:
 
 def read_commit(spark: SparkSession, table: str, snapshot: int) -> dict:
     global LOG_READS
-    LOG_READS += 1
+    with _LOG_READS_LOCK:
+        LOG_READS += 1
     return json.loads(_read_bytes(spark, _log_path(table, snapshot)))
 
 
@@ -537,7 +544,14 @@ def vacuum(
     it would let that merge commit a snapshot referencing vanished files.
     Files newer than the window are skipped. Pass 0 only when the caller
     holds exclusive single-writer access (the tests do; Delta's
-    ``retentionDurationCheck.enabled=false`` escape hatch)."""
+    ``retentionDurationCheck.enabled=false`` escape hatch).
+
+    "now" comes from the STORAGE system's clock, not the driver's: a
+    probe file is written next to the log and its modification time is
+    the reference — comparing a driver-JVM clock against object-store
+    mtimes silently shrinks the in-flight-writer window under clock skew
+    (Delta carries this caveat; the probe removes it — ADVICE r9). A
+    read-only filesystem falls back to the driver clock."""
     if retain_snapshots < 1:
         raise ValueError("retain_snapshots must be >= 1")
     snaps = list_snapshots(spark, table)
@@ -554,7 +568,16 @@ def vacuum(
     # ANCESTOR directory is named data (e.g. a /data/lake/t mount) and
     # would then sweep every live file (ADVICE r8, high)
     prefix = fs.makeQualified(data_dir).toString()
-    now_ms = int(spark._jvm.java.lang.System.currentTimeMillis())
+    # storage-clock "now": the probe's mtime is assigned by the same
+    # filesystem that stamped the data files, so the age comparison is
+    # skew-free (see docstring)
+    probe = f"{table}/{_LOG_DIR}/.vacuum-probe-{uuid.uuid4().hex[:8]}"
+    if _create_exclusive(spark, probe, b""):
+        probe_path, probe_fs = _fs(spark, probe)
+        now_ms = int(probe_fs.getFileStatus(probe_path).getModificationTime())
+        probe_fs.delete(probe_path, False)
+    else:  # pragma: no cover - read-only FS fallback
+        now_ms = int(spark._jvm.java.lang.System.currentTimeMillis())
     deleted: list[str] = []
     it = fs.listFiles(data_dir, True)
     while it.hasNext():

@@ -275,7 +275,9 @@ def cmd_floor(spark: SparkSession, args) -> None:
                         args.trigger_ms, tmp,
                     )
                 except Exception as exc:  # e.g. changelog conf unsupported
-                    print(f"| {prov} | {parts} | {changelog} | FAILED: {exc} |")
+                    # pad to the full 7 columns so the markdown table the
+                    # run report pastes stays well-formed (ADVICE r9)
+                    print(f"| {prov} | {parts} | {changelog} | FAILED: {exc} | | | |")
                     continue
                 finally:
                     _set_provider(spark, "heap")
