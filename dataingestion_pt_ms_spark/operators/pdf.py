@@ -30,14 +30,31 @@ Two halves, mirroring the archive/codec pattern:
   adjustments ≤ −180 thousandths render as a space (the word-gap
   heuristic every extractor uses); smaller nudges are intra-word.
 
+Round 10 (VERDICT r9 #2): decoding grew an OBJECT-GRAPH layer — a
+byte-scanned object table (last definition wins, which is exactly the
+incremental-update rule), /Type /ObjStm expansion (PDF 1.5 compressed
+object streams), indirect ``/Length N 0 R`` resolution, trailer-or-
+catalog /Root discovery, a /Pages tree walk, and per-page
+concatenation of multi-``/Contents`` arrays — so structure variants a
+foreign writer emits (xref STREAMS, object streams, CR-only EOLs,
+tokens split across /Contents parts) extract correctly. The xref table
+itself is never trusted: objects are found by scanning, never by
+offset, which is also why damaged/lying xrefs don't matter. When no
+catalog is discoverable the walker falls back to the round-9 behavior:
+every decodable top-level stream in document order.
+
 Scope (stated, not hidden): byte strings decode as UTF-8 — correct for
 the synthetic corpus and for simple-font ASCII PDFs; composite-font
 CMap/ToUnicode resolution is out of scope for a codec-free walker and
 raises nothing (bytes pass through ``errors="replace"``). Streams
 decode through /Filter chains of FlateDecode / ASCIIHexDecode /
 ASCII85Decode (incl. arrays); anything else (DCT, LZW, font programs)
-is skipped as not-a-text-stream. Multi-page documents extract in page
-order (one content stream per page object).
+is skipped as not-a-text-stream. Encrypted documents (a trailer
+``/Encrypt``) raise loudly instead of emitting mojibake. A /Contents
+array split mid-TOKEN is nonconforming (§7.8.2: division only at token
+boundaries) and stays out of scope; splits at token boundaries —
+including inside a TJ array — are handled by page-level concatenation.
+Multi-page documents extract in page-tree order.
 
 At 100 TB: ``pdf_text_extract`` is one Arrow-batched ``mapInPandas``
 pass over the binary column — embarrassingly parallel, no shuffle; the
@@ -160,12 +177,112 @@ def encode_pdf(content: bytes | list[bytes], compress: bool = True) -> bytes:
     return bytes(buf)
 
 
+def normalize_corpus_line(s) -> str:
+    """A corpus ``text`` value as ONE PDF text line, normalized so the
+    encode→extract round trip is the identity on it (ADVICE r9): raw
+    CR/CRLF fold to LF (the literal-string spec maps every raw EOL
+    marker to 0x0A on extraction) and empty maps to a sentinel (the
+    extractor drops empty lines at flush). Every oracle that recomputes
+    an expected extraction mirrors this expression in SQL — see
+    PDF_LINE_SQL next to PDF_EXTRACTION_ORACLE."""
+    if s is None or (isinstance(s, float) and s != s):  # None / NaN
+        s = ""
+    t = str(s).replace("\r\n", "\n").replace("\r", "\n")
+    return t if t else "(empty)"
+
+
+def encode_pdf_objstm(content: bytes | list[bytes], compress: bool = True) -> bytes:
+    """The PDF 1.5 form of :func:`encode_pdf` (round 10, VERDICT r9 #2):
+    every non-stream object (catalog, pages node, page dicts, font)
+    lives COMPRESSED inside a /Type /ObjStm object stream, and the
+    cross-reference table is a binary /Type /XRef STREAM (W [1 4 2]
+    fields, type-1 entries for top-level objects, type-2 for the
+    ObjStm-packed ones) — the structure every modern writer emits and a
+    table-only reader cannot open. Same page/content layout and object
+    numbering as :func:`encode_pdf`, so extraction output is identical
+    by construction."""
+    import struct
+
+    pages = [content] if isinstance(content, (bytes, bytearray)) else list(content)
+    n = len(pages)
+    font_num = 3 + 2 * n
+    objstm_num = font_num + 1
+    xref_num = objstm_num + 1
+    size = xref_num + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    packed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("ascii")),
+    ]
+    for i in range(n):
+        packed.append(
+            (
+                3 + 2 * i,
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                f"/Contents {4 + 2 * i} 0 R >>".encode("ascii"),
+            )
+        )
+    packed.append(
+        (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+    # ObjStm payload: "num off num off…\n" header, then the bodies at
+    # those offsets (relative to /First = header length)
+    offs, cur = [], 0
+    for num, body in packed:
+        offs.append(f"{num} {cur}")
+        cur += len(body) + 1  # joined with a single \n below
+    header = (" ".join(offs) + "\n").encode("ascii")
+    payload = header + b"\n".join(body for _, body in packed)
+
+    buf = bytearray(b"%PDF-1.5\n%\xc2\xa5\xc2\xb1\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(buf)
+        buf.extend(f"{num} 0 obj\n".encode("ascii") + body + b"\nendobj\n")
+
+    for i, page_ops in enumerate(pages):
+        stream = zlib.compress(bytes(page_ops), 6) if compress else bytes(page_ops)
+        filt = b"/Filter /FlateDecode " if compress else b""
+        emit(
+            4 + 2 * i,
+            b"<< /Length " + str(len(stream)).encode("ascii") + b" " + filt
+            + b">>\nstream\n" + stream + b"\nendstream",
+        )
+    stm = zlib.compress(payload, 6)
+    emit(
+        objstm_num,
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Length {len(stm)} /Filter /FlateDecode >>".encode("ascii")
+        + b"\nstream\n" + stm + b"\nendstream",
+    )
+    xref_at = len(buf)
+    in_stm = {num: idx for idx, (num, _) in enumerate(packed)}
+    rows = bytearray()
+    rows += struct.pack(">BIH", 0, 0, 65535)  # object 0: free head
+    for num in range(1, size):
+        if num == xref_num:
+            rows += struct.pack(">BIH", 1, xref_at, 0)
+        elif num in offsets:
+            rows += struct.pack(">BIH", 1, offsets[num], 0)
+        else:
+            rows += struct.pack(">BIH", 2, objstm_num, in_stm[num])
+    xbody = zlib.compress(bytes(rows), 6)
+    buf.extend(
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Index [0 {size}] /Root 1 0 R /Length {len(xbody)} "
+        f"/Filter /FlateDecode >>".encode("ascii")
+        + b"\nstream\n" + xbody + b"\nendstream\nendobj\n"
+    )
+    buf.extend(b"startxref\n" + str(xref_at).encode("ascii") + b"\n%%EOF\n")
+    return bytes(buf)
+
+
 # ---------------------------------------------------------------------------
 # Decoding: content-stream discovery + text-operator machine
 # ---------------------------------------------------------------------------
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream(?:\r\n|\n|\r)", re.DOTALL)
-_LEN_RE = re.compile(rb"/Length\s+(\d+)\b")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
 _NAME_RE = re.compile(rb"/(\w+)")
 
@@ -217,36 +334,309 @@ _ESCAPES = {
 _TJ_SPACE_THRESHOLD = -180.0
 
 
-def _content_streams(data: bytes) -> list[bytes]:
-    """Every decodable stream body in document order. The builder always
-    writes a direct integer /Length; foreign PDFs with an indirect
-    Length fall back to scanning for ``endstream``. Streams with a
-    non-Flate filter are skipped (images, fonts)."""
-    out = []
-    for m in _STREAM_RE.finditer(data):
-        d, start = m.group(1), m.end()
-        exact = False
-        lm = _LEN_RE.search(d)
-        if lm:
-            end = start + int(lm.group(1))
-            exact = data[end : end + 20].lstrip()[:9] == b"endstream"
-            if not exact:
-                end = data.find(b"endstream", start)  # lied about Length
+# --- object-graph layer (round 10, VERDICT r9 #2) ------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_KW_RE = re.compile(rb"\s*stream(?:\r\n|\n|\r)?")
+_LEN_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R\b")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R\b")
+_TYPE_RE = re.compile(rb"/Type\s*/(\w+)")
+_SUBTYPE_RE = re.compile(rb"/Subtype\s*/(\w+)")
+_INT_RE = re.compile(rb"^\s*(\d+)\s*$")
+
+# stream /Type values that are structural, never page text: expanding an
+# ObjStm is the graph layer's job; a decoded XRef stream is binary that
+# the tokenizer must never see; Metadata is XML
+_NON_TEXT_TYPES = {b"ObjStm", b"XRef", b"Metadata", b"EmbeddedFile"}
+_NON_TEXT_SUBTYPES = {b"Image", b"XML", b"Type1C", b"CIDFontType0C", b"OpenType"}
+
+
+def _dict_span(data: bytes, i: int) -> int:
+    """``data[i:]`` starts at ``<<``; index just past the matching
+    ``>>``, skipping literal strings and comments (a string may contain
+    ``>>`` bytes)."""
+    depth, n = 0, len(data)
+    while i < n:
+        two = data[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+        elif data[i] == 0x28:  # (
+            _, i = _parse_literal(data, i)
+        elif data[i] == 0x25:  # % comment
+            while i < n and data[i] not in (0x0D, 0x0A):
+                i += 1
         else:
-            end = data.find(b"endstream", start)
-        if end < 0:
+            i += 1
+    return i
+
+
+def _dict_int(d: bytes, key: bytes) -> int | None:
+    """Direct integer value of /key (``/Length 42``); None when absent
+    or indirect (``/Length 5 0 R`` must not read as 5)."""
+    m = re.search(rb"/" + key + rb"\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", d)
+    return int(m.group(1)) if m else None
+
+
+def _dict_ref(d: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R\b", d)
+    return int(m.group(1)) if m else None
+
+
+def _dict_refs(d: bytes, key: bytes) -> list[int]:
+    """/key as one ref or an array of refs (``/Contents 4 0 R`` and
+    ``/Contents [4 0 R 5 0 R]``), in array order."""
+    m = re.search(rb"/" + key + rb"\s*\[([^\]]*)\]", d)
+    if m:
+        return [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R\b", m.group(1))]
+    one = _dict_ref(d, key)
+    return [one] if one is not None else []
+
+
+def _scan_objects(data: bytes) -> tuple[dict[int, dict], list[dict]]:
+    """Byte-scan the top-level object table: objnum → {"dict": dict
+    bytes or None, "value": non-stream body bytes, "span": raw stream
+    (start, end) or None, "at": file offset}. The scan position always
+    advances PAST consumed dict/stream bytes, so Flate bodies that
+    happen to contain ``<< /Length … stream`` byte runs can never shift
+    object boundaries (ADVICE r9). Re-definitions overwrite — later
+    offset wins, which is the incremental-update rule; the overwritten
+    entries come back as the second element so the caller can suppress
+    streams only a superseded revision referenced. The xref table is
+    deliberately ignored: objects are found by scan, not offset, so
+    lying or damaged xrefs cost nothing."""
+    objs: dict[int, dict] = {}
+    superseded: list[dict] = []
+    pos = 0
+    n = len(data)
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        i = m.end()
+        while i < n and data[i] in _WS:
+            i += 1
+        d: bytes | None = None
+        span = None
+        if data[i : i + 2] == b"<<":
+            dict_end = _dict_span(data, i)
+            d = data[i + 2 : dict_end - 2]
+            i = dict_end
+            sm = _STREAM_KW_RE.match(data, i)
+            if sm:
+                start = sm.end()
+                length = _dict_int(d, b"Length")
+                exact = False
+                if length is not None:
+                    end = start + length
+                    exact = data[end : end + 20].lstrip()[:9] == b"endstream"
+                if not exact:
+                    end = data.find(b"endstream", start)  # indirect/lying Length
+                    if end < 0:
+                        break  # truncated: stop scanning, keep what we have
+                span = (start, end, exact)
+                i = end
+        eo = data.find(b"endobj", i)
+        value = data[i:eo] if (span is None and eo >= 0) else b""
+        if num in objs:
+            superseded.append(objs[num])
+        objs[num] = {"dict": d, "value": value.strip(), "span": span, "at": m.start()}
+        pos = (eo + 6) if eo >= 0 else i
+        if pos <= m.start():  # safety: always advance
+            pos = m.end()
+    # second pass: exact-slice bodies whose /Length was indirect, now that
+    # the referenced integer object is in the table (a Flate body ending in
+    # EOL bytes must not be rstripped — the round-9 lesson)
+    for o in objs.values():
+        d = o["dict"]
+        if o["span"] is None or o["span"][2] or d is None:
             continue
-        body = data[start:end]
-        if not exact:
-            # scan-derived span includes the pre-endstream EOL framing;
-            # an EXACT /Length span must not be stripped — a Flate body
-            # can legitimately end in 0x0A/0x0D bytes
-            body = body.rstrip(b"\r\n")
+        rm = _LEN_REF_RE.search(d)
+        if not rm:
+            continue
+        ref = objs.get(int(rm.group(1)))
+        if not ref:
+            continue
+        im = _INT_RE.match(ref["value"])
+        if not im:
+            continue
+        start = o["span"][0]
+        end = start + int(im.group(1))
+        if data[end : end + 20].lstrip()[:9] == b"endstream":
+            o["span"] = (start, end, True)
+    return objs, superseded
+
+
+def _body(data: bytes, o: dict) -> bytes | None:
+    """Decoded stream body of a scanned object (filters applied); None
+    when not a stream or not decodable."""
+    if o["span"] is None:
+        return None
+    start, end, exact = o["span"]
+    body = data[start:end]
+    if not exact:
+        # scan-derived span includes the pre-endstream EOL framing; an
+        # EXACT span must not be stripped (Flate bodies may end in EOLs)
+        body = body.rstrip(b"\r\n")
+    try:
+        return _apply_filters(body, o["dict"] or b"")
+    except Exception:  # DCT/LZW/corrupt — not a text stream we can walk
+        return None
+
+
+def _expand_objstms(data: bytes, objs: dict[int, dict]) -> None:
+    """Inline every /Type /ObjStm's compressed objects into the table
+    (PDF 1.5+): the decoded stream is ``/First`` header bytes of
+    (objnum, offset) int pairs, then the N object bodies — dict-only
+    objects (streams cannot live inside an ObjStm). A top-level
+    definition of the same objnum wins (it is either the only one or a
+    newer incremental update)."""
+    for o in list(objs.values()):
+        d = o["dict"]
+        if d is None or _TYPE_RE.search(d) is None:
+            continue
+        if _TYPE_RE.search(d).group(1) != b"ObjStm":
+            continue
+        first = _dict_int(d, b"First")
+        count = _dict_int(d, b"N")
+        decoded = _body(data, o)
+        if decoded is None or first is None or count is None:
+            continue
         try:
-            body = _apply_filters(body, d)
-        except (ValueError, zlib.error):
-            continue  # DCT/LZW/corrupt — not a text stream we can walk
-        out.append(body)
+            header = [int(x) for x in decoded[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(header[0::2], header[1::2]))[:count]
+        for idx, (num, off) in enumerate(pairs):
+            if num in objs:  # top-level (= newer or only) definition wins
+                continue
+            nxt = pairs[idx + 1][1] if idx + 1 < len(pairs) else len(decoded) - first
+            content = decoded[first + off : first + nxt].strip()
+            objs[num] = {
+                "dict": content[2:-2] if content[:2] == b"<<" else None,
+                "value": content,
+                "span": None,
+                "at": o["at"],
+            }
+
+
+def _find_root(data: bytes, objs: dict[int, dict]) -> int | None:
+    """Catalog objnum: the LAST /Root reference in the file (trailer
+    dicts and xref-stream dicts both carry it; last = newest update),
+    else the newest object whose dict says /Type /Catalog."""
+    roots = _ROOT_RE.findall(data)
+    if roots:
+        num = int(roots[-1])
+        if num in objs:
+            return num
+    best = None
+    for num, o in objs.items():
+        d = o["dict"]
+        if d is not None and re.search(rb"/Type\s*/Catalog\b", d):
+            if best is None or o["at"] > objs[best]["at"]:
+                best = num
+    return best
+
+
+def _check_encrypted(data: bytes) -> None:
+    """Raise on encrypted documents (strings/streams are RC4/AES
+    ciphertext — walking them would emit mojibake, not text). /Encrypt
+    is looked for only inside trailer dicts and xref-stream dicts, not
+    the whole byte stream, so page text MENTIONING /Encrypt can't
+    false-positive."""
+    regions = []
+    for m in re.finditer(rb"trailer", data):
+        regions.append(data[m.end() : m.end() + 2048])
+    for m in re.finditer(rb"/Type\s*/XRef\b", data):
+        lo = max(0, m.start() - 2048)
+        regions.append(data[lo : m.start() + 2048])
+    for r in regions:
+        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R\b", r):
+            raise ValueError("encrypted PDF: cannot extract text")
+
+
+def _page_nums(objs: dict[int, dict], node: int, seen: set[int]) -> list[int]:
+    """Leaf page objnums under a /Pages tree node, in /Kids order;
+    cycle-safe."""
+    if node in seen or node not in objs:
+        return []
+    seen.add(node)
+    d = objs[node]["dict"]
+    if d is None:
+        return []
+    tm = _TYPE_RE.search(d)
+    if tm and tm.group(1) == b"Page":
+        return [node]
+    out: list[int] = []
+    for kid in _dict_refs(d, b"Kids"):
+        out.extend(_page_nums(objs, kid, seen))
+    return out
+
+
+def _content_streams(data: bytes) -> list[bytes]:
+    """Content to tokenize, in reading order. Graph path: one
+    CONCATENATED blob per page (multi-/Contents arrays joined with a
+    newline — §7.8.2 says the parts form a single stream with divisions
+    only at token boundaries, so a separator is safe and a TJ array may
+    legally open in one part and close in the next), followed by any
+    decodable top-level streams the page walk didn't consume (appended
+    annotation/Form content keeps extracting, as in round 9) — except
+    streams only a SUPERSEDED incremental-update revision referenced
+    (the old page's content must not resurface after an update).
+    Fallback path (no discoverable catalog): every decodable top-level
+    stream in document order, minus structural kinds (ObjStm/XRef/
+    Metadata/images/fonts)."""
+    objs, superseded = _scan_objects(data)
+    _expand_objstms(data, objs)
+    current_refs: set[int] = set()
+    for o in objs.values():
+        for src in (o["dict"] or b"", o["value"]):
+            current_refs.update(
+                int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R\b", src)
+            )
+    stale: set[int] = set()
+    for o in superseded:
+        for src in (o["dict"] or b"", o["value"]):
+            stale.update(int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R\b", src))
+    stale -= current_refs
+    consumed: set[int] = set()
+    out: list[bytes] = []
+    root = _find_root(data, objs)
+    if root is not None:
+        cat = objs[root]["dict"]
+        pages_ref = _dict_ref(cat or b"", b"Pages")
+        if pages_ref is not None:
+            for page in _page_nums(objs, pages_ref, set()):
+                parts = []
+                for ref in _dict_refs(objs[page]["dict"] or b"", b"Contents"):
+                    if ref in objs:
+                        body = _body(data, objs[ref])
+                        if body is not None:
+                            parts.append(body)
+                            consumed.add(ref)
+                if parts:
+                    out.append(b"\n".join(parts))
+    for num in sorted(objs, key=lambda k: objs[k]["at"]):
+        o = objs[num]
+        if num in consumed or num in stale or o["span"] is None:
+            continue
+        d = o["dict"] or b""
+        tm, sm = _TYPE_RE.search(d), _SUBTYPE_RE.search(d)
+        if tm and tm.group(1) in _NON_TEXT_TYPES:
+            continue
+        if sm and sm.group(1) in _NON_TEXT_SUBTYPES:
+            continue
+        if _dict_int(d, b"Length1") is not None:  # embedded font program
+            continue
+        body = _body(data, o)
+        if body is not None:
+            out.append(body)
     return out
 
 
@@ -394,6 +784,7 @@ def extract_pdf_text(data: bytes) -> str:
     splits (found by the hypothesis round-trip property)."""
     if data[:5] != b"%PDF-":
         raise ValueError("not a PDF: missing %PDF- header")
+    _check_encrypted(data)
     lines: list[str] = []
     cur: list[bytes] = []
 
@@ -454,15 +845,28 @@ def pdf_text_extract(
 ) -> DataFrame:
     """Arrow-batched extraction over a PDF binary column: emits the
     extracted text plus the length the differential layer compares —
-    the html_text_extract shape (operators/htmltext.py)."""
-    schema = f"{key_col} long, extracted string, n_chars long"
+    the html_text_extract shape (operators/htmltext.py).
+
+    Per-payload error channel (round 10, VERDICT r9 #3 — the R24
+    dead-letter discipline): a payload that isn't a PDF, is encrypted,
+    or trips any walker bug yields a quarantine row (NULL extracted,
+    ``err`` = the message) instead of killing the task — one mislabeled
+    blob in a 100 TB batch must not fail the batch. Successful rows
+    carry ``err`` NULL; route ``err IS NOT NULL`` to the audit sink,
+    as events_dead_letter_audit does."""
+    schema = f"{key_col} long, extracted string, n_chars long, err string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                text = extract_pdf_text(bytes(r[pdf_col]))
-                rows.append((r[key_col], text, len(text)))
-            yield pd.DataFrame(rows, columns=[key_col, "extracted", "n_chars"])
+                try:
+                    text = extract_pdf_text(bytes(r[pdf_col]))
+                    rows.append((r[key_col], text, len(text), None))
+                except Exception as exc:
+                    rows.append((r[key_col], None, None, f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=[key_col, "extracted", "n_chars", "err"]
+            )
 
     return df.select(key_col, pdf_col).mapInPandas(run, schema)

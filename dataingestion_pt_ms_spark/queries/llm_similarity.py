@@ -3144,6 +3144,8 @@ def multimodal_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver never touches a container. Beyond-reference [NS]
 # (multimodal + source families).
 # --------------------------------------------------------------------------
+from .llm_text import PDF_LINE_SQL as _PDF_LINE_SQL  # noqa: E402 — shared with the pdf row's oracle (ADVICE r9)
+
 _WARC_TRIAGE_ORACLE = (
     _TRIAGE_CTES
     + f""", html_m AS (
@@ -3157,7 +3159,7 @@ _WARC_TRIAGE_ORACLE = (
   SELECT doc_id,
          CAST(length('Doc ' || doc_id || ' (A) \\ B' || chr(10) ||
               'Token ' || doc_id || chr(10) ||
-              text || chr(10) ||
+              {{PDF_LINE}} || chr(10) ||
               'tail ' || doc_id || ' end') AS DOUBLE) AS metric
   FROM documents WHERE doc_id < {_TRI_PANEL}
 ), all_m AS ("""
@@ -3167,7 +3169,7 @@ _WARC_TRIAGE_ORACLE = (
   UNION ALL SELECT 'application/pdf', 'pdf', metric FROM pdf_m
 )"""
     + _TRIAGE_FINAL
-)
+).replace("{PDF_LINE}", _PDF_LINE_SQL)
 
 
 @register(
@@ -3207,12 +3209,13 @@ def pipeline_warc_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
             did = int(r["doc_id"])
             page = _page_html(r["text"]).encode("utf-8")
             media = _triage_payload(did)
-            doc_pdf = P.encode_pdf(
+            enc = P.encode_pdf_objstm if did % 3 == 0 else P.encode_pdf
+            doc_pdf = enc(
                 P.encode_text_ops(
                     [
                         f"Doc {did} (A) \\ B",
                         f"Token {did}",
-                        str(r["text"]),
+                        P.normalize_corpus_line(r["text"]),
                         f"tail {did} end",
                     ]
                 ),

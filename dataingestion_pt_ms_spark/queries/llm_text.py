@@ -2781,12 +2781,21 @@ def text_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Beyond-reference [NS] (multimodal family).
 # --------------------------------------------------------------------------
 
-PDF_EXTRACTION_ORACLE = r"""
+# the text column as one PDF text line — the SQL twin of
+# operators/pdf.normalize_corpus_line (ADVICE r9: a corpus doc with \r
+# or empty text must change BOTH sides of the differential, not diverge)
+PDF_LINE_SQL = (
+    "CASE WHEN text IS NULL OR text = '' THEN '(empty)' "
+    "ELSE replace(replace(text, chr(13) || chr(10), chr(10)), "
+    "chr(13), chr(10)) END"
+)
+
+PDF_EXTRACTION_ORACLE = rf"""
 WITH exp AS (
   SELECT doc_id,
          'Doc ' || doc_id || ' (A) \ B' || chr(10) ||
          'Token ' || doc_id || chr(10) ||
-         text || chr(10) ||
+         {PDF_LINE_SQL} || chr(10) ||
          'tail ' || doc_id || ' end' AS expected
   FROM documents
 )
@@ -2811,7 +2820,15 @@ def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import pdf as P
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the single sf0.1 parquet file arrives as ONE input split, which
+    # would serialize both Arrow passes — spread the tiny (doc_id, text)
+    # projection across the cluster first so the guard measures the
+    # codec, not the file count (VERDICT r9 "what's wrong" #2)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2821,12 +2838,15 @@ def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lines = [
                     f"Doc {did} (A) \\ B",  # style 0: Tj with escapes
                     f"Token {did}",  # style 1: ' next-line-show
-                    str(r["text"]),  # style 2: TJ kerning splits
+                    P.normalize_corpus_line(r["text"]),  # style 2: TJ kerning splits
                     f"tail {did} end",  # style 3: hex string
                 ]
-                blob = P.encode_pdf(
-                    P.encode_text_ops(lines), compress=did % 2 == 0
-                )
+                # doc_id % 3 picks the writer generation: two thirds the
+                # 1.4 table-xref form, one third the 1.5 ObjStm/xref-
+                # stream form — the oracle is structure-blind, so the
+                # differential proves both framings extract identically
+                enc = P.encode_pdf_objstm if did % 3 == 0 else P.encode_pdf
+                blob = enc(P.encode_text_ops(lines), compress=did % 2 == 0)
                 rows.append((did, bytearray(blob)))
             yield pd.DataFrame(rows, columns=["doc_id", "pdf_bytes"])
 

@@ -187,6 +187,169 @@ def test_chained_filter_array():
     assert P.extract_pdf_text(blob) == "base\nchained"
 
 
+# --- round-10 conformance matrix (VERDICT r9 #2): structure variants a
+# FOREIGN writer emits, which the synthesized 1.4 fixtures never produce.
+
+
+def _min_pdf(objects: list[bytes], root: int = 1, eol: bytes = b"\n") -> bytes:
+    """Hand-assembled PDF from raw object bodies (no xref — the walker
+    never trusts one anyway); ``eol`` lets the CR-only test build a
+    document whose every line ends in 0x0D."""
+    buf = b"%PDF-1.4" + eol
+    for n, body in enumerate(objects, start=1):
+        if body is None:
+            continue
+        buf += f"{n} 0 obj".encode() + eol + body + eol + b"endobj" + eol
+    buf += (
+        b"trailer" + eol + b"<< /Root " + str(root).encode() + b" 0 R >>"
+        + eol + b"%%EOF" + eol
+    )
+    return buf
+
+
+def _page_objs(contents: bytes, eol: bytes = b"\n") -> list[bytes]:
+    return [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents " + contents + b" >>",
+    ]
+
+
+def test_objstm_xref_stream_document():
+    # PDF 1.5: catalog/pages/page/font packed in a /Type /ObjStm, xref
+    # as a binary /Type /XRef stream, no `trailer` keyword at all
+    lines = ["Doc 5 (A) \\ B", "Token 5", "objstm body text", "tail 5 end"]
+    for compress in (True, False):
+        blob = P.encode_pdf_objstm(P.encode_text_ops(lines), compress=compress)
+        assert b"/Type /ObjStm" in blob and b"/Type /XRef" in blob
+        assert b"trailer" not in blob
+        assert blob.count(b" obj") <= 4  # only streams live at top level
+        assert P.extract_pdf_text(blob) == "\n".join(lines)
+
+
+def test_objstm_multipage():
+    pages = [P.encode_text_ops([f"page {p} row {i}" for i in range(2)])
+             for p in range(3)]
+    blob = P.encode_pdf_objstm(pages)
+    assert P.extract_pdf_text(blob) == "\n".join(
+        f"page {p} row {i}" for p in range(3) for i in range(2)
+    )
+
+
+def test_indirect_length_forward_ref():
+    # /Length as an object reference DEFINED AFTER the stream — forces
+    # the two-pass exact slice (a Flate body ending in EOL bytes would
+    # die under the scan-and-rstrip fallback)
+    ops = P.encode_text_ops(["alpha zeta theta", "x alpha"])
+    z = zlib.compress(ops, 6)
+    assert z.endswith((b"\n", b"\r"))
+    objs = _page_objs(b"4 0 R")
+    objs.append(
+        b"<< /Length 5 0 R /Filter /FlateDecode >>\nstream\n" + z
+        + b"\nendstream"
+    )
+    objs.append(str(len(z)).encode())
+    assert P.extract_pdf_text(_min_pdf(objs)) == "alpha zeta theta\nx alpha"
+
+
+def test_cr_only_eols():
+    # some legacy Mac writers end EVERY line with bare 0x0D, including
+    # the one after the `stream` keyword
+    body = b"BT 72 720 Td (cr only) Tj ET"
+    objs = _page_objs(b"4 0 R", eol=b"\r")
+    objs.append(
+        b"<< /Length " + str(len(body)).encode() + b" >>\rstream\r"
+        + body + b"\rendstream"
+    )
+    blob = _min_pdf(objs, eol=b"\r")
+    assert b"\n" not in blob
+    assert P.extract_pdf_text(blob) == "cr only"
+
+
+def test_multi_contents_array_token_boundary_split():
+    # /Contents [4 0 R 5 0 R]: one logical stream in two parts, split
+    # at a token boundary INSIDE a TJ array (§7.8.2 allows exactly
+    # this) — per-stream tokenizing would lose the whole TJ
+    s1 = b"BT 72 720 Td [(Hello)"
+    s2 = b"-250 (world)] TJ T* (second) Tj ET"
+    objs = _page_objs(b"[4 0 R 5 0 R]")
+    objs.append(b"<< /Length " + str(len(s1)).encode() + b" >>\nstream\n"
+                + s1 + b"\nendstream")
+    objs.append(b"<< /Length " + str(len(s2)).encode() + b" >>\nstream\n"
+                + s2 + b"\nendstream")
+    assert P.extract_pdf_text(_min_pdf(objs)) == "Hello world\nsecond"
+
+
+def test_incremental_update_supersedes_page():
+    # appended revision redefines page 3 to new content; the OLD
+    # content stream is still in the file but must not resurface
+    base = P.encode_pdf(P.encode_text_ops(["old text"]))
+    new = b"BT 72 720 Td (new text) Tj ET"
+    upd = (
+        base
+        + b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>\nendobj\n"
+        + b"9 0 obj\n<< /Length " + str(len(new)).encode() + b" >>\nstream\n"
+        + new + b"\nendstream\nendobj\n"
+        + b"trailer\n<< /Root 1 0 R /Prev 9 >>\n%%EOF\n"
+    )
+    assert P.extract_pdf_text(upd) == "new text"
+
+
+def test_lying_xref_is_ignored():
+    # corrupt every xref offset: the walker finds objects by scan
+    blob = P.encode_pdf(P.encode_text_ops(["xref lies"]))
+    start = blob.index(b"xref\n")
+    end = blob.index(b"trailer")
+    table = blob[start:end]
+    import re as _re
+
+    broken = _re.sub(rb"\d{10}", b"9999999999", table)
+    assert P.extract_pdf_text(blob[:start] + broken + blob[end:]) == "xref lies"
+
+
+def test_encrypted_document_raises():
+    blob = P.encode_pdf(P.encode_text_ops(["secret"]))
+    enc = blob.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        P.extract_pdf_text(enc)
+    # the phrase inside page TEXT must not false-positive
+    ok = P.encode_pdf(P.encode_text_ops(["mentions /Encrypt 9 0 R here"]))
+    assert "Encrypt" in P.extract_pdf_text(ok)
+
+
+def test_stream_body_containing_dict_keyword_bytes():
+    # ADVICE r9: an UNCOMPRESSED body whose bytes spell out another
+    # `<< /Length N >> stream` must not shift object boundaries — the
+    # scan advances past consumed bodies
+    decoy = b"BT 72 720 Td (<< /Length 4 >>\\nstream garbage endstream) Tj ET"
+    real = b"BT 72 700 Td (real) Tj ET"
+    objs = _page_objs(b"[4 0 R 5 0 R]")
+    objs.append(b"<< /Length " + str(len(decoy)).encode() + b" >>\nstream\n"
+                + decoy + b"\nendstream")
+    objs.append(b"<< /Length " + str(len(real)).encode() + b" >>\nstream\n"
+                + real + b"\nendstream")
+    got = P.extract_pdf_text(_min_pdf(objs))
+    assert got.endswith("\nreal") and "garbage" not in got.splitlines()[-1]
+
+
+def test_pdf_text_extract_error_channel(spark):
+    # VERDICT r9 #3: one bad blob quarantines, the batch survives (R24)
+    from pyspark.sql import Row
+
+    good = P.encode_pdf(P.encode_text_ops(["fine"]))
+    enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    rows = [
+        Row(doc_id=0, pdf_bytes=bytearray(good)),
+        Row(doc_id=1, pdf_bytes=bytearray(b"GIF89a not a pdf")),
+        Row(doc_id=2, pdf_bytes=bytearray(enc)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pdf_bytes binary")
+    got = {r.doc_id: r for r in P.pdf_text_extract(df).collect()}
+    assert got[0].extracted == "fine" and got[0].err is None
+    assert got[1].extracted is None and "%PDF-" in got[1].err
+    assert got[2].extracted is None and "encrypted" in got[2].err
+
+
 def test_sniff_html_magic():
     assert sniff_media_kind(b"<html><head></head></html>") == "text/html"
     assert sniff_media_kind(b"  \n<!DOCTYPE html><html>") == "text/html"
@@ -235,9 +398,12 @@ try:
         # arbitrary unicode lines through all four show-operator styles
         # and both stream framings come back byte-exact (modulo the \r
         # normalization the literal-string spec mandates; \r is excluded
-        # above because expected-line identity is the property)
-        blob = P.encode_pdf(P.encode_text_ops(lines), compress=compress)
-        assert P.extract_pdf_text(blob) == "\n".join(lines)
+        # above because expected-line identity is the property) — and
+        # the 1.5 ObjStm/xref-stream framing extracts identically
+        ops = P.encode_text_ops(lines)
+        expected = "\n".join(lines)
+        assert P.extract_pdf_text(P.encode_pdf(ops, compress=compress)) == expected
+        assert P.extract_pdf_text(P.encode_pdf_objstm(ops, compress=compress)) == expected
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
