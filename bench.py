@@ -354,15 +354,20 @@ BASELINE_SEC = {
     "pipeline_web_curation_warc": 3.76,
     "archive_tar_members_audit": 1.28,
     "warehouse_txnlog_time_travel": 3.11,
-    # round 9 (quiet window 2026-08-16, min-of-3 hot): PDF synth+extract
-    # is Arrow-batched Python; the sf0.1 wall is bounded by the source's
-    # file-partition count (sf0.1 documents is a single parquet file),
-    # which is why the 10x sf1x wall reads ~equal (BENCH.md §13g)
+    # round 9, re-recorded round 10 (quiet window 2026-08-16, min-of-3
+    # hot): the pdf row now repartitions after the scan (VERDICT r9 #4)
+    # and mixes 1.4/1.5 writer framings — the wall measures the codec
+    # 32-way, and it lands where the serial single-split run did because
+    # job overhead dominates 5k tiny docs (BENCH.md §13g)
     "multimodal_pdf_extract": 1.72,
-    "pipeline_warc_media_triage": 0.90,
+    "pipeline_warc_media_triage": 1.06,
     # five txn-log commits (2 MERGE + CHECKPOINT + replay no-op + MERGE)
     # + three snapshot reads — wall is commit-count, not data
     "warehouse_txnlog_checkpoint_travel": 5.58,
+    # round 10 (VERDICT r9 #5): the TABLE-SCALING crawl head — 3 records
+    # x every doc through pack->split->sniff->decode; wall ~ docs, and
+    # the ladder (§13g) finally exercises the composed pipeline's wall
+    "pipeline_warc_triage_scaled": 5.26,
 }
 GUARD_FACTOR = 2.0
 
@@ -757,6 +762,8 @@ HEADLINE = [
     "multimodal_pdf_extract",
     "pipeline_warc_media_triage",
     "warehouse_txnlog_checkpoint_travel",
+    # round 10: the SF-scaling crawl head (VERDICT r9 #5)
+    "pipeline_warc_triage_scaled",
 ]
 
 

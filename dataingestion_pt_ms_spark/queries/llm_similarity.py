@@ -3275,6 +3275,182 @@ def pipeline_warc_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# WARC → triage, TABLE-SCALING form (round 10, VERDICT r9 #5): the
+# panel row above proves per-codec VALUES over all nine kinds but its
+# 140-doc panel never exercises the composed crawl head's WALL on the
+# stress ladder. This row scales with the documents table — EVERY doc
+# contributes three records (HTML page, synthesized PDF in a doc-keyed
+# mix of 1.4/1.5 framings, PNG) packed into ~16-doc WARC segments (odd
+# segments per-record-gzip), split back out, content-sniffed, decoded.
+# Metrics are exact BIGINTs (extracted n_chars; PNG total channel sum)
+# so the rollup hashes identically at any SF — no float summation-order
+# hazard — and the (kind, doc_id % 10) grain means a single dropped or
+# double-counted record anywhere breaks a sum. At 100 TB: archives per
+# SF, one archive per task in flight, no driver containers; the rollup
+# is a map-side-combinable hash agg. Beyond-reference [NS].
+# --------------------------------------------------------------------------
+_WARC_SCALED_ORACLE = f"""
+WITH html_m AS (
+  SELECT doc_id,
+         CAST(length('corpus page' || chr(10) ||
+              'AT&T <terms> "apply" A' || chr(10) ||
+              trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10) ||
+              'footer links here') AS BIGINT) AS metric
+  FROM documents
+), pdf_m AS (
+  SELECT doc_id,
+         CAST(length('Doc ' || doc_id || ' (A) \\ B' || chr(10) ||
+              'Token ' || doc_id || chr(10) ||
+              {{PDF_LINE}} || chr(10) ||
+              'tail ' || doc_id || ' end') AS BIGINT) AS metric
+  FROM documents
+), png_m AS (
+  SELECT doc_id,
+         SUM(CAST((doc_id * 29 + y * 5 + x * 11 + 0) % 256
+                + (doc_id * 29 + y * 5 + x * 11 + 3) % 256
+                + (doc_id * 29 + y * 5 + x * 11 + 6) % 256 AS BIGINT)) AS metric
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y)
+  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x)
+  GROUP BY doc_id
+), all_m AS (
+  SELECT 'text/html' AS media_kind, 'html' AS codec, doc_id, metric FROM html_m
+  UNION ALL SELECT 'application/pdf', 'pdf', doc_id, metric FROM pdf_m
+  UNION ALL SELECT 'image/png', 'png', doc_id, metric FROM png_m
+)
+SELECT media_kind, codec, doc_id % 10 AS bucket,
+       count(*) AS n_payloads, CAST(SUM(metric) AS BIGINT) AS total_metric
+FROM all_m
+GROUP BY media_kind, codec, bucket
+ORDER BY media_kind, codec, bucket
+""".replace("{PDF_LINE}", _PDF_LINE_SQL)
+
+
+@register(
+    "pipeline_warc_triage_scaled",
+    oracle=_WARC_SCALED_ORACLE,
+    tags=("llm", "multimodal", "pipeline", "warc", "udf"),
+    since=10,
+)
+def pipeline_warc_triage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources import archives as A
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from dataingestion_pt_ms_spark.operators import pdf as P
+        from dataingestion_pt_ms_spark.queries.curation import _page_html
+
+        pdf = pdf.sort_values("doc_id")
+        aid = int(pdf["archive_id"].iloc[0])
+        recs = [
+            A.encode_warc_record(
+                "warcinfo",
+                b"software: dataingestion-pt-ms-spark\r\n",
+                record_id=f"<urn:uuid:warcinfo-sc-{aid}>",
+                content_type="application/warc-fields",
+            )
+        ]
+        y, x, c = np.meshgrid(
+            np.arange(6), np.arange(9), np.arange(3), indexing="ij"
+        )
+        for _, r in pdf.iterrows():
+            did = int(r["doc_id"])
+            page = _page_html(r["text"]).encode("utf-8")
+            enc = P.encode_pdf_objstm if did % 3 == 0 else P.encode_pdf
+            doc_pdf = enc(
+                P.encode_text_ops(
+                    [
+                        f"Doc {did} (A) \\ B",
+                        f"Token {did}",
+                        P.normalize_corpus_line(r["text"]),
+                        f"tail {did} end",
+                    ]
+                ),
+                compress=did % 2 == 0,
+            )
+            png = M.encode_png(
+                ((did * 29 + y * 5 + x * 11 + c * 3) % 256).astype("uint8")
+            )
+            for path, body, ctype in (
+                ("doc", page, "text/html"),
+                ("pdf", doc_pdf, "application/pdf"),
+                ("png", png, "application/octet-stream"),
+            ):
+                recs.append(
+                    A.encode_warc_record(
+                        "response",
+                        A.encode_http_response(body),
+                        target_uri=f"http://corpus.example/{path}/{did}",
+                        record_id=f"<urn:uuid:sc-{path}-{did}>",
+                        content_type="application/http; msgtype=response",
+                    )
+                )
+        blob = A.encode_warc(recs, per_record_gzip=aid % 2 == 1)
+        return pd.DataFrame(
+            {"archive": [f"scaled-{aid}.warc"], "content": [bytearray(blob)]}
+        )
+
+    archives_df = (
+        docs.withColumn("archive_id", F.floor(F.col("doc_id") / 16))
+        .groupBy("archive_id")
+        .applyInPandas(build, "archive string, content binary")
+    )
+    records = A.split_warc_records(
+        archives_df, content_col="content", path_col="archive"
+    )
+    payloads = records.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "payload",
+    )
+
+    def triage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataingestion_pt_ms_spark.operators.htmltext import extract_text
+        from dataingestion_pt_ms_spark.operators.pdf import extract_pdf_text
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                did, data = int(r["doc_id"]), bytes(r["payload"])
+                kind = M.sniff_media_kind(data)
+                if kind == "image/png":
+                    codec = "png"
+                    metric = int(M.decode_image(data).astype("int64").sum())
+                elif kind == "text/html":
+                    codec = "html"
+                    metric = len(extract_text(data.decode("utf-8")))
+                elif kind == "application/pdf":
+                    codec = "pdf"
+                    metric = len(extract_pdf_text(data))
+                else:  # a sniff miss lands in the rollup as its own row
+                    codec, metric = "unknown", 0
+                rows.append((did, kind, codec, metric))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_kind", "codec", "metric"]
+            )
+
+    triaged = payloads.mapInPandas(
+        triage, "doc_id long, media_kind string, codec string, metric long"
+    )
+    return (
+        triaged.groupBy(
+            "media_kind", "codec", (F.col("doc_id") % 10).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum("metric").alias("total_metric"),
+        )
+        .orderBy("media_kind", "codec", "bucket")
+    )
+
+
+# --------------------------------------------------------------------------
 # Cross-format re-encode dedup (round 7 continuation): the real
 # web-corpus scenario byte-level dedup cannot see — the SAME image
 # stored once lossless (PNG) and once as a lossy JPEG re-encode. Each of

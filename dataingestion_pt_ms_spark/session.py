@@ -18,6 +18,7 @@ Defaults mirror a production cluster profile, scaled to local mode:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -68,6 +69,101 @@ def cluster_profile_conf(env: dict[str, str] | None = None) -> dict[str, str]:
         ),
         "spark.driver.memory": e.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
+
+
+# State-store instances PER PARTITION each stateful operator kind plans
+# (what multiplies into the per-batch commit count): a stream-stream join
+# keeps four stores per partition (two sides × keyToNumValues /
+# keyWithIndexToValue); aggregations, dedup, [flat]MapGroupsWithState and
+# session windows keep one.
+STATE_STORES_PER_OP = {
+    "agg": 1,
+    "dedup": 1,
+    "session_window": 1,
+    "groups_with_state": 1,
+    "stream_stream_join": 4,
+}
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def streaming_state_conf(
+    n_state_stores: int,
+    cores: int | None = None,
+    trigger_seconds: float | None = None,
+    key_cardinality: int | None = None,
+    state_gb: float = 0.0,
+) -> dict[str, str]:
+    """Size ``spark.sql.shuffle.partitions`` for a STREAMING query from
+    the stores-per-core arithmetic BENCH.md §17c measured (round 10,
+    VERDICT r9 #1) — the batch default freezes an unmeetable trigger
+    floor into the first checkpoint, because every state store commits
+    once per micro-batch and the commit overhead is per-STORE, not
+    per-row (32 partitions × 4 join stores = 128 commits/batch gave the
+    interval join a 6.9 s p50 floor that no data rate could fix; 8
+    partitions met a 2 s trigger to 200 k rows/s/side).
+
+    ``n_state_stores``: stores per partition across the query's stateful
+    operators — sum :data:`STATE_STORES_PER_OP` over the plan (e.g. one
+    stream-stream join = 4; a windowed agg feeding a dedup = 2).
+
+    The dial, exactly as measured:
+
+    - **latency-sized** (``trigger_seconds`` < 5): stores-per-core ≤ 1 —
+      ``partitions = cores // n_state_stores`` — so one commit wave per
+      batch; §17c: meets a 2 s trigger up to 200 k rows/s/side where the
+      cores-sized count cannot meet it at ANY rate.
+    - **throughput-sized** (``trigger_seconds`` ≥ 5 or None):
+      ``partitions = cores`` — full data-path parallelism; §17b: carries
+      800 k rows/s/side at a 5 s trigger.
+
+    ``key_cardinality`` caps the count (a partition without keys is a
+    store that still commits every batch); ``state_gb`` ≥ 1 adds the
+    RocksDB provider (§17b: bounded-tail commits at GB state are worth
+    its ~1.4× median penalty; below that heap is strictly better on
+    local disk). On a cluster pass total executor cores; the invariant
+    scales with the fleet, and the FIRST run's checkpoint freezes the
+    choice for the query's life — size it before that run.
+    """
+    if n_state_stores < 1:
+        raise ValueError("n_state_stores must be >= 1")
+    cores = cores or default_parallelism()
+    if trigger_seconds is not None and trigger_seconds < 5:
+        parts = max(1, cores // n_state_stores)
+    else:
+        parts = max(1, cores)
+    if key_cardinality is not None:
+        parts = max(1, min(parts, key_cardinality))
+    conf = {"spark.sql.shuffle.partitions": str(parts)}
+    if state_gb >= 1.0:
+        conf["spark.sql.streaming.stateStore.providerClass"] = _ROCKSDB_PROVIDER
+    return conf
+
+
+@contextmanager
+def session_conf(spark: SparkSession, conf: dict[str, str]):
+    """Apply ``conf`` for the duration of the block, then restore —
+    the intended wrapper around a streaming ``.start()``: shuffle
+    partitions are read at query planning, so only the stream being
+    started sees the streaming-sized value and concurrent batch work
+    keeps the session default."""
+    old: dict[str, str | None] = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def get_spark(

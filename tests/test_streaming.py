@@ -664,6 +664,57 @@ def test_transform_with_state_running_counts(spark, tmp_path):
     assert totals == {"click": 6.0, "buy": 5.0}
 
 
+def test_streaming_state_conf_lands_in_fresh_checkpoint(spark, events_dir, tmp_path):
+    """The §17c sizing knob end-to-end (round 10, VERDICT r9 #1): the
+    partition count streaming_state_conf selects is what a FRESH
+    checkpoint freezes (state/0/<partition> directories), a later run
+    WITHOUT the knob keeps the frozen count (the freeze is real — this
+    is why sizing must happen before the first run), and the session
+    conf is restored after the block."""
+    from dataingestion_pt_ms_spark.session import (
+        session_conf,
+        streaming_state_conf,
+    )
+    from dataingestion_pt_ms_spark.streaming.jobs import tumbling_counts_stream
+
+    schema = spark.read.parquet(events_dir).schema
+    ckpt = str(tmp_path / "knob_ckpt")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    # one stateful agg, latency-targeted on 12 "cores" → 12 partitions;
+    # cap to 6 via key cardinality to keep the fixture fast and distinct
+    # from every session default in play
+    conf = streaming_state_conf(
+        1, cores=12, trigger_seconds=2, key_cardinality=6
+    )
+    assert conf["spark.sql.shuffle.partitions"] == "6"
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+        q = (
+            tumbling_counts_stream(stream)
+            .writeStream.format("noop")  # memory sink can't resume a ckpt
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with session_conf(spark, conf):
+        run_once()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    def state_partitions() -> int:
+        state0 = tmp_path / "knob_ckpt" / "state" / "0"
+        return sum(1 for p in state0.iterdir() if p.name.isdigit())
+
+    assert state_partitions() == 6
+    # second run on the same checkpoint, session default back in force:
+    # the checkpoint's frozen count wins, not the session conf
+    run_once()
+    assert state_partitions() == 6
+
+
 def test_windowed_histogram_stream_matches_batch_and_psi(spark, events_dir):
     """Drive the drift-monitor histogram through the real streaming engine
     (file source, availableNow) and check (a) the emitted per-window bin

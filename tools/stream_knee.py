@@ -251,6 +251,23 @@ def cmd_floor(spark: SparkSession, args) -> None:
     commits once per batch, so the floor tracks the per-store commit
     cost x the store count (= shuffle partitions x stateful operators)."""
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if args.auto_stores:
+        # §17d: let the sizing knob pick the partition count instead of
+        # hand-feeding it — the arithmetic the checkpoint will freeze
+        from dataingestion_pt_ms_spark.session import streaming_state_conf
+
+        conf = streaming_state_conf(
+            args.auto_stores,
+            trigger_seconds=args.trigger_ms / 1000.0,
+        )
+        picked = int(conf["spark.sql.shuffle.partitions"])
+        print(
+            f"streaming_state_conf(n_state_stores={args.auto_stores}, "
+            f"trigger_seconds={args.trigger_ms / 1000.0}) -> "
+            f"{picked} shuffle partitions\n"
+        )
+        if picked not in args.parts:
+            args.parts.append(picked)
     print(
         f"### §17c interval-join commit floor (rate {args.rate} rows/s/side, "
         f"{args.secs} s/run, trigger {args.trigger_ms} ms)\n"
@@ -321,8 +338,14 @@ def main() -> None:
     f.add_argument("--rate", type=int, default=100_000)
     f.add_argument("--secs", type=int, default=60)
     f.add_argument("--trigger-ms", type=int, default=2000)
-    f.add_argument("--parts", nargs="+", type=int, default=[32, 8])
+    f.add_argument("--parts", nargs="*", type=int, default=[32, 8])
     f.add_argument("--providers", nargs="+", default=["heap", "rocksdb"])
+    f.add_argument(
+        "--auto-stores", type=int, default=None,
+        help="ALSO run the partition count streaming_state_conf selects "
+        "for this many state stores per partition at --trigger-ms "
+        "(session cores) — BENCH §17d",
+    )
     args = ap.parse_args()
 
     spark = get_spark("stream-knee")

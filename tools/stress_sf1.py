@@ -184,6 +184,10 @@ HEAVY = [
     # recomputes from the scaled table
     "warehouse_txnlog_time_travel",
     "warehouse_txnlog_checkpoint_travel",
+    # round 10 (VERDICT r9 #5): the crawl head's TABLE-SCALING form —
+    # archives per SF, exact-BIGINT rollup, so the composed
+    # pack->split->sniff->decode pipeline gets a real ladder wall
+    "pipeline_warc_triage_scaled",
 ]
 
 
