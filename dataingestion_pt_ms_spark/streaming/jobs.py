@@ -372,13 +372,21 @@ def interval_join_stream(
     the engine). This is the "errors with no preceding activity" alerting
     shape.
 
-    Trigger sizing (measured, BENCH.md §17c): the per-batch FLOOR of this
-    job is per-state-store commit overhead × store count (= streaming
-    ``spark.sql.shuffle.partitions`` × stateful stores), not data volume
-    — dropping 32 → 8 partitions cut the heap-store p50 from 6.9 s to
-    1.8 s at the same rate. Size the streaming shuffle-partition count
-    to key cardinality and executor cores BEFORE the first run: the
-    checkpoint freezes it for the query's life.
+    Trigger sizing (measured, BENCH.md §17c; knob in code since round
+    10 — §17d): the per-batch FLOOR of this job is per-state-store
+    commit overhead × store count (= streaming
+    ``spark.sql.shuffle.partitions`` × 4 stores for this join), not
+    data volume — dropping 32 → 8 partitions cut the heap-store p50
+    from 6.9 s to 1.8 s at the same rate. Size the partition count
+    BEFORE the first run (the checkpoint freezes it for the query's
+    life) with :func:`..session.streaming_state_conf`::
+
+        conf = streaming_state_conf(
+            STATE_STORES_PER_OP["stream_stream_join"],
+            trigger_seconds=2,
+        )
+        with session_conf(spark, conf):
+            interval_join_stream(...).writeStream...start()
     """
     e = (
         errors.filter(F.col("event_type") == "error")

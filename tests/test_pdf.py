@@ -332,6 +332,53 @@ def test_stream_body_containing_dict_keyword_bytes():
     assert got.endswith("\nreal") and "garbage" not in got.splitlines()[-1]
 
 
+def test_form_xobject_text_appends_after_pages():
+    # a /Subtype /Form XObject (annotation appearance / stamped content)
+    # is not in /Contents; the union path appends its text AFTER the
+    # page text — pinned so the documented semantics stay true
+    form = b"BT 72 50 Td (stamped) Tj ET"
+    blob = P.encode_pdf(P.encode_text_ops(["page body"]))
+    blob += (
+        b"9 0 obj\n<< /Type /XObject /Subtype /Form /Length "
+        + str(len(form)).encode() + b" >>\nstream\n" + form
+        + b"\nendstream\nendobj\n"
+    )
+    assert P.extract_pdf_text(blob) == "page body\nstamped"
+
+
+def test_structural_streams_never_tokenized():
+    # ObjStm/XRef stream bodies are structural binary: the 1.5 document
+    # must emit ONLY its page text even though both decode via Flate
+    blob = P.encode_pdf_objstm(P.encode_text_ops(["only this"]))
+    assert P.extract_pdf_text(blob) == "only this"
+    # and an embedded font program (/Length1) is skipped in union mode
+    font = zlib.compress(b"(fake glyf) Tj" * 4)
+    blob2 = P.encode_pdf(P.encode_text_ops(["body"]))
+    blob2 += (
+        b"9 0 obj\n<< /Length " + str(len(font)).encode()
+        + b" /Length1 56 /Filter /FlateDecode >>\nstream\n" + font
+        + b"\nendstream\nendobj\n"
+    )
+    assert P.extract_pdf_text(blob2) == "body"
+
+
+def test_third_party_extractor_cross_check():
+    """Skip-gated conformance cross-check (the Pillow/JPEG precedent):
+    when a real extractor is installed, BOTH writer generations must
+    yield the same text through it as through ours (whitespace-
+    normalized — extractors differ on intra-line spacing rules)."""
+    pypdf = pytest.importorskip("pypdf")
+    import io
+
+    lines = ["Doc 3 (A) B", "Token 3", "body text here", "tail 3 end"]
+    for enc in (P.encode_pdf, P.encode_pdf_objstm):
+        blob = enc(P.encode_text_ops(lines), compress=True)
+        reader = pypdf.PdfReader(io.BytesIO(blob))
+        theirs = "\n".join(page.extract_text() for page in reader.pages)
+        norm = lambda s: " ".join(s.split())  # noqa: E731
+        assert norm(theirs) == norm("\n".join(lines))
+
+
 def test_pdf_text_extract_error_channel(spark):
     # VERDICT r9 #3: one bad blob quarantines, the batch survives (R24)
     from pyspark.sql import Row
