@@ -43,10 +43,24 @@ offset, which is also why damaged/lying xrefs don't matter. When no
 catalog is discoverable the walker falls back to the round-9 behavior:
 every decodable top-level stream in document order.
 
-Scope (stated, not hidden): byte strings decode as UTF-8 — correct for
-the synthetic corpus and for simple-font ASCII PDFs; composite-font
-CMap/ToUnicode resolution is out of scope for a codec-free walker and
-raises nothing (bytes pass through ``errors="replace"``). Streams
+Composite fonts (round 10, closing the stated-scope gap): the text
+machine now tracks the active font (``Tf``) per page, resolves each
+font's **/ToUnicode CMap** (§9.10.3 — codespacerange + bfchar +
+bfrange, incrementing and array forms) through the page's /Resources,
+and decodes shown bytes through it as fixed-width codes — so Type0/CID
+documents, where the byte stream is 2-byte glyph codes and UTF-8
+decoding is guaranteed mojibake, extract their real text.
+``encode_pdf_cid`` writes such a document with a deliberately
+NON-identity code assignment, so every round-trip test proves the CMap
+is load-bearing, not decorative.
+
+Scope (stated, not hidden): byte strings decode as UTF-8 for simple
+fonts — correct for the synthetic corpus and simple-font ASCII PDFs;
+composite fonts decode through their ToUnicode CMap as above; a Type0
+font WITHOUT a ToUnicode stream (predefined CMaps like pure
+Identity-H) keeps the UTF-8 passthrough — mapping CIDs to text without
+the embedded map needs external CMap tables, which a codec-free walker
+does not ship. Streams
 decode through /Filter chains of FlateDecode / ASCIIHexDecode /
 ASCII85Decode (incl. arrays); anything else (DCT, LZW, font programs)
 is skipped as not-a-text-stream. Encrypted documents (a trailer
@@ -172,6 +186,93 @@ def encode_pdf(content: bytes | list[bytes], compress: bool = True) -> bytes:
         + str(len(objs) + 1).encode("ascii")
         + b" /Root 1 0 R >>\nstartxref\n"
         + str(xref_at).encode("ascii")
+        + b"\n%%EOF\n"
+    )
+    return bytes(buf)
+
+
+def encode_cmap(mapping: dict[int, str]) -> bytes:
+    """A minimal /ToUnicode CMap (§9.10.3): 2-byte codespace, bfchar
+    blocks of ≤100 entries (the spec's block cap), UTF-16BE
+    destinations (surrogate pairs for astral chars come free from
+    Python's encoder)."""
+    out = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    items = sorted(mapping.items())
+    for i in range(0, len(items), 100):
+        chunk = items[i : i + 100]
+        out.append(f"{len(chunk)} beginbfchar".encode("ascii"))
+        for code, ch in chunk:
+            dst = ch.encode("utf-16-be").hex().upper()
+            out.append(f"<{code:04X}> <{dst}>".encode("ascii"))
+        out.append(b"endbfchar")
+    out += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    return b"\n".join(out)
+
+
+def encode_pdf_cid(lines: list[str], compress: bool = True) -> bytes:
+    """Single-page Type0/CID document (round 10): every shown string is
+    2-byte codes in a deliberately NON-identity assignment (code
+    0x0100+i for the i-th distinct char), so the text is recoverable
+    ONLY through the embedded /ToUnicode CMap — a UTF-8 or identity
+    decode of the byte stream is guaranteed mojibake. This is the
+    composite-font shape every CJK and most subsetted-font crawl PDFs
+    use."""
+    chars = sorted({ch for line in lines for ch in line})
+    if len(chars) > 0xFEFF:
+        raise ValueError("too many distinct chars for a 2-byte code page")
+    code_of = {ch: 0x0100 + i for i, ch in enumerate(chars)}
+    cmap = encode_cmap({c: ch for ch, c in code_of.items()})
+    ops = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(b"T*")
+        hx = "".join(f"{code_of[ch]:04X}" for ch in line)
+        ops.append(b"<" + hx.encode("ascii") + b"> Tj")
+    ops.append(b"ET")
+    content = b"\n".join(ops) + b"\n"
+
+    stream = zlib.compress(content, 6) if compress else content
+    filt = b"/Filter /FlateDecode " if compress else b""
+    cmap_z = zlib.compress(cmap, 6)
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length " + str(len(stream)).encode("ascii") + b" " + filt
+        + b">>\nstream\n" + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-CID "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap_z)).encode("ascii")
+        + b" /Filter /FlateDecode >>\nstream\n" + cmap_z + b"\nendstream",
+    ]
+    buf = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += f"{n} 0 obj\n".encode("ascii") + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objs) + 1}\n".encode("ascii")
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode("ascii")
+    buf += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode("ascii")
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode("ascii")
         + b"\n%%EOF\n"
     )
     return bytes(buf)
@@ -561,6 +662,112 @@ def _check_encrypted(data: bytes) -> None:
             raise ValueError("encrypted PDF: cannot extract text")
 
 
+# --- ToUnicode CMap resolution (round 10: composite-font text) ------------
+
+_CSRANGE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CMAP_TOK_RE = re.compile(rb"<[0-9A-Fa-f\s]*>|\[|\]")
+
+
+def _hx(tok: bytes) -> bytes:
+    return bytes.fromhex(re.sub(rb"[\s<>]", b"", tok).decode("ascii"))
+
+
+def _parse_cmap(body: bytes) -> tuple[int, dict[int, str]] | None:
+    """(code byte-length, code → unicode) from a ToUnicode CMap stream:
+    codespacerange sets the code width (default 2), bfchar maps single
+    codes, bfrange maps runs — both the incrementing-destination and
+    the per-code array forms (§9.10.3). Destinations are UTF-16BE."""
+    codelen = 2
+    m = _CSRANGE_RE.search(body)
+    if m:
+        toks = _CMAP_TOK_RE.findall(m.group(1))
+        if toks and toks[0] not in (b"[", b"]"):
+            codelen = max(1, len(_hx(toks[0])))
+    table: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(body):
+        toks = [t for t in _CMAP_TOK_RE.findall(m.group(1)) if t[:1] == b"<"]
+        for i in range(0, len(toks) - 1, 2):
+            table[int.from_bytes(_hx(toks[i]), "big")] = _hx(
+                toks[i + 1]
+            ).decode("utf-16-be", errors="replace")
+    for m in _BFRANGE_RE.finditer(body):
+        toks = _CMAP_TOK_RE.findall(m.group(1))
+        i = 0
+        while i + 1 < len(toks):
+            if toks[i][:1] != b"<" or toks[i + 1][:1] != b"<":
+                i += 1
+                continue
+            lo = int.from_bytes(_hx(toks[i]), "big")
+            hi = int.from_bytes(_hx(toks[i + 1]), "big")
+            if i + 2 < len(toks) and toks[i + 2] == b"[":
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j] != b"]":
+                    if code <= hi:
+                        table[code] = _hx(toks[j]).decode(
+                            "utf-16-be", errors="replace"
+                        )
+                        code += 1
+                    j += 1
+                i = j + 1
+            elif i + 2 < len(toks):
+                dst = _hx(toks[i + 2])
+                base = int.from_bytes(dst, "big")
+                width = len(dst)
+                for k in range(hi - lo + 1):
+                    table[lo + k] = (base + k).to_bytes(width, "big").decode(
+                        "utf-16-be", errors="replace"
+                    )
+                i += 3
+            else:
+                break
+    return (codelen, table) if table else None
+
+
+def _dict_value_dict(objs: dict[int, dict], d: bytes, key: bytes) -> bytes | None:
+    """Inner dict bytes of /key — inline ``<< … >>`` or an indirect
+    reference to a dict object."""
+    m = re.search(rb"/" + key + rb"\s*<<", d)
+    if m:
+        end = _dict_span(d, m.end() - 2)
+        return d[m.end() : end - 2]
+    ref = _dict_ref(d, key)
+    if ref is not None and ref in objs:
+        return objs[ref]["dict"]
+    return None
+
+
+def _page_font_table(
+    data: bytes, objs: dict[int, dict], page_d: bytes
+) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """Font name → parsed ToUnicode CMap for one page's /Resources
+    /Font dict. Fonts without a ToUnicode stream are simply absent —
+    the text machine falls back to the UTF-8 passthrough for them."""
+    res = _dict_value_dict(objs, page_d, b"Resources")
+    if not res:
+        return {}
+    fdict = _dict_value_dict(objs, res, b"Font")
+    if not fdict:
+        return {}
+    fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
+    for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fdict):
+        fo = objs.get(int(num))
+        if not fo or fo["dict"] is None:
+            continue
+        tu = _dict_ref(fo["dict"], b"ToUnicode")
+        if tu is None or tu not in objs:
+            continue
+        body = _body(data, objs[tu])
+        if body is None:
+            continue
+        cm = _parse_cmap(body)
+        if cm:
+            fonts[name] = cm
+    return fonts
+
+
 def _page_nums(objs: dict[int, dict], node: int, seen: set[int]) -> list[int]:
     """Leaf page objnums under a /Pages tree node, in /Kids order;
     cycle-safe."""
@@ -579,19 +786,20 @@ def _page_nums(objs: dict[int, dict], node: int, seen: set[int]) -> list[int]:
     return out
 
 
-def _content_streams(data: bytes) -> list[bytes]:
-    """Content to tokenize, in reading order. Graph path: one
-    CONCATENATED blob per page (multi-/Contents arrays joined with a
-    newline — §7.8.2 says the parts form a single stream with divisions
-    only at token boundaries, so a separator is safe and a TJ array may
-    legally open in one part and close in the next), followed by any
-    decodable top-level streams the page walk didn't consume (appended
+def _page_streams(data: bytes) -> list[tuple[bytes, dict]]:
+    """(content, font table) pairs to tokenize, in reading order.
+    Graph path: one CONCATENATED blob per page (multi-/Contents arrays
+    joined with a newline — §7.8.2 says the parts form a single stream
+    with divisions only at token boundaries, so a separator is safe and
+    a TJ array may legally open in one part and close in the next) with
+    that page's resolved ToUnicode fonts, followed by any decodable
+    top-level streams the page walk didn't consume (appended
     annotation/Form content keeps extracting, as in round 9) — except
     streams only a SUPERSEDED incremental-update revision referenced
     (the old page's content must not resurface after an update).
     Fallback path (no discoverable catalog): every decodable top-level
     stream in document order, minus structural kinds (ObjStm/XRef/
-    Metadata/images/fonts)."""
+    Metadata/images/fonts), with no font context."""
     objs, superseded = _scan_objects(data)
     _expand_objstms(data, objs)
     current_refs: set[int] = set()
@@ -606,22 +814,25 @@ def _content_streams(data: bytes) -> list[bytes]:
             stale.update(int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R\b", src))
     stale -= current_refs
     consumed: set[int] = set()
-    out: list[bytes] = []
+    out: list[tuple[bytes, dict]] = []
     root = _find_root(data, objs)
     if root is not None:
         cat = objs[root]["dict"]
         pages_ref = _dict_ref(cat or b"", b"Pages")
         if pages_ref is not None:
             for page in _page_nums(objs, pages_ref, set()):
+                page_d = objs[page]["dict"] or b""
                 parts = []
-                for ref in _dict_refs(objs[page]["dict"] or b"", b"Contents"):
+                for ref in _dict_refs(page_d, b"Contents"):
                     if ref in objs:
                         body = _body(data, objs[ref])
                         if body is not None:
                             parts.append(body)
                             consumed.add(ref)
                 if parts:
-                    out.append(b"\n".join(parts))
+                    out.append(
+                        (b"\n".join(parts), _page_font_table(data, objs, page_d))
+                    )
     for num in sorted(objs, key=lambda k: objs[k]["at"]):
         o = objs[num]
         if num in consumed or num in stale or o["span"] is None:
@@ -636,8 +847,18 @@ def _content_streams(data: bytes) -> list[bytes]:
             continue
         body = _body(data, o)
         if body is not None:
-            out.append(body)
+            # a ToUnicode CMap stream is structural, not page text (its
+            # hex tokens carry no show operators, but skip it outright)
+            if body.lstrip().startswith(b"/CIDInit"):
+                continue
+            out.append((body, {}))
     return out
+
+
+def _content_streams(data: bytes) -> list[bytes]:
+    """Decoded content bodies only — the round-9 surface, kept for
+    callers that don't need font context."""
+    return [body for body, _ in _page_streams(data)]
 
 
 def _parse_literal(data: bytes, i: int) -> tuple[bytes, int]:
@@ -713,9 +934,11 @@ def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
 
 
 def _tokenize(content: bytes):
-    """Yield ('str', bytes) | ('num', float) | ('op', name) | ('arr',
-    '['/']') tokens from a content stream. Dicts (``<<``), names,
-    comments and inline-image payloads are consumed without emitting."""
+    """Yield ('str', bytes) | ('num', float) | ('name', bytes) |
+    ('op', name) | ('arr', '['/']') tokens from a content stream.
+    Dicts (``<<``), comments and inline-image payloads are consumed
+    without emitting; names ARE emitted so ``Tf`` can select the
+    active font."""
     i, n = 0, len(content)
     while i < n:
         c = content[i]
@@ -745,10 +968,13 @@ def _tokenize(content: bytes):
         elif c in (0x5B, 0x5D):  # [ ]
             yield ("arr", chr(c))
             i += 1
-        elif c == 0x2F:  # /name
+        elif c == 0x2F:  # /name — emitted so Tf can select a font
             i += 1
-            while i < n and content[i] not in _WS and content[i] not in _DELIM:
-                i += 1
+            j = i
+            while j < n and content[j] not in _WS and content[j] not in _DELIM:
+                j += 1
+            yield ("name", content[i:j])
+            i = j
         elif c in b"+-.0123456789":
             j = i + 1
             while j < n and content[j] in b"+-.0123456789":
@@ -771,32 +997,64 @@ def _tokenize(content: bytes):
                 yield ("op", op)
 
 
+def _decode_segments(segs: list[tuple[object, bytes]]) -> str:
+    """Decode a line's accumulated (font cmap, bytes) segments:
+    adjacent same-font segments concatenate BEFORE decoding — a
+    conforming writer may split a multi-byte UTF-8 sequence across TJ
+    array elements (the glyph stream is the byte concatenation), so
+    per-string decoding would mojibake exactly those splits (found by
+    the round-9 hypothesis property). No-cmap runs decode UTF-8;
+    ToUnicode runs decode as fixed-width codes through the map."""
+    out: list[str] = []
+    i = 0
+    while i < len(segs):
+        cmap = segs[i][0]
+        buf = bytearray(segs[i][1])
+        j = i + 1
+        while j < len(segs) and segs[j][0] is cmap:
+            buf += segs[j][1]
+            j += 1
+        if cmap is None:
+            out.append(buf.decode("utf-8", errors="replace"))
+        else:
+            codelen, table = cmap
+            usable = len(buf) - len(buf) % codelen
+            out.append(
+                "".join(
+                    table.get(
+                        int.from_bytes(buf[k : k + codelen], "big"), "\ufffd"
+                    )
+                    for k in range(0, usable, codelen)
+                )
+            )
+        i = j
+    return "".join(out)
+
+
 def extract_pdf_text(data: bytes) -> str:
     """Extract the text a viewer would show: one output line per text
     line (``Td``/``TD``/``T*``/``Tm``/``'``/``\"`` advances and ``ET``
     flush), TJ word-gap kerning rendered as a space, empty lines
-    dropped, lines joined with ``\\n``.
-
-    Shown strings accumulate as BYTES per line and decode once at line
-    flush — a conforming writer may split a multi-byte UTF-8 sequence
-    across TJ array elements (the glyph stream is the byte
-    concatenation), so per-string decoding would mojibake exactly those
-    splits (found by the hypothesis round-trip property)."""
+    dropped, lines joined with ``\\n``. ``Tf`` switches the active
+    font; fonts with a /ToUnicode CMap decode through it (composite
+    Type0/CID text), everything else through the UTF-8 passthrough —
+    see :func:`_decode_segments` for the split-safety rule."""
     if data[:5] != b"%PDF-":
         raise ValueError("not a PDF: missing %PDF- header")
     _check_encrypted(data)
     lines: list[str] = []
-    cur: list[bytes] = []
+    cur: list[tuple[object, bytes]] = []
 
     def flush() -> None:
-        text = b"".join(cur).decode("utf-8", errors="replace")
+        text = _decode_segments(cur)
         cur.clear()
         if text:
             lines.append(text)
 
-    for stream in _content_streams(data):
-        stack: list = []  # operand accumulator (strings/nums/arrays)
+    for stream, fonts in _page_streams(data):
+        stack: list = []  # operand accumulator (strings/nums/names/arrays)
         arr: list | None = None
+        font = None  # active font's cmap (None = UTF-8 passthrough)
         for kind, val in _tokenize(stream):
             if kind == "arr":
                 arr = [] if val == "[" else arr
@@ -804,28 +1062,32 @@ def extract_pdf_text(data: bytes) -> str:
                     stack.append(arr)
                     arr = None
                 continue
-            if kind in ("str", "num"):
+            if kind in ("str", "num", "name"):
                 (arr if arr is not None else stack).append((kind, val))
                 continue
             op = val
             if op == b"Tj":
                 if stack and stack[-1][0] == "str":
-                    cur.append(stack[-1][1])
+                    cur.append((font, stack[-1][1]))
             elif op == b"'":
                 flush()
                 if stack and stack[-1][0] == "str":
-                    cur.append(stack[-1][1])
+                    cur.append((font, stack[-1][1]))
             elif op == b'"':
                 flush()
                 if stack and stack[-1][0] == "str":
-                    cur.append(stack[-1][1])
+                    cur.append((font, stack[-1][1]))
             elif op == b"TJ":
                 if stack and isinstance(stack[-1], list):
                     for k, v in stack[-1]:
                         if k == "str":
-                            cur.append(v)
+                            cur.append((font, v))
                         elif k == "num" and v <= _TJ_SPACE_THRESHOLD:
-                            cur.append(b" ")
+                            cur.append((None, b" "))
+            elif op == b"Tf":
+                names = [v for k, v in stack if k == "name"]
+                if names:
+                    font = fonts.get(names[-1])
             elif op in (b"Td", b"TD", b"T*", b"Tm"):
                 flush()
             elif op in (b"BT", b"ET"):

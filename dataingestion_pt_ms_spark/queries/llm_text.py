@@ -2841,12 +2841,18 @@ def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     P.normalize_corpus_line(r["text"]),  # style 2: TJ kerning splits
                     f"tail {did} end",  # style 3: hex string
                 ]
-                # doc_id % 3 picks the writer generation: two thirds the
-                # 1.4 table-xref form, one third the 1.5 ObjStm/xref-
-                # stream form — the oracle is structure-blind, so the
-                # differential proves both framings extract identically
-                enc = P.encode_pdf_objstm if did % 3 == 0 else P.encode_pdf
-                blob = enc(P.encode_text_ops(lines), compress=did % 2 == 0)
+                # doc_id picks the writer generation: %5==0 the
+                # Type0/CID form (2-byte codes, text recoverable only
+                # through the embedded ToUnicode CMap), else %3==0 the
+                # 1.5 ObjStm/xref-stream form, else the 1.4 table-xref
+                # form — the oracle is structure-blind, so the
+                # differential proves all three framings extract
+                # identically
+                if did % 5 == 0:
+                    blob = P.encode_pdf_cid(lines, compress=did % 2 == 0)
+                else:
+                    enc = P.encode_pdf_objstm if did % 3 == 0 else P.encode_pdf
+                    blob = enc(P.encode_text_ops(lines), compress=did % 2 == 0)
                 rows.append((did, bytearray(blob)))
             yield pd.DataFrame(rows, columns=["doc_id", "pdf_bytes"])
 

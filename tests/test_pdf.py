@@ -379,6 +379,68 @@ def test_third_party_extractor_cross_check():
         assert norm(theirs) == norm("\n".join(lines))
 
 
+def test_cid_tounicode_roundtrip():
+    # Type0/CID document: 2-byte codes in a NON-identity assignment —
+    # text is recoverable only through the embedded /ToUnicode CMap
+    lines = ["Doc 9 (A) \\ B", "Token 9", "cid body — naïve 中文", "tail 9 end"]
+    for compress in (True, False):
+        blob = P.encode_pdf_cid(lines, compress=compress)
+        assert P.extract_pdf_text(blob) == "\n".join(lines)
+    # the map is load-bearing: stripping the ToUnicode ref mojibakes
+    blob = P.encode_pdf_cid(lines)
+    broken = blob.replace(b"/ToUnicode 6 0 R ", b"")
+    assert P.extract_pdf_text(broken) != "\n".join(lines)
+
+
+def test_cid_astral_chars_via_surrogate_pairs():
+    lines = ["astral \U0001F600 pair"]
+    assert P.extract_pdf_text(P.encode_pdf_cid(lines)) == lines[0]
+
+
+def test_mixed_fonts_on_one_page():
+    # /F1 is a CID font (via encode_pdf_cid's layout), /F2 a simple
+    # font: Tf switches decode mode mid-page
+    cid_lines = ["mapped"]
+    blob = P.encode_pdf_cid(cid_lines, compress=False)
+    # splice a second font and a simple-font show into the content
+    # stream: the content object is 4 0 obj (uncompressed)
+    old = b"ET"
+    new = b"/F2 12 Tf T* (plain utf8) Tj ET"
+    content_old = P.encode_pdf_cid(cid_lines, compress=False)
+    start = content_old.index(b"stream\n") + 7
+    end = content_old.index(b"\nendstream")
+    body = content_old[start:end].replace(old, new)
+    page_patch = content_old.replace(
+        b"/Font << /F1 5 0 R >>", b"/Font << /F1 5 0 R /F2 7 0 R >>"
+    )
+    rebuilt = page_patch.replace(content_old[start:end], body).replace(
+        b"/Length " + str(end - start).encode(),
+        b"/Length " + str(len(body)).encode(),
+    )
+    rebuilt += (
+        b"7 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        b"\nendobj\n"
+    )
+    assert P.extract_pdf_text(rebuilt) == "mapped\nplain utf8"
+
+
+def test_parse_cmap_bfrange_forms():
+    # incrementing-destination and array-destination bfrange forms
+    cmap = (
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfrange\n"
+        b"<0041> <0043> <0061>\n"
+        b"<0100> <0101> [<0058> <0059>]\n"
+        b"endbfrange\n"
+        b"1 beginbfchar <0200> <00660069> endbfchar\n"
+    )
+    codelen, table = P._parse_cmap(cmap)
+    assert codelen == 2
+    assert table[0x41] == "a" and table[0x42] == "b" and table[0x43] == "c"
+    assert table[0x100] == "X" and table[0x101] == "Y"
+    assert table[0x200] == "fi"  # multi-char destination
+
+
 def test_pdf_text_extract_error_channel(spark):
     # VERDICT r9 #3: one bad blob quarantines, the batch survives (R24)
     from pyspark.sql import Row
@@ -451,6 +513,7 @@ try:
         expected = "\n".join(lines)
         assert P.extract_pdf_text(P.encode_pdf(ops, compress=compress)) == expected
         assert P.extract_pdf_text(P.encode_pdf_objstm(ops, compress=compress)) == expected
+        assert P.extract_pdf_text(P.encode_pdf_cid(lines, compress=compress)) == expected
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
