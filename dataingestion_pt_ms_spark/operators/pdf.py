@@ -671,7 +671,10 @@ _CMAP_TOK_RE = re.compile(rb"<[0-9A-Fa-f\s]*>|\[|\]")
 
 
 def _hx(tok: bytes) -> bytes:
-    return bytes.fromhex(re.sub(rb"[\s<>]", b"", tok).decode("ascii"))
+    digits = re.sub(rb"[\s<>]", b"", tok)
+    if len(digits) % 2:  # odd digit count zero-pads, as in hex strings
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
 
 
 def _parse_cmap(body: bytes) -> tuple[int, dict[int, str]] | None:
@@ -990,9 +993,25 @@ def _tokenize(content: bytes):
                 j += 1
             op = content[i:j]
             i = j
-            if op == b"BI":  # inline image: skip to EI
-                e = content.find(b"EI", i)
-                i = n if e < 0 else e + 2
+            if op == b"BI":
+                # inline image: skip to EI at a TOKEN BOUNDARY — raw
+                # sample bytes can contain the two letters "EI", so the
+                # first match is only trusted when whitespace precedes
+                # it and whitespace/delimiter/EOF follows (the same
+                # heuristic real extractors use)
+                k = i
+                while True:
+                    e = content.find(b"EI", k)
+                    if e < 0:
+                        i = n
+                        break
+                    after = content[e + 2 : e + 3]
+                    if (e == 0 or content[e - 1] in _WS) and (
+                        after == b"" or after[0] in _WS or after[0] in _DELIM
+                    ):
+                        i = e + 2
+                        break
+                    k = e + 2
             else:
                 yield ("op", op)
 

@@ -95,6 +95,7 @@ def streaming_state_conf(
     trigger_seconds: float | None = None,
     key_cardinality: int | None = None,
     state_gb: float = 0.0,
+    object_store: bool = False,
 ) -> dict[str, str]:
     """Size ``spark.sql.shuffle.partitions`` for a STREAMING query from
     the stores-per-core arithmetic BENCH.md §17c measured (round 10,
@@ -123,9 +124,16 @@ def streaming_state_conf(
     store that still commits every batch); ``state_gb`` ≥ 1 adds the
     RocksDB provider (§17b: bounded-tail commits at GB state are worth
     its ~1.4× median penalty; below that heap is strictly better on
-    local disk). On a cluster pass total executor cores; the invariant
-    scales with the fleet, and the FIRST run's checkpoint freezes the
-    choice for the query's life — size it before that run.
+    local disk). ``object_store=True`` additionally enables RocksDB
+    changelog checkpointing when RocksDB is selected — on S3/GCS-class
+    storage the commit ships the per-batch changelog instead of
+    re-uploading SST files, which is the production default there;
+    §17c measured it NEUTRAL-to-worse on local disk (the only place
+    this container can measure), which is exactly why it is gated
+    behind this flag rather than always on. On a cluster pass total
+    executor cores; the invariant scales with the fleet, and the FIRST
+    run's checkpoint freezes the choice for the query's life — size it
+    before that run.
     """
     if n_state_stores < 1:
         raise ValueError("n_state_stores must be >= 1")
@@ -139,6 +147,11 @@ def streaming_state_conf(
     conf = {"spark.sql.shuffle.partitions": str(parts)}
     if state_gb >= 1.0:
         conf["spark.sql.streaming.stateStore.providerClass"] = _ROCKSDB_PROVIDER
+        if object_store:
+            conf[
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            ] = "true"
     return conf
 
 

@@ -379,6 +379,20 @@ def test_third_party_extractor_cross_check():
         assert norm(theirs) == norm("\n".join(lines))
 
 
+def test_inline_image_ei_bytes_inside_sample_data():
+    # raw inline-image samples containing the letters "EI" must not end
+    # the image early (token-boundary heuristic): "xEIx" has no
+    # whitespace before EI, so the walker skips it
+    ops = (
+        b"BT 72 720 Td (before) Tj ET\n"
+        b"BI /W 2 /H 2 ID xEIx(fake) Tj\x00\xffEI more EI\n"
+        b"BT 72 700 Td (after) Tj ET"
+    )
+    got = P.extract_pdf_text(_pdf_of_ops(ops))
+    assert got.startswith("before") and got.endswith("after")
+    assert "fake" not in got
+
+
 def test_cid_tounicode_roundtrip():
     # Type0/CID document: 2-byte codes in a NON-identity assignment —
     # text is recoverable only through the embedded /ToUnicode CMap
@@ -514,6 +528,30 @@ try:
         assert P.extract_pdf_text(P.encode_pdf(ops, compress=compress)) == expected
         assert P.extract_pdf_text(P.encode_pdf_objstm(ops, compress=compress)) == expected
         assert P.extract_pdf_text(P.encode_pdf_cid(lines, compress=compress)) == expected
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=300, deadline=None)
+    def test_prop_walker_never_crashes_on_junk(junk):
+        # the operator's error channel catches everything, but the
+        # walker itself must only ever raise ValueError (encrypted /
+        # not-a-PDF) — no IndexError/RecursionError/zlib leak on
+        # adversarial bytes
+        try:
+            P.extract_pdf_text(b"%PDF-1.4\n" + junk)
+        except ValueError:
+            pass
+
+    @given(st.binary(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_prop_junk_objects_never_shift_real_page(junk):
+        # arbitrary trailing bytes (fake obj headers, stream keywords,
+        # broken dicts) must never change the REAL document's text
+        blob = P.encode_pdf(P.encode_text_ops(["anchor line"]))
+        try:
+            got = P.extract_pdf_text(blob + junk)
+        except ValueError:
+            return  # junk formed an /Encrypt trailer — loud is correct
+        assert got.splitlines()[0] == "anchor line"
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass

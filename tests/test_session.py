@@ -76,6 +76,24 @@ def test_streaming_state_conf_formulas():
     assert streaming_state_conf(64, cores=32, trigger_seconds=1) == {
         "spark.sql.shuffle.partitions": "1"
     }
+    # object_store gates RocksDB changelog checkpointing (§17c finding
+    # 3: the production default on S3-class storage, neutral-to-worse
+    # on local disk — so flag-gated, and only with RocksDB selected)
+    objs = streaming_state_conf(
+        join, cores=32, trigger_seconds=2, state_gb=2.0, object_store=True
+    )
+    assert (
+        objs[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ]
+        == "true"
+    )
+    small = streaming_state_conf(
+        join, cores=32, trigger_seconds=2, object_store=True
+    )
+    assert "spark.sql.streaming.stateStore.providerClass" not in small
+    assert not any("changelog" in k for k in small)
     with pytest.raises(ValueError):
         streaming_state_conf(0)
 
