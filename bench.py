@@ -368,6 +368,8 @@ BASELINE_SEC = {
     # x every doc through pack->split->sniff->decode; wall ~ docs, and
     # the ladder (§13g) finally exercises the composed pipeline's wall
     "pipeline_warc_triage_scaled": 5.26,
+    # round 10 (VERDICT r9 #3): the R24 quarantine route, oracle-attested
+    "multimodal_pdf_error_audit": 1.23,
 }
 GUARD_FACTOR = 2.0
 
@@ -762,8 +764,10 @@ HEADLINE = [
     "multimodal_pdf_extract",
     "pipeline_warc_media_triage",
     "warehouse_txnlog_checkpoint_travel",
-    # round 10: the SF-scaling crawl head (VERDICT r9 #5)
+    # round 10: the SF-scaling crawl head (VERDICT r9 #5) and the
+    # quarantine-route audit (r9 #3)
     "pipeline_warc_triage_scaled",
+    "multimodal_pdf_error_audit",
 ]
 
 
