@@ -112,11 +112,11 @@ BASELINE_SEC = {
     "dedup_cluster_canonical": 1.247,
     "dedup_cluster_keep_longest": 2.305,
     "dedup_cluster_near_dups": 8.169,
-    "dedup_cross_corpus_minhash_md5": 6.40,  # re-recorded r9 (§16e): 3.528 -> 5.33 (r8 close) -> 6.40 quiet min-of-3, plans unchanged
+    "dedup_cross_corpus_minhash_md5": 4.35,  # §16e drift r9 (3.528->6.40), host recovered r10: re-recorded at the fresh quiet close (§16f)
     "dedup_estimator_error_profile": 2.45,
     "dedup_embedding_cosine_pairs": 0.61,  # round-6: crossed 0.3s with the tiled GEMM; guarded + benched from now on
     "dedup_incremental_minhash": 3.05,
-    "dedup_lsh_band_cost_audit": 2.19,  # re-recorded r9 (§16e)
+    "dedup_lsh_band_cost_audit": 1.47,  # §16e drift r9, host recovered r10 (§16f)
     "dedup_minhash_lsh_pairs_md5": 2.93,
     "dedup_ngram_jaccard_pairs": 0.487,
     "dedup_simhash_pairs": 2.243,
@@ -132,7 +132,7 @@ BASELINE_SEC = {
     "graph_copurchase_communities": 1.999,
     "graph_copurchase_kcore": 1.731,
     "graph_hits_nation_trade": 2.533,
-    "graph_nation_trade_pagerank": 1.55,  # re-recorded r9 (§16e)
+    "graph_nation_trade_pagerank": 0.85,  # §16e drift r9, recovered r10 to its ORIGINAL record (§16f)
     "graph_personalized_pagerank": 0.915,
     # re-measured 2026-08-14 (min-of-3 hot, plan unchanged: BNLJ on the
     # broadcast band table) after a 2x guard trip — 0.371 was a fast-VM
@@ -142,7 +142,7 @@ BASELINE_SEC = {
     "join_fuzzy_name_match_counts": 3.76,
     "join_theta_balance_band_counts": 0.5,
     "join_range_clicks_before_error_counts": 0.39,
-    "lineitem_transit_concurrency": 0.87,  # re-recorded r9 (§16e)
+    "lineitem_transit_concurrency": 0.62,  # §16e drift r9, recovered r10 to its ORIGINAL record (§16f)
     "multimodal_fake_features": 0.396,
     "multimodal_frame_sample": 0.416,
     "ohlc_atr14": 0.581,
@@ -156,7 +156,7 @@ BASELINE_SEC = {
     "q4_order_priority_checking": 0.452,
     "q7_volume_shipping": 0.448,
     "q8_market_share": 0.38,
-    "rank_global_row_number": 0.74,  # re-recorded r9 (§16e)
+    "rank_global_row_number": 0.50,  # §16e drift r9, host recovered r10 (§16f)
     "scalar_json_extract": 0.404,
     "sim_ann_ivf_multiprobe": 0.454,
     "sim_ann_lsh_bucketed": 1.157,
