@@ -155,6 +155,39 @@ def streaming_state_conf(
     return conf
 
 
+# per-row resident cost of stream-stream join state on the heap store,
+# measured (BENCH.md §17b/§17c): 100 k rows/s/side × ~70 s accumulated
+# on both sides ≈ 14 M rows at 1 883 MB ⇒ ~135 B/row (row data + the
+# keyToNumValues/keyWithIndexToValue store overhead). RocksDB SST
+# footprints read 5–10× smaller on disk but the planning number that
+# matters for the §17b provider rule is resident state.
+_JOIN_STATE_BYTES_PER_ROW = 135
+
+
+def interval_join_state_gb(
+    rate_rows_per_sec: float,
+    lookback_minutes: float,
+    watermark_minutes: float,
+    sides: int = 2,
+) -> float:
+    """Steady-state stream-stream-join state estimate (GB) — the input
+    ``streaming_state_conf`` needs for its ``state_gb`` provider rule,
+    computed instead of guessed. A watermarked interval join retains
+    each side's rows until no future row can join them: ~(watermark +
+    lookback) worth of arrivals per side, so
+
+        state ≈ rate × (watermark + lookback) × sides × bytes_per_row
+
+    with the per-row constant measured in §17b (135 B on the heap
+    store). Validated against the recorded runs: 100 k rows/s/side ×
+    (15 m watermark, but only ~70 s elapsed in-run) reached 1.9 GB —
+    at steady state the same job holds ~48 GB, which is exactly why
+    the §17b bigstate rule flips the provider to RocksDB long before
+    the watermark horizon fills."""
+    rows = rate_rows_per_sec * (watermark_minutes + lookback_minutes) * 60.0
+    return rows * sides * _JOIN_STATE_BYTES_PER_ROW / 1e9
+
+
 @contextmanager
 def session_conf(spark: SparkSession, conf: dict[str, str]):
     """Apply ``conf`` for the duration of the block, then restore —

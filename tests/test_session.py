@@ -15,6 +15,7 @@ import pytest
 from dataingestion_pt_ms_spark.session import (
     STATE_STORES_PER_OP,
     cluster_profile_conf,
+    interval_join_state_gb,
     streaming_state_conf,
 )
 
@@ -96,6 +97,26 @@ def test_streaming_state_conf_formulas():
     assert not any("changelog" in k for k in small)
     with pytest.raises(ValueError):
         streaming_state_conf(0)
+
+
+def test_interval_join_state_estimate_matches_measured_run():
+    """The per-row constant must reproduce §17b's recorded run: 100 k
+    rows/s/side accumulated ~70 s on both sides ≈ 1.9 GB heap state
+    (nothing evicts inside the run, so elapsed time stands in for the
+    watermark+lookback horizon)."""
+    est = interval_join_state_gb(100_000, lookback_minutes=70 / 60, watermark_minutes=0)
+    assert 1.5 <= est <= 2.4  # measured 1.883 GB
+    # steady state of the same job (15 m watermark + 10 m lookback) is
+    # tens of GB — the provider rule must flip to RocksDB
+    steady = interval_join_state_gb(100_000, 10, 15)
+    assert steady > 20
+    conf = streaming_state_conf(
+        STATE_STORES_PER_OP["stream_stream_join"],
+        cores=32,
+        trigger_seconds=2,
+        state_gb=steady,
+    )
+    assert "RocksDB" in conf["spark.sql.streaming.stateStore.providerClass"]
 
 
 def test_submit_conf_cli_emits_profile_flags():
