@@ -366,8 +366,10 @@ BASELINE_SEC = {
     "warehouse_txnlog_checkpoint_travel": 5.58,
     # round 10 (VERDICT r9 #5): the TABLE-SCALING crawl head — 3 records
     # x every doc through pack->split->sniff->decode; wall ~ docs, and
-    # the ladder (§13g) finally exercises the composed pipeline's wall
-    "pipeline_warc_triage_scaled": 5.26,
+    # the ladder (§13h) finally exercises the composed pipeline's wall.
+    # Re-recorded 6.46 after the HTTP wire-form mix landed (chunked
+    # framing + Content-Encoding gzip per doc_id%4 — decode cost real)
+    "pipeline_warc_triage_scaled": 6.46,
     # round 10 (VERDICT r9 #3): the R24 quarantine route, oracle-attested
     "multimodal_pdf_error_audit": 1.23,
 }

@@ -3383,10 +3383,20 @@ def pipeline_warc_triage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("pdf", doc_pdf, "application/pdf"),
                 ("png", png, "application/octet-stream"),
             ):
+                # doc_id % 4 keys the HTTP wire form — identity, chunked
+                # transfer-encoding, gzip content-encoding, both — so the
+                # walker's capture-decoding is proven corpus-wide: the
+                # oracle sees only entity-derived metrics, which survive
+                # IFF dechunk/gunzip reconstruct the exact entity bytes
                 recs.append(
                     A.encode_warc_record(
                         "response",
-                        A.encode_http_response(body),
+                        A.encode_http_response(
+                            body,
+                            content_type=ctype,
+                            chunked=did % 4 in (1, 3),
+                            gzip_body=did % 4 in (2, 3),
+                        ),
                         target_uri=f"http://corpus.example/{path}/{did}",
                         record_id=f"<urn:uuid:sc-{path}-{did}>",
                         content_type="application/http; msgtype=response",

@@ -69,6 +69,58 @@ def _gunzip_members(blob: bytes) -> bytes:
     return b"".join(out)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """RFC 7230 §4.1 chunked framing → entity bytes (hex size lines,
+    per-chunk CRLF, 0-size terminator; chunk extensions and trailers
+    ignored). A malformed/truncated capture returns the INPUT unchanged
+    — real crawls contain cut-off responses and a walker must not
+    corrupt what it cannot prove is framing."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return bytes(body)
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(body)
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        chunk = body[pos : pos + size]
+        if len(chunk) < size:
+            return bytes(body)
+        out += chunk
+        pos += size + 2  # the chunk's own trailing CRLF
+
+
+def _decode_http_body(headers: dict[bytes, bytes], payload: bytes) -> bytes:
+    """Entity bytes from a captured HTTP message body: chunked framing
+    removed (Transfer-Encoding) then Content-Encoding gzip/x-gzip/
+    deflate decompressed (both zlib-wrapped and raw-deflate forms, as
+    real servers disagree). Undecodable bodies stay raw — downstream
+    sniffing routes them as unknown instead of the task dying."""
+    if b"chunked" in headers.get(b"transfer-encoding", b"").lower():
+        payload = _dechunk(payload)
+    enc = headers.get(b"content-encoding", b"").lower()
+    if enc in (b"gzip", b"x-gzip"):
+        try:
+            payload = gzip.decompress(payload)
+        except Exception:
+            pass
+    elif enc == b"deflate":
+        try:
+            payload = zlib.decompress(payload)
+        except Exception:
+            try:
+                payload = zlib.decompress(payload, -zlib.MAX_WBITS)
+            except Exception:
+                pass
+    return payload
+
+
 def parse_warc(blob: bytes, archive: str) -> Iterator[tuple]:
     """Walk one (possibly per-record-gzipped) WARC blob, yielding one tuple
     per record: (archive, record_offset, warc_type, target_uri, record_id,
@@ -113,11 +165,20 @@ def parse_warc(blob: bytes, archive: str) -> Iterator[tuple]:
         if ctype.startswith("application/http") and payload[:5] == b"HTTP/":
             http_end = payload.find(_CRLF2)
             if http_end >= 0:
-                status_line = payload[:http_end].split(b"\r\n", 1)[0]
+                status_line, _, header_rest = payload[:http_end].partition(
+                    b"\r\n"
+                )
                 parts = status_line.split(b" ")
                 if len(parts) >= 2 and parts[1].isdigit():
                     http_status = int(parts[1])
-                payload = payload[http_end + len(_CRLF2) :]
+                hh: dict[bytes, bytes] = {}
+                for hline in header_rest.split(b"\r\n"):
+                    key, sep, val = hline.partition(b":")
+                    if sep:
+                        hh[key.strip().lower()] = val.strip()
+                payload = _decode_http_body(
+                    hh, payload[http_end + len(_CRLF2) :]
+                )
         yield (
             archive,
             pos,
@@ -241,13 +302,31 @@ def encode_warc_record(
     return b"\r\n".join(lines) + _CRLF2 + payload + _CRLF2
 
 
-def encode_http_response(body: bytes, content_type: str = "text/html") -> bytes:
-    return (
-        b"HTTP/1.1 200 OK\r\nContent-Type: "
-        + content_type.encode()
-        + b"\r\n\r\n"
-        + body
-    )
+def encode_http_response(
+    body: bytes,
+    content_type: str = "text/html",
+    chunked: bool = False,
+    gzip_body: bool = False,
+) -> bytes:
+    """A captured HTTP/1.1 response. ``chunked`` stores the body in
+    RFC 7230 chunked framing (split deterministically into ≤512-byte
+    chunks) and ``gzip_body`` applies Content-Encoding gzip BEFORE the
+    chunking, both exactly as an origin server would — real crawl WARCs
+    carry the raw capture, so the walker must undo both to hand
+    downstream decoders entity bytes."""
+    head = b"HTTP/1.1 200 OK\r\nContent-Type: " + content_type.encode()
+    if gzip_body:
+        body = gzip.compress(body, compresslevel=6, mtime=0)
+        head += b"\r\nContent-Encoding: gzip"
+    if chunked:
+        head += b"\r\nTransfer-Encoding: chunked"
+        framed = bytearray()
+        for i in range(0, len(body), 512):
+            chunk = body[i : i + 512]
+            framed += f"{len(chunk):x}".encode() + b"\r\n" + chunk + b"\r\n"
+        framed += b"0\r\n\r\n"
+        body = bytes(framed)
+    return head + b"\r\n\r\n" + body
 
 
 def encode_warc(records: list[bytes], per_record_gzip: bool = False) -> bytes:

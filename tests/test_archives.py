@@ -113,6 +113,78 @@ def test_gunzip_members_chain():
     assert A._gunzip_members(blob) == b"alphabetagamma"
 
 
+def test_http_chunked_and_content_encoding_decoded():
+    # round 10: real captures carry the raw wire form — chunked framing
+    # and Content-Encoding must be undone to hand decoders entity bytes
+    body = b"<html><body>" + b"x" * 1500 + b"</body></html>"
+    for chunked in (False, True):
+        for gz in (False, True):
+            rec = A.encode_warc_record(
+                "response",
+                A.encode_http_response(body, chunked=chunked, gzip_body=gz),
+                target_uri="http://x.example/1",
+                record_id="<urn:uuid:wire-1>",
+                content_type="application/http; msgtype=response",
+            )
+            rows = list(A.parse_warc(A.encode_warc([rec]), "w.warc"))
+            assert len(rows) == 1
+            assert rows[0][6] == 200
+            assert bytes(rows[0][7]) == body, (chunked, gz)
+
+
+def test_http_deflate_content_encoding_both_forms():
+    import zlib as _z
+
+    body = b"deflated entity bytes"
+    zlib_form = _z.compress(body)
+    c = _z.compressobj(wbits=-15)
+    raw_form = c.compress(body) + c.flush()
+    for wire in (zlib_form, raw_form):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: deflate\r\n\r\n" + wire
+        )
+        rec = A.encode_warc_record(
+            "response", http,
+            target_uri="http://x.example/d",
+            record_id="<urn:uuid:wire-d>",
+            content_type="application/http; msgtype=response",
+        )
+        rows = list(A.parse_warc(A.encode_warc([rec]), "w.warc"))
+        assert bytes(rows[0][7]) == body
+
+
+def test_http_malformed_chunked_kept_raw():
+    # a truncated capture whose framing cannot be proven stays raw —
+    # the walker must not corrupt what it cannot decode
+    bogus = b"7\r\nseven b\r\nFFFF\r\ntruncat"  # second chunk cut off
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + bogus
+    )
+    rec = A.encode_warc_record(
+        "response", http,
+        target_uri="http://x.example/t",
+        record_id="<urn:uuid:wire-t>",
+        content_type="application/http; msgtype=response",
+    )
+    rows = list(A.parse_warc(A.encode_warc([rec]), "w.warc"))
+    assert bytes(rows[0][7]) == bogus
+    # undecodable gzip body likewise stays raw
+    http2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + b"\x1f\x8bnot really gzip"
+    )
+    rec2 = A.encode_warc_record(
+        "response", http2,
+        target_uri="http://x.example/g",
+        record_id="<urn:uuid:wire-g>",
+        content_type="application/http; msgtype=response",
+    )
+    rows2 = list(A.parse_warc(A.encode_warc([rec2]), "w.warc"))
+    assert bytes(rows2[0][7]) == b"\x1f\x8bnot really gzip"
+
+
 # Property tests (round 9): the walker's Content-Length byte arithmetic
 # must survive ADVERSARIAL payloads — ones embedding the record
 # separator, fake "WARC/1.0" version lines, gzip magic, NULs — because
@@ -164,6 +236,33 @@ try:
             assert clen == len(payloads[i])
             assert bytes(payload) == payloads[i]
             assert status is None  # not application/http
+
+    @given(
+        st.binary(min_size=0, max_size=2000),
+        st.booleans(),
+        st.booleans(),
+        st.booleans(),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_prop_http_wire_roundtrip(body, chunked, gz_body, gz_record):
+        # ARBITRARY entity bytes through any wire form (chunked framing
+        # x content-encoding x record gzip) come back byte-exact
+        from dataingestion_pt_ms_spark.sources.archives import (
+            encode_http_response,
+        )
+
+        rec = encode_warc_record(
+            "response",
+            encode_http_response(body, chunked=chunked, gzip_body=gz_body),
+            target_uri="http://x.example/p",
+            record_id="<urn:uuid:wire-p>",
+            content_type="application/http; msgtype=response",
+        )
+        blob = encode_warc([rec], per_record_gzip=gz_record)
+        rows = list(parse_warc(blob, "p.warc"))
+        assert len(rows) == 1
+        assert rows[0][6] == 200
+        assert bytes(rows[0][7]) == body
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
