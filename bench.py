@@ -372,6 +372,9 @@ BASELINE_SEC = {
     "pipeline_warc_triage_scaled": 6.46,
     # round 10 (VERDICT r9 #3): the R24 quarantine route, oracle-attested
     "multimodal_pdf_error_audit": 1.23,
+    # round 10: third container format (ZIP central directory), same
+    # bucket audit + byte-identical oracle as the TAR row
+    "archive_zip_members_audit": 1.40,
 }
 GUARD_FACTOR = 2.0
 
@@ -770,6 +773,7 @@ HEADLINE = [
     # quarantine-route audit (r9 #3)
     "pipeline_warc_triage_scaled",
     "multimodal_pdf_error_audit",
+    "archive_zip_members_audit",
 ]
 
 

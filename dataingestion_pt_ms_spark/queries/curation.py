@@ -1410,6 +1410,13 @@ def archive_tar_members_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(build, "archive string, content binary")
     )
     members = A.split_tar_members(tars, content_col="content", path_col="archive")
+    return _member_bucket_rollup(members)
+
+
+def _member_bucket_rollup(members: DataFrame) -> DataFrame:
+    """The shared container-audit rollup (TAR and ZIP rows): per archive
+    bucket — member count, byte sum, member-name doc checksum, and an
+    md5-prefix CONTENT checksum over extracted bytes."""
     doc_key = F.regexp_extract("member_name", r"/doc-(\d+)\.txt$", 1).cast("long")
     bucket = (
         F.floor(doc_key / _ARCH_DOCS) % 4
@@ -1426,3 +1433,47 @@ def archive_tar_members_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "archive_zip_members_audit",
+    oracle=TAR_MEMBERS_ORACLE,
+    tags=("llm", "source", "zip", "udf", "audit"),
+    since=10,
+)
+def archive_zip_members_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP-container round-trip audit (round 10 — the third container
+    format): pack each corpus segment's raw texts into a ZIP archive
+    executor-side (odd segments DEFLATED, even segments STORED, so both
+    member encodings are walked), split members back out with
+    sources/archives.py:split_zip_members, and roll up with the same
+    bucket audit as the TAR row — which is also why the ORACLE is
+    byte-for-byte the TAR oracle: a container walk must be
+    format-invariant on identical content, and the differential now
+    proves it for the central-directory format too."""
+    import pandas as pd
+
+    from ..sources import archives as A
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        aid = int(pdf["archive_id"].iloc[0])
+        members = [
+            (f"segment-{aid}/doc-{int(r['doc_id'])}.txt",
+             str(r["text"]).encode("utf-8"))
+            for _, r in pdf.iterrows()
+        ]
+        blob = A.encode_zip(members, compress=aid % 2 == 1)
+        return pd.DataFrame(
+            {"archive": [f"segment-{aid}.zip"], "content": [bytearray(blob)]}
+        )
+
+    zips = (
+        docs.withColumn("archive_id", F.floor(F.col("doc_id") / _ARCH_DOCS))
+        .groupBy("archive_id")
+        .applyInPandas(build, "archive string, content binary")
+    )
+    members = A.split_zip_members(zips, content_col="content", path_col="archive")
+    return _member_bucket_rollup(members)

@@ -258,6 +258,40 @@ def split_tar_members(
     return cols.mapInPandas(gen, TAR_MEMBER_SCHEMA)
 
 
+def split_zip_members(
+    df: DataFrame, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """One row per file member from a DataFrame of whole ZIP archives
+    (round 10 — the third container format next to WARC and TAR; doc
+    dumps and dataset drops commonly arrive zipped). stdlib ``zipfile``
+    walks the central directory, so stored and deflated members, zip64
+    and data-descriptor variants all read. Directory entries are
+    skipped; the output carries no member-order dependence."""
+    import pandas as pd
+    import zipfile
+
+    cols = df.select(path_col, content_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        data = zf.read(info.filename)
+                        rows.append(
+                            (str(path), info.filename, len(data), bytearray(data))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["archive", "member_name", "member_size", "payload"],
+            )
+
+    return cols.mapInPandas(gen, TAR_MEMBER_SCHEMA)
+
+
 def read_warc_files(
     spark: SparkSession, path: str, glob: str | None = "*.warc*"
 ) -> DataFrame:
@@ -274,6 +308,14 @@ def read_tar_files(
     from .readers import read_binary_files
 
     return split_tar_members(read_binary_files(spark, path, glob))
+
+
+def read_zip_files(
+    spark: SparkSession, path: str, glob: str | None = "*.zip"
+) -> DataFrame:
+    from .readers import read_binary_files
+
+    return split_zip_members(read_binary_files(spark, path, glob))
 
 
 # ---------------------------------------------------------------------------
@@ -338,6 +380,23 @@ def encode_warc(records: list[bytes], per_record_gzip: bool = False) -> bytes:
     return b"".join(
         gzip.compress(r, compresslevel=6, mtime=0) for r in records
     )
+
+
+def encode_zip(members: list[tuple[str, bytes]], compress: bool = True) -> bytes:
+    """ZIP archive of (name, bytes) members with pinned metadata
+    (epoch date_time, explicit unix create_system, fixed compresslevel)
+    so the bytes are deterministic across runs and platforms."""
+    import zipfile
+
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.create_system = 3  # unix, pinned (platform-dependent default)
+            info.external_attr = 0o644 << 16
+            zf.writestr(info, data, compress_type=method, compresslevel=6)
+    return buf.getvalue()
 
 
 def encode_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:

@@ -113,6 +113,51 @@ def test_gunzip_members_chain():
     assert A._gunzip_members(blob) == b"alphabetagamma"
 
 
+def test_zip_roundtrip_stored_and_deflated(spark, tmp_path):
+    # round 10: the third container format — both member encodings
+    members = [
+        ("seg-0/doc-1.txt", b"alpha text"),
+        ("seg-0/doc-2.txt", b"\x00\xffbinary\x1f\x8bWARC/1.0 payload"),
+        ("seg-0/nested/doc-3.txt", b"deep"),
+    ]
+    from pyspark.sql import Row
+
+    for compress in (False, True):
+        blob = A.encode_zip(members, compress=compress)
+        df = spark.createDataFrame(
+            [Row(path="a.zip", content=bytearray(blob))],
+            "path string, content binary",
+        )
+        got = {
+            r.member_name: (r.member_size, bytes(r.payload))
+            for r in A.split_zip_members(df).collect()
+        }
+        assert got == {n: (len(d), d) for n, d in members}
+
+
+def test_zip_encode_deterministic_and_dirs_skipped(spark):
+    import io as _io
+    import zipfile
+
+    from pyspark.sql import Row
+
+    members = [("m/doc-7.txt", b"seven")]
+    assert A.encode_zip(members) == A.encode_zip(members)
+    # an explicit directory entry in a FOREIGN zip must be skipped
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("d/", (1980, 1, 1, 0, 0, 0)), b"")
+        zf.writestr(zipfile.ZipInfo("d/f.txt", (1980, 1, 1, 0, 0, 0)), b"x")
+    df = spark.createDataFrame(
+        [Row(path="f.zip", content=bytearray(buf.getvalue()))],
+        "path string, content binary",
+    )
+    rows = A.split_zip_members(df).collect()
+    assert [(r.member_name, bytes(r.payload)) for r in rows] == [
+        ("d/f.txt", b"x")
+    ]
+
+
 def test_http_chunked_and_content_encoding_decoded():
     # round 10: real captures carry the raw wire form — chunked framing
     # and Content-Encoding must be undone to hand decoders entity bytes
