@@ -280,7 +280,12 @@ def split_zip_members(
                     for info in zf.infolist():
                         if info.is_dir():
                             continue
-                        data = zf.read(info.filename)
+                        # read via the ZipInfo, NOT the name: a foreign
+                        # zip may carry duplicate member names (appended
+                        # updates), and a by-name read would return the
+                        # first entry's bytes for every duplicate
+                        with zf.open(info) as fh:
+                            data = fh.read()
                         rows.append(
                             (str(path), info.filename, len(data), bytearray(data))
                         )

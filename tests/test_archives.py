@@ -158,6 +158,28 @@ def test_zip_encode_deterministic_and_dirs_skipped(spark):
     ]
 
 
+def test_zip_duplicate_member_names_read_distinct(spark):
+    # appended-update zips carry the same name twice; each entry's OWN
+    # bytes must come out (a by-name read would duplicate the first)
+    import io as _io
+    import zipfile
+
+    from pyspark.sql import Row
+
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("doc.txt", (1980, 1, 1, 0, 0, 0)), b"old")
+        zf.writestr(zipfile.ZipInfo("doc.txt", (1980, 1, 1, 0, 0, 0)), b"new!")
+    df = spark.createDataFrame(
+        [Row(path="dup.zip", content=bytearray(buf.getvalue()))],
+        "path string, content binary",
+    )
+    rows = sorted(
+        (bytes(r.payload) for r in A.split_zip_members(df).collect())
+    )
+    assert rows == [b"new!", b"old"]
+
+
 def test_http_chunked_and_content_encoding_decoded():
     # round 10: real captures carry the raw wire form — chunked framing
     # and Content-Encoding must be undone to hand decoders entity bytes
