@@ -746,9 +746,21 @@ def _page_font_table(
     data: bytes, objs: dict[int, dict], page_d: bytes
 ) -> dict[bytes, tuple[int, dict[int, str]]]:
     """Font name → parsed ToUnicode CMap for one page's /Resources
-    /Font dict. Fonts without a ToUnicode stream are simply absent —
-    the text machine falls back to the UTF-8 passthrough for them."""
+    /Font dict. /Resources is INHERITABLE (§7.7.3.4): a page without
+    its own entry walks /Parent up the Pages tree — writers commonly
+    hoist a shared font dict to the root node. Fonts without a
+    ToUnicode stream are simply absent — the text machine falls back
+    to the UTF-8 passthrough for them."""
     res = _dict_value_dict(objs, page_d, b"Resources")
+    seen: set[int] = set()
+    d = page_d
+    while not res:  # inherit from the Pages tree
+        parent = _dict_ref(d, b"Parent")
+        if parent is None or parent in seen or parent not in objs:
+            break
+        seen.add(parent)
+        d = objs[parent]["dict"] or b""
+        res = _dict_value_dict(objs, d, b"Resources")
     if not res:
         return {}
     fdict = _dict_value_dict(objs, res, b"Font")

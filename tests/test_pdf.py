@@ -438,6 +438,22 @@ def test_mixed_fonts_on_one_page():
     assert P.extract_pdf_text(rebuilt) == "mapped\nplain utf8"
 
 
+def test_inherited_resources_from_pages_tree():
+    # §7.7.3.4: /Resources is inheritable — hoist the CID font dict to
+    # the Pages node and strip it from the page; the CMap must still
+    # resolve through /Parent
+    blob = P.encode_pdf_cid(["inherited mapping"], compress=False)
+    hoisted = blob.replace(
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+    ).replace(b"/Resources << /Font << /F1 5 0 R >> >> /Contents", b"/Contents")
+    assert b"/Parent 2 0 R" in hoisted
+    # sanity: the page object itself no longer carries Resources
+    assert hoisted.count(b"/Resources") == 1
+    assert P.extract_pdf_text(hoisted) == "inherited mapping"
+
+
 def test_parse_cmap_bfrange_forms():
     # incrementing-destination and array-destination bfrange forms
     cmap = (
