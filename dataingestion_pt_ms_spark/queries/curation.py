@@ -1226,8 +1226,15 @@ def _warc_archives(docs: DataFrame) -> DataFrame:
             {"archive": [f"segment-{aid}.warc"], "content": [bytearray(blob)]}
         )
 
+    # pin the group exchange at cluster parallelism: the (doc_id, text)
+    # rows are ~1-3 MB compressed, so AQE's byte-based coalescing would
+    # run the CPU-dense Python pack (html-wrap + gzip per record) in 1-2
+    # tasks; an explicit numPartitions repartition on the group key is
+    # reused by groupBy and never coalesced (r10 opt, guide §2.4/§4)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.withColumn("archive_id", F.floor(F.col("doc_id") / _ARCH_DOCS))
+        .repartition(par, "archive_id")
         .groupBy("archive_id")
         .applyInPandas(build, "archive string, content binary")
     )
@@ -1404,8 +1411,11 @@ def archive_tar_members_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"segment-{aid}.tar" + (".gz" if aid % 2 == 1 else "")
         return pd.DataFrame({"archive": [name], "content": [bytearray(blob)]})
 
+    # pinned group exchange — see _warc_archives (r10 opt)
+    par = spark.sparkContext.defaultParallelism
     tars = (
         docs.withColumn("archive_id", F.floor(F.col("doc_id") / _ARCH_DOCS))
+        .repartition(par, "archive_id")
         .groupBy("archive_id")
         .applyInPandas(build, "archive string, content binary")
     )
@@ -1470,8 +1480,11 @@ def archive_zip_members_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"archive": [f"segment-{aid}.zip"], "content": [bytearray(blob)]}
         )
 
+    # pinned group exchange — see _warc_archives (r10 opt)
+    par = spark.sparkContext.defaultParallelism
     zips = (
         docs.withColumn("archive_id", F.floor(F.col("doc_id") / _ARCH_DOCS))
+        .repartition(par, "archive_id")
         .groupBy("archive_id")
         .applyInPandas(build, "archive string, content binary")
     )

@@ -3240,8 +3240,13 @@ def pipeline_warc_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"archive": [f"mixed-{aid}.warc"], "content": [bytearray(blob)]}
         )
 
+    # pin the group exchange at cluster parallelism: the panel's text rows
+    # are byte-cheap, so AQE's byte-based coalescing would serialize the
+    # whole Python pack→split→decode chain (r10 opt, guide §2.4/§4)
+    par = spark.sparkContext.defaultParallelism
     archives_df = (
         docs.withColumn("archive_id", F.floor(F.col("doc_id") / 16))
+        .repartition(par, "archive_id")
         .groupBy("archive_id")
         .applyInPandas(build, "archive string, content binary")
     )
@@ -3407,8 +3412,17 @@ def pipeline_warc_triage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"archive": [f"scaled-{aid}.warc"], "content": [bytearray(blob)]}
         )
 
+    # pin the group exchange at cluster parallelism: ~16-doc archive
+    # groups are ~10 kB of text each but cost real Python CPU (PDF 1.4/1.5
+    # + PNG + gzip encode per doc, then decode on the way back) — AQE's
+    # byte-based coalescing ran the whole chain in ONE task (stage probe:
+    # 8.4 s serial, 0.6 s JVM CPU). Explicit numPartitions on the group
+    # key is reused by groupBy and never coalesced; the downstream
+    # mapInPandas split/triage stages inherit it (r10 opt, guide §2.4/§4).
+    par = spark.sparkContext.defaultParallelism
     archives_df = (
         docs.withColumn("archive_id", F.floor(F.col("doc_id") / 16))
+        .repartition(par, "archive_id")
         .groupBy("archive_id")
         .applyInPandas(build, "archive string, content binary")
     )
