@@ -135,6 +135,19 @@ def minhash_signature(
     # and short docs (< k tokens) drop out exactly as before.
     from pyspark.sql import Window as _W
 
+    # Pin the doc-keyed exchange BEFORE the explode (r10 opt §1a): the
+    # window's ENSURE_REQUIREMENTS exchange would otherwise carry the
+    # exploded token stream — a few MB that AQE's byte-based coalescing
+    # collapses to 1-2 post-shuffle tasks, serializing the per-shingle
+    # hash + 64-permutation stage exactly where the CPU is. An explicit
+    # hash repartition on the key (a) shuffles O(docs) text rows instead
+    # of O(tokens) token rows, (b) satisfies the window AND the final
+    # groupBy distribution (one exchange total), and (c) is never
+    # coalesced. Signatures are per-doc MIN aggregates over longs, so
+    # partitioning cannot change them.
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, key_col
+    )
     wd = _W.partitionBy(key_col).orderBy("_pos")
     leads = [F.lead("_t", j).over(wd) for j in range(1, shingle_k)]
     tokd = df.select(
@@ -557,6 +570,13 @@ def simhash63(
       checked structurally against the md5 twin (hamming-0 pairs — i.e.
       identical distinct-token sets — are hash-independent and must agree).
     """
+    # Doc-keyed spread before the explode (r10 opt §1a, same reasoning as
+    # minhash_signature): the per-token md5/xxhash + 21 packed partial sums
+    # otherwise run inside the single-split scan stage (1 task at bench
+    # SFs). Hash repartition on the key also satisfies the groupBy below,
+    # so the token stream never crosses an exchange; the packed-lane SUMs
+    # are integer aggregates, partition-order-exact.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, key_col)
     if base_hash == "xxhash64":
         tok = df.select(
             F.col(key_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
@@ -1007,6 +1027,11 @@ def prefix_filter_jaccard_pairs(
 
     reps, _ = collapse_exact(df, text_col, key_col)
     reps = reps.select(F.col(key_col).alias("k"), F.col(text_col).alias("_txt"))
+    # Doc-keyed spread before the explode (r10 opt §1a): pins the shingle
+    # build + per-gram md5 at full width instead of the 1-2 AQE-coalesced
+    # tasks the window's byte-sized exchange would get; counts/row_numbers
+    # downstream are partition-order-exact.
+    reps = reps.repartition(df.sparkSession.sparkContext.defaultParallelism, "k")
     # codegen shingle stream (posexplode → leads → concat_ws), then distinct
     # for set semantics
     wd = W.partitionBy("k").orderBy("_pos")
@@ -1117,6 +1142,13 @@ def winnowing_fingerprints(
     from ..functions.textfns import tokens
 
     reps, _ = collapse_exact(df, text_col, key_col)
+    # Doc-keyed spread before the explode (r10 opt §1a): the gram build +
+    # per-gram md5 + two window frames otherwise run in the 1-2 tasks AQE
+    # coalesces the byte-cheap window exchange to. min-over-window and
+    # distinct are partition-order-exact.
+    reps = reps.repartition(
+        8, key_col
+    )
     wd = _W.partitionBy("k").orderBy("_pos")
     tokd = reps.select(
         F.col(key_col).alias("k"),
@@ -1245,6 +1277,12 @@ def winnowing_match_spans(
     from ..functions.textfns import tokens
 
     reps, _ = collapse_exact(df, text_col, key_col)
+    # Doc-keyed spread before the explode — same §1a fix as
+    # winnowing_fingerprints (this variant carries positions through the
+    # identical gram/winnow pipeline).
+    reps = reps.repartition(
+        8, key_col
+    )
     wd = _W.partitionBy("k").orderBy("_pos")
     tokd = reps.select(
         F.col(key_col).alias("k"),

@@ -479,10 +479,18 @@ def jaccard_link_prediction(
     graph (threshold BEFORE predicting). Existing edges are removed with an
     anti-join; degrees broadcast back. Deterministic, so fully
     SQL-oracled."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    # Checkpoint the EDGE LIST, not just sym: the anti-join branch consumes
+    # `e` directly, and without this the whole upstream edge build (for the
+    # co-purchase query: a lineitem wedge self-join + support aggregation)
+    # is recomputed from the parquet scans a second time (r10 opt — the
+    # before-plan shows the full build duplicated under SortMergeJoin
+    # LeftAnti). sym is a narrow union over the checkpointed blocks, so
+    # every consumer (degrees, both wedge sides, anti-join) now starts from
+    # one materialized build.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     wa = sym.select(F.col("v").alias("n"), F.col("u").alias("a"))
     wb = sym.select(F.col("v").alias("n"), F.col("u").alias("b"))

@@ -319,7 +319,7 @@ def _tile_blocks(
     tile_rows². Blocks at or below tile_rows keep their single group.
     """
     cnts = prepared.groupBy(block_col).agg(F.count(F.lit(1)).alias("_n"))
-    return (
+    tiled = (
         prepared.join(F.broadcast(cnts), block_col)
         .withColumn(
             "_nt",
@@ -331,6 +331,20 @@ def _tile_blocks(
         .withColumn("_o", F.explode(F.sequence(F.lit(0), F.col("_nt") - 1)))
         .withColumn("_lo", F.least("_t", "_o"))
         .withColumn("_hi", F.greatest("_t", "_o"))
+    )
+    # Pin the group exchange at full width (r10 opt §1a, the C2 archive
+    # idiom): every consumer groupBy(block, _lo, _hi).applyInPandas's
+    # shuffle carries a few MB of vectors, which AQE's byte-based
+    # coalescing collapses to 1-2 tasks — serializing exactly the numpy
+    # GEMM stage. Same keys + explicit count ⇒ the groupBy reuses this
+    # exchange (one shuffle total) and AQE never coalesces it. Per-group
+    # output is order-canonicalized (lexsort / row_number with full tie
+    # order), so partitioning cannot change results.
+    return tiled.repartition(
+        prepared.sparkSession.sparkContext.defaultParallelism,
+        block_col,
+        "_lo",
+        "_hi",
     )
 
 
@@ -857,8 +871,13 @@ def bipartite_margin_pairs(
         F.col(vec_b).cast("array<double>").alias("_v"),
         F.lit(0.0).alias("aux"),
     )
+    _par = a.sparkSession.sparkContext.defaultParallelism
     pass1 = (
         a_pre.unionByName(b_rep)
+        # pin the group exchange wide (r10 opt §1a): the vector shuffle is
+        # byte-cheap and AQE would coalesce the GEMM stage to 1-2 tasks;
+        # in-group lexsort + deterministic merges make partitioning inert
+        .repartition(_par, "ablk", "_bt")
         .groupBy("ablk", "_bt")
         .applyInPandas(topk_block, "kind int, xa long, xb long, c double")
         .localCheckpoint(eager=False)  # ax / ay branches
@@ -912,6 +931,7 @@ def bipartite_margin_pairs(
     )
     pass2 = (
         a_m.unionByName(b_m)
+        .repartition(_par, "ablk", "_bt")  # same §1a pin as pass1
         .groupBy("ablk", "_bt")
         .applyInPandas(
             margin_block, "kind int, xa long, xb long, c double, margin double"

@@ -1164,7 +1164,12 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(r["doc_id"]), _page_html(r["text"])))
             yield pd.DataFrame(rows, columns=["doc_id", "html"])
 
-    pages = docs.mapInPandas(gen, "doc_id long, html string")
+    # r10 opt §1a: mapInPandas is narrow, so the whole synthesize+parse
+    # Python chain would run inside the single-split scan's one task —
+    # spread the doc rows first (per-row outputs; partitioning inert)
+    pages = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(gen, "doc_id long, html string")
     extracted = H.html_text_extract(pages)
     return _web_curation_tail(docs, extracted)
 

@@ -859,46 +859,44 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") - 1
     )
     tri = sums.select("i", "j", F.round(cov, 6).alias("a"))
-    a = (
-        tri.unionByName(
-            tri.filter(F.col("i") < F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "a"
+    # r10 opt (guide §5 "the driver should do almost no data work" — and
+    # its converse): the ONLY corpus-sized pass is the covariance
+    # aggregation above. The iterate itself touches a d×d matrix (d=8 →
+    # 36 upper-triangle rows, bounded by _COV_D²) and a d-vector —
+    # metadata scale — yet as DataFrame ops each of the 8 rounds cost a
+    # broadcast job + an eager localCheckpoint job (~24 scheduler
+    # round-trips dominating the 4 s wall; the matrix work itself is
+    # microseconds). Collect the rounded triangle (d(d+1)/2 rows, the
+    # group-bounded-collect class) and run the rounds driver-side with
+    # the SAME arithmetic: round(x, 6) below reproduces Spark's
+    # Round(HALF_UP on BigDecimal.valueOf ≡ Decimal(repr(x))) exactly,
+    # so each round's v is rounded to the identical 6-dp grid and the
+    # result stays on the oracle's hash.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
             )
         )
-        .localCheckpoint()
-    )
-    v = spark.createDataFrame(
-        [(i, 1.0) for i in range(_COV_D)], "idx bigint, v double"
-    )
+
+    d = _COV_D
+    A = [[0.0] * d for _ in range(d)]
+    for r in tri.collect():  # ≤ d(d+1)/2 rows — bounded, never corpus-sized
+        A[r["i"]][r["j"]] = r["a"]
+        A[r["j"]][r["i"]] = r["a"]
+    v = [1.0] * d
     for _ in range(_PI_ITERS):
-        w = (
-            a.join(F.broadcast(v), a["j"] == v["idx"])
-            .groupBy(a["i"])
-            .agg(F.sum(F.col("a") * F.col("v")).alias("w"))
-        )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                F.col("i").alias("idx"),
-                F.round(F.col("w") / F.col("nrm"), 6).alias("v"),
-            )
-            .localCheckpoint()
-        )
-    av = (
-        a.join(F.broadcast(v), a["j"] == v["idx"])
-        .groupBy(a["i"])
-        .agg(F.sum(F.col("a") * F.col("v")).alias("av"))
-    )
-    lam = (
-        av.join(F.broadcast(v), av["i"] == v["idx"])
-        .agg(F.round(F.sum(F.col("av") * F.col("v")), 6).alias("eigenvalue"))
-    )
-    return (
-        v.crossJoin(F.broadcast(lam))
-        .select(F.col("idx").alias("i"), F.col("v").alias("component"), "eigenvalue")
-        .orderBy("i")
-    )
+        w = [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+        nrm = sum(x * x for x in w) ** 0.5
+        v = [_r6(x / nrm) for x in w]
+    av = [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+    lam = _r6(sum(av[i] * v[i] for i in range(d)))
+    return spark.createDataFrame(
+        [(i, v[i], lam) for i in range(d)],
+        "i bigint, component double, eigenvalue double",
+    ).orderBy("i")
 
 
 # --------------------------------------------------------------------------

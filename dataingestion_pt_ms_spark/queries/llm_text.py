@@ -1516,7 +1516,14 @@ def text_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tri = (
-        docs.where(F.length("text") >= 3)
+        # r10 opt §1a: the per-char explode + substr runs ~len(text) rows
+        # per doc inside the scan stage — a single split at bench SFs — and
+        # the checkpoint then freezes that 1-partition layout for every
+        # branch. Spread the doc rows first; every downstream aggregate is
+        # a count or a sum of integer-valued doubles (exact), so
+        # partitioning cannot move a value.
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .where(F.length("text") >= 3)
         .select(
             "doc_id",
             "lang",
@@ -2753,7 +2760,12 @@ def text_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((did, html))
             yield pd.DataFrame(rows, columns=["doc_id", "html"])
 
-    pages = docs.mapInPandas(gen, "doc_id long, html string")
+    # r10 opt §1a: spread the doc rows so the synthesize+html.parser chain
+    # runs at full width instead of inside the 1-task scan (per-row md5
+    # output — partitioning inert)
+    pages = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(gen, "doc_id long, html string")
     extracted = H.html_text_extract(pages)
     return extracted.select(
         "doc_id",

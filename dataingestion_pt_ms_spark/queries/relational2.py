@@ -414,6 +414,12 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("brand"),
         F.floor(F.length("p_name") / 4).alias("len_band"),
     )
+    # b broadcasts (20k parts), so the join runs on a's side — which is a
+    # single-split parquet scan at bench SFs: without an explicit spread the
+    # whole Σ|block|² levenshtein verify runs in ONE task (r10 opt §1a).
+    # Round-robin repartition keeps the per-pair DP 32-wide; pair output is
+    # per-row computed, so partitioning cannot change results.
+    a = a.repartition(spark.sparkContext.defaultParallelism)
     return (
         a.join(b, ["brand", "len_band"])
         .filter(F.col("key_a") < F.col("key_b"))
@@ -474,6 +480,10 @@ def join_fuzzy_name_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("brand"),
         F.floor(F.length("p_name") / 4).alias("len_band"),
     )
+    # Same 32-wide spread as join_fuzzy_name_match (the broadcast join's
+    # stream side is a 1-task scan); the checksum is an integer sum, so the
+    # aggregation is partition-order-exact.
+    a = a.repartition(spark.sparkContext.defaultParallelism)
     return (
         a.join(b, ["brand", "len_band"])
         .filter(F.col("key_a") < F.col("key_b"))

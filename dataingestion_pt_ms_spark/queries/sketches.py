@@ -476,27 +476,38 @@ def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         _rank_from_hex_tail(tail).alias("r"),
     )
     regs = parts.groupBy("prio", "reg").agg(F.max("r").alias("r"))
-    regs = regs.localCheckpoint(eager=False)  # per-side + union branches
-    union_regs = regs.groupBy("reg").agg(F.max("r").alias("r"))
+    # r10 opt: the registers ARE the sketch — ≤ 2×64 rows by construction
+    # (that bound is HLL's whole point), so the three harmonic estimates
+    # are driver arithmetic over collected metadata, not three more Spark
+    # jobs + three scalar broadcasts (each a scheduler round-trip that
+    # dominated this query's wall). One job collects the registers; the
+    # corpus-sized exact-overlap INTERSECT stays distributed. Arithmetic
+    # mirrors the old column expressions op-for-op ((α·4096)·2^55 over an
+    # integer register sum; the ≤160 small-range ln correction), and the
+    # 2-dp floor rounding happens in the same place.
+    import math
 
-    def _estimate(reg_df, label):
-        m = reg_df.agg(
-            F.sum(F.expr("shiftleft(1L, 55 - r)")).alias("s"),
-            F.count("*").alias("n"),
+    reg_rows = regs.collect()  # ≤128 rows — sketch-bounded, never corpus
+
+    def _estimate(rows) -> float:
+        s = sum(1 << (55 - r["r"]) for r in rows)
+        n = len(rows)
+        raw = (_HLL_ALPHA * 4096.0 * float(_TWO55)) / float(
+            s + (64 - n) * _TWO55
         )
-        raw = (F.lit(_HLL_ALPHA) * F.lit(4096.0) * F.lit(float(_TWO55))) / (
-            F.col("s") + (F.lit(64) - F.col("n")) * F.lit(_TWO55)
-        ).cast("double")
-        vz = (F.lit(64) - F.col("n")).alias("v_zero")
-        e = F.when(
-            (F.col("v_zero") > 0) & (F.col("raw") <= 160.0),
-            F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero").cast("double")),
-        ).otherwise(F.col("raw"))
-        return m.select(vz, raw.alias("raw")).select(e.alias(label))
+        v_zero = 64 - n
+        if v_zero > 0 and raw <= 160.0:
+            return 64.0 * math.log(64.0 / float(v_zero))
+        return raw
 
-    ea = _estimate(regs.filter(F.col("prio") == "1-URGENT"), "ea")
-    eb = _estimate(regs.filter(F.col("prio") == "2-HIGH"), "eb")
-    eu = _estimate(union_regs, "eu")
+    ea = _estimate([r for r in reg_rows if r["prio"] == "1-URGENT"])
+    eb = _estimate([r for r in reg_rows if r["prio"] == "2-HIGH"])
+    union_best: dict[int, int] = {}
+    for r in reg_rows:
+        union_best[r["reg"]] = max(union_best.get(r["reg"], 0), r["r"])
+    eu = _estimate(
+        [{"r": v, "reg": k, "prio": None} for k, v in union_best.items()]
+    )
     a_keys = two.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     b_keys = two.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
     exact = (
@@ -504,20 +515,15 @@ def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_exact_overlap"))
     )
 
-    def _r2(col):
-        return F.floor(col * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+    def _r2(x: float) -> float:
+        return math.floor(x * 100.0 + 0.5) / 100.0
 
-    return (
-        ea.crossJoin(F.broadcast(eb))
-        .crossJoin(F.broadcast(eu))
-        .crossJoin(F.broadcast(exact))
-        .select(
-            _r2(F.col("ea")).alias("est_a"),
-            _r2(F.col("eb")).alias("est_b"),
-            _r2(F.col("eu")).alias("est_union"),
-            _r2(F.col("ea") + F.col("eb") - F.col("eu")).alias("est_intersection"),
-            "n_exact_overlap",
-        )
+    return exact.select(
+        F.lit(_r2(ea)).alias("est_a"),
+        F.lit(_r2(eb)).alias("est_b"),
+        F.lit(_r2(eu)).alias("est_union"),
+        F.lit(_r2(ea + eb - eu)).alias("est_intersection"),
+        F.col("n_exact_overlap"),
     )
 
 
@@ -828,6 +834,13 @@ ORDER BY l_returnflag, est.q
 )
 def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # r10 opt (§1a): three corpus passes consume this scan (min/max stats,
+    # bin counts, exact percentile) and the fixture is a single-split file,
+    # so all three — including the sort-heavy exact percentile buffers —
+    # ran in ONE task each. One shared round-robin spread feeds all three
+    # via ReusedExchange; every aggregate here is min/max/integer-count/
+    # exact-percentile, so partitioning cannot move a value.
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     stats = li.agg(
         F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
     )

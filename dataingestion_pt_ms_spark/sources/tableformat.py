@@ -376,7 +376,14 @@ def merge_into(
         return snaps[-1]  # exactly-once: this batch already committed
     snapshot = (snaps[-1] + 1) if snaps else 0
 
-    batch_d = _dedup_last_wins(batch, key_cols, order_col)
+    # Materialize the deduped batch once (r10 opt): three consumers —
+    # the min/max range probe, repartitionByRange's boundary SAMPLE pass,
+    # and the data write — would otherwise each recompute the full batch
+    # lineage (scan + dedup window). Lazy localCheckpoint: the range
+    # probe materializes it; the sample + write read the stored blocks.
+    batch_d = _dedup_last_wins(batch, key_cols, order_col).localCheckpoint(
+        eager=False
+    )
     live = live_files(spark, table)
     if not live:
         adds = _write_data_files(spark, batch_d, table, snapshot, stat_col)
@@ -403,6 +410,9 @@ def merge_into(
             key_cols,
             order_col,
         )
+        # the overlap read + union + last-writer window runs once (the
+        # write's repartitionByRange sample pass would re-run it — r10 opt)
+        merged = merged.localCheckpoint(eager=False)
     else:
         merged = source.drop("_prio")
     # data files are immutable and invisible until the commit lands, so no
@@ -454,7 +464,9 @@ def delete_keys(
     target = spark.read.option("mergeSchema", "true").parquet(
         *[f"{table}/{f['path']}" for f in overlap]
     )
-    kept = target.join(F.broadcast(keys_d), key_cols, "left_anti")
+    kept = target.join(F.broadcast(keys_d), key_cols, "left_anti").localCheckpoint(
+        eager=False
+    )  # one anti-join pass: the write's sample pass reads blocks (r10 opt)
     # no pre-count probe: _write_data_files returns [] when the rewrite is
     # empty (every row in the overlapping files was doomed)
     adds = _write_data_files(spark, kept, table, snapshot, stat_col)
