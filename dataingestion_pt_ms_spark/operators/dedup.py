@@ -158,16 +158,20 @@ def minhash_signature(
         (leads[-1] if leads else F.col("_t")).alias("_guard"),
     ).where(F.col("_guard").isNotNull()).drop("_guard")
     exploded = sh_stream.select(key_col, hash_expr.alias("_h"))
+    # Expression construction cost is driver wall on EVERY invocation
+    # (r10 opt: the Column-algebra form of these 64 aggregates is ~520
+    # py4j round-trips ≈ 0.5 s/build). One F.expr string per aggregate —
+    # and one for the array reassembly — parses to the identical
+    # expression tree (integer literals < 2^31 resolve to IntegerType in
+    # both forms; coercion to long happens at the same * and + nodes), so
+    # results and plan fingerprints are unchanged.
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE31))).alias(
-            f"_m{p}"
-        )
+        F.expr(f"min(pmod({a} * _h + {b}, {_MERSENNE31})) AS _m{p}")
         for p, (a, b) in enumerate(_perm_params(num_perm))
     ]
     sig_df = exploded.groupBy(key_col).agg(*aggs)
-    return sig_df.select(
-        key_col, F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("signature")
-    )
+    arr = ", ".join(f"_m{p}" for p in range(num_perm))
+    return sig_df.select(key_col, F.expr(f"array({arr}) AS signature"))
 
 
 def _banded(
@@ -176,29 +180,21 @@ def _banded(
     """(k, band_idx, band_hash): one row per (doc, band); the band hash is
     xxhash64 over the band's signature slice (a grouping key only — pair
     correctness is guarded by the exact-Jaccard verify step)."""
+    # Single expr string for the whole banding array (r10 opt: the Column
+    # form was ~bands*rows_per_band*4 py4j round-trips per build);
+    # named_struct/cast/element_at parse to the identical expression tree.
+    structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_hash', xxhash64(concat_ws(',', "
+        + ", ".join(
+            f"cast(element_at(signature, {b * rows_per_band + r + 1}) as string)"
+            for r in range(rows_per_band)
+        )
+        + ")))"
+        for b in range(bands)
+    )
     return sig_df.select(
         F.col(key_col).alias("k"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        F.col("signature"), b * rows_per_band + r + 1
-                                    ).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.expr(f"explode(array({structs}))").alias("band"),
     ).select("k", "band.band_idx", "band.band_hash")
 
 
@@ -601,31 +597,32 @@ def simhash63(
     # distinct tokens ≈ tens of MB of unique words to overflow).
     lane = 21
     lane_mask = (1 << lane) - 1
-    spread_cols = []
-    for p in range(21):
-        n3 = F.shiftright("h", 3 * p).bitwiseAND(F.lit(7).cast("long"))
-        spread = (
-            n3.bitwiseAND(F.lit(1).cast("long"))
-            + F.shiftleft(F.shiftright(n3, 1).bitwiseAND(F.lit(1).cast("long")), lane)
-            + F.shiftleft(
-                F.shiftright(n3, 2).bitwiseAND(F.lit(1).cast("long")), 2 * lane
-            )
+    # One expr string per packed lane / per reassembly term (r10 opt: the
+    # Column-algebra form was ~1000 py4j round-trips per build). cast(7 as
+    # bigint) etc. mirror the original F.lit(7).cast("long") literals
+    # exactly, so the parsed trees — and therefore results — are identical.
+    spread_cols = [
+        F.expr(
+            f"((shiftright(h, {3 * p}) & cast(7 as bigint)) & cast(1 as bigint))"
+            f" + shiftleft((shiftright(shiftright(h, {3 * p}) & cast(7 as bigint), 1))"
+            f" & cast(1 as bigint), {lane})"
+            f" + shiftleft((shiftright(shiftright(h, {3 * p}) & cast(7 as bigint), 2))"
+            f" & cast(1 as bigint), {2 * lane}) AS _p{p}"
         )
-        spread_cols.append(spread.alias(f"_p{p}"))
+        for p in range(21)
+    ]
     packed = tok.select(key_col, *spread_cols)
     sums = packed.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.sum(f"_p{p}").alias(f"_s{p}") for p in range(21)],
+        *[F.expr(f"sum(_p{p}) AS _s{p}") for p in range(21)],
     )
-    sim = None
-    for j in range(63):
-        p, l = divmod(j, 3)
-        cnt = F.shiftright(f"_s{p}", l * lane).bitwiseAND(F.lit(lane_mask).cast("long"))
-        bit = F.when(
-            2 * cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim + bit
-    return sums.select(key_col, sim.alias("simhash"))
+    terms = " + ".join(
+        f"(CASE WHEN 2 * (shiftright(_s{j // 3}, {(j % 3) * lane})"
+        f" & cast({lane_mask} as bigint)) > _n"
+        f" THEN shiftleft(cast(1 as bigint), {j}) ELSE cast(0 as bigint) END)"
+        for j in range(63)
+    )
+    return sums.select(key_col, F.expr(f"{terms} AS simhash"))
 
 
 def simhash_banded_pairs(

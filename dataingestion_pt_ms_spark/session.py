@@ -252,6 +252,21 @@ def get_spark(
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame-debugging wrapper decorates every DataFrame/
+        # Column API call with error-context capture: a Python stack walk
+        # plus FOUR extra py4j round-trips per call (conf lookup +
+        # PySparkCurrentOrigin getattr/set/clear). Query *construction* is
+        # thousands of such calls, so the enrichment tax is paid on every
+        # invocation of every query on any driver — measured r10 opt: the
+        # dedup family spends 2.9-6.8 s/invocation BUILDING its DataFrame
+        # (vs 0.2-0.8 s executing it at sf0.1) and the flag alone cut
+        # builds ~30-40 % (minhash_lsh 4.02->2.86 s, cluster_near_dups
+        # 9.50->5.87 s). Off in production; flip the env on when debugging
+        # a query and you want errors annotated with user-code call sites.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # events.ts is parquet TIMESTAMP(NANOS): Spark has no ns timestamp
         # type; read as long and normalize to µs in the catalog (matches
