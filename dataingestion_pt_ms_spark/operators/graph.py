@@ -28,8 +28,60 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Adaptive small-graph fast path (r10 opt, guide §1.2 #1 / §5): below this
+# many SYMMETRIZED edge rows the component computation runs as a vectorized
+# numpy union-find on the driver instead of the iterative distributed loop.
+# The loop costs (eager checkpoint job + convergence-probe job) × rounds —
+# 3.4 s of a 4.8 s dbscan invocation at sf0.1 for a graph whose edge list
+# is a few hundred KB. 4 M rows ≈ 64 MB of long pairs — the same size
+# class as the session's autoBroadcastJoinThreshold, i.e. data the driver
+# is already trusted to hold; above it the distributed loop runs exactly
+# as before (this is a size-adaptive strategy choice, not a local tune —
+# the gating count reads an already-checkpointed RDD, one cheap job).
+_CC_DRIVER_MAX_SYM_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_SYM_ROWS", str(4_000_000))
+)
+
+
+def _components_driver(sym_pdf, spark, node_type):
+    """Vectorized min-label union-find over a pandas edge list (columns
+    a, b; both directions present). Returns a Spark DataFrame (node,
+    label) with label = MIN node id of the weakly connected component —
+    bit-identical to the distributed loop's output on the same edges."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    codes, uniq = pd.factorize(
+        np.concatenate([sym_pdf["a"].to_numpy(), sym_pdf["b"].to_numpy()])
+    )
+    n_edges = len(sym_pdf)
+    a, b = codes[:n_edges], codes[n_edges:]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    for _ in range(64):
+        new = lab.copy()
+        if n_edges:
+            np.minimum.at(new, a, lab[b])  # neighbor-min in code space
+        new = np.minimum(new, new[new])  # pointer jump
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    else:  # pragma: no cover - log2(n) rounds bound this far below 64
+        raise RuntimeError("driver union-find did not converge in 64 rounds")
+    # representative code -> MIN node VALUE in the component (the public
+    # contract; code order is factorize order, not value order)
+    vals = pd.Series(uniq)
+    comp = vals.groupby(lab).transform("min")
+    out = pd.DataFrame({"node": vals, "label": comp})
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("label", node_type)]
+    )
+    return spark.createDataFrame(out, schema=schema)
 
 
 def connected_components(
@@ -56,6 +108,21 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Size-adaptive strategy (see _CC_DRIVER_MAX_SYM_ROWS): the count scans
+    # the just-checkpointed blocks, so the gate costs one cheap job.
+    if sym.count() <= _CC_DRIVER_MAX_SYM_ROWS:
+        assign = _components_driver(
+            sym.toPandas(), sym.sparkSession, sym.schema["a"].dataType
+        )
+        if nodes is not None:
+            singles = (
+                nodes.select(F.col(node_col).alias("node"))
+                .distinct()
+                .join(assign.select("node"), "node", "left_anti")
+                .withColumn("label", F.col("node"))
+            )
+            assign = assign.unionByName(singles)
+        return assign.select("node", F.col("label").alias("component"))
     labels = sym.select(F.col("a").alias("node")).distinct()
     if nodes is not None:
         labels = labels.union(

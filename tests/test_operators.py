@@ -98,20 +98,63 @@ def test_contamination_check_short_docs_reported(spark):
     assert rows[11].contamination_ratio is None
 
 
-def test_connected_components_raises_on_no_convergence(spark):
-    """max_iter exhaustion must raise, not return partial labels (ADVICE r01)."""
+def test_connected_components_raises_on_no_convergence(spark, monkeypatch):
+    """max_iter exhaustion must raise, not return partial labels (ADVICE r01).
+
+    Forces the distributed loop (the r10 small-graph fast path would
+    otherwise solve this driver-side and never consult max_iter)."""
     import pytest as _pytest
 
-    from dataingestion_pt_ms_spark.operators.graph import connected_components
+    from dataingestion_pt_ms_spark.operators import graph as G
 
+    monkeypatch.setattr(G, "_CC_DRIVER_MAX_SYM_ROWS", -1)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "src long, dst long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=1)
+        G.connected_components(chain, max_iter=1)
     # and enough rounds converge fine on the same graph
-    comp = connected_components(chain, max_iter=8)
+    comp = G.connected_components(chain, max_iter=8)
     assert comp.select("component").distinct().count() == 1
+
+
+def test_cc_driver_fast_path_matches_distributed(spark, monkeypatch):
+    """r10 opt: the size-adaptive driver union-find must return exactly the
+    distributed loop's assignment — min node id per weakly connected
+    component, isolated nodes as singletons — on chains, a cycle, a
+    cross-component bridge, string keys, and an empty edge set."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_pt_ms_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 50, 2)]
+        + [(100 + i, 100 + (i + 1) % 40) for i in range(40)]
+        + [(200, 201), (201, 202), (202, 203), (203, 200), (500, 200)],
+        "src long, dst long",
+    )
+    nodes = spark.range(0, 600).select(F.col("id").alias("node"))
+    fast = G.connected_components(edges, nodes=nodes).orderBy("node").collect()
+    monkeypatch.setattr(G, "_CC_DRIVER_MAX_SYM_ROWS", -1)
+    slow = G.connected_components(edges, nodes=nodes).orderBy("node").collect()
+    assert fast == slow
+    monkeypatch.undo()
+
+    # string keys exercise the object-dtype factorize/groupby-min path
+    sedges = spark.createDataFrame(
+        [("d3", "d1"), ("d1", "d9"), ("x2", "x4")], "src string, dst string"
+    )
+    got = {
+        r.node: r.component
+        for r in G.connected_components(sedges).collect()
+    }
+    assert got == {"d1": "d1", "d3": "d1", "d9": "d1", "x2": "x2", "x4": "x2"}
+
+    # empty edges: every node is its own singleton
+    empty = spark.createDataFrame([], "src long, dst long")
+    singles = G.connected_components(empty, nodes=spark.range(3).select(
+        F.col("id").alias("node"))).collect()
+    assert sorted((r.node, r.component) for r in singles) == [(0, 0), (1, 1), (2, 2)]
 
 
 def test_kmeans_validates_params(spark, sf_dir):
