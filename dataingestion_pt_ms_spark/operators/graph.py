@@ -48,6 +48,23 @@ _CC_DRIVER_MAX_SYM_ROWS = int(
 )
 
 
+def _factorize_edges(sym_pdf, *extra_arrays):
+    """(codes-per-column..., uniq): pandas factorization of an edge list's
+    endpoint columns (plus optional extra node arrays, e.g. seed ids) into
+    one shared integer code space — the common head of every driver-side
+    graph fast path below."""
+    import numpy as np
+    import pandas as pd
+
+    parts = [sym_pdf["a"].to_numpy(), sym_pdf["b"].to_numpy(), *extra_arrays]
+    codes, uniq = pd.factorize(np.concatenate(parts))
+    out, off = [], 0
+    for p in parts:
+        out.append(codes[off : off + len(p)])
+        off += len(p)
+    return (*out, uniq)
+
+
 def _components_driver(sym_pdf, spark, node_type):
     """Vectorized min-label union-find over a pandas edge list (columns
     a, b; both directions present). Returns a Spark DataFrame (node,
@@ -344,6 +361,55 @@ def bfs_hops(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Size-adaptive driver BFS (r10 opt; see _CC_DRIVER_MAX_SYM_ROWS): the
+    # loop below costs (eager checkpoint + LIMIT-1 probe) jobs per hop.
+    # Min-hop distance is pure integer arithmetic, so the numpy mirror is
+    # bit-identical. Seeds OUTSIDE the edge set never affect reachability
+    # (no edges) — they stay distributed as hops-0 rows, so only edge
+    # endpoints ever cross to the driver.
+    if sym.count() <= _CC_DRIVER_MAX_SYM_ROWS:
+        import numpy as np
+        from pyspark.sql import types as T
+
+        node_type = sym.schema["a"].dataType
+        seed_nodes = seeds.select(F.col(node_col).alias("node")).distinct()
+        seed_in = seed_nodes.join(
+            sym.select(F.col("a").alias("node")), "node", "left_semi"
+        )
+        spdf = seed_in.toPandas()
+        a, b, s, uniq = _factorize_edges(sym.toPandas(), spdf["node"].to_numpy())
+        INF = np.iinfo(np.int64).max
+        hops = np.full(len(uniq), INF, dtype=np.int64)
+        hops[s] = 0
+        frontier_mask = np.zeros(len(uniq), dtype=bool)
+        frontier_mask[s] = True
+        for h in range(1, max_hops + 1):
+            hit = frontier_mask[a]
+            reached = np.unique(b[hit])
+            new = reached[hops[reached] == INF]
+            if new.size == 0:
+                break
+            hops[new] = h
+            frontier_mask[:] = False
+            frontier_mask[new] = True
+        import pandas as pd
+
+        keep = hops != INF
+        out = pd.DataFrame({"node": pd.Series(uniq[keep]), "hops": hops[keep]})
+        out["hops"] = out["hops"].astype("int32")
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("hops", T.IntegerType()),
+            ]
+        )
+        reached_df = sym.sparkSession.createDataFrame(out, schema=schema)
+        outside = (
+            seed_nodes.join(
+                sym.select(F.col("a").alias("node")), "node", "left_anti"
+            ).withColumn("hops", F.lit(0))
+        )
+        return reached_df.unionByName(outside)
     dist = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
@@ -399,6 +465,49 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Size-adaptive driver rounds (r10 opt; see _CC_DRIVER_MAX_SYM_ROWS):
+    # synchronous LP is integer counting with a (max count, min label)
+    # tie-break — exactly mirrorable. Label VALUES must compare like the
+    # node column (the tie-break is by label order), so rounds run in
+    # value-RANK space, not factorize-code space.
+    if sym.count() <= _CC_DRIVER_MAX_SYM_ROWS:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        node_type = sym.schema["a"].dataType
+        a, b, uniq = _factorize_edges(sym.toPandas())
+        n = len(uniq)
+        # rank codes by node value so "smaller label" == "smaller rank"
+        perm = np.argsort(pd.Series(uniq).to_numpy(), kind="stable")
+        rank_of_code = np.empty(n, dtype=np.int64)
+        rank_of_code[perm] = np.arange(n, dtype=np.int64)
+        ar, br = rank_of_code[a], rank_of_code[b]
+        lab = np.arange(n, dtype=np.int64)  # in rank space: own rank
+        for _ in range(rounds):
+            # per (dst, neighbor-label) counts; winner = max c, tie min lab
+            key = br * n + lab[ar]
+            kk, cc = np.unique(key, return_counts=True)
+            kb, kl = kk // n, kk % n
+            order = np.lexsort((kl, -cc, kb))
+            kb_o = kb[order]
+            first = np.ones(len(kb_o), dtype=bool)
+            first[1:] = kb_o[1:] != kb_o[:-1]
+            new = lab.copy()
+            new[kb_o[first]] = kl[order][first]
+            lab = new
+        vals_sorted = pd.Series(uniq).to_numpy()[perm]  # value per rank
+        # one row per node, rank-indexed: node value + its label's value
+        out = pd.DataFrame(
+            {"node": pd.Series(vals_sorted), "community": pd.Series(vals_sorted[lab])}
+        )
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("community", node_type),
+            ]
+        )
+        return sym.sparkSession.createDataFrame(out, schema=schema)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -447,6 +556,33 @@ def k_core_peel(
         .localCheckpoint(eager=False)
     )
     n_edges = cur.count()
+    # Size-adaptive driver peel (r10 opt; see _CC_DRIVER_MAX_SYM_ROWS): the
+    # loop costs an eager checkpoint + count job per round; degrees are
+    # integer counts, so the numpy mirror — same bounded round count, same
+    # stable-edge-set early exit — is bit-identical.
+    if n_edges <= _CC_DRIVER_MAX_SYM_ROWS:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        node_type = cur.schema["a"].dataType
+        a, b, uniq = _factorize_edges(cur.toPandas())
+        for _ in range(rounds):
+            deg = np.bincount(a, minlength=len(uniq))
+            keep = deg >= k
+            row = keep[a] & keep[b]
+            if row.all():
+                break
+            a, b = a[row], b[row]
+        deg = np.bincount(a, minlength=len(uniq))
+        live = deg > 0
+        out = pd.DataFrame(
+            {"node": pd.Series(uniq[live]), "deg": deg[live].astype(np.int64)}
+        )
+        schema = T.StructType(
+            [T.StructField("node", node_type), T.StructField("deg", T.LongType())]
+        )
+        return cur.sparkSession.createDataFrame(out, schema=schema)
     for _ in range(rounds):
         keep = (
             cur.groupBy("a")
@@ -699,6 +835,44 @@ def bellman_ford_rounds(
         )
         .localCheckpoint(eager=False)
     )
+    # Size-adaptive driver relaxation (r10 opt; see _CC_DRIVER_MAX_SYM_ROWS):
+    # EXACTLY `rounds` synchronous min-plus rounds over long costs — integer
+    # arithmetic, so the numpy mirror is bit-identical, including the
+    # fixed-round (not converged-shortest-path) semantics. Seeds outside
+    # the edge set keep dist 0 distributed, as in bfs_hops.
+    if sym.count() <= _CC_DRIVER_MAX_SYM_ROWS:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        node_type = sym.schema["a"].dataType
+        seed_nodes = seeds.select("node").distinct()
+        seed_in = seed_nodes.join(
+            sym.select(F.col("a").alias("node")), "node", "left_semi"
+        )
+        spdf = seed_in.toPandas()
+        sym_pdf = sym.toPandas()
+        a, b, s, uniq = _factorize_edges(sym_pdf, spdf["node"].to_numpy())
+        c = sym_pdf["c"].to_numpy().astype(np.int64)
+        INF = np.iinfo(np.int64).max
+        d = np.full(len(uniq), INF, dtype=np.int64)
+        d[s] = 0
+        for _ in range(rounds):
+            nd = d.copy()
+            reach = d[a] != INF
+            if reach.any():
+                np.minimum.at(nd, b[reach], d[a[reach]] + c[reach])
+            d = nd
+        keep = d != INF
+        out = pd.DataFrame({"node": pd.Series(uniq[keep]), "dist": d[keep]})
+        schema = T.StructType(
+            [T.StructField("node", node_type), T.StructField("dist", T.LongType())]
+        )
+        reached_df = sym.sparkSession.createDataFrame(out, schema=schema)
+        outside = seed_nodes.join(
+            sym.select(F.col("a").alias("node")), "node", "left_anti"
+        ).withColumn("dist", F.lit(0).cast("long"))
+        return reached_df.unionByName(outside)
     dist = seeds.select(F.col("node"), F.lit(0).cast("long").alias("dist")).distinct()
     for _ in range(rounds):
         relaxed = (

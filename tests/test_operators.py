@@ -157,6 +157,51 @@ def test_cc_driver_fast_path_matches_distributed(spark, monkeypatch):
     assert sorted((r.node, r.component) for r in singles) == [(0, 0), (1, 1), (2, 2)]
 
 
+def test_graph_iterative_driver_fast_paths_match_distributed(spark, monkeypatch):
+    """r10 opt: bfs_hops / bellman_ford_rounds / k_core_peel /
+    label_propagation each gained the CC-style size-adaptive driver mirror.
+    All four are integer-exact (min-hop, min-plus over longs, degree
+    counts, count-max with min-label tie-break), so fast and distributed
+    paths must agree row-for-row — including bounded-round semantics
+    (bellman stops after `rounds`, NOT at the shortest-path fixpoint) and
+    seeds that do not appear in the edge set."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_pt_ms_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        # chain 0-1-2-3-4-5 (costs force round-bounded distances), a
+        # triangle 10-11-12, a 4-clique 20..23, isolated-from-seeds 30-31
+        [(0, 1, 5), (1, 2, 1), (2, 3, 7), (3, 4, 2), (4, 5, 2),
+         (10, 11, 1), (11, 12, 1), (10, 12, 9),
+         (20, 21, 1), (20, 22, 1), (20, 23, 1), (21, 22, 1), (21, 23, 1),
+         (22, 23, 1), (30, 31, 4)],
+        "src long, dst long, cost long",
+    )
+    seeds = spark.createDataFrame([(0,), (10,), (99,)], "node long")  # 99 isolated
+
+    def both(fn):
+        fast = sorted(map(tuple, fn().collect()))
+        monkeypatch.setattr(G, "_CC_DRIVER_MAX_SYM_ROWS", -1)
+        slow = sorted(map(tuple, fn().collect()))
+        monkeypatch.undo()
+        return fast, slow
+
+    f, s = both(lambda: G.bfs_hops(edges, seeds, max_hops=2))
+    assert f == s and (99, 0) in f and (2, 2) in f and (3, 2) not in f
+
+    f, s = both(lambda: G.bellman_ford_rounds(edges, seeds, rounds=2))
+    assert f == s
+    d = dict(f)
+    assert d[2] == 6 and d[99] == 0 and 4 not in d  # bounded rounds, isolated seed
+
+    f, s = both(lambda: G.k_core_peel(edges, k=3))
+    assert f == s and sorted(dict(f)) == [20, 21, 22, 23]
+
+    f, s = both(lambda: G.label_propagation(edges, rounds=2))
+    assert f == s and dict(f)[23] == 20  # clique converges to min id
+
+
 def test_kmeans_validates_params(spark, sf_dir):
     import pytest as _pytest
 
