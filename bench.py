@@ -48,7 +48,7 @@ BASELINE_SEC = {
     "pivot_status_matrix": 0.25,
     "set_except_all": 0.22,
     "udf_grouped_map_zscore": 0.42,
-    "dedup_simhash_banded_pairs": 2.7,  # collapse-first rewrite, round 3
+    "dedup_simhash_banded_pairs": 2.33,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "ingest_status_serving": 0.33,
     "events_sessionize_gap30m": 0.42,
     "asof_join_last_purchase": 0.10,
@@ -62,7 +62,7 @@ BASELINE_SEC = {
     # JVM ramp (first hot repeats measure 4.5/3.7 s before settling at 3.3)
     # under end-of-sweep GC pressure, not a regression. Record kept.
     "dedup_minhash_lsh_pairs": 3.1,  # xxhash64 path since round 3
-    "dedup_cross_corpus_minhash": 3.6,  # xxhash64 path since round 3
+    "dedup_cross_corpus_minhash": 1.85,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "text_unigram_logprob": 0.63,
     "text_bigram_logprob": 1.26,
     "docs_source_stats": 0.15,
@@ -87,13 +87,13 @@ BASELINE_SEC = {
     "events_ewma_daily": 0.23,
     "text_bpe_pair_counts": 0.22,
     "text_pmi_cooccurrence": 1.25,
-    "emb_pca_power_iteration": 2.55,
+    "emb_pca_power_iteration": 0.77,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "docs_shard_manifest": 0.76,
     "sim_rrf_hybrid_fusion": 0.96,
     "pipeline_curation_v2": 2.05,
     "dedup_containment_pairs": 2.93,
-    "graph_copurchase_link_prediction": 3.26,
-    "agg_hll_intersection_estimate": 0.87,
+    "graph_copurchase_link_prediction": 2.25,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
+    "agg_hll_intersection_estimate": 0.47,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "warehouse_key_skew_audit": 0.33,
     "orders_abc_pareto_classes": 0.84,
     "text_ccnet_ppl_buckets": 0.50,
@@ -108,18 +108,18 @@ BASELINE_SEC = {
     "basket_pair_affinity": 1.769,
     "correlated_subqueries_sql": 0.363,
     "customer_woe_binning": 0.682,
-    "dedup_cluster_assignment": 2.297,
-    "dedup_cluster_canonical": 1.247,
-    "dedup_cluster_keep_longest": 2.305,
-    "dedup_cluster_near_dups": 8.169,
-    "dedup_cross_corpus_minhash_md5": 4.35,  # §16e drift r9 (3.528->6.40), host recovered r10: re-recorded at the fresh quiet close (§16f)
+    "dedup_cluster_assignment": 0.68,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
+    "dedup_cluster_canonical": 0.55,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
+    "dedup_cluster_keep_longest": 0.9,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
+    "dedup_cluster_near_dups": 3.87,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
+    "dedup_cross_corpus_minhash_md5": 2.35,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "dedup_estimator_error_profile": 2.45,
     "dedup_embedding_cosine_pairs": 0.61,  # round-6: crossed 0.3s with the tiled GEMM; guarded + benched from now on
-    "dedup_incremental_minhash": 3.05,
-    "dedup_lsh_band_cost_audit": 1.47,  # §16e drift r9, host recovered r10 (§16f)
+    "dedup_incremental_minhash": 2.07,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
+    "dedup_lsh_band_cost_audit": 0.67,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "dedup_minhash_lsh_pairs_md5": 2.93,
     "dedup_ngram_jaccard_pairs": 0.487,
-    "dedup_simhash_pairs": 2.243,
+    "dedup_simhash_pairs": 0.85,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "dedup_source_overlap_matrix": 1.38,
     "docs_source_kl_divergence": 0.363,
     "events_anomaly_mad": 0.549,
@@ -138,8 +138,8 @@ BASELINE_SEC = {
     # broadcast band table) after a 2x guard trip — 0.371 was a fast-VM
     # outlier; keeping the fresh clean number so the guard stays meaningful
     "join_broadcast_range_lookup": 0.62,
-    "join_fuzzy_name_match": 3.45,
-    "join_fuzzy_name_match_counts": 3.76,
+    "join_fuzzy_name_match": 0.41,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
+    "join_fuzzy_name_match_counts": 0.48,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "join_theta_balance_band_counts": 0.5,
     "join_range_clicks_before_error_counts": 0.39,
     "lineitem_transit_concurrency": 0.62,  # §16e drift r9, recovered r10 to its ORIGINAL record (§16f)
@@ -186,7 +186,7 @@ BASELINE_SEC = {
     "ohlc_trend_forecast": 0.337,
     "events_ks_drift_test": 1.323,
     "events_ab_welch_ttest": 0.252,
-    "sim_dbscan_cells": 3.558,
+    "sim_dbscan_cells": 2.02,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "graph_cheapest_path_rounds": 2.653,
     "emb_hard_negative_mining": 1.343,
     "text_chunk_overlapping": 0.615,
@@ -215,7 +215,7 @@ BASELINE_SEC = {
     "graph_degree_assortativity": 2.93,
     "orders_pareto_skyline": 1.742,
     "sim_centroid_classifier_audit": 1.048,
-    "text_trigram_langid": 3.92,
+    "text_trigram_langid": 2.16,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "emb_random_projection_distortion": 1.103,
     "orders_abc_migration": 2.047,
     "orders_cycle_time": 0.676,
@@ -227,7 +227,7 @@ BASELINE_SEC = {
     "sim_lof_outliers": 1.24,  # round-6 tiling re-record
     # round-4 session-4 additions (min-of-2 hot, sf0.1)
     "dedup_prefix_filter_pairs": 2.38,
-    "dedup_winnowing_overlap": 2.92,
+    "dedup_winnowing_overlap": 1.73,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "docs_js_divergence_matrix": 0.76,
     "text_tfidf_centroid_cosine": 0.71,
     "docs_language_diversity": 0.41,
@@ -262,12 +262,12 @@ BASELINE_SEC = {
     # of removing the one-partition sort AND the summation-order hazard
     "lineitem_conformal_intervals": 1.45,
     "lineitem_r2_shapley_lmg": 0.70,
-    "pipeline_curation_v3": 6.06,
+    "pipeline_curation_v3": 3.86,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     # re-bounded negative budget (VERDICT r4 #1), round 5: 4.00 -> 3.31
     "graph_lp_training_set": 3.31,
     "events_evalue_sequential": 0.82,
     "dedup_winnowing_match_spans": 1.86,
-    "pipeline_entity_resolution": 3.86,
+    "pipeline_entity_resolution": 0.72,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "multimodal_bmp_decode": 0.59,
     "multimodal_wav_decode": 2.06,
     # round-4 session-5 additions (min-of-2 hot, sf0.1)
@@ -281,7 +281,7 @@ BASELINE_SEC = {
     "events_hbos_outliers": 0.87,
     "events_cuped_adjustment": 0.64,
     "warehouse_k_anonymity_audit": 0.42,
-    "dedup_blocking_quality_audit": 5.03,
+    "dedup_blocking_quality_audit": 2.85,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "text_retrieval_eval_ndcg": 2.97,
     "events_sequence_support": 0.64,
     "multimodal_image_phash_dedup": 1.08,
@@ -307,7 +307,7 @@ BASELINE_SEC = {
     "warehouse_market_concentration": 0.80,
     "orders_spearman_rank_corr": 2.05,
     # round-7: bounded-degree DBSCAN (VERDICT r6 #2) — min-of-3 quiet window
-    "sim_dbscan_capped": 4.25,
+    "sim_dbscan_capped": 1.62,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     # round-7 additions (min-of-3 hot, quiet window): PNG decode (r6 #6),
     # kafka wire parse + dead-letter audit (r6 #8), and error_bursts —
     # >0.3 s since the r6 distributed-islands rewrite but never benched
@@ -347,11 +347,11 @@ BASELINE_SEC = {
     # quiet window, 2026-08-16
     "dedup_minhash_lsh_pairs_counts": 3.78,
     "dedup_containment_pairs_counts": 3.58,
-    "dedup_winnowing_overlap_counts": 2.44,
-    "dedup_cross_corpus_minhash_counts": 3.78,
-    "sim_dbscan_capped_counts": 4.00,
+    "dedup_winnowing_overlap_counts": 1.8,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
+    "dedup_cross_corpus_minhash_counts": 1.99,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
+    "sim_dbscan_capped_counts": 1.91,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "warc_record_inventory": 1.15,
-    "pipeline_web_curation_warc": 3.76,
+    "pipeline_web_curation_warc": 3.22,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     "archive_tar_members_audit": 1.28,
     "warehouse_txnlog_time_travel": 3.11,
     # round 9, re-recorded round 10 (quiet window 2026-08-16, min-of-3
@@ -369,7 +369,7 @@ BASELINE_SEC = {
     # the ladder (§13h) finally exercises the composed pipeline's wall.
     # Re-recorded 6.46 after the HTTP wire-form mix landed (chunked
     # framing + Content-Encoding gzip per doc_id%4 — decode cost real)
-    "pipeline_warc_triage_scaled": 6.46,
+    "pipeline_warc_triage_scaled": 1.83,  # r10-opt re-record (quiet close 2026-08-18): see OPTIMIZATION_r10.md
     # round 10 (VERDICT r9 #3): the R24 quarantine route, oracle-attested
     "multimodal_pdf_error_audit": 1.23,
     # round 10: third container format (ZIP central directory), same
