@@ -1144,7 +1144,7 @@ def winnowing_fingerprints(
     # coalesces the byte-cheap window exchange to. min-over-window and
     # distinct are partition-order-exact.
     reps = reps.repartition(
-        8, key_col
+        df.sparkSession.sparkContext.defaultParallelism, key_col
     )
     wd = _W.partitionBy("k").orderBy("_pos")
     tokd = reps.select(
@@ -1278,7 +1278,7 @@ def winnowing_match_spans(
     # winnowing_fingerprints (this variant carries positions through the
     # identical gram/winnow pipeline).
     reps = reps.repartition(
-        8, key_col
+        df.sparkSession.sparkContext.defaultParallelism, key_col
     )
     wd = _W.partitionBy("k").orderBy("_pos")
     tokd = reps.select(

@@ -48,15 +48,53 @@ _CC_DRIVER_MAX_SYM_ROWS = int(
 )
 
 
+def _driver_sym_rows_cap(node_type) -> int:
+    """Row cap for the driver mirrors, derated for wide key types: the 4 M
+    default is sized for 16 B/row long pairs (~64 MB in toPandas). String
+    doc-id keys are an order of magnitude wider per row in pandas (object
+    header + the bytes), so gate those at 1/8th of the configured cap."""
+    from pyspark.sql import types as T
+
+    if isinstance(
+        node_type,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DateType,
+        ),
+    ):
+        return _CC_DRIVER_MAX_SYM_ROWS
+    return _CC_DRIVER_MAX_SYM_ROWS // 8
+
+
+def _has_null_endpoints(sym_pdf) -> bool:
+    """True when the collected edge list carries null endpoints. The driver
+    mirrors index numpy arrays by factorize code and pd.factorize maps null
+    to -1 (which would silently negative-index node state), while the
+    distributed loops' equality joins define the engine's null semantics —
+    so the callers fall back to the distributed path in that case."""
+    return bool(len(sym_pdf)) and bool(
+        sym_pdf["a"].isna().any() or sym_pdf["b"].isna().any()
+    )
+
+
 def _factorize_edges(sym_pdf, *extra_arrays):
     """(codes-per-column..., uniq): pandas factorization of an edge list's
     endpoint columns (plus optional extra node arrays, e.g. seed ids) into
     one shared integer code space — the common head of every driver-side
-    graph fast path below."""
+    graph fast path below. Null values in the *extra* arrays are dropped
+    before coding (a null seed never equality-joins into the edge set on
+    the distributed path, so dropping is the exact mirror); callers must
+    screen edge endpoints with _has_null_endpoints first."""
     import numpy as np
     import pandas as pd
 
-    parts = [sym_pdf["a"].to_numpy(), sym_pdf["b"].to_numpy(), *extra_arrays]
+    extras = [p[~pd.isna(p)] for p in extra_arrays]
+    parts = [sym_pdf["a"].to_numpy(), sym_pdf["b"].to_numpy(), *extras]
     codes, uniq = pd.factorize(np.concatenate(parts))
     out, off = [], 0
     for p in parts:
@@ -74,11 +112,8 @@ def _components_driver(sym_pdf, spark, node_type):
     import pandas as pd
     from pyspark.sql import types as T
 
-    codes, uniq = pd.factorize(
-        np.concatenate([sym_pdf["a"].to_numpy(), sym_pdf["b"].to_numpy()])
-    )
+    a, b, uniq = _factorize_edges(sym_pdf)
     n_edges = len(sym_pdf)
-    a, b = codes[:n_edges], codes[n_edges:]
     lab = np.arange(len(uniq), dtype=np.int64)
     for _ in range(64):
         new = lab.copy()
@@ -126,20 +161,24 @@ def connected_components(
         .localCheckpoint()
     )
     # Size-adaptive strategy (see _CC_DRIVER_MAX_SYM_ROWS): the count scans
-    # the just-checkpointed blocks, so the gate costs one cheap job.
-    if sym.count() <= _CC_DRIVER_MAX_SYM_ROWS:
-        assign = _components_driver(
-            sym.toPandas(), sym.sparkSession, sym.schema["a"].dataType
-        )
-        if nodes is not None:
-            singles = (
-                nodes.select(F.col(node_col).alias("node"))
-                .distinct()
-                .join(assign.select("node"), "node", "left_anti")
-                .withColumn("label", F.col("node"))
-            )
-            assign = assign.unionByName(singles)
-        return assign.select("node", F.col("label").alias("component"))
+    # the just-checkpointed blocks, so the gate costs one cheap job. NOTE:
+    # construction is eager on this path — toPandas() runs jobs before any
+    # action on the returned frame (timings still honest: the bench times
+    # full invocations).
+    node_type = sym.schema["a"].dataType
+    if sym.count() <= _driver_sym_rows_cap(node_type):
+        sym_pdf = sym.toPandas()
+        if not _has_null_endpoints(sym_pdf):
+            assign = _components_driver(sym_pdf, sym.sparkSession, node_type)
+            if nodes is not None:
+                singles = (
+                    nodes.select(F.col(node_col).alias("node"))
+                    .distinct()
+                    .join(assign.select("node"), "node", "left_anti")
+                    .withColumn("label", F.col("node"))
+                )
+                assign = assign.unionByName(singles)
+            return assign.select("node", F.col("label").alias("component"))
     labels = sym.select(F.col("a").alias("node")).distinct()
     if nodes is not None:
         labels = labels.union(
@@ -366,18 +405,26 @@ def bfs_hops(
     # Min-hop distance is pure integer arithmetic, so the numpy mirror is
     # bit-identical. Seeds OUTSIDE the edge set never affect reachability
     # (no edges) — they stay distributed as hops-0 rows, so only edge
-    # endpoints ever cross to the driver.
-    if sym.count() <= _CC_DRIVER_MAX_SYM_ROWS:
+    # endpoints ever cross to the driver. Construction is eager here (the
+    # toPandas() runs jobs before any action on the returned frame); null
+    # endpoints fall through to the distributed joins, whose null-dropping
+    # defines the engine's semantics.
+    node_type = sym.schema["a"].dataType
+    sym_pdf = None
+    if sym.count() <= _driver_sym_rows_cap(node_type):
+        sym_pdf = sym.toPandas()
+        if _has_null_endpoints(sym_pdf):
+            sym_pdf = None
+    if sym_pdf is not None:
         import numpy as np
         from pyspark.sql import types as T
 
-        node_type = sym.schema["a"].dataType
         seed_nodes = seeds.select(F.col(node_col).alias("node")).distinct()
         seed_in = seed_nodes.join(
             sym.select(F.col("a").alias("node")), "node", "left_semi"
         )
         spdf = seed_in.toPandas()
-        a, b, s, uniq = _factorize_edges(sym.toPandas(), spdf["node"].to_numpy())
+        a, b, s, uniq = _factorize_edges(sym_pdf, spdf["node"].to_numpy())
         INF = np.iinfo(np.int64).max
         hops = np.full(len(uniq), INF, dtype=np.int64)
         hops[s] = 0
@@ -469,14 +516,21 @@ def label_propagation(
     # synchronous LP is integer counting with a (max count, min label)
     # tie-break — exactly mirrorable. Label VALUES must compare like the
     # node column (the tie-break is by label order), so rounds run in
-    # value-RANK space, not factorize-code space.
-    if sym.count() <= _CC_DRIVER_MAX_SYM_ROWS:
+    # value-RANK space, not factorize-code space. Construction is eager on
+    # this path (toPandas() runs jobs at build time); null endpoints fall
+    # through to the distributed joins.
+    node_type = sym.schema["a"].dataType
+    sym_pdf = None
+    if sym.count() <= _driver_sym_rows_cap(node_type):
+        sym_pdf = sym.toPandas()
+        if _has_null_endpoints(sym_pdf):
+            sym_pdf = None
+    if sym_pdf is not None:
         import numpy as np
         import pandas as pd
         from pyspark.sql import types as T
 
-        node_type = sym.schema["a"].dataType
-        a, b, uniq = _factorize_edges(sym.toPandas())
+        a, b, uniq = _factorize_edges(sym_pdf)
         n = len(uniq)
         # rank codes by node value so "smaller label" == "smaller rank"
         perm = np.argsort(pd.Series(uniq).to_numpy(), kind="stable")
@@ -559,14 +613,21 @@ def k_core_peel(
     # Size-adaptive driver peel (r10 opt; see _CC_DRIVER_MAX_SYM_ROWS): the
     # loop costs an eager checkpoint + count job per round; degrees are
     # integer counts, so the numpy mirror — same bounded round count, same
-    # stable-edge-set early exit — is bit-identical.
-    if n_edges <= _CC_DRIVER_MAX_SYM_ROWS:
+    # stable-edge-set early exit — is bit-identical. Construction is eager
+    # on this path (toPandas() runs jobs at build time); null endpoints
+    # fall through to the distributed joins.
+    node_type = cur.schema["a"].dataType
+    cur_pdf = None
+    if n_edges <= _driver_sym_rows_cap(node_type):
+        cur_pdf = cur.toPandas()
+        if _has_null_endpoints(cur_pdf):
+            cur_pdf = None
+    if cur_pdf is not None:
         import numpy as np
         import pandas as pd
         from pyspark.sql import types as T
 
-        node_type = cur.schema["a"].dataType
-        a, b, uniq = _factorize_edges(cur.toPandas())
+        a, b, uniq = _factorize_edges(cur_pdf)
         for _ in range(rounds):
             deg = np.bincount(a, minlength=len(uniq))
             keep = deg >= k
@@ -839,19 +900,34 @@ def bellman_ford_rounds(
     # EXACTLY `rounds` synchronous min-plus rounds over long costs — integer
     # arithmetic, so the numpy mirror is bit-identical, including the
     # fixed-round (not converged-shortest-path) semantics. Seeds outside
-    # the edge set keep dist 0 distributed, as in bfs_hops.
-    if sym.count() <= _CC_DRIVER_MAX_SYM_ROWS:
+    # the edge set keep dist 0 distributed, as in bfs_hops. The mirror is
+    # int64-only: fractional (double/decimal) cost columns stay on the
+    # distributed path, whose dist type follows the cost column's type.
+    # Construction is eager on this path (toPandas() runs jobs at build
+    # time); null endpoints/costs fall through to the distributed joins.
+    from pyspark.sql import types as T
+
+    node_type = sym.schema["a"].dataType
+    cost_integral = isinstance(
+        sym.schema["c"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    sym_pdf = None
+    if cost_integral and sym.count() <= _driver_sym_rows_cap(node_type):
+        sym_pdf = sym.toPandas()
+        if _has_null_endpoints(sym_pdf) or bool(
+            len(sym_pdf) and sym_pdf["c"].isna().any()
+        ):
+            sym_pdf = None
+    if sym_pdf is not None:
         import numpy as np
         import pandas as pd
-        from pyspark.sql import types as T
 
-        node_type = sym.schema["a"].dataType
         seed_nodes = seeds.select("node").distinct()
         seed_in = seed_nodes.join(
             sym.select(F.col("a").alias("node")), "node", "left_semi"
         )
         spdf = seed_in.toPandas()
-        sym_pdf = sym.toPandas()
         a, b, s, uniq = _factorize_edges(sym_pdf, spdf["node"].to_numpy())
         c = sym_pdf["c"].to_numpy().astype(np.int64)
         INF = np.iinfo(np.int64).max

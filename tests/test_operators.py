@@ -202,6 +202,47 @@ def test_graph_iterative_driver_fast_paths_match_distributed(spark, monkeypatch)
     assert f == s and dict(f)[23] == 20  # clique converges to min id
 
 
+def test_graph_driver_mirror_guards(spark, monkeypatch):
+    """r11 (ADVICE r10): the driver mirrors must refuse inputs they cannot
+    reproduce bit-exactly — fractional costs (the int64 mirror would
+    truncate), null edge endpoints (pd.factorize codes null as -1, which
+    would negative-index node state) — and the row-count gate derates for
+    wide (string) key types."""
+    from pyspark.sql import types as T
+
+    from dataingestion_pt_ms_spark.operators import graph as G
+
+    # fractional costs: fast path must NOT run; dist keeps the cost type
+    fedges = spark.createDataFrame(
+        [(0, 1, 1.5), (1, 2, 2.25)], "src long, dst long, cost double"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = G.bellman_ford_rounds(fedges, seeds, rounds=2)
+    assert isinstance(out.schema["dist"].dataType, T.DoubleType)
+    got = {r.node: r.dist for r in out.collect()}
+    assert got == {0: 0.0, 1: 1.5, 2: 3.75}
+
+    # null endpoints: fast path falls back; result == distributed loop
+    nedges = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 7), (5, 6)], "src long, dst long"
+    )
+    from collections import Counter
+
+    fast = Counter(
+        (r.node, r.component) for r in G.connected_components(nedges).collect()
+    )
+    monkeypatch.setattr(G, "_CC_DRIVER_MAX_SYM_ROWS", -1)
+    slow = Counter(
+        (r.node, r.component) for r in G.connected_components(nedges).collect()
+    )
+    monkeypatch.undo()
+    assert fast == slow and (1, 1) in fast and (5, 5) in fast
+
+    # wide-key derating: string node type gets 1/8 of the configured cap
+    assert G._driver_sym_rows_cap(T.LongType()) == G._CC_DRIVER_MAX_SYM_ROWS
+    assert G._driver_sym_rows_cap(T.StringType()) == G._CC_DRIVER_MAX_SYM_ROWS // 8
+
+
 def test_kmeans_validates_params(spark, sf_dir):
     import pytest as _pytest
 
