@@ -158,20 +158,40 @@ def minhash_signature(
         (leads[-1] if leads else F.col("_t")).alias("_guard"),
     ).where(F.col("_guard").isNotNull()).drop("_guard")
     exploded = sh_stream.select(key_col, hash_expr.alias("_h"))
-    # Expression construction cost is driver wall on EVERY invocation
-    # (r10 opt: the Column-algebra form of these 64 aggregates is ~520
-    # py4j round-trips ≈ 0.5 s/build). One F.expr string per aggregate —
-    # and one for the array reassembly — parses to the identical
-    # expression tree (integer literals < 2^31 resolve to IntegerType in
-    # both forms; coercion to long happens at the same * and + nodes), so
-    # results and plan fingerprints are unchanged.
-    aggs = [
-        F.expr(f"min(pmod({a} * _h + {b}, {_MERSENNE31})) AS _m{p}")
-        for p, (a, b) in enumerate(_perm_params(num_perm))
-    ]
-    sig_df = exploded.groupBy(key_col).agg(*aggs)
-    arr = ", ".join(f"_m{p}" for p in range(num_perm))
-    return sig_df.select(key_col, F.expr(f"array({arr}) AS signature"))
+    # r11 opt (guide §1.2 #2, §5 "the driver"): the previous shape — 64
+    # scalar `min(pmod(a_p*_h+b_p, M))` aggregates — made whole-stage
+    # codegen emit and compile 64 expression trees' worth of Java source
+    # PER INVOCATION (~1.8-2.4 s of driver wall in `toRdd`, the dominant
+    # cost of every minhash query at bench scale). Same math, one loop:
+    # explode the permutation INDEX (64 rows per shingle, entirely
+    # post-exchange and pipelined — the doc-keyed repartition above still
+    # carries only O(docs) rows), look the (a, b) constants up in two
+    # foldable literal arrays, and aggregate ONE `min` keyed (doc, p).
+    # hash(key) satisfies clustering on (key, p) and on (key), so both
+    # aggregates and the window reuse the single pinned exchange — the
+    # shuffle count and bytes are unchanged. min over longs is
+    # duplicate/order-insensitive and the reassembly sorts by the unique
+    # permutation index, so signatures are bit-identical.
+    params = _perm_params(num_perm)
+    a_arr = ", ".join(str(a) for a, _ in params)
+    b_arr = ", ".join(str(b) for _, b in params)
+    perm_rows = exploded.select(
+        key_col,
+        "_h",
+        F.expr(f"explode(sequence(0, {num_perm - 1})) AS _p"),
+    )
+    sig_df = perm_rows.groupBy(key_col, "_p").agg(
+        F.expr(
+            f"min(pmod(element_at(array({a_arr}), _p + 1) * _h"
+            f" + element_at(array({b_arr}), _p + 1), {_MERSENNE31})) AS _m"
+        )
+    )
+    return sig_df.groupBy(key_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(_p, _m))), s -> s._m)"
+            " AS signature"
+        )
+    )
 
 
 def _banded(
