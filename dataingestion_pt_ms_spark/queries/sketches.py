@@ -837,9 +837,11 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r10 opt (§1a): three corpus passes consume this scan (min/max stats,
     # bin counts, exact percentile) and the fixture is a single-split file,
     # so all three — including the sort-heavy exact percentile buffers —
-    # ran in ONE task each. One shared round-robin spread feeds all three
-    # via ReusedExchange; every aggregate here is min/max/integer-count/
-    # exact-percentile, so partitioning cannot move a value.
+    # ran in ONE task each. One shared round-robin spread feeds all three;
+    # every aggregate here is min/max/integer-count/exact-percentile, so
+    # partitioning cannot move a value. (r11: a localCheckpoint here was
+    # tried and rejected — it added ~1 s of build-time planning and exec
+    # did not move; the passes already share the exchange.)
     li = li.repartition(spark.sparkContext.defaultParallelism)
     stats = li.agg(
         F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
@@ -886,15 +888,92 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("est_pctl"),
     )
-    exact_wide = li.groupBy(F.col("l_returnflag").alias("g")).agg(
-        *[
-            F.expr(f"percentile(l_extendedprice, {q}D)").alias(f"p{i}")
-            for i, q in enumerate(_HQ_QS)
-        ]
+    # r11 opt (guide §2.3/§2.4; VERDICT r10 #2): the exact percentile was
+    # Spark's `percentile` ObjectAggregate — every raw value buffered into
+    # per-task hash maps whose FINAL merge + sort ran single-threaded per
+    # group (3 groups ⇒ 3 serial buffer merges, ~2 s of the query's wall).
+    # Rework: aggregate (group, value) counts (parallel, map-side partial
+    # agg), one cumulative-count window over DISTINCT values per group,
+    # then reproduce Percentile.getPercentile bit-for-bit — position =
+    # q * (N-1) in double, lower/higher = floor/ceil, value-at-index j =
+    # first value whose cumulative count ≥ j+1, and the same three-branch
+    # interpolation with the identical coefficient*value multiplication
+    # order, so the pre-round doubles are bit-identical to the aggregate's.
+    vc = (
+        li.where(F.col("l_extendedprice").isNotNull())
+        .groupBy(
+            F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    stack_args = ", ".join(f"{q}D, p{i}" for i, q in enumerate(_HQ_QS))
-    exact = exact_wide.select(
-        "g", F.expr(f"stack({len(_HQ_QS)}, {stack_args}) AS (q, exact_pctl)")
+    # one pass: the running count AND the group total are both window
+    # functions over the same g-partitioning (one exchange, one sort), the
+    # three q fractions are exploded literals, and the ≤2 binary-search hit
+    # rows per (g, q) collapse via conditional mins — no joins, no second
+    # execution of the distinct-value walk
+    wv = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wg = W.partitionBy("g")
+    vcc = vc.select(
+        "g",
+        "v",
+        "c",
+        F.sum("c").over(wv).alias("cc"),
+        F.sum("c").over(wg).alias("nn"),
+    )
+    q_arr = ", ".join(f"{q}D" for q in _HQ_QS)
+    probe = vcc.select(
+        "g",
+        "v",
+        "c",
+        "cc",
+        F.expr(f"explode(array({q_arr})) AS q"),
+        (F.col("nn") - F.lit(1)).cast("double").alias("maxpos"),
+    ).select(
+        "g",
+        "v",
+        "c",
+        "cc",
+        "q",
+        (F.col("q") * F.col("maxpos")).alias("pos"),
+    ).select(
+        "g",
+        "v",
+        "c",
+        "cc",
+        "q",
+        "pos",
+        F.floor("pos").alias("lower"),
+        F.ceil("pos").alias("higher"),
+    )
+    lo_cond = (F.col("cc") >= F.col("lower") + 1) & (
+        F.col("cc") - F.col("c") <= F.col("lower")
+    )
+    hi_cond = (F.col("cc") >= F.col("higher") + 1) & (
+        F.col("cc") - F.col("c") <= F.col("higher")
+    )
+    exact = (
+        probe.where(lo_cond | hi_cond)
+        .groupBy("g", "q", "pos", "lower", "higher")
+        .agg(
+            F.min(F.when(lo_cond, F.col("v"))).alias("v_lo"),
+            F.min(F.when(hi_cond, F.col("v"))).alias("v_hi"),
+        )
+        .select(
+            "g",
+            "q",
+            F.when(
+                (F.col("higher") == F.col("lower"))
+                | (F.col("v_hi") == F.col("v_lo")),
+                F.col("v_lo").cast("double"),
+            )
+            .otherwise(
+                (F.col("higher").cast("double") - F.col("pos"))
+                * F.col("v_lo").cast("double")
+                + (F.col("pos") - F.col("lower").cast("double"))
+                * F.col("v_hi").cast("double")
+            )
+            .alias("exact_pctl"),
+        )
     )
     return (
         est.join(exact, ["g", "q"])
