@@ -339,7 +339,17 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     omitted.  Counts are identical to the naive enumeration — orientation
     only changes which copy of each triangle is generated.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # r11 opt (guide §1.2 #1 / §7.2 duplicated subtrees): `e` feeds deg
+    # (twice, via the union) + the orientation join, and `oriented` feeds
+    # three branches (both wedge sides + the closing semi-join) — without
+    # materialization the edge-build lineage re-executed ~30× per
+    # invocation (60 parquet scans in the before-plan of
+    # graph_copurchase_triangles). Two lazy localCheckpoints collapse that
+    # to one edge build + one orientation pass; counts are unchanged
+    # (checkpointing only truncates lineage).
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
+    )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -355,7 +365,7 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
         F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_d"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = oriented.select("s", F.col("d").alias("b"), F.col("deg_d").alias("deg_b"))
     e2 = oriented.select("s", F.col("d").alias("c"), F.col("deg_d").alias("deg_c"))
     wedges = e1.join(e2, "s").filter(
