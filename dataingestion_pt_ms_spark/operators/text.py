@@ -693,10 +693,17 @@ def bigram_logprob(
         F.slice(toks, 2, n - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # r11 opt (guide §1.2 #1): the bigram stream feeds three consumers
+    # (both count tables + the score join) — materialize it once instead
+    # of re-tokenizing the corpus per branch (8 parquet scans in the
+    # before-plan). Checkpointing preserves the RDD's partitioning, so
+    # the downstream shuffles — and the per-doc float-sum order behind
+    # the 6-dp rounds — are unchanged.
     bg = (
         df.filter(n >= 2)
         .select(key_col, F.explode(bigrams).alias("bg"))
         .select(key_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=False)
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("cnt1"))

@@ -1720,7 +1720,13 @@ def sim_pq_refine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == _QID)
-    short = pq_adc_topk(emb, query, k=_REFINE_SHORT, train_mod=4)
+    # r11 opt (guide §1.2 #1): the shortlist feeds the exact-rerank
+    # semi-join AND the final join — materialize the ≤_REFINE_SHORT rows
+    # so the PQ train/encode/ADC pipeline runs once, not twice (12 parquet
+    # scans in the before-plan)
+    short = pq_adc_topk(emb, query, k=_REFINE_SHORT, train_mod=4).localCheckpoint(
+        eager=False
+    )
     qv = F.broadcast(
         query.select(F.col("embedding").cast("array<double>").alias("qv"))
     )

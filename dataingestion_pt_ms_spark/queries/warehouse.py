@@ -112,10 +112,15 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("k").orderBy(F.col("seq").desc(), "op")
+    # r11 opt (guide §1.2 #1): final_log feeds both the anti-join and the
+    # upsert branch — materialize so the 3-way log union + last-wins
+    # window runs once per invocation instead of twice (14 parquet scans
+    # in the before-plan)
     final_log = (
         log.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn", "seq")
+        .localCheckpoint(eager=False)
     )
     untouched = snap.join(final_log.select("k"), "k", "left_anti").select(
         "k", "price", F.lit("snap").alias("src")
