@@ -1228,7 +1228,14 @@ def winnowing_overlap_pairs(
     Scale: the pair space is Σ postings² per fingerprint, capped at
     max_postings² per list — never corpus²; sizes join back broadcast.
     """
-    fps = winnowing_fingerprints(df, text_col, key_col, k=k, w=w)
+    # r11 opt (guide §1.2 #1): the posting list feeds four consumers (the
+    # cap filter, the per-doc sizes, and both sides of the pair join) —
+    # materialize it once instead of re-running the whole collapse + gram
+    # + winnow pipeline per branch (32 parquet scans in the before-plan
+    # of dedup_winnowing_overlap)
+    fps = winnowing_fingerprints(df, text_col, key_col, k=k, w=w).localCheckpoint(
+        eager=False
+    )
     kept = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -155,7 +155,14 @@ def tf_idf_topk(
 
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tok = spread.select(F.col(key_col), F.explode(_tok(text_col)).alias("token"))
-    tf = tok.groupBy(key_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # r11 opt (guide §1.2 #1): tf feeds both the document-frequency rollup
+    # and the score join — materialize so the corpus tokenize + count
+    # shuffle runs once, not twice
+    tf = (
+        tok.groupBy(key_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -878,9 +878,13 @@ LIMIT 50
 @register("basket_pair_affinity", oracle=BASKET_ORACLE, tags=("join", "agg", "affinity"))
 def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # r11 opt (guide §1.2 #1): the distinct basket items feed five branches
+    # (order count, part frequencies via both join sides, and both sides
+    # of the pair self-join) — materialize so the distinct shuffle runs
+    # once (10 parquet scans in the before-plan)
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     n_orders = items.agg(
         F.countDistinct("okey").cast("double").alias("n")
     )
