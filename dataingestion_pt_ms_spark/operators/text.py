@@ -567,7 +567,14 @@ def unigram_logprob(
     (aggregate rounding policy — see queries/__init__.py docstring).
     """
     toks = df.select(key_col, F.explode(tokens(F.col(text_col))).alias("token"))
-    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    # r11 opt (guide §1.2 #1): the vocabulary-sized count table feeds the
+    # corpus scalars AND the score join — materialize it (tiny) so the
+    # corpus tokenize + count shuffle runs once, not twice
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     scalars = counts.agg(
         F.sum("cnt").alias("n_total"), F.count("*").alias("vocab")
     )

@@ -577,8 +577,12 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import global_running_sum
 
     docs = load_table(spark, sf_dir, "documents")
-    # stage 1: CCNet gate (drop the worst-perplexity tertile)
-    pp = T.unigram_logprob(docs).select("doc_id", "nll")
+    # stage 1: CCNet gate (drop the worst-perplexity tertile). pp feeds
+    # the tertile aggregate AND the gate join — materialize so the
+    # unigram-LM pipeline runs once (r11 opt, guide §1.2 #1)
+    pp = T.unigram_logprob(docs).select("doc_id", "nll").localCheckpoint(
+        eager=False
+    )
     th = pp.agg(F.percentile("nll", F.lit(2.0 / 3)).alias("t2"))
     gated = (
         docs.join(pp, "doc_id")

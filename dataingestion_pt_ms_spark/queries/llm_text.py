@@ -995,7 +995,12 @@ ORDER BY doc_id
 )
 def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pp = T.unigram_logprob(docs).select("doc_id", "nll")
+    # r11 opt (guide §1.2 #1): the per-doc NLL table feeds the tertile
+    # aggregate AND the final bucket projection — materialize so the
+    # unigram-LM pipeline runs once, not twice
+    pp = T.unigram_logprob(docs).select("doc_id", "nll").localCheckpoint(
+        eager=False
+    )
     th = pp.agg(
         F.percentile("nll", F.lit(1.0 / 3)).alias("t1"),
         F.percentile("nll", F.lit(2.0 / 3)).alias("t2"),
