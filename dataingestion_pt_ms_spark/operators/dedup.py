@@ -812,10 +812,15 @@ def incremental_minhash_dedup(
     # ``new_sigs`` lets callers that already signed the batch (e.g. the
     # streaming sink, which both checks and persists signatures) skip the
     # re-hash; it must come from minhash_signature with identical params.
+    # r11 opt (guide §1.2 #1): the batch signatures feed both the banding
+    # and the estimator join — materialize the (batch-sized) table so the
+    # signature pipeline runs once; caller-provided sigs are left alone
     sig_new = (
         new_sigs
         if new_sigs is not None
-        else minhash_signature(new_docs, text_col, key_col, num_perm, shingle_k, base_hash)
+        else minhash_signature(
+            new_docs, text_col, key_col, num_perm, shingle_k, base_hash
+        ).localCheckpoint(eager=False)
     )
     b_new = _banded(sig_new, key_col, bands, rows).select(
         F.col("k").alias("new_key"), "band_idx", "band_hash"

@@ -565,9 +565,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:incremental_minhash_dedup); store side is the
     signatures of docs < 400, new batch is docs >= 400."""
     docs = load_table(spark, sf_dir, "documents")
+    # store side feeds both the banding and the estimator join — in
+    # production it is a parquet signature table (cheap re-scan), here it
+    # is a computed pipeline, so materialize it once (r11 opt, §1.2 #1)
     stored = D.minhash_signature(
         docs.filter(F.col("doc_id") < 400), "text", "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     return D.incremental_minhash_dedup(
         docs.filter(F.col("doc_id") >= 400), stored, "text", "doc_id", threshold=0.5
     )
