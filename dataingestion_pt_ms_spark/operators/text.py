@@ -774,6 +774,11 @@ def windowed_cooccurrence(
     pairs = base.select(F.explode(F.expr(pair_expr)).alias("p")).select(
         "p.tok_a", "p.tok_b"
     )
+    # r11 note: checkpointing pc and/or marg (each feeds 2-3 consumers)
+    # was measured and REJECTED — the pair table is large relative to the
+    # recompute and both variants read ~0.1 s slower at sf0.1 (min-of-5
+    # interleaved A/B); the duplication here is two map-side-combined
+    # wordcount aggregates, not a multiplicative subtree.
     pc = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("pair_count"))
     marg = (
         base.select(F.explode("toks").alias("tok"))

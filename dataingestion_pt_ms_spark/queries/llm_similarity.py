@@ -3927,9 +3927,12 @@ def sim_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import blocked_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r11 opt (guide §1.2 #1): the kNN table feeds both join sides of the
+    # mutuality check — materialize the (n·k)-row result so the blocked
+    # GEMM pipeline runs once, not twice
     knn = blocked_knn(emb, k=_KNN_K).select(
         "vec_id", "nb", "label", "cosine_sim", F.col("rnk").cast("int").alias("rnk")
-    )
+    ).localCheckpoint(eager=False)
     fwd = knn.select(
         F.col("vec_id").alias("vec_a"),
         F.col("nb").alias("vec_b"),

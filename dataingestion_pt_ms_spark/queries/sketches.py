@@ -249,10 +249,14 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reshuffled (only the vocab-sized count table moves).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # r11 opt (guide §1.2 #1): the vocabulary-sized count table feeds the
+    # hashed cells AND the stream total — materialize so the corpus
+    # tokenize + count shuffle runs once, not twice
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     hashed = counts.select(
         "token",
@@ -273,6 +277,9 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_CM_W),
         ),
     )
+    # hashed feeds the cell sums AND the estimate join (same two-consumer
+    # shape the per-source variant already materializes)
+    hashed = hashed.localCheckpoint(eager=False)
     cells = hashed.groupBy("j", "bucket").agg(F.sum("c").alias("cell"))
     est = (
         hashed.join(cells, ["j", "bucket"])
